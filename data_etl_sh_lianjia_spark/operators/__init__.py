@@ -1,0 +1,4 @@
+"""Operator modules; importing this package registers every declared query."""
+
+import data_etl_sh_lianjia_spark.operators.relational  # noqa: F401
+import data_etl_sh_lianjia_spark.operators.similarity  # noqa: F401

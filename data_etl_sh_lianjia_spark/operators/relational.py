@@ -1,0 +1,395 @@
+"""Relational core: scans, filters, joins, aggregations, windows, sorts.
+
+Declared-query implementations of SURVEY.md §2.2-§2.7 over the driver
+testdata star schema. Each query is written Spark-first (DataFrame API →
+Catalyst plans it) with a value-identical DuckDB oracle string.
+
+Scale notes (100 TB posture):
+- Dimension tables (region/nation/customer/supplier/part) are broadcast —
+  at production scale they stay orders of magnitude below the fact tables,
+  so every star join here is a broadcast-hash join on the fact-scan side:
+  no shuffle of lineitem/orders except where an aggregation requires it.
+- Aggregations rely on Spark's partial (map-side) aggregation; group-by
+  cardinalities here (flags, nations, custkey) are far below input row
+  counts, so the shuffle carries only partial aggregates.
+- Top-k uses orderBy+limit which Catalyst rewrites to TakeOrderedAndProject
+  (per-partition heap + driver merge — no global sort shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from data_etl_sh_lianjia_spark.functions.deterministic import (
+    davg,
+    dsum,
+    oracle_davg,
+    oracle_dsum,
+)
+from data_etl_sh_lianjia_spark.plans.registry import register
+from data_etl_sh_lianjia_spark.session import load_tables
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return load_tables(spark, sf_dir, names=names)
+
+
+# ---------------------------------------------------------------------------
+# q1_scan_agg — TPC-H Q1 shape (SURVEY.md §2.5 A3, §2.2 P9, §2.3 F10)
+# ---------------------------------------------------------------------------
+
+_Q1_CUTOFF = "1998-09-02 00:00:00"
+
+
+@register(
+    "q1_scan_agg",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       {oracle_dsum('l_quantity', 'sum_qty')},
+       {oracle_dsum('l_extendedprice', 'sum_base_price')},
+       {oracle_dsum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+       {oracle_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge', scale=6)},
+       {oracle_davg('l_quantity', 'avg_qty')},
+       {oracle_davg('l_extendedprice', 'avg_price')},
+       {oracle_davg('l_discount', 'avg_disc', scale=6)},
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{_Q1_CUTOFF}'
+GROUP BY l_returnflag, l_linestatus
+""",
+    survey_ref="S11,P5,P9,A3,F10",
+    bench=True,
+    doc="TPC-H Q1: pricing summary — filter + 2-key groupBy + 8 aggregates",
+)
+def q1_scan_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(_Q1_CUTOFF).cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge", scale=6),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc", scale=6),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q3_join3 — customer ⋈ orders ⋈ lineitem + agg + top-10 (SURVEY.md §2.4 J3)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q3_join3",
+    oracle=f"""
+SELECT l_orderkey,
+       {oracle_dsum('l_extendedprice * (1 - l_discount)', 'revenue')},
+       CAST(o_orderdate AS DATE) AS orderdate,
+       o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1996-03-15 00:00:00'
+GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+    survey_ref="J1,J3,A3,O3",
+    bench=True,
+    doc="TPC-H Q3 shape: 3-way join, agg, deterministic top-10 by revenue",
+)
+def q3_join3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+    orders = t["orders"].filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp_ntz")
+    )
+    li = t["lineitem"].filter(
+        F.col("l_shipdate") > F.lit("1996-03-15 00:00:00").cast("timestamp_ntz")
+    )
+    return (
+        li.join(
+            F.broadcast(orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            "l_orderkey",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q5_join5 — 6-table star join + group agg (SURVEY.md §2.4 J3)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q5_join5",
+    oracle=f"""
+SELECT n_name,
+       {oracle_dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
+FROM customer
+JOIN orders   ON c_custkey  = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey  = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+""",
+    survey_ref="J1,J3,A3",
+    bench=True,
+    doc="TPC-H Q5 shape: 6-table star join (all dims broadcast), agg by nation",
+)
+def q5_join5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "region", "nation", "customer", "supplier", "orders", "lineitem")
+    region = t["region"].filter(F.col("r_name") == "ASIA")
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(t["supplier"]),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# window_rank — top-3 orders per customer (SURVEY.md §2.6 W1/W4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_rank",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice, rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+""",
+    survey_ref="W1,W4",
+    bench=True,
+    doc="row_number() top-3 orders per customer (unique tiebreaker => deterministic)",
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.select(
+            "o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# distinct_count — exact COUNT(DISTINCT) ×2 (SURVEY.md §2.5 A4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "distinct_count",
+    oracle="""
+SELECT COUNT(DISTINCT l_partkey) AS distinct_parts,
+       COUNT(DISTINCT l_suppkey) AS distinct_supps,
+       COUNT(*) AS n_rows
+FROM lineitem
+""",
+    survey_ref="A4",
+    bench=True,
+    doc="two exact count-distincts + count over lineitem",
+)
+def distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return li.agg(
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+        F.countDistinct("l_suppkey").alias("distinct_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# topk_sort — ORDER BY + LIMIT 100 → TakeOrderedAndProject (SURVEY.md §2.7 O3)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "topk_sort",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_extendedprice, l_shipdate::DATE AS shipdate
+FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+LIMIT 100
+""",
+    survey_ref="O3",
+    bench=True,
+    doc="top-100 by extendedprice with unique tiebreakers",
+)
+def topk_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_extendedprice",
+            F.col("l_shipdate").cast("date").alias("shipdate"),
+        )
+        .orderBy(F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# json_events — JSON extraction + agg (SURVEY.md §2.3 F7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "json_events",
+    oracle=f"""
+SELECT event_type,
+       COUNT(*) AS n,
+       SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       {oracle_dsum('value', 'sum_value')}
+FROM events
+GROUP BY event_type
+""",
+    survey_ref="F7,A3",
+    bench=True,
+    doc="get_json_object on events.props + groupBy agg",
+)
+def json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")["events"]
+    k = F.expr("try_cast(get_json_object(props, '$.k') AS BIGINT)")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        dsum("value", "sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sessionize — lag + gap-break sessionization (SURVEY.md §2.6 W5)
+# ---------------------------------------------------------------------------
+
+_GAP_US = 30 * 60 * 1_000_000  # 30-minute session gap, in microseconds
+
+
+@register(
+    "sessionize",
+    oracle=f"""
+WITH ts_events AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events
+), flagged AS (
+  SELECT user_id, ts_us, value,
+         CASE WHEN ts_us - lag(ts_us) OVER w > {_GAP_US}
+                OR lag(ts_us) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM ts_events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+), sessions AS (
+  SELECT user_id, ts_us, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       COUNT(*) AS n_events,
+       (MAX(ts_us) - MIN(ts_us)) // 1000 AS duration_ms,
+       {oracle_dsum('value', 'sum_value')}
+FROM sessions
+GROUP BY user_id, session_id
+""",
+    survey_ref="W2,W3,W5",
+    bench=True,
+    doc="30-min-gap sessionization via lag + running sum of session breaks",
+)
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions on the deterministic microsecond event-time column.
+
+    Uses ``ts_ns div 1000`` (== DuckDB ``epoch_us``) so both engines bucket
+    on identical integers regardless of timestamp precision/timezone.
+    """
+    ev = _t(spark, sf_dir, "events")["events"].select(
+        "user_id",
+        "event_id",
+        F.expr("ts_ns div 1000").alias("ts_us"),
+        "value",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            (F.col("ts_us") - F.lag("ts_us").over(w) > _GAP_US)
+            | F.lag("ts_us").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sessions = flagged.withColumn("session_id", F.sum("new_session").over(wrun))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr("(max(ts_us) - min(ts_us)) div 1000").alias("duration_ms"),
+        dsum("value", "sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# string_regex — regex filter + IN-list (SURVEY.md §2.3 F2)
+# ---------------------------------------------------------------------------
+
+_REGEX = "(join|merge) (scan|sort)"
+
+
+@register(
+    "string_regex",
+    oracle=f"""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE regexp_matches(text, '{_REGEX}')
+  AND lang IN ('en', 'zh', 'de')
+""",
+    survey_ref="F2,P5",
+    bench=True,
+    doc="regex predicate + IN-list filter on documents",
+)
+def string_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    return docs.filter(
+        F.col("text").rlike(_REGEX) & F.col("lang").isin("en", "zh", "de")
+    ).select("doc_id", "lang", "source", "n_chars")

@@ -1,0 +1,132 @@
+"""SparkSession bootstrap and catalog registration for the testdata tables.
+
+Scale posture: tests run on ``local[N]`` but every default here is chosen to
+survive a 1000-executor cluster at ~100 TB:
+
+- AQE on (runtime re-plan: coalesce post-shuffle partitions, convert
+  sort-merge joins to broadcast, split skewed partitions).
+- Arrow transfer on for the (rare) pandas-UDF paths.
+- UTC session timezone so timestamp semantics match the DuckDB oracle.
+- Shuffle partitions default to ~2× local cores for the tiny scale factors;
+  a real deployment overrides via ``spark.sql.shuffle.partitions`` (AQE
+  coalescing makes an over-estimate cheap).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# The ten driver testdata tables (TESTDATA.md): TPC-H-ish star schema plus
+# events (stream), documents (text corpus), embeddings (vectors).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimension tables — always broadcast-joinable; used by operators to
+# decide on F.broadcast() hints (at 100 TB the fact tables grow, these don't).
+DIM_TABLES = frozenset({"region", "nation", "supplier", "customer", "part"})
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def get_spark(
+    app_name: str = "data-etl-sh-lianjia-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine SparkSession with scale-aware defaults."""
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions if shuffle_partitions else max(cpus, 8)),
+        )
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def read_events(spark: SparkSession, path: str) -> DataFrame:
+    """Read the ``events`` table, tolerating parquet TIMESTAMP(NANOS).
+
+    The driver testdata stores ``ts`` with nanosecond precision, which Spark's
+    parquet reader rejects unless ``spark.sql.legacy.parquet.nanosAsLong`` is
+    set. We read nanos as BIGINT (kept as ``ts_ns`` — the deterministic
+    event-time column used by oracle-hashed queries; DuckDB equivalent:
+    ``epoch_us(ts) * 1000``) and derive ``ts`` as TIMESTAMP_NTZ truncated to
+    microseconds, built timezone-independently from the epoch value so results
+    do not depend on the caller's session timezone.
+    """
+    try:
+        df = spark.read.parquet(path)
+    except Exception:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+    dtypes = dict(df.dtypes)
+    if dtypes.get("ts") == "bigint":
+        df = df.withColumnRenamed("ts", "ts_ns").withColumn(
+            "ts",
+            F.expr(
+                "timestampadd(MICROSECOND, ts_ns div 1000,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ),
+        )
+    else:  # future-proof: reader already produced a timestamp
+        df = df.withColumn(
+            "ts_ns", F.expr("unix_micros(cast(ts as timestamp)) * 1000")
+        )
+    return df
+
+
+def load_tables(
+    spark: SparkSession,
+    sf_dir: str = DEFAULT_SF_DIR,
+    register: bool = False,
+    names: tuple[str, ...] = TABLES,
+) -> dict[str, DataFrame]:
+    """Load the testdata parquet tables lazily; optionally register temp views.
+
+    Reads are plain ``spark.read.parquet`` so Catalyst gets predicate pushdown
+    and column pruning for free (SURVEY.md §4.2).
+    """
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        path = table_path(sf_dir, name)
+        if not os.path.exists(path):
+            continue
+        df = read_events(spark, path) if name == "events" else spark.read.parquet(path)
+        out[name] = df
+        if register:
+            df.createOrReplaceTempView(name)
+    return out
