@@ -19,7 +19,9 @@ from data_etl_sh_lianjia_spark.plans.registry import all_queries
 from data_etl_sh_lianjia_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
+# 7 runs: the host VM intermittently freezes bursts for 10-30s (CPU steal);
+# a larger odd run-count keeps the median out of the freeze tail.
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "7"))
 
 
 def main() -> None:

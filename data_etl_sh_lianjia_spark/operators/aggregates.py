@@ -1,0 +1,191 @@
+"""Aggregation suite — SURVEY.md §2.5 A3-A8: rollup/cube/grouping sets,
+filtered agg + HAVING, ordered collect_list/set, exact percentiles/stats,
+pivot. All sums are DECIMAL-routed (see functions.deterministic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_etl_sh_lianjia_spark.functions.deterministic import dsum, oracle_dsum
+from data_etl_sh_lianjia_spark.plans.registry import register
+from data_etl_sh_lianjia_spark.session import load_tables
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return load_tables(spark, sf_dir, names=names)
+
+
+@register(
+    "rollup_agg",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       {oracle_dsum('l_quantity', 'sum_qty')}
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    survey_ref="A5",
+    doc="ROLLUP over (returnflag, linestatus) incl. grand total",
+)
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), dsum("l_quantity", "sum_qty")
+    )
+
+
+@register(
+    "cube_agg",
+    oracle=f"""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       {oracle_dsum('o_totalprice', 'sum_price')}
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    survey_ref="A5",
+    doc="CUBE over (status, priority): all grouping-set combinations",
+)
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "sum_price")
+    )
+
+
+@register(
+    "grouping_sets_agg",
+    oracle=f"""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       {oracle_dsum('o_totalprice', 'sum_price')}
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+""",
+    survey_ref="A5",
+    doc="explicit GROUPING SETS via the SQL API",
+)
+def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    orders.createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               {oracle_dsum('o_totalprice', 'sum_price')}
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+@register(
+    "having_filtered_agg",
+    oracle=f"""
+SELECT o_custkey,
+       COUNT(*) AS n_orders,
+       {oracle_dsum("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END", 'sum_finished')},
+       {oracle_dsum('o_totalprice', 'sum_all')}
+FROM orders
+GROUP BY o_custkey
+HAVING COUNT(*) >= 12
+""",
+    survey_ref="A6",
+    doc="conditional (CASE WHEN) aggregate + HAVING on group count",
+)
+def having_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(
+                F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice")),
+                "sum_finished",
+            ),
+            dsum("o_totalprice", "sum_all"),
+        )
+        .filter(F.col("n_orders") >= 12)
+    )
+
+
+@register(
+    "collect_ordered",
+    oracle="""
+SELECT o_orderstatus,
+       list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+       list_sort(list(o_orderpriority))[1:5] AS first5
+FROM orders
+GROUP BY o_orderstatus
+""",
+    survey_ref="A7",
+    doc="deterministically ordered collect_set / collect_list (array_sort wrapped)",
+)
+def collect_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    return orders.groupBy("o_orderstatus").agg(
+        F.array_sort(F.collect_set("o_orderpriority")).alias("priorities"),
+        F.slice(F.array_sort(F.collect_list("o_orderpriority")), 1, 5).alias("first5"),
+    )
+
+
+@register(
+    "percentile_stats",
+    oracle="""
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+       round(stddev_samp(l_quantity), 4) AS sd_qty,
+       round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    survey_ref="A8",
+    doc="exact percentiles (linear interpolation) + stddev + corr, rounded to 4dp",
+)
+def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates are the one family where cross-engine bit
+    equality is not achievable (different summation orders); both sides
+    round to 4 decimals, far coarser than the ~1e-9 numerical disagreement.
+    """
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("median_qty"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90_price"),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+    )
+
+
+@register(
+    "approx_distinct",
+    oracle=None,  # approximate by construction -> rows-only at the driver;
+    # tolerance-checked against exact counts in tests/test_approx.py
+    survey_ref="A4",
+    doc="approx_count_distinct (HLL++) per returnflag",
+)
+def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+@register(
+    "pivot_agg",
+    oracle=f"""
+SELECT l_returnflag,
+       {oracle_dsum("CASE WHEN l_linestatus = 'O' THEN l_quantity END", 'O')},
+       {oracle_dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity END", 'F')}
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    survey_ref="A3,A6",
+    doc="pivot on linestatus (explicit value list) with decimal-routed sums",
+)
+def pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(30,4)")).cast("double"))
+    )

@@ -247,9 +247,9 @@ def distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "topk_sort",
     oracle="""
-SELECT l_orderkey, l_linenumber, l_extendedprice, l_shipdate::DATE AS shipdate
+SELECT l_orderkey, l_linenumber, l_partkey, l_extendedprice, l_shipdate::DATE AS shipdate
 FROM lineitem
-ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber, l_partkey
 LIMIT 100
 """,
     survey_ref="O3",
@@ -262,10 +262,11 @@ def topk_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.select(
             "l_orderkey",
             "l_linenumber",
+            "l_partkey",
             "l_extendedprice",
             F.col("l_shipdate").cast("date").alias("shipdate"),
         )
-        .orderBy(F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
+        .orderBy(F.desc("l_extendedprice"), "l_orderkey", "l_linenumber", "l_partkey")
         .limit(100)
     )
 

@@ -1,0 +1,111 @@
+"""Window-function suite — SURVEY.md §2.6 W1-W3: ranking family, analytic
+(lag/lead/first/last/nth), frame aggregates (running sum, moving average).
+
+Determinism: every window ORDER BY carries a unique tiebreaker
+(o_orderkey / l_linenumber), and frame sums are DECIMAL-routed so running
+totals are bit-identical cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from data_etl_sh_lianjia_spark.plans.registry import register
+from data_etl_sh_lianjia_spark.session import load_tables
+
+
+@register(
+    "window_lag_lead",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       lag(o_totalprice)  OVER w AS prev_price,
+       lead(o_totalprice) OVER w AS next_price,
+       first_value(o_orderkey) OVER w AS first_order,
+       nth_value(o_orderkey, 2) OVER w AS second_order
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+    survey_ref="W2",
+    doc="lag/lead/first_value/nth_value over per-customer order history",
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, names=("orders",))["orders"]
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+    )
+
+
+@register(
+    "window_running",
+    oracle="""
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) OVER w AS DOUBLE) AS running_qty,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(30,4)))
+              OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         / COUNT(*) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_avg3
+FROM lineitem
+WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+    survey_ref="W3",
+    doc="running sum + 3-row moving average per supplier (decimal-routed)",
+)
+def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, names=("lineitem",))["lineitem"]
+    order = [F.col("l_shipdate"), F.col("l_orderkey"), F.col("l_linenumber"), F.col("l_partkey")]
+    wrun = (
+        Window.partitionBy("l_suppkey")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wmov = Window.partitionBy("l_suppkey").orderBy(*order).rowsBetween(-2, 0)
+    qdec = F.col("l_quantity").cast("decimal(30,4)")
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(qdec).over(wrun).cast("double").alias("running_qty"),
+        (F.sum(qdec).over(wmov).cast("double") / F.count(F.lit(1)).over(wmov)).alias(
+            "moving_avg3"
+        ),
+    )
+
+
+@register(
+    "window_rank_family",
+    oracle="""
+SELECT o_orderstatus, o_orderkey,
+       rank()         OVER w AS rnk,
+       dense_rank()   OVER w AS drnk,
+       ntile(4)       OVER (PARTITION BY o_orderstatus
+                            ORDER BY o_totalprice DESC, o_orderkey) AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist()    OVER w, 6) AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
+""",
+    survey_ref="W1",
+    doc="rank/dense_rank/ntile/percent_rank/cume_dist per order status",
+)
+def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, names=("orders",))["orders"]
+    w = Window.partitionBy("o_orderstatus").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return orders.select(
+        "o_orderstatus",
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
