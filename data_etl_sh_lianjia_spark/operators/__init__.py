@@ -1,8 +1,10 @@
 """Operator modules; importing this package registers every declared query."""
 
 import data_etl_sh_lianjia_spark.operators.aggregates  # noqa: F401
+import data_etl_sh_lianjia_spark.operators.dedup  # noqa: F401
 import data_etl_sh_lianjia_spark.operators.joins  # noqa: F401
 import data_etl_sh_lianjia_spark.operators.relational  # noqa: F401
 import data_etl_sh_lianjia_spark.operators.setops  # noqa: F401
 import data_etl_sh_lianjia_spark.operators.similarity  # noqa: F401
+import data_etl_sh_lianjia_spark.operators.text_analysis  # noqa: F401
 import data_etl_sh_lianjia_spark.operators.windows  # noqa: F401

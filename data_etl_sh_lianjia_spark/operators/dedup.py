@@ -1,0 +1,343 @@
+"""Deduplication family — SURVEY.md §2.9 L1/L2: exact (content hash),
+MinHash+LSH banding, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+Hash primitive is ``md5``/``sha256`` throughout: their hex output is
+identical in Spark and DuckDB, which makes every stage oracle-matchable
+(native ``hash()``/``xxhash`` differ across engines and would only permit
+rows-only checks).
+
+Scale shapes (100 TB posture):
+- exact dedup: hash-groupBy — one shuffle on a 32-byte key, map-side
+  partial agg collapses duplicates early.
+- MinHash LSH: docs shuffle by (band_idx, band_value) — candidate pairs
+  only ever meet inside a bucket; the quadratic explosion is bounded by
+  bucket size, never by corpus size. Signatures are one scan.
+- SimHash: one scan to a 16-bit fingerprint; candidate pairs join inside a
+  blocking key (source) with popcount(xor) distance.
+- embedding near-dup: same broadcast+matmul kernel as operators.similarity,
+  emitting only above-threshold pairs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_etl_sh_lianjia_spark.operators.text_analysis import (
+    _DUCK_SHINGLES,
+    _SPARK_SHINGLES,
+)
+from data_etl_sh_lianjia_spark.plans.registry import register
+from data_etl_sh_lianjia_spark.session import ensure_package_shipped, load_tables
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir, names=("documents",))["documents"]
+
+
+# ---------------------------------------------------------------------------
+# L1 — exact content dedup via sha256 hash-groupBy
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+SELECT sha256(text) AS text_hash,
+       MIN(doc_id) AS keep_doc_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY sha256(text)
+""",
+    survey_ref="L1,A3",
+    doc="exact dedup: sha256(text) hash-groupBy, keep min doc_id per group",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.groupBy(F.sha2("text", 256).alias("text_hash"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# L2a — MinHash + LSH banding (b=2 bands x r=4 rows) + exact Jaccard verify
+# ---------------------------------------------------------------------------
+
+_N_HASHES = 8
+_BAND_ROWS = 4
+_JACCARD_MIN = 0.5
+
+
+def _spark_sig(i: int) -> str:
+    return f"array_min(transform(sh, s -> md5(concat('{i}|', s))))"
+
+
+def _duck_sig(i: int) -> str:
+    return f"list_min(list_transform(sh, s -> md5('{i}|' || s)))"
+
+
+def _minhash_oracle() -> str:
+    band1 = ", ".join(_duck_sig(i) for i in range(1, _BAND_ROWS + 1))
+    band2 = ", ".join(_duck_sig(i) for i in range(_BAND_ROWS + 1, _N_HASHES + 1))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_distinct({_DUCK_SHINGLES}) AS sh FROM documents
+), sigs AS (
+  SELECT doc_id, sh,
+         md5(concat({band1})) AS band1,
+         md5(concat({band2})) AS band2
+  FROM toks
+), bands AS (
+  SELECT doc_id, 1 AS band_idx, band1 AS band_val FROM sigs
+  UNION ALL
+  SELECT doc_id, 2 AS band_idx, band2 AS band_val FROM sigs
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+), scored AS (
+  SELECT doc_a, doc_b,
+         len(list_filter(ta.sh, x -> list_contains(tb.sh, x))) AS inter,
+         len(ta.sh) AS na, len(tb.sh) AS nb
+  FROM cand
+  JOIN toks ta ON ta.doc_id = doc_a
+  JOIN toks tb ON tb.doc_id = doc_b
+)
+SELECT doc_a, doc_b,
+       CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+FROM scored
+WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= {_JACCARD_MIN}
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_minhash_oracle(),
+    survey_ref="L2",
+    doc="MinHash signatures -> LSH band buckets -> exact-Jaccard-verified near-dup pairs",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle → minhash → band → bucket-join. The self-join keys on
+    (band_idx, band_val): at scale that is a shuffle on the bucket id, so
+    only same-bucket docs ever pair up."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.expr(f"array_distinct({_SPARK_SHINGLES})").alias("sh")
+    )
+    band1 = ", ".join(_spark_sig(i) for i in range(1, _BAND_ROWS + 1))
+    band2 = ", ".join(_spark_sig(i) for i in range(_BAND_ROWS + 1, _N_HASHES + 1))
+    sigs = toks.select(
+        "doc_id",
+        "sh",
+        F.expr(f"md5(concat({band1}))").alias("band1"),
+        F.expr(f"md5(concat({band2}))").alias("band2"),
+    )
+    bands = sigs.select(
+        "doc_id", F.lit(1).alias("band_idx"), F.col("band1").alias("band_val")
+    ).unionByName(
+        sigs.select(
+            "doc_id", F.lit(2).alias("band_idx"), F.col("band2").alias("band_val")
+        )
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), "band_idx", "band_val"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), "band_idx", "band_val"
+    )
+    cand = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa"))
+    tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb"))
+    scored = (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("size(filter(sa, x -> array_contains(sb, x)))").alias("inter"),
+            F.size("sa").alias("na"),
+            F.size("sb").alias("nb"),
+        )
+    )
+    jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return scored.select(
+        "doc_a", "doc_b", jac.alias("jaccard")
+    ).filter(F.col("jaccard") >= _JACCARD_MIN)
+
+
+# ---------------------------------------------------------------------------
+# L2b — SimHash fingerprint + blocked popcount(xor) candidate pairs
+# ---------------------------------------------------------------------------
+
+# 16-bit simhash: bit b of token t = parity of ascii(hex-digit b of md5(t));
+# fingerprint bit b = majority vote over tokens, weighted +1/-1.
+_SPARK_SIMHASH = """
+aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, b) -> acc +
+  CASE WHEN aggregate(array_distinct(split(text, ' ')), CAST(0 AS BIGINT),
+        (a2, t) -> a2 + (2 * (ascii(substr(md5(t), b + 1, 1)) % 2) - 1)) >= 0
+       THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END)
+"""
+
+_DUCK_SIMHASH = """
+list_sum(list_transform(range(0, 16), b ->
+  CASE WHEN list_sum(list_transform(list_distinct(string_split(text, ' ')),
+        t -> 2 * (ascii(substr(md5(t), b + 1, 1)) % 2) - 1)) >= 0
+       THEN 1 << b ELSE 0 END))
+"""
+
+_HAMMING_MAX = 2
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+WITH fp AS (
+  SELECT doc_id, source, CAST({_DUCK_SIMHASH} AS BIGINT) AS simhash
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM fp a JOIN fp b
+  ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {_HAMMING_MAX}
+""",
+    survey_ref="L2",
+    doc="16-bit SimHash + source-blocked Hamming<=2 near-dup pairs",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    fp = docs.select(
+        "doc_id", "source", F.expr(_SPARK_SIMHASH).alias("simhash")
+    )
+    a = fp.select(
+        F.col("doc_id").alias("doc_a"), "source", F.col("simhash").alias("sim_a")
+    )
+    b = fp.select(
+        F.col("doc_id").alias("doc_b"), "source", F.col("simhash").alias("sim_b")
+    )
+    return (
+        a.join(b, "source")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("bit_count(sim_a ^ sim_b)").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= _HAMMING_MAX)
+    )
+
+
+# ---------------------------------------------------------------------------
+# L2c — direct n-gram Jaccard within a blocking key
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, source, list_distinct({_DUCK_SHINGLES}) AS sh FROM documents
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS inter,
+         len(a.sh) AS na, len(b.sh) AS nb
+  FROM toks a JOIN toks b ON a.source = b.source AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+FROM pairs
+WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.3
+""",
+    survey_ref="L2",
+    doc="pairwise 3-gram Jaccard >= 0.3 within source blocks",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", "source", F.expr(f"array_distinct({_SPARK_SHINGLES})").alias("sh")
+    )
+    a = toks.select(F.col("doc_id").alias("doc_a"), "source", F.col("sh").alias("sa"))
+    b = toks.select(F.col("doc_id").alias("doc_b"), "source", F.col("sh").alias("sb"))
+    pairs = (
+        a.join(b, "source")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("size(filter(sa, x -> array_contains(sb, x)))").alias("inter"),
+            F.size("sa").alias("na"),
+            F.size("sb").alias("nb"),
+        )
+    )
+    jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return pairs.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= 0.3
+    )
+
+
+# ---------------------------------------------------------------------------
+# L2d — embedding-cosine near-dup (broadcast+matmul kernel, threshold pairs)
+# ---------------------------------------------------------------------------
+
+_COS_THRESHOLD = 0.45
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+)
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+       round(list_cosine_similarity(a.vec, b.vec), 4) AS sim
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.vec, b.vec), 4) >= {_COS_THRESHOLD}
+""",
+    survey_ref="L2,J5",
+    doc=f"embedding near-dup: all pairs with cosine >= {_COS_THRESHOLD}",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_package_shipped(spark)
+    emb = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+    mat = np.stack(pdf["embedding"].map(lambda v: np.asarray(v, dtype=np.float64)))
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    norms[norms == 0.0] = 1.0
+    matn = mat / norms[:, None]
+    bc = spark.sparkContext.broadcast((ids, matn))
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        b_ids, b_mat = bc.value
+        for pdf_batch in batches:
+            a_ids = pdf_batch["vec_id"].to_numpy(dtype=np.int64)
+            a = np.stack(
+                pdf_batch["embedding"].map(lambda v: np.asarray(v, dtype=np.float64))
+            )
+            an = np.sqrt((a * a).sum(axis=1))
+            an[an == 0.0] = 1.0
+            sims = (a / an[:, None]) @ b_mat.T
+            ai, bi = np.nonzero(
+                (a_ids[:, None] < b_ids[None, :]) & (sims >= _COS_THRESHOLD - 1e-4)
+            )
+            yield pd.DataFrame(
+                {"vec_id_a": a_ids[ai], "vec_id_b": b_ids[bi], "sim": sims[ai, bi]}
+            )
+
+    cand = emb.select("vec_id", "embedding").mapInPandas(
+        fn, "vec_id_a long, vec_id_b long, sim double"
+    )
+    return cand.select(
+        "vec_id_a", "vec_id_b", F.round("sim", 4).alias("sim")
+    ).filter(F.col("sim") >= _COS_THRESHOLD)

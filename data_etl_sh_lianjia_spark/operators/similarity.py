@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from data_etl_sh_lianjia_spark.plans.registry import register
-from data_etl_sh_lianjia_spark.session import load_tables
+from data_etl_sh_lianjia_spark.session import ensure_package_shipped, load_tables
 
 _TILE_NOTE = (
     "At collection sizes beyond executor memory, broadcast B in tiles of "
@@ -61,36 +61,6 @@ def _collect_normalized(df: DataFrame) -> tuple[np.ndarray, np.ndarray]:
     return ids, mat / norms[:, None]
 
 
-def _pairs_topk_batches(
-    b_ids: np.ndarray, b_mat: np.ndarray, keep: int
-) -> "callable":
-    """mapInPandas fn: per Arrow batch, matmul vs broadcast B, keep local top-k
-    of pairs with vec_id_a < vec_id_b."""
-
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            a = np.stack(pdf["embedding"].map(lambda v: np.asarray(v, dtype=np.float64)))
-            an = np.sqrt((a * a).sum(axis=1))
-            an[an == 0.0] = 1.0
-            sims = (a / an[:, None]) @ b_mat.T  # (batch, |B|)
-            mask = a_ids[:, None] < b_ids[None, :]
-            flat = np.where(mask, sims, -np.inf).ravel()
-            n = min(keep, flat.size)
-            idx = np.argpartition(flat, -n)[-n:]
-            idx = idx[np.isfinite(flat[idx])]
-            ai, bi = np.unravel_index(idx, sims.shape)
-            yield pd.DataFrame(
-                {
-                    "vec_id_a": a_ids[ai],
-                    "vec_id_b": b_ids[bi],
-                    "sim": sims[ai, bi],
-                }
-            )
-
-    return fn
-
-
 @register(
     "cosine_topk",
     oracle="""
@@ -111,13 +81,31 @@ LIMIT 10
     doc="global top-10 cosine pairs: broadcast matrix + blocked numpy matmul",
 )
 def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_package_shipped(spark)
     emb = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
     b_ids, b_mat = _collect_normalized(emb)
     bc = spark.sparkContext.broadcast((b_ids, b_mat))
+    keep = 64
 
+    # NOTE: closure must stay self-contained (numpy/pandas + broadcast only)
+    # so cloudpickle ships it by value — see session.ensure_package_shipped.
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ids, mat = bc.value
-        yield from _pairs_topk_batches(ids, mat, keep=64)(batches)
+        b_ids_w, b_mat_w = bc.value
+        for pdf in batches:
+            a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            a = np.stack(pdf["embedding"].map(lambda v: np.asarray(v, dtype=np.float64)))
+            an = np.sqrt((a * a).sum(axis=1))
+            an[an == 0.0] = 1.0
+            sims = (a / an[:, None]) @ b_mat_w.T  # (batch, |B|)
+            mask = a_ids[:, None] < b_ids_w[None, :]
+            flat = np.where(mask, sims, -np.inf).ravel()
+            n = min(keep, flat.size)
+            idx = np.argpartition(flat, -n)[-n:]
+            idx = idx[np.isfinite(flat[idx])]
+            ai, bi = np.unravel_index(idx, sims.shape)
+            yield pd.DataFrame(
+                {"vec_id_a": a_ids[ai], "vec_id_b": b_ids_w[bi], "sim": sims[ai, bi]}
+            )
 
     cand = emb.select("vec_id", "embedding").mapInPandas(fn, _PAIR_SCHEMA)
     return (
@@ -151,6 +139,7 @@ def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact k-NN for a query subset: broadcast the query matrix, stream the
     collection through one matmul per Arrow batch, emit per-query local
     top-k candidates, finish with a small window rank."""
+    ensure_package_shipped(spark)
     emb = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
     q_df = emb.filter(F.col("vec_id") % 100 == 0)
     q_ids, q_mat = _collect_normalized(q_df)

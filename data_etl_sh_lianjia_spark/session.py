@@ -77,6 +77,41 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def ensure_package_shipped(spark: SparkSession) -> None:
+    """Ship this package to Python workers via ``addPyFile``.
+
+    Python-UDF closures are serialized by cloudpickle: anything defined at
+    module level is pickled *by reference* and must be importable on the
+    worker — which fails when the driver process was launched from a
+    different cwd (or on a real cluster). Shipping a zip of the package
+    makes module references resolvable everywhere. Engine rule on top of
+    this: UDF closures should still avoid module-level references where
+    practical (define helpers inside the function) so they serialize by
+    value.
+    """
+    if getattr(spark, "_lianjia_pkg_shipped", False):
+        return
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(
+        "/tmp", f"data_etl_sh_lianjia_spark-{os.getpid()}.zip"
+    )
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fname in files:
+                    if not fname.endswith(".py"):
+                        continue
+                    full = os.path.join(root, fname)
+                    rel = os.path.join(
+                        "data_etl_sh_lianjia_spark", os.path.relpath(full, pkg_dir)
+                    )
+                    zf.write(full, rel)
+    spark.sparkContext.addPyFile(zip_path)
+    spark._lianjia_pkg_shipped = True
+
+
 def read_events(spark: SparkSession, path: str) -> DataFrame:
     """Read the ``events`` table, tolerating parquet TIMESTAMP(NANOS).
 

@@ -1,0 +1,330 @@
+"""Structured Streaming operators over the events table — SURVEY.md §2.8.
+
+Design rules:
+- Every streaming aggregation has a batch twin and the test contract is
+  stream(availableNow over closed input) == batch on the same input
+  (SURVEY.md §2.8 T7). That is the only honest oracle for streaming.
+- Event time is the microsecond-truncated TIMESTAMP_NTZ derived exactly like
+  the batch path (session.read_events), so stream and batch bucket
+  identically.
+- Driver-contract entries run the stream to completion with the AvailableNow
+  trigger into a memory sink and return the sink table — the driver records
+  a rows-only check (no SQL oracle can express a watermark).
+
+At scale: file source → kafka swap is a one-line change; state stores want
+the RocksDB provider (`spark.sql.streaming.stateStore.providerClass`) once
+per-key state outgrows the executor heap.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from data_etl_sh_lianjia_spark.plans.registry import register
+from data_etl_sh_lianjia_spark.session import table_path
+
+_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of session.read_events: same ts derivation, file source."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The file source requires a directory: stream the sf dir with a glob
+    # filter selecting event files (multi-file drops stream in naturally,
+    # oldest mtime first; maxFilesPerTrigger=1 makes each file one
+    # micro-batch so the watermark advances between files).
+    raw = (
+        spark.readStream.schema(_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "events*.parquet")
+        .parquet(sf_dir)
+    )
+    return (
+        raw.withColumnRenamed("ts", "ts_ns")
+        .withColumn(
+            "ts",
+            F.expr(
+                "timestampadd(MICROSECOND, ts_ns div 1000,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ),
+        )
+        # Watermarks/session windows require TIMESTAMP (with local tz);
+        # parity is safe because stream and batch twins share one session.
+        .withColumn("ts_ltz", F.expr("timestamp_micros(ts_ns div 1000)"))
+    )
+
+
+def run_to_completion(stream_df: DataFrame, name: str, output_mode: str) -> DataFrame:
+    """Drive a streaming DataFrame to completion (AvailableNow) into a memory
+    sink; return the sink contents as a batch DataFrame."""
+    spark = stream_df.sparkSession
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            os.path.join("/tmp/spark-graft-ckpt", name + "-" + str(os.getpid())),
+        )
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+# --- T1: tumbling window aggregation ---------------------------------------
+
+
+def tumbling_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "10 minutes").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.col("value").cast("decimal(30,4)")).cast("double").alias("sum_value"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def tumbling_counts_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_etl_sh_lianjia_spark.session import load_tables
+
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    return (
+        ev.groupBy(F.window("ts", "10 minutes").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.col("value").cast("decimal(30,4)")).cast("double").alias("sum_value"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "stream_tumbling_counts",
+    oracle=None,  # watermarked streaming agg: batch-parity tested in tests/test_streaming.py
+    survey_ref="T1,S12",
+    doc="streaming tumbling-window counts (complete mode, AvailableNow)",
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_to_completion(
+        tumbling_counts_stream(spark, sf_dir), "stream_tumbling_counts", "complete"
+    )
+
+
+# --- T1b: sliding window ----------------------------------------------------
+
+
+def sliding_avg_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("win_start"), "n")
+    )
+
+
+def sliding_avg_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_etl_sh_lianjia_spark.session import load_tables
+
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("win_start"), "n")
+    )
+
+
+@register(
+    "stream_sliding_counts",
+    oracle=None,
+    survey_ref="T1,S12",
+    doc="streaming sliding-window (10m/5m) counts",
+)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_to_completion(
+        sliding_avg_stream(spark, sf_dir), "stream_sliding_counts", "complete"
+    )
+
+
+# --- T2: session window -----------------------------------------------------
+
+
+def session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts_ltz", "1 hour")
+    return (
+        ev.groupBy(F.session_window("ts_ltz", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("sess_start"),
+            F.col("sw.end").alias("sess_end"),
+            "n_events",
+        )
+    )
+
+
+def session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_etl_sh_lianjia_spark.session import load_tables
+
+    ev = load_tables(spark, sf_dir, names=("events",))["events"].withColumn(
+        "ts_ltz", F.expr("timestamp_micros(ts_ns div 1000)")
+    )
+    return (
+        ev.groupBy(F.session_window("ts_ltz", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("sess_start"),
+            F.col("sw.end").alias("sess_end"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "stream_session_window",
+    oracle=None,
+    survey_ref="T2,T3,S12",
+    doc="streaming session_window(30m) per user with 1h watermark",
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_to_completion(
+        session_window_stream(spark, sf_dir), "stream_session_window", "append"
+    )
+
+
+# --- T4: stateful dedup -----------------------------------------------------
+
+
+def dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts_ltz", "1 hour")
+    return ev.dropDuplicatesWithinWatermark(["event_id"]).select(
+        "event_id", "user_id", "event_type"
+    )
+
+
+@register(
+    "stream_dedup",
+    oracle=None,
+    survey_ref="T4,S12",
+    doc="stateful streaming dedup on event_id within the watermark",
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_to_completion(dedup_stream(spark, sf_dir), "stream_dedup", "append")
+
+
+# --- T6: stream-static join -------------------------------------------------
+
+
+def stream_static_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join the event stream against a small static dimension (user segment
+    lookup) — the static side is broadcast into every micro-batch."""
+    segments = spark.range(0, 10000).select(
+        F.col("id").alias("user_id"), (F.col("id") % 5).alias("segment")
+    )
+    ev = read_events_stream(spark, sf_dir)
+    return (
+        ev.join(F.broadcast(segments), "user_id")
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def stream_static_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_etl_sh_lianjia_spark.session import load_tables
+
+    segments = spark.range(0, 10000).select(
+        F.col("id").alias("user_id"), (F.col("id") % 5).alias("segment")
+    )
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    return (
+        ev.join(F.broadcast(segments), "user_id")
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "stream_static_join",
+    oracle="""
+SELECT user_id % 5 AS segment, COUNT(*) AS n
+FROM events
+WHERE user_id < 10000
+GROUP BY user_id % 5
+""",
+    survey_ref="T6,S12",
+    doc="stream-static broadcast join + agg (has a SQL oracle: closed input)",
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_to_completion(
+        stream_static_join_stream(spark, sf_dir), "stream_static_join", "complete"
+    )
+
+
+# --- T5: arbitrary stateful op (running per-user counter) -------------------
+
+
+def stateful_counter_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event counter via applyInPandasWithState — the arbitrary-state
+    extension point (reference analogue: the spider's self.count at
+    house_spider/spiders/lianjia.py:19,157-158, a running emitted-rows
+    counter kept across callbacks)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from data_etl_sh_lianjia_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    ev = read_events_stream(spark, sf_dir)
+
+    def update(key, pdfs, state: GroupState):
+        count = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            count += len(pdf)
+        state.update((count,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [count]})
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long",
+        stateStructType="n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+@register(
+    "stream_stateful_counter",
+    oracle=None,
+    survey_ref="T5,S12",
+    doc="applyInPandasWithState running per-user counters (update mode)",
+)
+def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final state per user (last update) — equals batch groupBy count; the
+    memory sink holds every update, so take the max per user."""
+    out = run_to_completion(
+        stateful_counter_stream(spark, sf_dir), "stream_stateful_counter", "update"
+    )
+    return out.groupBy("user_id").agg(F.max("n_events").alias("n_events"))

@@ -1,0 +1,110 @@
+"""Streaming ↔ batch parity (SURVEY.md §2.8 T7): every streaming aggregation
+run to completion on the closed events input must equal its batch twin."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_etl_sh_lianjia_spark.canon import compare_results
+from data_etl_sh_lianjia_spark.streaming import events as se
+
+PARITY_CASES = [
+    ("tumbling", se.tumbling_counts_stream, se.tumbling_counts_batch, "complete"),
+    ("sliding", se.sliding_avg_stream, se.sliding_avg_batch, "complete"),
+    (
+        "stream_static_join",
+        se.stream_static_join_stream,
+        se.stream_static_join_batch,
+        "complete",
+    ),
+]
+
+
+@pytest.mark.parametrize("name,stream_fn,batch_fn,mode", PARITY_CASES, ids=[c[0] for c in PARITY_CASES])
+def test_stream_equals_batch(name, stream_fn, batch_fn, mode, spark, sf_dir):
+    out = se.run_to_completion(stream_fn(spark, sf_dir), f"parity_{name}", mode)
+    stream_rows = [tuple(r) for r in out.collect()]
+    batch_df = batch_fn(spark, sf_dir)
+    batch_rows = [tuple(r) for r in batch_df.collect()]
+    res = compare_results(stream_rows, out.columns, batch_rows, batch_df.columns)
+    assert res.ok, f"{name}: {res.reason}\nsample: {res.sample_diff}"
+
+
+def test_session_window_parity_with_sentinel(spark, sf_dir, tmp_path):
+    """Append-mode session windows only emit once the watermark passes them,
+    so the tail sessions of a finite input stay open forever. Close them by
+    appending a far-future sentinel event, then exact parity holds after
+    filtering the sentinel user out of both sides."""
+    import os
+    import shutil
+    import time
+
+    import duckdb
+
+    workdir = tmp_path / "events_with_sentinel"
+    workdir.mkdir()
+    src = f"{sf_dir}/events.parquet"
+    shutil.copy(src, workdir / "events.parquet")
+    con = duckdb.connect()
+    # Two staggered far-future sentinel files (ts kept TIMESTAMP_NS to match
+    # the engine's nanos-as-long read path). Each file is one micro-batch
+    # (oldest mtime first): the batch reading sentinel N starts with the
+    # watermark advanced past everything before it, so by the last batch all
+    # real sessions have been finalized and emitted.
+    base = time.time()
+    for i, hours in enumerate((10, 30), start=1):
+        dst = workdir / f"events_sentinel{i}.parquet"
+        # ts written as raw BIGINT epoch-nanos: DuckDB's parquet writer can't
+        # emit TIMESTAMP(NANOS), and the engine's LongType schema reads a
+        # plain INT64 column identically to nanos-as-long timestamps.
+        con.execute(
+            f"""
+            COPY (
+              SELECT CAST(-1 AS BIGINT) AS event_id,
+                     epoch_ns(MAX(ts)) + CAST({hours} AS BIGINT) * 3600 * 1000000000 AS ts,
+                     CAST(-1 AS BIGINT) AS user_id,
+                     'sentinel' AS event_type, 0.0 AS value, '{{}}' AS props
+              FROM read_parquet('{src}')
+            ) TO '{dst}' (FORMAT PARQUET)
+            """
+        )
+        os.utime(dst, (base + 100 * i, base + 100 * i))
+    con.close()
+    os.utime(workdir / "events.parquet", (base, base))
+
+    out = se.run_to_completion(
+        se.session_window_stream(spark, str(workdir)), "parity_session", "append"
+    ).filter("user_id >= 0")
+    stream_rows = [tuple(r) for r in out.collect()]
+    batch_df = se.session_window_batch(spark, str(workdir)).filter("user_id >= 0")
+    batch_rows = [tuple(r) for r in batch_df.collect()]
+    res = compare_results(stream_rows, out.columns, batch_rows, batch_df.columns)
+    assert res.ok, f"session_window: {res.reason}\nsample: {res.sample_diff}"
+
+
+def test_stream_dedup_drops_nothing_on_unique_ids(spark, sf_dir):
+    """event_id is unique in the fixture, so watermark-dedup must be a no-op."""
+    from data_etl_sh_lianjia_spark.session import load_tables
+
+    out = se.run_to_completion(se.dedup_stream(spark, sf_dir), "parity_dedup", "append")
+    n_stream = out.count()
+    n_batch = load_tables(spark, sf_dir, names=("events",))["events"].count()
+    assert n_stream == n_batch
+
+
+def test_stateful_counter_matches_batch_counts(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from data_etl_sh_lianjia_spark.session import load_tables
+    from data_etl_sh_lianjia_spark.streaming.events import stream_stateful_counter
+
+    out = stream_stateful_counter(spark, sf_dir)
+    stream_rows = [tuple(r) for r in out.collect()]
+    batch = (
+        load_tables(spark, sf_dir, names=("events",))["events"]
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    batch_rows = [tuple(r) for r in batch.collect()]
+    res = compare_results(stream_rows, out.columns, batch_rows, batch.columns)
+    assert res.ok, f"stateful counter: {res.reason}\nsample: {res.sample_diff}"
