@@ -208,7 +208,7 @@ WITH fp AS (
   FROM documents
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       bit_count(xor(a.simhash, b.simhash)) AS hamming
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
 FROM fp a JOIN fp b
   ON a.source = b.source AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {_HAMMING_MAX}
@@ -233,7 +233,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_a",
             "doc_b",
-            F.expr("bit_count(sim_a ^ sim_b)").alias("hamming"),
+            F.expr("CAST(bit_count(sim_a ^ sim_b) AS BIGINT)").alias("hamming"),
         )
         .filter(F.col("hamming") <= _HAMMING_MAX)
     )

@@ -1,0 +1,169 @@
+"""Scalar-function surface — SURVEY.md §2.3 F4/F6/F8/F10/F11/F13: math,
+string, date, array and map families exercised as oracle-matched queries
+(the per-function library lives in functions/text.py; these queries prove
+cross-engine semantics)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_etl_sh_lianjia_spark.plans.registry import register
+from data_etl_sh_lianjia_spark.session import load_tables
+
+
+@register(
+    "math_suite",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_partkey,
+       round(l_extendedprice, 1) AS r1,
+       abs(l_discount - 0.05) AS absdev,
+       CAST(floor(l_quantity) AS BIGINT) AS fl,
+       CAST(ceil(l_extendedprice / 1000) AS BIGINT) AS ce,
+       round(power(l_discount + 1, 2), 6) AS pw,
+       round(ln(l_extendedprice + 1), 6) AS lg,
+       round(sqrt(l_quantity), 6) AS sq,
+       CAST(l_quantity AS BIGINT) % 7 AS md
+FROM lineitem
+WHERE l_orderkey % 997 = 0
+""",
+    survey_ref="F10,F11,F13",
+    doc="math family: round/abs/floor/ceil/power/ln/sqrt/mod (IEEE-identical cross-engine)",
+)
+def math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, names=("lineitem",))["lineitem"]
+    return li.filter(F.col("l_orderkey") % 997 == 0).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        F.round("l_extendedprice", 1).alias("r1"),
+        F.abs(F.col("l_discount") - 0.05).alias("absdev"),
+        F.floor("l_quantity").alias("fl"),
+        F.ceil(F.col("l_extendedprice") / 1000).alias("ce"),
+        F.round(F.pow(F.col("l_discount") + 1, 2), 6).alias("pw"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("lg"),
+        F.round(F.sqrt("l_quantity"), 6).alias("sq"),
+        (F.col("l_quantity").cast("bigint") % 7).alias("md"),
+    )
+
+
+@register(
+    "string_suite",
+    oracle="""
+SELECT c_custkey,
+       upper(c_name) AS up,
+       lower(c_mktsegment) AS lo,
+       substring(c_name, 1, 8) AS sub,
+       concat(c_mktsegment, '#', CAST(c_nationkey AS VARCHAR)) AS cat,
+       replace(c_name, 'Customer', 'C') AS rep,
+       CAST(length(c_name) AS BIGINT) AS len,
+       trim(c_name) AS tr,
+       lpad(CAST(c_nationkey AS VARCHAR), 4, '0') AS pad,
+       split_part(c_name, '#', 2) AS part2,
+       position('#' IN c_name) AS hashpos
+FROM customer
+WHERE c_custkey % 31 = 0
+""",
+    survey_ref="F1,F4,F5,F6",
+    doc="string family: case/substr/concat/replace/pad/split_part/position",
+)
+def string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_tables(spark, sf_dir, names=("customer",))["customer"]
+    return c.filter(F.col("c_custkey") % 31 == 0).select(
+        "c_custkey",
+        F.upper("c_name").alias("up"),
+        F.lower("c_mktsegment").alias("lo"),
+        F.substring("c_name", 1, 8).alias("sub"),
+        F.concat(
+            F.col("c_mktsegment"), F.lit("#"), F.col("c_nationkey").cast("string")
+        ).alias("cat"),
+        F.regexp_replace("c_name", "Customer", "C").alias("rep"),
+        F.length("c_name").cast("bigint").alias("len"),
+        F.trim("c_name").alias("tr"),
+        F.lpad(F.col("c_nationkey").cast("string"), 4, "0").alias("pad"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("part2"),
+        F.locate("#", F.col("c_name")).cast("bigint").alias("hashpos"),
+    )
+
+
+@register(
+    "date_suite",
+    oracle="""
+SELECT o_orderkey,
+       CAST(o_orderdate AS DATE) AS d,
+       EXTRACT(year FROM o_orderdate) AS yr,
+       EXTRACT(month FROM o_orderdate) AS mo,
+       EXTRACT(dow FROM o_orderdate) AS dow,
+       CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+       CAST(o_orderdate + INTERVAL 90 DAY AS DATE) AS plus90,
+       datediff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS days_since
+FROM orders
+WHERE o_orderkey % 101 = 0
+""",
+    survey_ref="F8,F9,F13",
+    doc="date family: extract/trunc/add/diff (DuckDB dow == Spark dayofweek-1)",
+)
+def date_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, names=("orders",))["orders"]
+    return o.filter(F.col("o_orderkey") % 101 == 0).select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.month("o_orderdate").cast("bigint").alias("mo"),
+        (F.dayofweek("o_orderdate") - 1).cast("bigint").alias("dow"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.date_add(F.col("o_orderdate").cast("date"), 90).alias("plus90"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1995-01-01").cast("date"),
+        ).cast("bigint").alias("days_since"),
+    )
+
+
+@register(
+    "array_map_suite",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
+  WHERE vec_id % 50 = 0
+)
+SELECT vec_id,
+       len(v) AS dim,
+       round(v[1], 6) AS first_el,
+       round(list_max(v), 6) AS mx,
+       round(list_min(v), 6) AS mn,
+       len(list_filter(v, x -> x > 0)) AS n_pos,
+       round(list_sum(list_transform(v, x -> abs(x))), 4) AS l1_norm,
+       list_contains(['a', 'b'], 'b') AS has_b,
+       element_at(map {'k1': label, 'k2': label * 2}, 'k2')[1] AS m2
+FROM e
+""",
+    survey_ref="F7,F13",
+    doc="array/map family: size/element_at/min/max/filter/transform/aggregate/map literal",
+)
+def array_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"].filter(
+        F.col("vec_id") % 50 == 0
+    )
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("bigint").alias("dim"),
+        F.round(F.element_at(v, 1), 6).alias("first_el"),
+        F.round(F.array_max(v), 6).alias("mx"),
+        F.round(F.array_min(v), 6).alias("mn"),
+        F.size(F.filter(v, lambda x: x > 0)).cast("bigint").alias("n_pos"),
+        F.round(
+            F.aggregate(
+                F.transform(v, lambda x: F.abs(x)), F.lit(0.0), lambda a, x: a + x
+            ),
+            4,
+        ).alias("l1_norm"),
+        F.array_contains(F.array(F.lit("a"), F.lit("b")), "b").alias("has_b"),
+        F.element_at(
+            F.create_map(
+                F.lit("k1"), F.col("label"), F.lit("k2"), F.col("label") * 2
+            ),
+            F.lit("k2"),
+        ).alias("m2"),
+    )

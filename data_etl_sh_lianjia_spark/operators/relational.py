@@ -207,7 +207,7 @@ def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
     return (
         orders.select(
-            "o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn")
+            "o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).cast("bigint").alias("rn")
         )
         .filter(F.col("rn") <= 3)
     )
@@ -281,7 +281,7 @@ def topk_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT event_type,
        COUNT(*) AS n,
-       SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        {oracle_dsum('value', 'sum_value')}
 FROM events
 GROUP BY event_type
@@ -321,8 +321,8 @@ WITH ts_events AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
 ), sessions AS (
   SELECT user_id, ts_us, value,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
-                                ROWS UNBOUNDED PRECEDING) AS session_id
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM flagged
 )
 SELECT user_id, session_id,

@@ -52,9 +52,9 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         "lang",
-        F.length("text").alias("text_len"),
-        F.size(toks).alias("n_tokens"),
-        (F.length("text") - F.length(F.regexp_replace("text", "a", ""))).alias("n_a"),
+        F.length("text").cast("bigint").alias("text_len"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        (F.length("text") - F.length(F.regexp_replace("text", "a", ""))).cast("bigint").alias("n_a"),
         F.abs(F.col("n_chars") - F.length("text")).alias("n_chars_drift"),
         F.round(
             F.length(F.regexp_replace("text", " ", "")).cast("double")
@@ -66,7 +66,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _marker_score_spark(markers: tuple[str, ...]) -> str:
     arr = ", ".join(f"'{m}'" for m in markers)
-    return f"size(filter(split(text, ' '), t -> array_contains(array({arr}), t)))"
+    return f"CAST(size(filter(split(text, ' '), t -> array_contains(array({arr}), t))) AS BIGINT)"
 
 
 def _marker_score_duck(markers: tuple[str, ...]) -> str:
@@ -130,13 +130,13 @@ def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     return docs.select(
         "doc_id",
-        F.size(F.split(F.col("text"), " ")).alias("ws_tokens"),
-        F.size(F.expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)")).alias(
-            "bpe_ish_tokens"
-        ),
-        F.size(F.expr("regexp_extract_all(text, '[a-z]{1,4}', 0)")).alias(
-            "subword_pieces"
-        ),
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("ws_tokens"),
+        F.size(F.expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)"))
+        .cast("bigint")
+        .alias("bpe_ish_tokens"),
+        F.size(F.expr("regexp_extract_all(text, '[a-z]{1,4}', 0)"))
+        .cast("bigint")
+        .alias("subword_pieces"),
     )
 
 
@@ -204,5 +204,5 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"array_min(transform({_SPARK_SHINGLES}, s -> md5(s)))").alias(
             "fingerprint"
         ),
-        F.expr(f"size(array_distinct({_SPARK_SHINGLES}))").alias("n_shingles"),
+        F.expr(f"CAST(size(array_distinct({_SPARK_SHINGLES})) AS BIGINT)").alias("n_shingles"),
     )

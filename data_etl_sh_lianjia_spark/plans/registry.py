@@ -73,7 +73,9 @@ def register(
 def _load_all() -> None:
     """Import every module that registers queries (idempotent)."""
     import data_etl_sh_lianjia_spark.operators  # noqa: F401
+    import data_etl_sh_lianjia_spark.sources.frontier  # noqa: F401
     import data_etl_sh_lianjia_spark.sources.lianjia  # noqa: F401
+    import data_etl_sh_lianjia_spark.sources.readers  # noqa: F401
     import data_etl_sh_lianjia_spark.streaming  # noqa: F401
 
 

@@ -1,0 +1,116 @@
+"""Sources & sinks — SURVEY.md §2.1 S1/S4/S5/S8/S9/S10.
+
+The reference's output is a JSON-lines feed (`scrapy crawl lianjia -o
+out.json`, README.md:7) with per-item collection routing (`items.py:18,35`)
+and a priority-ordered pass-through pipeline hook (`pipelines.py:9-11`,
+`settings.py:68-70`). Spark equivalents:
+
+- JSON-lines sink/source: ``df.write.json`` / ``spark.read.json`` with an
+  explicit schema (never inferSchema in production paths).
+- Permissive error handling (S5 — the crawler accepts HTTP 403 rows,
+  `settings.py:94`): ``mode=PERMISSIVE`` + ``columnNameOfCorruptRecord``
+  keeps bad rows as a corrupt-record column instead of failing the load.
+- Collection routing (S9): ``save_tables`` writes one parquet table per
+  logical collection name.
+- Pipeline hook (S10): ``transform_chain`` applies an ordered list of
+  DataFrame→DataFrame stages — ``df.transform`` composition.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from data_etl_sh_lianjia_spark.functions.deterministic import dsum, oracle_dsum
+from data_etl_sh_lianjia_spark.plans.registry import register
+from data_etl_sh_lianjia_spark.session import load_tables
+
+
+def write_jsonl(df: DataFrame, path: str, n_files: int = 1) -> None:
+    """S8: JSON-lines feed export (one object per line, like the crawler)."""
+    df.coalesce(n_files).write.mode("overwrite").json(path)
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """S4+S5: schema-d JSON-lines source, permissive on malformed rows."""
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    if corrupt_col and corrupt_col not in [f.name for f in schema.fields]:
+        schema = schema.add(corrupt_col, T.StringType())
+    return (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )
+
+
+def read_csv_permissive(
+    spark: SparkSession, path: str, schema: T.StructType | str
+) -> DataFrame:
+    return (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+
+
+def save_tables(dfs: dict[str, DataFrame], base_dir: str) -> None:
+    """S9: named-collection routing — one parquet table per logical name
+    (the `lianjia_village` / `lianjia_House` analogue)."""
+    for name, df in dfs.items():
+        df.write.mode("overwrite").parquet(f"{base_dir}/{name}.parquet")
+
+
+def transform_chain(
+    df: DataFrame, stages: Iterable[Callable[[DataFrame], DataFrame]]
+) -> DataFrame:
+    """S10: ordered item-pipeline hook — each stage is a pure
+    DataFrame→DataFrame function applied in priority order."""
+    for stage in stages:
+        df = df.transform(stage)
+    return df
+
+
+@register(
+    "jsonl_roundtrip",
+    oracle=f"""
+SELECT o_orderstatus,
+       COUNT(*) AS n,
+       {oracle_dsum('o_totalprice', 'sum_price')}
+FROM orders
+WHERE o_orderkey % 7 = 0
+GROUP BY o_orderstatus
+""",
+    survey_ref="S4,S5,S8",
+    doc="JSON-lines sink -> schema-d permissive source round-trip, agg equals direct query",
+)
+def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write a slice of orders out as a JSON-lines feed (the reference's
+    output format) and read it back with an explicit schema; aggregating the
+    round-tripped data must equal querying the parquet directly — proving
+    the sink/source pair is lossless for the carried columns."""
+    orders = load_tables(spark, sf_dir, names=("orders",))["orders"]
+    slice_df = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = f"/tmp/spark-graft-jsonl/orders-{abs(hash(sf_dir)) % 10**8}"
+    write_jsonl(slice_df, path)
+    back = read_jsonl(
+        spark, path, "o_orderkey long, o_orderstatus string, o_totalprice double"
+    )
+    return (
+        back.filter(F.col("_corrupt_record").isNull())
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "sum_price"))
+    )
