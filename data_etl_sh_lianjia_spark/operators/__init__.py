@@ -9,4 +9,5 @@ import data_etl_sh_lianjia_spark.operators.relational  # noqa: F401
 import data_etl_sh_lianjia_spark.operators.setops  # noqa: F401
 import data_etl_sh_lianjia_spark.operators.similarity  # noqa: F401
 import data_etl_sh_lianjia_spark.operators.text_analysis  # noqa: F401
+import data_etl_sh_lianjia_spark.operators.udf_surface  # noqa: F401
 import data_etl_sh_lianjia_spark.operators.windows  # noqa: F401

@@ -173,3 +173,112 @@ def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .drop("rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Approximate ANN — the 100 TB serving path (SURVEY.md §2.9 L3 "scale path")
+# ---------------------------------------------------------------------------
+
+_IVF_NPROBE = 6
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=None,  # approximate by construction: recall-checked against
+    # ann_brute_topk in tests/test_ann_recall.py, rows-only at the driver
+    survey_ref="L3",
+    doc="IVF-style ANN: coarse centroids -> bucket assignment -> nprobe probe -> exact rerank",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-file ANN over the embedding collection.
+
+    Structure (each stage is how it would run at 100 TB):
+    1. Coarse centroids: a deterministic sample of the collection
+       (vec_id % 73 == 0) — in production, k-means centroids refreshed
+       offline. Broadcast (they are tiny). NOTE on recall: this corpus is
+       near-uniform on the sphere, so IVF recall ~= nprobe / n_cells
+       (no cluster structure to exploit); nprobe and the centroid count
+       are THE accuracy/cost dials and must be retuned per corpus.
+    2. Assignment: one matmul per Arrow batch assigns every vector to its
+       nearest centroid → (bucket, vec). This is a full scan, no shuffle.
+    3. Probe: each query scores only vectors in its ``nprobe`` nearest
+       buckets — the candidate join shuffles on bucket id, so cost scales
+       with bucket size × nprobe, never with collection size.
+    4. Exact rerank of candidates (cosine), top-5 per query.
+
+    Queries = every 100th vector, matching ann_brute_topk so recall is
+    directly measurable.
+    """
+    ensure_package_shipped(spark)
+    emb = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+    cent = _collect_normalized(emb.filter(F.col("vec_id") % 73 == 0))
+    bc_cent = spark.sparkContext.broadcast(cent)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c_ids, c_mat = bc_cent.value
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            a = np.stack(pdf["embedding"].map(lambda v: np.asarray(v, dtype=np.float64)))
+            an = np.sqrt((a * a).sum(axis=1))
+            an[an == 0.0] = 1.0
+            sims = (a / an[:, None]) @ c_mat.T
+            yield pd.DataFrame(
+                {
+                    "vec_id": ids,
+                    "bucket": c_ids[np.argmax(sims, axis=1)],
+                    "embedding": pdf["embedding"],
+                }
+            )
+
+    assigned = emb.select("vec_id", "embedding").mapInPandas(
+        assign, "vec_id long, bucket long, embedding array<float>"
+    )
+
+    # Queries probe their nprobe nearest centroid buckets.
+    q_ids, q_mat = _collect_normalized(emb.filter(F.col("vec_id") % 100 == 0))
+    c_ids, c_mat = cent
+    probe_sims = q_mat @ c_mat.T
+    probes = [
+        (int(q_ids[qi]), int(c_ids[bi]))
+        for qi in range(len(q_ids))
+        for bi in np.argsort(-probe_sims[qi])[:_IVF_NPROBE]
+    ]
+    probe_df = spark.createDataFrame(probes, "q_id long, bucket long")
+
+    bc_q = spark.sparkContext.broadcast((q_ids, q_mat))
+
+    # Candidate set: only vectors in probed buckets (shuffle on bucket id).
+    cand = assigned.join(F.broadcast(probe_df), "bucket").filter(
+        F.col("q_id") != F.col("vec_id")
+    )
+
+    def rerank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, mat = bc_q.value
+        qpos = {int(q): i for i, q in enumerate(ids)}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            a = np.stack(pdf["embedding"].map(lambda v: np.asarray(v, dtype=np.float64)))
+            an = np.sqrt((a * a).sum(axis=1))
+            an[an == 0.0] = 1.0
+            a = a / an[:, None]
+            qi = pdf["q_id"].map(qpos).to_numpy()
+            sims = (a * mat[qi]).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "q_id": pdf["q_id"],
+                    "neighbor_id": pdf["vec_id"],
+                    "sim": sims,
+                }
+            )
+
+    scored = cand.mapInPandas(rerank, "q_id long, neighbor_id long, sim double")
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("q_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        scored.select("q_id", "neighbor_id", F.round("sim", 4).alias("sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+    )

@@ -1,0 +1,31 @@
+"""Approximate-ANN recall checks (SURVEY.md §5.2: approx operators are
+tolerance-checked against exact recompute, never hash-matched)."""
+
+from __future__ import annotations
+
+from data_etl_sh_lianjia_spark.plans.registry import all_queries
+
+
+def _topk_sets(rows):
+    out = {}
+    for r in rows:
+        out.setdefault(r["q_id"], set()).add(r["neighbor_id"])
+    return out
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    qs = all_queries()
+    brute = _topk_sets(qs["ann_brute_topk"].spark_fn(spark, sf_dir).collect())
+    ivf = _topk_sets(qs["ann_ivf_topk"].spark_fn(spark, sf_dir).collect())
+    assert set(ivf) == set(brute), "every query vector must get IVF results"
+    recalls = [len(ivf[q] & brute[q]) / len(brute[q]) for q in brute]
+    mean_recall = sum(recalls) / len(recalls)
+    # nprobe=4 over ~14 coarse cells at sf0.01 — expect high but not perfect
+    assert mean_recall >= 0.5, f"IVF mean recall@5 too low: {mean_recall:.2f} ({recalls})"
+
+
+def test_approx_count_distinct_tolerance(spark, sf_dir):
+    df = all_queries()["approx_distinct"].spark_fn(spark, sf_dir)
+    for r in df.collect():
+        rel_err = abs(r["approx_parts"] - r["exact_parts"]) / r["exact_parts"]
+        assert rel_err < 0.1, f"HLL estimate off by {rel_err:.1%} for {r}"
