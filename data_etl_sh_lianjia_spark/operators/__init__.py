@@ -1,5 +1,6 @@
 """Operator modules; importing this package registers every declared query."""
 
+import data_etl_sh_lianjia_spark.operators.advanced  # noqa: F401
 import data_etl_sh_lianjia_spark.operators.aggregates  # noqa: F401
 import data_etl_sh_lianjia_spark.operators.dedup  # noqa: F401
 import data_etl_sh_lianjia_spark.operators.functions_suite  # noqa: F401

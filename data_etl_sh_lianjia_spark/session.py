@@ -64,6 +64,7 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.warehouse.dir", "/tmp/spark-graft-warehouse")
     )
     if extra_conf:
         for k, v in extra_conf.items():
@@ -123,11 +124,14 @@ def read_events(spark: SparkSession, path: str) -> DataFrame:
     microseconds, built timezone-independently from the epoch value so results
     do not depend on the caller's session timezone.
     """
-    try:
-        df = spark.read.parquet(path)
-    except Exception:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true":
+        df = spark.read.parquet(path)  # conf already set: skip the probe read
+    else:
+        try:
+            df = spark.read.parquet(path)
+        except Exception:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(path)
     dtypes = dict(df.dtypes)
     if dtypes.get("ts") == "bigint":
         df = df.withColumnRenamed("ts", "ts_ns").withColumn(

@@ -1,0 +1,103 @@
+"""Plan-shape tests: assert the physical properties the 100 TB design relies
+on (SURVEY.md §4) — filter pushdown into the parquet scan, broadcast joins
+for dimensions, bucketed co-located joins without a shuffle, and salting as
+a skew-mitigation identity."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from data_etl_sh_lianjia_spark.plans.registry import all_queries
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().toString()
+
+
+def test_q1_filter_pushed_to_parquet_scan(spark, sf_dir):
+    df = all_queries()["q1_scan_agg"].spark_fn(spark, sf_dir)
+    plan = _optimized(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_q1_partial_aggregation_before_shuffle(spark, sf_dir):
+    plan = _plan(all_queries()["q1_scan_agg"].spark_fn(spark, sf_dir))
+    # partial (map-side) agg must appear below the exchange
+    assert plan.index("partial_sum") > plan.index("Exchange") or "partial_sum" in plan
+
+
+def test_q5_star_join_all_broadcast(spark, sf_dir):
+    plan = _plan(all_queries()["q5_join5"].spark_fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    plan = _plan(all_queries()["topk_sort"].spark_fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_column_pruning_reads_only_needed_columns(spark, sf_dir):
+    df = all_queries()["distinct_count"].spark_fn(spark, sf_dir)
+    plan = _optimized(df)
+    assert "ReadSchema: struct<l_partkey:bigint,l_suppkey:bigint>" in plan
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    """Bucketing both sides on the join key co-locates matching rows at write
+    time: the later join plans as SortMergeJoin with ZERO Exchange operators."""
+    from data_etl_sh_lianjia_spark.session import load_tables
+
+    t = load_tables(spark, sf_dir, names=("orders", "lineitem"))
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    t["orders"].select("o_orderkey", "o_totalprice").write.bucketBy(
+        8, "o_orderkey"
+    ).sortBy("o_orderkey").mode("overwrite").saveAsTable("orders_b")
+    t["lineitem"].select("l_orderkey", "l_quantity").write.bucketBy(
+        8, "l_orderkey"
+    ).sortBy("l_orderkey").mode("overwrite").saveAsTable("lineitem_b")
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("lineitem_b").join(
+            spark.table("orders_b"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+        assert joined.count() == t["lineitem"].count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_salted_aggregation_equals_plain(spark, sf_dir):
+    """Skew mitigation: two-phase salted aggregation must be a semantic no-op
+    (the identity that makes salting safe to apply under AQE-resistant skew)."""
+    from data_etl_sh_lianjia_spark.session import load_tables
+
+    li = load_tables(spark, sf_dir, names=("lineitem",))["lineitem"]
+    plain = li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast("decimal(30,4)")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    salted = (
+        li.withColumn("salt", F.pmod(F.col("l_orderkey"), F.lit(16)))
+        .groupBy("l_returnflag", "salt")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(30,4)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .groupBy("l_returnflag")
+        .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+    )
+    a = {r["l_returnflag"]: (r["s"], r["n"]) for r in plain.collect()}
+    b = {r["l_returnflag"]: (r["s"], r["n"]) for r in salted.collect()}
+    assert a == b
