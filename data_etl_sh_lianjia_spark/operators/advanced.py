@@ -22,7 +22,7 @@ FROM (
   FROM orders GROUP BY o_custkey
 )
 """,
-    survey_ref="S3,F11,P1",
+    survey_ref="S3,O1,P6,F11,P1",
     doc="paginated-scan expansion: page-count -> sequence -> explode (lianjia.py:113-119)",
 )
 def paginated_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:

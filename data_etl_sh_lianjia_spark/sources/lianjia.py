@@ -242,7 +242,7 @@ _FIXTURE_DIR = "/tmp/spark-graft-lianjia-fixtures"
 @register(
     "lianjia_zone_summary",
     oracle=None,  # fixture tables are not in the driver's DuckDB catalog
-    survey_ref="J1,J2,O2,O5,F12,S9",
+    survey_ref="J1,J2,O2,O5,F12,S9,P2,P4,P7,P8",
     doc="end-to-end reference-parity pipeline: ingest raw strings -> normalize -> dedup -> FK join -> zone aggregates",
 )
 def lianjia_zone_summary(spark: SparkSession, sf_dir: str) -> DataFrame:

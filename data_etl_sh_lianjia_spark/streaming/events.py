@@ -69,21 +69,29 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def run_to_completion(stream_df: DataFrame, name: str, output_mode: str) -> DataFrame:
     """Drive a streaming DataFrame to completion (AvailableNow) into a memory
-    sink; return the sink contents as a batch DataFrame."""
+    sink; return the sink contents as a batch DataFrame.
+
+    The checkpoint dir and sink name are unique per call: a reused checkpoint
+    would make a second invocation resume from committed offsets and return
+    an empty table (results themselves are deterministic — the checkpoint is
+    restart state, not query state).
+    """
+    import uuid
+
     spark = stream_df.sparkSession
+    unique = f"{name}_{uuid.uuid4().hex[:12]}"
     q = (
         stream_df.writeStream.outputMode(output_mode)
         .format("memory")
-        .queryName(name)
+        .queryName(unique)
         .trigger(availableNow=True)
         .option(
-            "checkpointLocation",
-            os.path.join("/tmp/spark-graft-ckpt", name + "-" + str(os.getpid())),
+            "checkpointLocation", os.path.join("/tmp/spark-graft-ckpt", unique)
         )
         .start()
     )
     q.awaitTermination()
-    return spark.table(name)
+    return spark.table(unique)
 
 
 # --- T1: tumbling window aggregation ---------------------------------------

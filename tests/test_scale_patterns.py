@@ -54,9 +54,15 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
     time: the later join plans as SortMergeJoin with ZERO Exchange operators."""
     from data_etl_sh_lianjia_spark.session import load_tables
 
+    import shutil
+
     t = load_tables(spark, sf_dir, names=("orders", "lineitem"))
     spark.sql("DROP TABLE IF EXISTS orders_b")
     spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    # the in-memory catalog forgets tables between sessions but the managed
+    # location survives; clear it or saveAsTable hits LOCATION_ALREADY_EXISTS
+    for name in ("orders_b", "lineitem_b"):
+        shutil.rmtree(f"/tmp/spark-graft-warehouse/{name}", ignore_errors=True)
     t["orders"].select("o_orderkey", "o_totalprice").write.bucketBy(
         8, "o_orderkey"
     ).sortBy("o_orderkey").mode("overwrite").saveAsTable("orders_b")
