@@ -189,3 +189,32 @@ def pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("l_linestatus", ["O", "F"])
         .agg(F.sum(F.col("l_quantity").cast("decimal(30,4)")).cast("double"))
     )
+
+
+@register(
+    "unpivot_melt",
+    oracle=f"""
+WITH wide AS (
+  SELECT l_returnflag,
+         {oracle_dsum('l_quantity', 'sum_qty')},
+         {oracle_dsum('l_extendedprice', 'sum_price')}
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
+UNION ALL
+SELECT l_returnflag, 'sum_price' AS metric, sum_price AS value FROM wide
+""",
+    survey_ref="O2,A3",
+    doc="unpivot/melt wide aggregates to (key, metric, value) long form",
+)
+def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    wide = li.groupBy("l_returnflag").agg(
+        dsum("l_quantity", "sum_qty"), dsum("l_extendedprice", "sum_price")
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )

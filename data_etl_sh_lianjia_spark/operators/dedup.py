@@ -341,3 +341,85 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.select(
         "vec_id_a", "vec_id_b", F.round("sim", 4).alias("sim")
     ).filter(F.col("sim") >= _COS_THRESHOLD)
+
+
+# ---------------------------------------------------------------------------
+# L2e — transitive near-dup groups: connected components over the similarity
+# graph (iterative min-label propagation; keep min doc_id per group)
+# ---------------------------------------------------------------------------
+
+_CC_JACCARD = 0.3
+
+_DUCK_NGRAM_EDGES = f"""
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM (SELECT doc_id, source, list_distinct({_DUCK_SHINGLES}) AS sh FROM documents) a
+  JOIN (SELECT doc_id, source, list_distinct({_DUCK_SHINGLES}) AS sh FROM documents) b
+    ON a.source = b.source AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+        / (len(a.sh) + len(b.sh)
+           - len(list_filter(a.sh, x -> list_contains(b.sh, x)))) >= {_CC_JACCARD}
+"""
+
+
+@register(
+    "dedup_connected_groups",
+    oracle=f"""
+WITH RECURSIVE pairs AS ({_DUCK_NGRAM_EDGES}),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(u, v) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+)
+SELECT u AS doc_id, MIN(v) AS group_rep FROM reach GROUP BY u
+""",
+    survey_ref="L2,S2",
+    doc="near-dup groups: connected components by iterative min-label propagation (keep min doc_id)",
+)
+def dedup_connected_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of the near-dup relation (SURVEY §2.9 L2: '...->
+    connected components (iterative joins) -> keep min doc_id').
+
+    Driver-side loop, one Catalyst job per round: every node starts labeled
+    with its own id; each round every node takes the min of its label and
+    its neighbors' labels; fixpoint in O(component diameter) rounds.
+    localCheckpoint truncates lineage per round (at 100 TB: reliable
+    checkpoint + persisted labels, exactly like sources.frontier).
+
+    The DuckDB oracle computes the same groups by recursive-CTE reachability
+    — two very different algorithms agreeing is the point of the check.
+    """
+    docs = _docs(spark, sf_dir)
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.selectExpr("doc_a AS u", "doc_b AS v").unionByName(
+        pairs.selectExpr("doc_b AS u", "doc_a AS v")
+    ).localCheckpoint(eager=True)
+
+    labels = docs.select(
+        F.col("doc_id").alias("u"), F.col("doc_id").alias("label")
+    ).localCheckpoint(eager=True)
+    for _ in range(30):  # >= max component diameter; loop exits at fixpoint
+        neighbor_labels = (
+            edges.join(labels.withColumnRenamed("u", "v2"), edges["v"] == F.col("v2"))
+            .select("u", "label")
+        )
+        new_labels = (
+            labels.unionByName(neighbor_labels)
+            .groupBy("u")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "u")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("u").alias("doc_id"), F.col("label").alias("group_rep"))
