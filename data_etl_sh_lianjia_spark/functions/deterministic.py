@@ -5,25 +5,32 @@ oracle (order-insensitive value hash). Floating-point SUM/AVG are
 order-dependent, and Spark's shuffle order differs run-to-run — so any
 declared query that summed raw doubles would be flaky against the oracle.
 
-Fix: route double aggregates through DECIMAL. ``CAST(x AS DECIMAL(p,s))``
-rounds each *input* identically in both engines (half-away-from-zero for the
-magnitudes involved), the decimal SUM is exact integer arithmetic
-(order-independent), and the final ``CAST(dec AS DOUBLE)`` is a correctly
-rounded conversion in both engines → bit-identical doubles.
+Strategy: **scaled-long sums.** Each input is scaled by 10^s and rounded to
+a BIGINT; the integer SUM is exact and order-independent; the final
+``CAST(sum AS DOUBLE) / 10^s`` is a correctly rounded conversion plus an
+IEEE division — identical in both engines → bit-identical doubles.
 
-Validity bound: the final unscaled decimal must stay below 2^53 for the
-double conversion to be provably identical; with the default scale=4 that is
-|sum| < ~9e11 — far above the sf0.01/sf0.1 magnitudes the gate runs at.
-AVG is derived as exact-decimal-sum (as double) divided by COUNT — both
-engines do the same IEEE-754 double division.
+Why the rounding is safe: ``s`` must be ≥ the number of *true* decimal
+digits of the input expression (money-ish inputs with 2-decimal factors
+multiply into 4- or 6-decimal true values). Then ``x * 10^s`` is within
+~1e-6 of an exact integer, far from any .5 rounding boundary, so Spark's
+BigDecimal HALF_UP and DuckDB's C round() agree on every row. Rounding
+BELOW the true precision would land exactly on ties (x.xxxx50) that the
+engines break differently — measured ~0.03% of TPC-H Q1 rows diverging at
+scale 4 with an earlier DECIMAL(30,4) approach.
 
-Scale rule (learned the hard way): pick ``scale`` ≥ the number of *true*
-decimal digits of the input expression. Money-ish inputs with 2-decimal
-factors multiply into 4- or 6-decimal true values; rounding AT the true
-precision is exact in both engines, while rounding BELOW it hits exact
-halfway ties (x.xxxx50) that Java BigDecimal (HALF_UP on the shortest double
-repr) and DuckDB (direction of the binary approximation) break differently —
-~0.03% of rows diverged by 1e-4 in TPC-H Q1's charge column at scale 4.
+Why scaled-long instead of DECIMAL casts: Spark's decimal Sum with buffer
+precision > 18 leaves the long-backed fast path and allocates per row —
+2.4× slower on TPC-H Q1 at sf0.1 (1.10s → 0.46s measured). The long path
+stays inside whole-stage codegen.
+
+Validity bounds: |x|·10^s < 2^63 per row and Σ|x|·10^s < 2^53 for the
+provably-identical double conversion — at s=4 that is |sum| < ~9e11,
+orders of magnitude above the gate's sf0.01/sf0.1 magnitudes (revisit for
+sf ≥ 100 fact tables: bump to DECIMAL or split the sum).
+
+AVG derives as (exact-sum-as-double / 10^s) / COUNT(x) — both engines do
+the same two IEEE divisions in the same order.
 """
 
 from __future__ import annotations
@@ -39,36 +46,39 @@ def _col(c: Column | str) -> Column:
 def dsum(c: Column | str, alias: str, scale: int = 4, precision: int = 30) -> Column:
     """Order-independent SUM over a double column, returned as DOUBLE.
 
-    DuckDB oracle equivalent:
-    ``CAST(SUM(CAST(x AS DECIMAL(30,4))) AS DOUBLE) AS alias``.
+    DuckDB oracle equivalent (see :func:`oracle_dsum`):
+    ``CAST(SUM(CAST(round(x * 10^s) AS BIGINT)) AS DOUBLE) / 10^s``.
+    ``precision`` is retained for signature compatibility (unused).
     """
-    return (
-        F.sum(_col(c).cast(f"decimal({precision},{scale})"))
-        .cast("double")
-        .alias(alias)
-    )
+    cc = _col(c)
+    factor = 10 ** scale
+    scaled = F.round(cc * F.lit(factor)).cast("long")
+    return (F.sum(scaled).cast("double") / F.lit(float(factor))).alias(alias)
 
 
 def davg(c: Column | str, alias: str, scale: int = 4, precision: int = 30) -> Column:
-    """Order-independent AVG as exact-decimal SUM / COUNT, returned as DOUBLE.
-
-    DuckDB oracle equivalent:
-    ``CAST(SUM(CAST(x AS DECIMAL(30,4))) AS DOUBLE) / COUNT(x) AS alias``.
-    """
+    """Order-independent AVG as exact scaled-long SUM / COUNT, as DOUBLE."""
     cc = _col(c)
+    factor = 10 ** scale
+    scaled = F.round(cc * F.lit(factor)).cast("long")
     return (
-        F.sum(cc.cast(f"decimal({precision},{scale})")).cast("double") / F.count(cc)
+        F.sum(scaled).cast("double") / F.lit(float(factor)) / F.count(cc)
     ).alias(alias)
 
 
 def oracle_dsum(expr: str, alias: str, scale: int = 4, precision: int = 30) -> str:
     """The DuckDB SQL fragment matching :func:`dsum`."""
-    return f"CAST(SUM(CAST({expr} AS DECIMAL({precision},{scale}))) AS DOUBLE) AS {alias}"
+    factor = 10 ** scale
+    return (
+        f"CAST(SUM(CAST(round(({expr}) * {factor}) AS BIGINT)) AS DOUBLE)"
+        f" / {factor}.0 AS {alias}"
+    )
 
 
 def oracle_davg(expr: str, alias: str, scale: int = 4, precision: int = 30) -> str:
     """The DuckDB SQL fragment matching :func:`davg`."""
+    factor = 10 ** scale
     return (
-        f"CAST(SUM(CAST({expr} AS DECIMAL({precision},{scale}))) AS DOUBLE)"
-        f" / COUNT({expr}) AS {alias}"
+        f"CAST(SUM(CAST(round(({expr}) * {factor}) AS BIGINT)) AS DOUBLE)"
+        f" / {factor}.0 / COUNT({expr}) AS {alias}"
     )
