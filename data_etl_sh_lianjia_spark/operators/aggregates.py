@@ -218,3 +218,47 @@ def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+@register(
+    "counting_suite",
+    oracle="""
+SELECT l_orderkey, n_lines,
+       ROW_NUMBER() OVER (ORDER BY l_orderkey) AS emit_seq,
+       SUM(n_lines) OVER (ORDER BY l_orderkey
+                          ROWS UNBOUNDED PRECEDING) AS running_emitted
+FROM (
+    SELECT l_orderkey, COUNT(*) AS n_lines
+    FROM lineitem GROUP BY l_orderkey
+)
+WHERE l_orderkey % 20 = 0
+""",
+    survey_ref="A1,A2,W3",
+    doc="per-parent child counts (A2) + deterministic running emit counter (A1)",
+)
+def counting_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference parity: A2 is the per-village listing total the site
+    pre-computes (lianjia.py:105-106) recomputed natively as a groupBy
+    count; A1 is the spider's running emitted-row counter
+    (lianjia.py:19,157-158) recast as a deterministic row_number/running
+    sum over a unique key (monotonically_increasing_id is nondeterministic
+    — SURVEY §2.5 A1). Scale note: the global-ORDER window runs over the
+    already-aggregated (one row per parent, then 1-in-20 sampled) frame,
+    not over raw lineitem."""
+    from pyspark.sql.window import Window
+
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    per_parent = (
+        li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+        .filter(F.col("l_orderkey") % 20 == 0)
+    )
+    w = Window.orderBy("l_orderkey")
+    return per_parent.select(
+        "l_orderkey",
+        "n_lines",
+        F.row_number().over(w).alias("emit_seq"),
+        F.sum("n_lines").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "running_emitted"
+        ),
+    )

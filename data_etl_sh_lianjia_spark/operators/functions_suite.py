@@ -167,3 +167,54 @@ def array_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("k2"),
         ).alias("m2"),
     )
+
+
+@register(
+    "marker_substring",
+    oracle="""
+SELECT c_custkey,
+       substr(payload,
+              strpos(payload, 'resblockPosition:') + 17,
+              strpos(payload, ';resblockName') - strpos(payload, 'resblockPosition:') - 17
+       ) AS coord,
+       regexp_extract(payload, 'resblockPosition:([^;]*)', 1) AS coord_re,
+       CAST(string_split(regexp_extract(payload, 'resblockPosition:([^;]*)', 1), ',')[1] AS BIGINT) AS lon,
+       CAST(string_split(regexp_extract(payload, 'resblockPosition:([^;]*)', 1), ',')[2] AS BIGINT) AS lat
+FROM (
+    SELECT c_custkey,
+           'var q=1;resblockPosition:' || CAST(c_nationkey AS VARCHAR) || ','
+               || CAST(c_custkey AS VARCHAR) || ';resblockName:"x";' AS payload
+    FROM customer
+)
+""",
+    survey_ref="F3,F2,F4,P7",
+    doc="marker-window substring extraction (locate+substr) == regex variant",
+)
+def marker_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3: the reference slices embedded JS by marker offsets —
+    ``html[find('resblockPosition:') : find('resblockName')-1]``
+    (lianjia.py:67-71) — then regexes the coordinate pair. Implemented
+    both ways (locate+substr window, and one regexp_extract) over a
+    payload built from table columns, proving they agree; lon/lat parse
+    back to BIGINT. Everything is whole-stage-codegen'd string ops — no
+    UDF."""
+    cust = load_tables(spark, sf_dir, names=("customer",))["customer"]
+    payload = F.concat(
+        F.lit("var q=1;resblockPosition:"),
+        F.col("c_nationkey").cast("string"),
+        F.lit(","),
+        F.col("c_custkey").cast("string"),
+        F.lit(';resblockName:"x";'),
+    )
+    df = cust.select("c_custkey", payload.alias("payload"))
+    start = F.locate("resblockPosition:", F.col("payload")) + F.lit(17)
+    end = F.locate(";resblockName", F.col("payload"))
+    coord = F.col("payload").substr(start, end - start)
+    coord_re = F.regexp_extract("payload", "resblockPosition:([^;]*)", 1)
+    return df.select(
+        "c_custkey",
+        coord.alias("coord"),
+        coord_re.alias("coord_re"),
+        F.split(coord_re, ",").getItem(0).cast("bigint").alias("lon"),
+        F.split(coord_re, ",").getItem(1).cast("bigint").alias("lat"),
+    )

@@ -394,3 +394,101 @@ def string_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(
         F.col("text").rlike(_REGEX) & F.col("lang").isin("en", "zh", "de")
     ).select("doc_id", "lang", "source", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# exists_agg_subquery — TPC-H Q4 shape: EXISTS-filtered count (SURVEY §2.4 J3,
+# §2.5 A3). Reference analog: only villages with at least one listing get
+# expanded (lianjia.py:105-107) — membership test before counting.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "exists_agg_subquery",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+  AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+      )
+GROUP BY o_orderpriority
+""",
+    survey_ref="J3,A3",
+    doc="TPC-H Q4 shape: EXISTS semi-join subquery + per-priority counts",
+)
+def exists_agg_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape. Spark-first: the EXISTS is a LEFT SEMI join — the lineitem
+    side is pre-filtered and deduplicated per key by the semi-join itself
+    (no distinct needed), and at 100 TB both sides shuffle-partition on
+    orderkey; the semi build side carries only the join key."""
+    t = _t(spark, sf_dir, "orders", "lineitem")
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01 00:00:00").cast("timestamp_ntz"))
+    )
+    flagged = t["lineitem"].filter(F.col("l_returnflag") == "R")
+    return (
+        orders.join(
+            flagged, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# in_subquery_bigorders — TPC-H Q18 shape: IN (grouped HAVING subquery)
+# (SURVEY §2.4 J3, §2.5 A3/A6)
+# ---------------------------------------------------------------------------
+
+_Q18_MIN_QTY = 150
+
+
+@register(
+    "in_subquery_bigorders",
+    oracle=f"""
+SELECT c_name, c_custkey, o_orderkey,
+       CAST(o_orderdate AS DATE) AS orderdate,
+       {oracle_dsum('l_quantity', 'sum_qty', scale=0)}
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+    SELECT l_orderkey FROM lineitem
+    GROUP BY l_orderkey HAVING SUM(l_quantity) > {_Q18_MIN_QTY}
+)
+GROUP BY c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE)
+""",
+    survey_ref="J3,A3,A6",
+    doc="TPC-H Q18 shape: IN over a grouped-HAVING subquery (large-quantity orders)",
+)
+def in_subquery_bigorders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape. The IN-subquery is a semi-join against a pre-aggregated
+    key set; at scale the HAVING aggregate shrinks lineitem to one row per
+    qualifying orderkey before the semi-join, so the expensive 3-way join
+    runs only over qualifying orders. l_quantity is integral in the
+    testdata, so the deterministic sum uses scale=0."""
+    t = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    li = t["lineitem"]
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > _Q18_MIN_QTY)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(F.broadcast(big.withColumnRenamed("l_orderkey", "big_ok")),
+                F.col("l_orderkey") == F.col("big_ok"), "inner")
+        .join(F.broadcast(t["orders"]), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+        )
+        .agg(dsum("l_quantity", "sum_qty", scale=0))
+    )

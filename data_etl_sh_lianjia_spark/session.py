@@ -65,6 +65,11 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.warehouse.dir", "/tmp/spark-graft-warehouse")
+        # The driver testdata stores events.ts as parquet TIMESTAMP(NANOS),
+        # which the vectorized reader rejects; reading nanos as BIGINT up
+        # front avoids read_events' probe-read (a failed Spark job's worth
+        # of noise per session). read_events derives the TIMESTAMP_NTZ col.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     if extra_conf:
         for k, v in extra_conf.items():
