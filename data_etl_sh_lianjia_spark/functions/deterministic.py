@@ -43,6 +43,20 @@ def _col(c: Column | str) -> Column:
     return c if isinstance(c, Column) else F.col(c)
 
 
+def _scaled_long(cc: Column, factor: int) -> Column:
+    """``round(x * factor)`` as BIGINT, via ``floor(x*f + 0.5)``.
+
+    floor stays in double arithmetic inside codegen, while Spark's ROUND on
+    a double routes through BigDecimal per row — 1.5× slower on TPC-H Q1's
+    8-agg group-by (0.123s → 0.082s at sf0.1). Equivalence: the scaled
+    value is within ~1e-6 of an exact integer n (module precondition), so
+    floor(n ± 1e-6 + 0.5) == n == round(n ± 1e-6) for either sign; the
+    half-up-vs-half-away-from-zero difference only exists at exact .5
+    fractions, which the precondition excludes.
+    """
+    return F.floor(cc * F.lit(factor) + F.lit(0.5)).cast("long")
+
+
 def dsum(c: Column | str, alias: str, scale: int = 4, precision: int = 30) -> Column:
     """Order-independent SUM over a double column, returned as DOUBLE.
 
@@ -52,7 +66,7 @@ def dsum(c: Column | str, alias: str, scale: int = 4, precision: int = 30) -> Co
     """
     cc = _col(c)
     factor = 10 ** scale
-    scaled = F.round(cc * F.lit(factor)).cast("long")
+    scaled = _scaled_long(cc, factor)
     return (F.sum(scaled).cast("double") / F.lit(float(factor))).alias(alias)
 
 
@@ -60,7 +74,7 @@ def davg(c: Column | str, alias: str, scale: int = 4, precision: int = 30) -> Co
     """Order-independent AVG as exact scaled-long SUM / COUNT, as DOUBLE."""
     cc = _col(c)
     factor = 10 ** scale
-    scaled = F.round(cc * F.lit(factor)).cast("long")
+    scaled = _scaled_long(cc, factor)
     return (
         F.sum(scaled).cast("double") / F.lit(float(factor)) / F.count(cc)
     ).alias(alias)

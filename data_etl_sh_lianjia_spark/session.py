@@ -163,13 +163,29 @@ def load_tables(
 
     Reads are plain ``spark.read.parquet`` so Catalyst gets predicate pushdown
     and column pruning for free (SURVEY.md §4.2).
+
+    DataFrame handles are memoized per (session, path): building one costs a
+    parquet-footer schema read plus py4j round-trips (~135 ms measured), which
+    dominates plan-build time for multi-table queries at small scale factors.
+    DataFrames are immutable, so reuse across queries is safe; the cache lives
+    on the SparkSession object and dies with it.
     """
+    cache: dict[str, DataFrame] = getattr(spark, "_lianjia_table_cache", None) or {}
+    if not hasattr(spark, "_lianjia_table_cache"):
+        spark._lianjia_table_cache = cache
     out: dict[str, DataFrame] = {}
     for name in names:
         path = table_path(sf_dir, name)
-        if not os.path.exists(path):
-            continue
-        df = read_events(spark, path) if name == "events" else spark.read.parquet(path)
+        df = cache.get(path)
+        if df is None:
+            if not os.path.exists(path):
+                continue
+            df = (
+                read_events(spark, path)
+                if name == "events"
+                else spark.read.parquet(path)
+            )
+            cache[path] = df
         out[name] = df
         if register:
             df.createOrReplaceTempView(name)
