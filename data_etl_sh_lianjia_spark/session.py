@@ -70,6 +70,14 @@ def get_spark(
         # front avoids read_events' probe-read (a failed Spark job's worth
         # of noise per session). read_events derives the TIMESTAMP_NTZ col.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Keep large numpy buffers on the (reused) Python workers' glibc
+        # heap instead of per-call mmap/munmap: repeated multi-MB transient
+        # allocations in pandas-UDF vector ops otherwise fault in fresh
+        # pages every run, and under host memory pressure those faults
+        # degrade into multi-second kernel-time stalls (measured: the same
+        # 2000x2000 matmul 0.02s warm-heap vs 6-18s re-mmapped).
+        .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", "1073741824")
+        .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "1073741824")
     )
     if extra_conf:
         for k, v in extra_conf.items():
