@@ -218,3 +218,73 @@ def marker_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split(coord_re, ",").getItem(0).cast("bigint").alias("lon"),
         F.split(coord_re, ",").getItem(1).cast("bigint").alias("lat"),
     )
+
+
+@register(
+    "null_handling_suite",
+    oracle="""
+SELECT c_custkey,
+       nullif(c_mktsegment, 'BUILDING') AS seg_or_null,
+       coalesce(nullif(c_mktsegment, 'BUILDING'), 'DEFAULTED') AS seg_coalesced,
+       ifnull(nullif(c_mktsegment, 'BUILDING'), 'N/A') AS seg_ifnull,
+       CASE WHEN nullif(c_mktsegment, 'BUILDING') IS NOT NULL
+            THEN 'has' ELSE 'none' END AS seg_nvl2,
+       (c_mktsegment IS NOT DISTINCT FROM 'BUILDING') AS is_building_nullsafe,
+       isnan(CASE WHEN c_acctbal < 0 THEN 'NaN'::DOUBLE ELSE c_acctbal END)
+           AS negative_bal_nan
+FROM customer
+WHERE c_custkey % 10 = 0
+""",
+    survey_ref="P7,F13",
+    doc="null family: nullif/coalesce/ifnull/nvl2/null-safe-eq/isnan (P7 default semantics)",
+)
+def null_handling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 generalized: the reference swallows extraction misses into NULLs
+    or presets (lianjia.py:64-73); this is the whole SQL NULL-handling
+    family with cross-engine-identical semantics. NaN is produced
+    conditionally (not parsed) because NaN literals round-trip differently
+    through JSON."""
+    cust = load_tables(spark, sf_dir, names=("customer",))["customer"]
+    seg_null = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    return cust.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        seg_null.alias("seg_or_null"),
+        F.coalesce(seg_null, F.lit("DEFAULTED")).alias("seg_coalesced"),
+        F.ifnull(seg_null, F.lit("N/A")).alias("seg_ifnull"),
+        F.nvl2(seg_null, F.lit("has"), F.lit("none")).alias("seg_nvl2"),
+        F.col("c_mktsegment").eqNullSafe(F.lit("BUILDING")).alias(
+            "is_building_nullsafe"
+        ),
+        F.isnan(
+            F.when(F.col("c_acctbal") < 0, F.lit(float("nan"))).otherwise(
+                F.col("c_acctbal")
+            )
+        ).alias("negative_bal_nan"),
+    )
+
+
+@register(
+    "posexplode_tokens",
+    oracle="""
+SELECT doc_id,
+       generate_subscripts(string_split(text, ' ')[1:5], 1) - 1 AS pos,
+       unnest(string_split(text, ' ')[1:5]) AS token
+FROM documents
+WHERE doc_id % 25 = 0
+""",
+    survey_ref="P1,F13",
+    doc="positional lateral expansion: posexplode of the first 5 tokens per doc",
+)
+def posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1's multi-valued projection with ordinal positions — the native
+    (JVM, codegen'd Generate) counterpart of the Python-UDTF variant
+    (udtf_tokenize). At scale Generate expands inline per input row: no
+    shuffle, no Python boundary."""
+    docs = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    return (
+        docs.filter(F.col("doc_id") % 25 == 0)
+        .select(
+            "doc_id",
+            F.posexplode(F.slice(F.split("text", " "), 1, 5)).alias("pos", "token"),
+        )
+    )
