@@ -262,3 +262,41 @@ def counting_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "running_emitted"
         ),
     )
+
+
+@register(
+    "string_agg_groups",
+    oracle="""
+SELECT o_orderstatus,
+       string_agg(DISTINCT o_orderpriority, '|' ORDER BY o_orderpriority)
+           AS priorities,
+       string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey)
+           FILTER (WHERE o_orderkey % 1000 = 0) AS sample_keys
+FROM orders
+GROUP BY o_orderstatus
+""",
+    survey_ref="A7",
+    doc="ordered string aggregation (listagg): distinct + filtered variants",
+)
+def string_agg_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 as delimited strings (LISTAGG/STRING_AGG): Spark-side is
+    array_sort(collect_list/set) + array_join — deterministic because the
+    sort is explicit, exactly the rule oracle-hashed collect queries follow.
+    Map-side partial collect keeps the shuffle at one array per group."""
+    o = _t(spark, sf_dir, "orders")["orders"]
+    return o.groupBy("o_orderstatus").agg(
+        F.array_join(
+            F.array_sort(F.collect_set("o_orderpriority")), "|"
+        ).alias("priorities"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("o_orderkey") % 1000 == 0, F.col("o_orderkey"))
+                    )
+                ),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("sample_keys"),
+    )

@@ -109,3 +109,46 @@ def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+@register(
+    "window_range_interval",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CAST(round(value * 10000) AS BIGINT) AS value_s
+  FROM events WHERE user_id % 25 = 0
+)
+SELECT user_id, event_id, ts_us,
+       CAST(SUM(value_s) OVER (PARTITION BY user_id ORDER BY ts_us
+            RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / 10000 AS hour_sum
+FROM e
+""",
+    survey_ref="W3",
+    doc="RANGE-frame window: trailing 1-hour per-user sum over event time",
+)
+def window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3's range-frame variant: the frame is bounded by the ORDER BY
+    *value* (event-time microseconds), not row offsets — peers with equal
+    ts_us share one frame, so the result is tie-order-independent and the
+    inner sum uses scaled longs (exact) for the cross-engine hash. Scale:
+    per-user partitions, state bounded by the 1-hour window."""
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    e = ev.filter(F.col("user_id") % 25 == 0).select(
+        "user_id",
+        "event_id",
+        F.expr("ts_ns div 1000").alias("ts_us"),
+        F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long").alias("value_s"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        (F.sum("value_s").over(w).cast("double") / 10000).alias("hour_sum"),
+    )
