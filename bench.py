@@ -56,14 +56,34 @@ def main() -> None:
     # Runs are interleaved round-robin (all queries once, then again ×RUNS)
     # so a host freeze burst degrades one sample of many queries instead of
     # every sample of one query — the per-query median then discards it.
+    # Each run also records its Catalyst phase time (analysis + optimization
+    # + physical planning, from the QueryExecution tracker): at sf0.1 this
+    # fixed per-query driver cost is a large share of wall time and does not
+    # grow with data, so the breakdown shows what a 100 TB run amortizes away.
     samples: dict[str, list[float]] = {name: [] for name in bench_queries}
+    planning: dict[str, list[float]] = {name: [] for name in bench_queries}
     for _ in range(RUNS):
         for name, dq in sorted(bench_queries.items()):
             t0 = time.perf_counter()
-            dq.spark_fn(spark, SF_DIR).toPandas()
+            df = dq.spark_fn(spark, SF_DIR)
+            df.toPandas()
             samples[name].append(time.perf_counter() - t0)
+            try:
+                phases = df._jdf.queryExecution().tracker().phases()
+                it, ms = phases.iterator(), 0
+                while it.hasNext():
+                    summ = it.next()._2()
+                    ms += summ.endTimeMs() - summ.startTimeMs()
+                planning[name].append(ms / 1000.0)
+            except Exception:
+                pass
     results = {
         name: round(statistics.median(ts), 4) for name, ts in samples.items()
+    }
+    plan_results = {
+        name: round(statistics.median(ts), 4)
+        for name, ts in planning.items()
+        if ts
     }
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -74,6 +94,7 @@ def main() -> None:
                 "value": round(sum(results.values()), 4),
                 "unit": "sec",
                 "queries": results,
+                "queries_planning": plan_results,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "runs": RUNS,
             }
