@@ -206,3 +206,62 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.expr(f"CAST(size(array_distinct({_SPARK_SHINGLES})) AS BIGINT)").alias("n_shingles"),
     )
+
+
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE_RE = "\\+1-555-01[0-9]{2}"
+
+
+@register(
+    "pii_redaction",
+    oracle=f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' Contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or +1-555-01'
+              || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '.' AS t
+  FROM documents WHERE doc_id % 5 = 0
+)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+         '{_PHONE_RE}', '<PHONE>', 'g') AS redacted,
+       len(regexp_extract_all(t, '{_EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(t, '{_PHONE_RE}')) AS n_phones
+FROM aug
+""",
+    survey_ref="L6,F2,F6",
+    doc="PII redaction: email/phone regex scrub + match counts (training-data hygiene)",
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data hygiene op: scrub emails/phones and count what was
+    found. PII is injected deterministically from doc_id (both engines
+    build the identical payload) so the scrub provably fires on every row.
+    All whole-stage-codegen'd regex — the patterns stay in the RE2/Java
+    common subset (no backrefs, no lookaround) so semantics match across
+    engines. At 100 TB this is a map-only pass: no shuffle, prunes to two
+    columns at the scan."""
+    docs = _docs(spark, sf_dir)
+    t = F.concat(
+        F.col("text"),
+        F.lit(" Contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-01"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        F.lit("."),
+    )
+    aug = docs.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", t.alias("t")
+    )
+    return aug.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace("t", _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+        ).alias("redacted"),
+        F.size(F.regexp_extract_all("t", F.lit(_EMAIL_RE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("t", F.lit(_PHONE_RE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_phones"),
+    )

