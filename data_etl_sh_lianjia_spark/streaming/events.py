@@ -336,3 +336,106 @@ def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
         stateful_counter_stream(spark, sf_dir), "stream_stateful_counter", "update"
     )
     return out.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+
+
+# --- T6b: stream-stream interval join ---------------------------------------
+
+
+def stream_stream_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: each purchase joins the same user's clicks
+    from the preceding 30 minutes. Both sides carry watermarks and the join
+    condition is time-bounded in BOTH directions, so the state store can
+    evict rows once the watermark passes — without the bound, stream-stream
+    join state grows forever (SCALE.md §6)."""
+    ev = read_events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .withWatermark("ts_ltz", "1 hour")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts_ltz").alias("c_ts"),
+            F.expr("ts_ns div 1000").alias("c_ts_us"),
+        )
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts_ltz", "1 hour")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts_ltz").alias("p_ts"),
+            F.expr("ts_ns div 1000").alias("p_ts_us"),
+        )
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "inner",
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "click_id",
+        "p_ts_us",
+        "c_ts_us",
+    )
+
+
+def stream_stream_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_etl_sh_lianjia_spark.session import load_tables
+
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    us = ev.select(
+        "user_id", "event_id", "event_type", F.expr("ts_ns div 1000").alias("ts_us")
+    )
+    clicks = us.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts_us").alias("c_ts_us"),
+    )
+    purchases = us.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts_us").alias("p_ts_us"),
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts_us") >= F.col("p_ts_us") - F.lit(1_800_000_000))
+        & (F.col("c_ts_us") <= F.col("p_ts_us")),
+        "inner",
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "click_id",
+        "p_ts_us",
+        "c_ts_us",
+    )
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events
+)
+SELECT p.user_id AS user_id,
+       p.event_id AS purchase_id,
+       c.event_id AS click_id,
+       p.ts_us AS p_ts_us,
+       c.ts_us AS c_ts_us
+FROM e p
+JOIN e c
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.ts_us BETWEEN p.ts_us - 1800000000 AND p.ts_us
+""",
+    survey_ref="T6,S12,J4",
+    doc="stream-stream interval join: purchases x prior 30-min clicks per user",
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_to_completion(
+        stream_stream_join_stream(spark, sf_dir), "stream_stream_join", "append"
+    )

@@ -17,6 +17,12 @@ PARITY_CASES = [
         se.stream_static_join_batch,
         "complete",
     ),
+    (
+        "stream_stream_join",
+        se.stream_stream_join_stream,
+        se.stream_stream_join_batch,
+        "append",
+    ),
 ]
 
 
