@@ -439,3 +439,89 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(
         stream_stream_join_stream(spark, sf_dir), "stream_stream_join", "append"
     )
+
+
+# --- T5b: arbitrary state via transformWithStateInPandas (Spark 4.x API) ----
+
+
+def tws_counter_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The transformWithStateInPandas successor of applyInPandasWithState:
+    typed per-key ValueState, explicit processor lifecycle, RocksDB-backed
+    state store (the 100 TB posture — state no longer lives on executor
+    heaps; see SCALE.md §6)."""
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    from data_etl_sh_lianjia_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+
+    class CountProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._count = handle.getValueState("count", "n BIGINT")
+
+        def handleInputRows(self, key, rows, timerValues):
+            total = sum(len(pdf) for pdf in rows)
+            prev = self._count.get()
+            cur = (prev[0] if prev else 0) + total
+            self._count.update((cur,))
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [cur]})
+
+        def close(self) -> None:
+            pass
+
+    ev = read_events_stream(spark, sf_dir)
+    return ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=CountProcessor(),
+        outputStructType="user_id long, n_events long",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def _tws_available() -> bool:
+    """transformWithStateInPandas workers speak protobuf to the JVM state
+    server; the pyspark API exists without it, but every query fails at
+    runtime. Gate registration on the actual worker dependency."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _register_tws():
+    return register(
+        "stream_tws_counter",
+        oracle="""
+SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id
+""",
+        survey_ref="T5,S12",
+        doc="transformWithStateInPandas per-user counters (ValueState, RocksDB store)",
+    )
+
+
+@(_register_tws() if _tws_available() else (lambda f: f))
+def stream_tws_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-matched because the closed single-file input runs in one
+    trigger: each user's single Update emission IS the final count (the
+    max-per-user reduction keeps it correct if the source ever splits into
+    multiple triggers)."""
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        out = run_to_completion(
+            tws_counter_stream(spark, sf_dir), "stream_tws_counter", "update"
+        )
+    finally:
+        if prev:
+            spark.conf.set(provider_key, prev)
+        else:
+            spark.conf.unset(provider_key)
+    return out.groupBy("user_id").agg(F.max("n_events").alias("n_events"))

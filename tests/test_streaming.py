@@ -114,3 +114,28 @@ def test_stateful_counter_matches_batch_counts(spark, sf_dir):
     batch_rows = [tuple(r) for r in batch.collect()]
     res = compare_results(stream_rows, out.columns, batch_rows, batch.columns)
     assert res.ok, f"stateful counter: {res.reason}\nsample: {res.sample_diff}"
+
+
+def test_tws_counter_matches_batch_or_skips(spark, sf_dir):
+    """transformWithStateInPandas (Spark 4.x typed-state API) — its workers
+    need google.protobuf, absent from this container; the query registers
+    (and the driver exercises it) only where the dependency exists."""
+    from data_etl_sh_lianjia_spark.streaming.events import (
+        _tws_available,
+        stream_tws_counter,
+    )
+
+    if not _tws_available():
+        import pytest
+
+        pytest.skip("google.protobuf not installed: TWS workers cannot start")
+    out = stream_tws_counter(spark, sf_dir)
+    rows = {tuple(r) for r in out.collect()}
+    from data_etl_sh_lianjia_spark.session import load_tables
+
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    expected = {
+        tuple(r)
+        for r in ev.groupBy("user_id").count().withColumnRenamed("count", "n_events").collect()
+    }
+    assert rows == expected
