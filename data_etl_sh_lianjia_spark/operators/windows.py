@@ -152,3 +152,60 @@ def window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts_us",
         (F.sum("value_s").over(w).cast("double") / 10000).alias("hour_sum"),
     )
+
+
+@register(
+    "resample_gapfill",
+    oracle="""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) // 3600000000 AS hb,
+         CAST(round(value * 10000) AS BIGINT) AS value_s
+  FROM events WHERE user_id % 50 = 0
+), bounds AS (
+  SELECT user_id, MIN(hb) AS lo, MAX(hb) AS hi FROM e GROUP BY user_id
+), grid AS (
+  SELECT user_id, unnest(generate_series(lo, hi)) AS hour_bucket FROM bounds
+), actual AS (
+  SELECT user_id, hb AS hour_bucket, COUNT(*) AS n_events,
+         CAST(SUM(value_s) AS DOUBLE) / 10000 AS sum_value
+  FROM e GROUP BY user_id, hb
+)
+SELECT g.user_id, g.hour_bucket,
+       coalesce(a.n_events, 0) AS n_events,
+       coalesce(a.sum_value, 0.0) AS sum_value
+FROM grid g LEFT JOIN actual a
+  ON g.user_id = a.user_id AND g.hour_bucket = a.hour_bucket
+""",
+    survey_ref="W3,J2,F11",
+    doc="time-series resample: hourly buckets per user, gap-filled with zeros",
+)
+def resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample-to-grid with gap filling — the dense-timeline operator
+    every time-series engine ships. The grid is generated per key from the
+    key's own [min, max] hour range (sequence + explode: a Generate, no
+    shuffle beyond the bounds agg) and left-joins the actual per-hour
+    aggregates; missing hours surface as explicit zero rows. At 100 TB the
+    grid is ~rows_out, never rows_in, and both joins co-partition on
+    user_id. Buckets are integer epoch-hours (tz-independent, exact)."""
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    e = ev.filter(F.col("user_id") % 50 == 0).select(
+        "user_id",
+        F.expr("(ts_ns div 1000) div 3600000000").alias("hb"),
+        F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long").alias("value_s"),
+    )
+    bounds = e.groupBy("user_id").agg(
+        F.min("hb").alias("lo"), F.max("hb").alias("hi")
+    )
+    grid = bounds.select(
+        "user_id", F.explode(F.sequence("lo", "hi")).alias("hour_bucket")
+    )
+    actual = e.groupBy("user_id", F.col("hb").alias("hour_bucket")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum("value_s").cast("double") / 10000).alias("sum_value"),
+    )
+    return grid.join(actual, ["user_id", "hour_bucket"], "left").select(
+        "user_id",
+        "hour_bucket",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+    )
