@@ -90,3 +90,30 @@ def test_null_safety_all_parsers(spark):
     for row in out:
         for k in cols:
             assert row[k] is None, f"{k} not null-safe: {row[k]!r}"
+
+
+@settings(deadline=None, max_examples=30, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.decimals(
+            min_value=-99_999_999, max_value=99_999_999, places=4, allow_nan=False
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_scaled_long_sum_is_exact_and_order_independent(spark, vals):
+    """dsum's floor(x*10^s + 0.5) scaled-long path must equal the exact
+    decimal sum for any 4-decimal inputs (positive AND negative — the
+    floor-vs-round half-up difference must never bite off-tie values), and
+    must not depend on row order."""
+    from decimal import Decimal
+
+    from data_etl_sh_lianjia_spark.functions.deterministic import dsum
+
+    rows = [(float(v),) for v in vals]
+    expected = float(sum(Decimal(str(float(v))) for v in vals))
+    for ordering in (rows, rows[::-1]):
+        df = spark.createDataFrame(ordering, "x double")
+        got = df.agg(dsum("x", "s", scale=4)).collect()[0]["s"]
+        assert abs(got - expected) < 1e-9, (got, expected, ordering)
