@@ -300,3 +300,32 @@ def string_agg_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("sample_keys"),
     )
+
+
+@register(
+    "hll_mergeable_sketch",
+    oracle=None,  # sketch estimates are implementation-specific: tolerance-checked in tests/test_ann_recall.py
+    survey_ref="A4",
+    doc="mergeable HLL sketches: per-group hll_sketch_agg -> hll_union_agg global estimate",
+)
+def hll_mergeable_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB distinct-count pattern: build per-partition/per-group HLL
+    sketches (one small binary per group, mergeable and associative), union
+    them for rollups instead of rescanning raw data. Per-status estimates
+    plus the union-of-sketches global estimate in one result."""
+    o = _t(spark, sf_dir, "orders")["orders"]
+    per_group = o.groupBy("o_orderstatus").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    per_group_est = per_group.select(
+        "o_orderstatus",
+        "n_rows",
+        F.hll_sketch_estimate("sk").alias("approx_customers"),
+    )
+    global_est = per_group.agg(
+        F.lit("ALL").alias("o_orderstatus"),
+        F.sum("n_rows").alias("n_rows"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_customers"),
+    )
+    return per_group_est.unionByName(global_est)

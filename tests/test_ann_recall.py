@@ -29,3 +29,30 @@ def test_approx_count_distinct_tolerance(spark, sf_dir):
     for r in df.collect():
         rel_err = abs(r["approx_parts"] - r["exact_parts"]) / r["exact_parts"]
         assert rel_err < 0.1, f"HLL estimate off by {rel_err:.1%} for {r}"
+
+
+def test_hll_sketch_estimates_within_tolerance(spark, sf_dir):
+    """Per-group and union-merged HLL estimates must land within 5% of the
+    exact distinct counts (HLL lgK default gives ~1.6% rse; 5% is lax
+    enough to be seed-stable)."""
+    from data_etl_sh_lianjia_spark.plans.registry import all_queries
+    from data_etl_sh_lianjia_spark.session import load_tables
+
+    rows = {
+        r["o_orderstatus"]: r["approx_customers"]
+        for r in all_queries()["hll_mergeable_sketch"]
+        .spark_fn(spark, sf_dir)
+        .collect()
+    }
+    o = load_tables(spark, sf_dir, names=("orders",))["orders"]
+    from pyspark.sql import functions as F
+
+    exact = {
+        r["o_orderstatus"]: r["n"]
+        for r in o.groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    exact["ALL"] = o.select("o_custkey").distinct().count()
+    for k, est in rows.items():
+        assert abs(est - exact[k]) / exact[k] < 0.05, (k, est, exact[k])
