@@ -6,6 +6,7 @@ import data_etl_sh_lianjia_spark.operators.dedup  # noqa: F401
 import data_etl_sh_lianjia_spark.operators.functions_suite  # noqa: F401
 import data_etl_sh_lianjia_spark.operators.multimodal  # noqa: F401
 import data_etl_sh_lianjia_spark.operators.joins  # noqa: F401
+import data_etl_sh_lianjia_spark.operators.lakehouse  # noqa: F401
 import data_etl_sh_lianjia_spark.operators.relational  # noqa: F401
 import data_etl_sh_lianjia_spark.operators.setops  # noqa: F401
 import data_etl_sh_lianjia_spark.operators.similarity  # noqa: F401

@@ -1,0 +1,293 @@
+"""Lakehouse / pipeline-maintenance operators: deterministic sampling,
+histograms, heavy hitters, MERGE-style upsert, and SCD-2 history rebuild.
+
+None of these exist in the reference (a single-pass crawler has no notion of
+table maintenance); they are **[derived]** capabilities a 100 TB training-data
+pipeline needs on top of SURVEY.md §2:
+
+- *Deterministic sampling* replaces ``TABLESAMPLE``/``df.sample`` (both
+  engine-seeded, not reproducible cross-engine) with an md5-prefix threshold
+  on a stable row key — the same rows are selected by any engine, any
+  partitioning, any cluster size. That property is what makes sampled
+  pipelines auditable at scale.
+- *MERGE upsert* is the batch analog of ``MERGE INTO`` (Delta/Iceberg): a
+  full-outer join classifying rows into insert/update/keep. Expressed
+  relationally, Catalyst plans it as a single shuffle on the join key.
+- *SCD-2 history* rebuilds validity intervals from an append-only log with
+  one window pass (lead over event date) — no per-row driver logic.
+
+All five register oracle-hashed declared queries; scale notes in SCALE.md.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from data_etl_sh_lianjia_spark.functions.deterministic import dsum, oracle_dsum
+from data_etl_sh_lianjia_spark.plans.registry import register
+from data_etl_sh_lianjia_spark.session import load_tables
+
+
+def md5_bucket(*key_cols: Column | str) -> Column:
+    """First-two-hex-chars md5 bucket of a composite key: 256 deterministic,
+    engine-independent buckets. ``substr(md5(concat_ws('|', keys)), 1, 2)``
+    produces identical lowercase hex in Spark and DuckDB, so a threshold on
+    it is a reproducible Bernoulli sample (p = threshold/256) that needs no
+    RNG, no seed plumbing, and no coordination across 1000 executors."""
+    cols = [F.col(c).cast("string") if isinstance(c, str) else c.cast("string") for c in key_cols]
+    return F.substring(F.md5(F.concat_ws("|", *cols)), 1, 2)
+
+
+def merge_upsert(
+    base: DataFrame, updates: DataFrame, key: str, payload: list[str]
+) -> DataFrame:
+    """MERGE INTO analog: full-outer join ``base`` with ``updates`` on
+    ``key``; rows present in both take the update payload (action
+    ``update``), update-only rows are inserts, base-only rows are kept.
+    Output = merged table + an ``action`` audit column. One shuffle on the
+    key (sort-merge or broadcast per Catalyst/AQE); at 100 TB, bucket both
+    sides on the key to make this shuffle-free (SCALE.md §joins)."""
+    b = base.alias("b")
+    u = updates.alias("u")
+    joined = b.join(u, F.col(f"b.{key}") == F.col(f"u.{key}"), "full_outer")
+    action = (
+        F.when(F.col(f"b.{key}").isNull(), F.lit("insert"))
+        .when(F.col(f"u.{key}").isNull(), F.lit("keep"))
+        .otherwise(F.lit("update"))
+    )
+    merged = [F.coalesce(F.col(f"u.{key}"), F.col(f"b.{key}")).alias(key)]
+    merged += [
+        F.coalesce(F.col(f"u.{c}"), F.col(f"b.{c}")).alias(c) for c in payload
+    ]
+    return joined.select(*merged, action.alias("action"))
+
+
+@register(
+    "deterministic_sample",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(*) AS n_sampled,
+       """
+    + oracle_dsum("l_quantity", "sum_qty", scale=2)
+    + """
+FROM lineitem
+WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)), 1, 2) < '20'
+GROUP BY l_returnflag
+""",
+    survey_ref="O5,A3",
+    doc="deterministic md5-threshold Bernoulli sample (~12.5%), engine- and partitioning-independent",
+    tags=("sampling",),
+)
+def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible sample: md5(key) prefix < '20' selects ~32/256 of rows —
+    the same rows on any engine/cluster, unlike seeded ``df.sample``. The
+    predicate is a plain scan filter (no shuffle before the agg)."""
+    li = load_tables(spark, sf_dir, names=("lineitem",))["lineitem"]
+    sampled = li.filter(md5_bucket("l_orderkey", "l_linenumber") < "20")
+    return sampled.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        dsum("l_quantity", "sum_qty", scale=2),
+    )
+
+
+@register(
+    "stratified_sample",
+    oracle="""
+SELECT o_orderstatus, COUNT(*) AS n_sampled
+FROM (
+  SELECT o_orderstatus,
+         substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) AS bkt
+  FROM orders
+)
+WHERE bkt < CASE o_orderstatus WHEN 'F' THEN '10' WHEN 'O' THEN '20' ELSE '80' END
+GROUP BY o_orderstatus
+""",
+    survey_ref="O5,A3,A6",
+    doc="stratified deterministic sample: per-stratum md5 thresholds (rare strata kept at higher rates)",
+    tags=("sampling",),
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum sampling rates via a CASE threshold on the md5 bucket —
+    downsample dominant classes, keep rare ones (class rebalancing for
+    training data). Still a pure scan filter: no shuffle, no RNG."""
+    orders = load_tables(spark, sf_dir, names=("orders",))["orders"]
+    threshold = (
+        F.when(F.col("o_orderstatus") == "F", "10")
+        .when(F.col("o_orderstatus") == "O", "20")
+        .otherwise("80")
+    )
+    return (
+        orders.filter(md5_bucket("o_orderkey") < threshold)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+
+
+@register(
+    "histogram_value",
+    oracle="""
+WITH stats AS (
+  SELECT MIN(value) AS lo, MAX(value) AS hi FROM events
+)
+SELECT LEAST(CAST(FLOOR((value - lo) / ((hi - lo) / 20.0)) AS INT), 19) AS bucket,
+       COUNT(*) AS n,
+       round(MIN(value), 6) AS bucket_min,
+       round(MAX(value), 6) AS bucket_max
+FROM events, stats
+GROUP BY 1
+""",
+    survey_ref="A8,A3,F13",
+    doc="20-bucket equi-width histogram over events.value (two-pass min/max + floor bucketing)",
+    tags=("analytics",),
+)
+def histogram_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram: global min/max (tiny agg, broadcast back via
+    cross join) then floor-bucketing. Both passes are scan+partial-agg —
+    the classic two-pass histogram that scales linearly; IEEE double ops
+    are bit-identical cross-engine so the bucket ids hash-match."""
+    events = load_tables(spark, sf_dir, names=("events",))["events"]
+    stats = events.agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    step = (F.col("hi") - F.col("lo")) / F.lit(20.0)
+    return (
+        events.crossJoin(F.broadcast(stats))
+        .select(
+            F.least(
+                F.floor((F.col("value") - F.col("lo")) / step).cast("int"),
+                F.lit(19),
+            ).alias("bucket"),
+            "value",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 6).alias("bucket_min"),
+            F.round(F.max("value"), 6).alias("bucket_max"),
+        )
+    )
+
+
+@register(
+    "heavy_hitters_tokens",
+    oracle="""
+SELECT token, n, rnk
+FROM (
+  SELECT token, n,
+         ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rnk
+  FROM (
+    SELECT token, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    WHERE token <> ''
+    GROUP BY token
+  )
+)
+WHERE rnk <= 20
+""",
+    survey_ref="L4,A3,W4",
+    doc="exact heavy hitters: top-20 corpus tokens by frequency with deterministic tie-break",
+    tags=("text",),
+)
+def heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact frequent-token mining: explode tokens, count, top-20. The
+    explode+count is map-side-combined by Spark (partial agg before the
+    shuffle); the final top-k runs on the already-tiny grouped result.
+    At 100 TB swap the tail for count-min sketch; the exact top keeps the
+    oracle property here."""
+    docs = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+        .select("token", "n", "rnk")
+    )
+
+
+@register(
+    "merge_upsert_customers",
+    oracle="""
+WITH base AS (
+  SELECT c_custkey, c_acctbal, c_mktsegment FROM customer WHERE c_custkey % 3 <> 0
+), updates AS (
+  SELECT c_custkey, c_acctbal + 100.0 AS c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey % 2 = 0
+)
+SELECT action, COUNT(*) AS n_rows,
+       """
+    + oracle_dsum("c_acctbal", "sum_acctbal", scale=2)
+    + """
+FROM (
+  SELECT COALESCE(u.c_custkey, b.c_custkey) AS c_custkey,
+         COALESCE(u.c_acctbal, b.c_acctbal) AS c_acctbal,
+         CASE WHEN b.c_custkey IS NULL THEN 'insert'
+              WHEN u.c_custkey IS NULL THEN 'keep'
+              ELSE 'update' END AS action
+  FROM base b FULL OUTER JOIN updates u ON b.c_custkey = u.c_custkey
+)
+GROUP BY action
+""",
+    survey_ref="J3,A3",
+    doc="MERGE INTO analog: full-outer-join upsert classifying insert/update/keep, audited by action",
+    tags=("lakehouse",),
+)
+def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert a customer dimension with a batch of updates via
+    :func:`merge_upsert` (full-outer join = single key shuffle), then audit
+    the merge by action. The library operator returns the merged table; the
+    declared query aggregates it so the oracle stays compact."""
+    cust = load_tables(spark, sf_dir, names=("customer",))["customer"]
+    base = cust.filter(F.col("c_custkey") % 3 != 0).select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    updates = cust.filter(F.col("c_custkey") % 2 == 0).select(
+        "c_custkey",
+        (F.col("c_acctbal") + F.lit(100.0)).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    merged = merge_upsert(base, updates, "c_custkey", ["c_acctbal", "c_mktsegment"])
+    return merged.groupBy("action").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("c_acctbal", "sum_acctbal", scale=2),
+    )
+
+
+@register(
+    "scd2_order_history",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_orderdate AS valid_from,
+       LEAD(o_orderdate) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+       ) AS valid_to,
+       CASE WHEN LEAD(o_orderdate) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+       ) IS NULL THEN 1 ELSE 0 END AS is_current
+FROM orders
+WHERE o_custkey % 50 = 0
+""",
+    survey_ref="W2,J2",
+    doc="SCD-2 validity intervals rebuilt from an append-only log via one lead() window pass",
+    tags=("lakehouse",),
+)
+def scd2_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 rebuild: each order's validity runs
+    until the customer's next order (lead over event date); the last row is
+    current. One window pass, partitioned by the natural key — at scale the
+    shuffle is on o_custkey and skew-safe (AQE)."""
+    orders = load_tables(spark, sf_dir, names=("orders",))["orders"]
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+    return orders.filter(F.col("o_custkey") % 50 == 0).select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").alias("valid_from"),
+        nxt.alias("valid_to"),
+        F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
+    )
