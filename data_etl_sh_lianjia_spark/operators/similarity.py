@@ -282,3 +282,38 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .drop("rn")
     )
+
+
+@register(
+    "embedding_centroids",
+    oracle="""
+SELECT label, CAST(i AS INTEGER) AS pos,
+       CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 1000000.0 / COUNT(*) AS centroid,
+       COUNT(*) AS n_vecs
+FROM embeddings, (SELECT unnest(range(1, 65)) AS i) idx
+GROUP BY label, i
+""",
+    survey_ref="L5,J5,F13,A3",
+    doc="per-label embedding centroids: posexplode to (label, dim) rows + exact scaled-long mean",
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class centroid of the 64-dim embedding column — the reduce step of
+    k-means / class prototypes. posexplode turns vectors into (label, dim,
+    value) rows so the mean is a plain partial-aggregated groupBy: the
+    shuffle carries |labels|x64 partial sums, not vectors, so it scales to
+    any corpus size. Float32 components are cast to double (exact) and the
+    mean goes through the scaled-long path for cross-engine bit-identity."""
+    emb = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+    ex = emb.select("label", F.posexplode("embedding").alias("pos0", "v"))
+    scaled = F.floor(F.col("v").cast("double") * F.lit(1000000) + F.lit(0.5)).cast("long")
+    return (
+        ex.select("label", (F.col("pos0") + 1).cast("int").alias("pos"), scaled.alias("sv"))
+        .groupBy("label", "pos")
+        .agg(
+            (F.sum("sv").cast("double") / F.lit(1000000.0) / F.count(F.lit(1))).alias(
+                "centroid"
+            ),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
+    )

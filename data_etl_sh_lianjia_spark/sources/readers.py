@@ -56,6 +56,10 @@ def read_jsonl(
 def read_csv_permissive(
     spark: SparkSession, path: str, schema: T.StructType | str
 ) -> DataFrame:
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    if "_corrupt_record" not in [f.name for f in schema.fields]:
+        schema = schema.add("_corrupt_record", T.StringType())
     return (
         spark.read.schema(schema)
         .option("header", "true")
@@ -113,4 +117,39 @@ def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         back.filter(F.col("_corrupt_record").isNull())
         .groupBy("o_orderstatus")
         .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "sum_price"))
+    )
+
+
+@register(
+    "csv_roundtrip",
+    oracle=f"""
+SELECT c_mktsegment, COUNT(*) AS n,
+       {oracle_dsum('c_acctbal', 'sum_bal', scale=2)}
+FROM customer
+WHERE c_custkey % 5 = 0
+GROUP BY c_mktsegment
+""",
+    survey_ref="S4,S5,S8",
+    doc="CSV sink -> schema-d permissive source round-trip, agg equals direct parquet query",
+)
+def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write a customer slice as headered CSV and read it back through the
+    permissive CSV source with an explicit schema; aggregating the
+    round-tripped rows must equal querying the parquet directly. Doubles
+    survive because Spark writes shortest-round-trip decimal strings; the
+    permissive mode + corrupt-record column mirror the reference's
+    accept-bad-rows posture (settings.py:94)."""
+    cust = load_tables(spark, sf_dir, names=("customer",))["customer"]
+    slice_df = cust.filter(F.col("c_custkey") % 5 == 0).select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    path = f"/tmp/spark-graft-csv/customer-{abs(hash(sf_dir)) % 10**8}"
+    slice_df.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+    back = read_csv_permissive(
+        spark, path, "c_custkey long, c_mktsegment string, c_acctbal double"
+    )
+    return (
+        back.filter(F.col("_corrupt_record").isNull())
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("c_acctbal", "sum_bal", scale=2))
     )

@@ -56,3 +56,20 @@ def test_hll_sketch_estimates_within_tolerance(spark, sf_dir):
     exact["ALL"] = o.select("o_custkey").distinct().count()
     for k, est in rows.items():
         assert abs(est - exact[k]) / exact[k] < 0.05, (k, est, exact[k])
+
+
+def test_approx_percentile_tolerance(spark, sf_dir):
+    """percentile_approx (GK sketch, mergeable across partitions) must land
+    within 1% relative error of the exact interpolated percentile that the
+    `percentile_stats` declared query hash-matches against DuckDB."""
+    from data_etl_sh_lianjia_spark.session import load_tables
+
+    import pyspark.sql.functions as F
+
+    li = load_tables(spark, sf_dir, names=("lineitem",))["lineitem"]
+    row = li.agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000).alias("approx"),
+        F.percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.95))).alias("exact"),
+    ).collect()[0]
+    for a, e in zip(row["approx"], row["exact"]):
+        assert abs(a - e) / e < 0.01, (a, e)

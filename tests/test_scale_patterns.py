@@ -137,3 +137,46 @@ def test_partition_pruned_scan_reads_one_partition(spark, sf_dir, tmp_path):
         l for l in plan.splitlines() if "FileScan" in l or "Scan parquet" in l
     )
     assert "PartitionFilters" in plan, scan_line
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
+    """Runtime row-group pruning for selective shuffle joins: when the build
+    side is filtered and small, Spark injects a bloom-filter aggregate on it
+    and a `bloom_filter_might_contain` predicate on the probe side — the
+    100 TB analog of semi-join pushdown (probe rows are dropped at the scan
+    instead of surviving to the shuffle)."""
+    from data_etl_sh_lianjia_spark.session import load_tables
+
+    old = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    try:
+        t = load_tables(spark, sf_dir, names=("lineitem", "orders"))
+        build = t["orders"].filter(F.col("o_totalprice") > 500000).select("o_orderkey")
+        joined = t["lineitem"].join(
+            build, t["lineitem"].l_orderkey == build.o_orderkey
+        )
+        plan = _plan(joined)
+        assert "bloom_filter" in plan or "BloomFilter" in plan, (
+            f"no runtime bloom filter injected:\n{plan}"
+        )
+        # sanity: result equals the same join without the rewrite
+        n = joined.count()
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+        assert n == t["lineitem"].join(
+            build, t["lineitem"].l_orderkey == build.o_orderkey
+        ).count()
+    finally:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)
