@@ -2,6 +2,7 @@
 
 import data_etl_sh_lianjia_spark.operators.advanced  # noqa: F401
 import data_etl_sh_lianjia_spark.operators.aggregates  # noqa: F401
+import data_etl_sh_lianjia_spark.operators.analytics  # noqa: F401
 import data_etl_sh_lianjia_spark.operators.dedup  # noqa: F401
 import data_etl_sh_lianjia_spark.operators.functions_suite  # noqa: F401
 import data_etl_sh_lianjia_spark.operators.multimodal  # noqa: F401

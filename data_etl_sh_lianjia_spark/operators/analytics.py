@@ -1,0 +1,384 @@
+"""Product-analytics + skew-handling operator pack.
+
+SURVEY.md §2 refs: W5/J4-adjacent funnel & cohort analytics over ``events``
+(the reference's dataflow is a funnel itself: district→bizcircle→village→house,
+`lianjia.py:29-99` — these queries are the analytics-engine generalization),
+A3/A8 deterministic regression aggregates, J3 skew-mitigated joins, A3
+two-phase (salted) aggregation, T1's batch twin with a value oracle, and
+L5 embedding quantization.
+
+Scale notes (100 TB posture):
+- The salted join / two-phase agg are the *manual* skew mitigations for when
+  AQE's runtime skew splitting isn't available (streaming state, stable plans);
+  results are provably identical to the unsalted plans, which is what the
+  DuckDB oracle checks.
+- Funnel/cohort shuffle once on ``user_id`` and reduce to tiny outputs —
+  the per-user state is bounded (3 timestamps / first-week), no window over
+  the whole history is materialized.
+- Regression uses exact scaled-long sums (see ``functions/deterministic``):
+  partial aggregation is map-side combinable, and the final slope/intercept
+  arithmetic happens on 6 scalars per group.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_etl_sh_lianjia_spark.functions.deterministic import dsum, oracle_dsum
+from data_etl_sh_lianjia_spark.plans.registry import register
+from data_etl_sh_lianjia_spark.session import load_tables
+
+WEEK_US = 7 * 86_400 * 1_000_000
+
+
+def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    return ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr("ts_ns div 1000").alias("ts_us"),
+        "value",
+    )
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+v AS (SELECT user_id, MIN(ts_us) AS vt FROM e WHERE event_type = 'view' GROUP BY 1),
+c AS (SELECT e.user_id, MIN(e.ts_us) AS ct
+      FROM e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts_us > v.vt GROUP BY 1),
+p AS (SELECT e.user_id, MIN(e.ts_us) AS pt
+      FROM e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts_us > c.ct GROUP BY 1)
+SELECT (SELECT COUNT(*) FROM v) AS n_view,
+       (SELECT COUNT(*) FROM c) AS n_view_click,
+       (SELECT COUNT(*) FROM p) AS n_full_funnel,
+       CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+         / CAST((SELECT COUNT(*) FROM v) AS DOUBLE) AS conversion
+""",
+    survey_ref="W5,J4",
+    doc="ordered 3-stage funnel (view -> click -> purchase) with strict event-time ordering",
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each stage requires a strictly-later event than the user's first
+    event of the previous stage. One shuffle per stage on ``user_id``;
+    per-user state is a single timestamp, so the plan scales linearly."""
+    e = _events_us(spark, sf_dir)
+    v = e.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts_us").alias("vt")
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts_us") > F.col("vt"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("ct"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts_us") > F.col("ct"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("pt"))
+    )
+    va = v.agg(F.count(F.lit(1)).alias("n_view"))
+    ca = c.agg(F.count(F.lit(1)).alias("n_view_click"))
+    pa = p.agg(F.count(F.lit(1)).alias("n_full_funnel"))
+    return (
+        va.crossJoin(ca)
+        .crossJoin(pa)
+        .withColumn(
+            "conversion",
+            F.col("n_full_funnel").cast("double") / F.col("n_view").cast("double"),
+        )
+    )
+
+
+@register(
+    "cohort_retention",
+    oracle=f"""
+WITH e AS (SELECT DISTINCT user_id, epoch_us(ts) // {WEEK_US} AS week_idx FROM events),
+coh AS (SELECT user_id, MIN(week_idx) AS cohort_week FROM e GROUP BY 1)
+SELECT coh.cohort_week, e.week_idx - coh.cohort_week AS week_offset,
+       COUNT(DISTINCT e.user_id) AS n_users
+FROM e JOIN coh ON e.user_id = coh.user_id
+GROUP BY 1, 2
+""",
+    survey_ref="W5,A4",
+    doc="weekly cohort retention: users active at week-offset k from their first-seen week",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohorts are absolute 7-day epoch buckets (integer arithmetic — no
+    calendar/timezone divergence between engines). The distinct
+    (user, week) projection collapses the fact table before the self-join,
+    so the join input is |users|x|weeks|, not |events|."""
+    e = (
+        _events_us(spark, sf_dir)
+        .select("user_id", (F.col("ts_us") / F.lit(WEEK_US)).cast("long").alias("week_idx"))
+        .distinct()
+    )
+    coh = e.groupBy("user_id").agg(F.min("week_idx").alias("cohort_week"))
+    return (
+        e.join(coh, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week_idx") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+def _sl(c: Column, scale: int) -> Column:
+    """Scaled-long term: floor(x*10^s + 0.5) as BIGINT (see deterministic.py)."""
+    return F.floor(c * F.lit(float(10 ** scale)) + F.lit(0.5)).cast("long")
+
+
+@register(
+    "regression_stats",
+    oracle="""
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(floor(l_quantity * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS sx,
+         CAST(SUM(CAST(floor(l_extendedprice * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS sy,
+         CAST(SUM(CAST(floor(l_quantity * l_quantity * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS sxx,
+         CAST(SUM(CAST(floor(l_extendedprice * l_extendedprice + 0.5) AS BIGINT)) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(floor(l_quantity * l_extendedprice + 0.5) AS BIGINT)) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       round(sy / n - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * (sx / n), 6) AS intercept,
+       round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM s
+""",
+    survey_ref="A8,A3",
+    doc="per-group OLS slope/intercept/R^2 from exact scaled-long moment sums",
+)
+def regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear regression of extendedprice on quantity per returnflag.
+
+    The five moment sums are order-independent scaled-long sums (the only
+    shuffle-order hazard); the slope/intercept/R^2 arithmetic is then a
+    fixed IEEE expression tree over per-group scalars, bit-identical across
+    engines. The product/square terms use scale 0/4 so per-row terms stay
+    far below 2^63 at any realistic SF (partial sums combine map-side)."""
+    li = load_tables(spark, sf_dir, names=("lineitem",))["lineitem"]
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (F.sum(_sl(x, 4)).cast("double") / F.lit(10000.0)).alias("sx"),
+        (F.sum(_sl(y, 4)).cast("double") / F.lit(10000.0)).alias("sy"),
+        (F.sum(_sl(x * x, 4)).cast("double") / F.lit(10000.0)).alias("sxx"),
+        F.sum(_sl(y * y, 0)).cast("double").alias("syy"),
+        F.sum(_sl(x * y, 0)).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n_rows"),
+        F.round(slope, 6).alias("slope"),
+        F.round(sy / n - slope * (sx / n), 6).alias("intercept"),
+        F.round(
+            ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("r2"),
+    )
+
+
+@register(
+    "misc_agg_suite",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+       bool_and(o_totalprice > 0) AS all_positive,
+       bool_or(o_orderstatus = 'F') AS any_finished,
+       min_by(o_custkey, o_orderkey) AS first_custkey,
+       max_by(o_custkey, o_orderkey) AS last_custkey
+FROM orders
+GROUP BY o_orderpriority
+""",
+    survey_ref="A3,A6",
+    doc="count_if / bool_and / bool_or / min_by / max_by aggregate family",
+)
+def misc_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_by/max_by are deterministic here because the ordering argument
+    (o_orderkey) is unique — the determinism contract for arg-extrema."""
+    orders = load_tables(spark, sf_dir, names=("orders",))["orders"]
+    return orders.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_totalprice") > 150000).alias("n_big"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
+        F.min_by("o_custkey", "o_orderkey").alias("first_custkey"),
+        F.max_by("o_custkey", "o_orderkey").alias("last_custkey"),
+    )
+
+
+@register(
+    "join_skew_salted",
+    oracle=f"""
+SELECT o_orderpriority,
+       COUNT(*) AS n,
+       {oracle_dsum('l_extendedprice', 'sum_price')}
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""",
+    survey_ref="J3,J1",
+    doc="explicitly salted fact-to-fact equi-join (16-way key split), result == unsalted join",
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manual skew mitigation: the probe side gets a deterministic salt
+    (xxhash64 of the key, mod 16) and the build side is replicated 16x, so
+    one hot key spreads over 16 shuffle partitions. The oracle is the plain
+    join — salting must not change semantics. At 100 TB prefer AQE's
+    runtime skew split for batch; this pattern remains necessary for
+    streaming state and stable-plan deployments."""
+    n_salt = 16
+    t = load_tables(spark, sf_dir, names=("lineitem", "orders"))
+    li = t["lineitem"].select("l_orderkey", "l_extendedprice").withColumn(
+        "salt", F.pmod(F.xxhash64("l_orderkey"), F.lit(n_salt)).cast("int")
+    )
+    orders = (
+        t["orders"]
+        .select("o_orderkey", "o_orderpriority")
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))))
+    )
+    return (
+        li.join(
+            orders,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (li["salt"] == orders["salt"]),
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("l_extendedprice", "sum_price"))
+    )
+
+
+@register(
+    "agg_skew_two_phase",
+    oracle=f"""
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       {oracle_dsum('l_extendedprice', 'sum_price')}
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    survey_ref="A3",
+    doc="explicit two-phase (salted) aggregation over 3 heavily-skewed group keys",
+)
+def agg_skew_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three group keys over the whole fact table is the worst-case reducer
+    skew: phase 1 aggregates on (key, salt32) — 96 evenly-sized partial
+    groups — phase 2 merges partials per key. Scaled-long partials re-sum
+    exactly, so the result is identical to the direct aggregation (the
+    oracle). Spark's own partial aggregation does this implicitly; the
+    explicit form is the template for sketches whose partials are objects
+    (HLL, histograms) where map-side combine must be hand-arranged."""
+    li = load_tables(spark, sf_dir, names=("lineitem",))["lineitem"]
+    partial = (
+        li.select("l_returnflag", "l_orderkey", "l_extendedprice")
+        .withColumn("salt", F.pmod(F.xxhash64("l_orderkey"), F.lit(32)).cast("int"))
+        .groupBy("l_returnflag", "salt")
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(_sl(F.col("l_extendedprice"), 4)).alias("psum"),
+        )
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("pn").alias("n"),
+        (F.sum("psum").cast("double") / F.lit(10000.0)).alias("sum_price"),
+    )
+
+
+@register(
+    "events_tumbling_batch",
+    oracle=f"""
+SELECT epoch_us(time_bucket(INTERVAL '15 minutes', ts)) AS win_start_us,
+       event_type,
+       COUNT(*) AS n,
+       {oracle_dsum('value', 'sum_value')}
+FROM events
+GROUP BY 1, 2
+""",
+    survey_ref="T1,T7",
+    doc="batch twin of the tumbling-window stream agg (15-min windows), value-oracled",
+)
+def events_tumbling_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F.window() in a batch plan — the T7 batch-equivalence contract made
+    oracle-checkable: Spark's epoch-aligned 15-minute windows coincide with
+    DuckDB's time_bucket (2000-01-01 origin is a multiple of 900 s). ``ts``
+    is TIMESTAMP_NTZ, so the window start is converted to epoch micros by
+    diffing against the NTZ epoch — never via cast('timestamp'), which would
+    reinterpret the wall-clock value in the session timezone."""
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    return (
+        ev.groupBy(F.window("ts", "15 minutes").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
+        .select(
+            F.expr(
+                "timestampdiff(MICROSECOND,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00', win.start)"
+            ).alias("win_start_us"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "embedding_quantize",
+    oracle="""
+WITH q AS (
+  SELECT vec_id, label,
+         list_aggregate(list_transform(embedding, x -> abs(x)), 'max') AS m,
+         embedding
+  FROM embeddings
+)
+SELECT vec_id, label,
+       CAST(list_aggregate(
+         list_transform(embedding, x -> CAST(floor(x * 127.0 / m + 0.5) AS BIGINT)),
+         'sum') AS BIGINT) AS q_sum,
+       CAST(list_aggregate(
+         list_transform(embedding, x -> CAST(floor(x * 127.0 / m + 0.5) AS BIGINT)),
+         'min') AS BIGINT) AS q_min,
+       CAST(list_aggregate(
+         list_transform(embedding, x -> CAST(floor(x * 127.0 / m + 0.5) AS BIGINT)),
+         'max') AS BIGINT) AS q_max
+FROM q
+WHERE m > 0
+""",
+    survey_ref="L5,F13",
+    doc="int8 symmetric embedding quantization (per-vector absmax scale), summarized per vector",
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization q = round(x * 127 / absmax) — the
+    standard storage/ANN compression step (4x smaller than float32, SIMD
+    dot products). All element math is expression-level (codegen, no UDF);
+    floor(t + 0.5) keeps rounding IEEE-identical across engines. The
+    per-vector summary (sum/min/max of q) keeps the oracle payload small
+    while pinning every element's value through the exact integer sum."""
+    emb = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+    m = F.array_max(F.transform("embedding", lambda x: F.abs(x)))
+    with_m = emb.select("vec_id", "label", "embedding", m.alias("m")).filter(
+        F.col("m") > 0
+    )
+    q = F.transform(
+        "embedding",
+        lambda x: F.floor(x * F.lit(127.0) / F.col("m") + F.lit(0.5)).cast("long"),
+    )
+    return with_m.select(
+        "vec_id",
+        "label",
+        F.aggregate(q, F.lit(0).cast("long"), lambda acc, x: acc + x).alias("q_sum"),
+        F.array_min(q).alias("q_min"),
+        F.array_max(q).alias("q_max"),
+    )
