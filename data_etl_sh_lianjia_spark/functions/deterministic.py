@@ -80,6 +80,30 @@ def davg(c: Column | str, alias: str, scale: int = 4, precision: int = 30) -> Co
     ).alias(alias)
 
 
+def spark_dsum(expr: str, alias: str, scale: int = 4) -> str:
+    """Spark-SQL text fragment identical to :func:`dsum`.
+
+    Same floor-based scaled-long sum as the Column builder (``FLOOR`` on a
+    DOUBLE stays in codegen; see :func:`_scaled_long` for the half-up
+    equivalence argument), emitted as SQL text for the single-round-trip
+    ``spark.sql`` query path.
+    """
+    factor = 10 ** scale
+    return (
+        f"CAST(SUM(CAST(FLOOR(({expr}) * {factor} + 0.5) AS BIGINT)) AS DOUBLE)"
+        f" / {factor}.0D AS {alias}"
+    )
+
+
+def spark_davg(expr: str, alias: str, scale: int = 4) -> str:
+    """Spark-SQL text fragment identical to :func:`davg`."""
+    factor = 10 ** scale
+    return (
+        f"CAST(SUM(CAST(FLOOR(({expr}) * {factor} + 0.5) AS BIGINT)) AS DOUBLE)"
+        f" / {factor}.0D / COUNT({expr}) AS {alias}"
+    )
+
+
 def oracle_dsum(expr: str, alias: str, scale: int = 4, precision: int = 30) -> str:
     """The DuckDB SQL fragment matching :func:`dsum`."""
     factor = 10 ** scale

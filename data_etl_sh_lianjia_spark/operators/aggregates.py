@@ -303,6 +303,54 @@ def string_agg_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_extras_suite",
+    oracle="""
+SELECT o_orderstatus,
+       arg_max(o_orderkey, o_totalprice + o_orderkey * 1e-9) AS priciest_order,
+       arg_min(o_orderkey, o_totalprice + o_orderkey * 1e-9) AS cheapest_order,
+       bool_and(o_totalprice > 1000.0)   AS all_over_1k,
+       bool_or(o_totalprice > 400000.0)  AS any_over_400k,
+       bit_and(o_orderkey % 256) AS key_bit_and,
+       bit_or(o_orderkey % 256)  AS key_bit_or,
+       bit_xor(o_orderkey % 256) AS key_bit_xor,
+       round(covar_samp(o_totalprice, o_custkey) / 1e6, 6) AS covar_m,
+       round(regr_slope(o_totalprice, o_custkey), 6) AS slope,
+       round(regr_intercept(o_totalprice, o_custkey), 2) AS intercept,
+       round(regr_r2(o_totalprice, o_custkey), 8) AS r2
+FROM orders
+GROUP BY o_orderstatus
+""",
+    survey_ref="A3,A8",
+    doc="aggregate extras: min_by/max_by, bool/bit aggregates, covariance, linear regression",
+)
+def agg_extras_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The long tail of the aggregate surface. min_by/max_by use a
+    uniqueness-adjusted ordering key (+ o_orderkey * 1e-9, far below the
+    cent resolution of o_totalprice) because both engines leave arg-min/max
+    ties unspecified. The covariance/regression family is order-dependent
+    float summation, so results are magnitude-normalized then rounded well
+    above the ~1e-11 relative cross-engine disagreement (same rule as
+    percentile_stats)."""
+    o = _t(spark, sf_dir, "orders")["orders"]
+    tiebreak = F.col("o_totalprice") + F.col("o_orderkey") * F.lit(1e-9)
+    return o.groupBy("o_orderstatus").agg(
+        F.max_by("o_orderkey", tiebreak).alias("priciest_order"),
+        F.min_by("o_orderkey", tiebreak).alias("cheapest_order"),
+        F.bool_and(F.col("o_totalprice") > 1000.0).alias("all_over_1k"),
+        F.bool_or(F.col("o_totalprice") > 400000.0).alias("any_over_400k"),
+        F.bit_and(F.col("o_orderkey") % 256).alias("key_bit_and"),
+        F.bit_or(F.col("o_orderkey") % 256).alias("key_bit_or"),
+        F.bit_xor(F.col("o_orderkey") % 256).alias("key_bit_xor"),
+        F.round(F.covar_samp("o_totalprice", "o_custkey") / F.lit(1e6), 6).alias(
+            "covar_m"
+        ),
+        F.round(F.regr_slope("o_totalprice", "o_custkey"), 6).alias("slope"),
+        F.round(F.regr_intercept("o_totalprice", "o_custkey"), 2).alias("intercept"),
+        F.round(F.regr_r2("o_totalprice", "o_custkey"), 8).alias("r2"),
+    )
+
+
+@register(
     "hll_mergeable_sketch",
     oracle=None,  # sketch estimates are implementation-specific: tolerance-checked in tests/test_ann_recall.py
     survey_ref="A4",

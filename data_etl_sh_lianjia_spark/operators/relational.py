@@ -27,13 +27,31 @@ from data_etl_sh_lianjia_spark.functions.deterministic import (
     dsum,
     oracle_davg,
     oracle_dsum,
+    spark_davg,
+    spark_dsum,
 )
 from data_etl_sh_lianjia_spark.plans.registry import register
-from data_etl_sh_lianjia_spark.session import load_tables
+from data_etl_sh_lianjia_spark.session import load_tables, register_views
 
 
 def _t(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     return load_tables(spark, sf_dir, names=names)
+
+
+def _sql_query(sql: str):
+    """Single-round-trip query path: one ``spark.sql`` call over the memoized
+    ``lj_*`` views. The headline bench queries use this form because building
+    the identical plan through the DataFrame API costs dozens of py4j round
+    trips (~200-400 ms of pure driver latency per fresh build at any scale),
+    while SQL text ships the whole plan to Catalyst in one call. Each such
+    query keeps a ``*_df`` twin registered on the same DuckDB oracle, so both
+    construction paths stay value-verified against each other."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir)
+        return spark.sql(sql)
+
+    return fn
 
 
 # ---------------------------------------------------------------------------
@@ -42,10 +60,7 @@ def _t(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
 
 _Q1_CUTOFF = "1998-09-02 00:00:00"
 
-
-@register(
-    "q1_scan_agg",
-    oracle=f"""
+_Q1_ORACLE = f"""
 SELECT l_returnflag, l_linestatus,
        {oracle_dsum('l_quantity', 'sum_qty')},
        {oracle_dsum('l_extendedprice', 'sum_base_price')},
@@ -58,12 +73,39 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '{_Q1_CUTOFF}'
 GROUP BY l_returnflag, l_linestatus
-""",
+"""
+
+register(
+    "q1_scan_agg",
+    oracle=_Q1_ORACLE,
     survey_ref="S11,P5,P9,A3,F10",
     bench=True,
     doc="TPC-H Q1: pricing summary — filter + 2-key groupBy + 8 aggregates",
+)(
+    _sql_query(f"""
+SELECT l_returnflag, l_linestatus,
+       {spark_dsum('l_quantity', 'sum_qty')},
+       {spark_dsum('l_extendedprice', 'sum_base_price')},
+       {spark_dsum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+       {spark_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge', scale=6)},
+       {spark_davg('l_quantity', 'avg_qty')},
+       {spark_davg('l_extendedprice', 'avg_price')},
+       {spark_davg('l_discount', 'avg_disc', scale=6)},
+       COUNT(*) AS count_order
+FROM lj_lineitem
+WHERE l_shipdate <= TIMESTAMP_NTZ '{_Q1_CUTOFF}'
+GROUP BY l_returnflag, l_linestatus
+""")
 )
-def q1_scan_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+
+@register(
+    "q1_scan_agg_df",
+    oracle=_Q1_ORACLE,
+    survey_ref="S11,P5,P9,A3,F10",
+    doc="q1_scan_agg built through the DataFrame API (same oracle)",
+)
+def q1_scan_agg_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")["lineitem"]
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
@@ -88,9 +130,7 @@ def q1_scan_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "q3_join3",
-    oracle=f"""
+_Q3_ORACLE = f"""
 SELECT l_orderkey,
        {oracle_dsum('l_extendedprice * (1 - l_discount)', 'revenue')},
        CAST(o_orderdate AS DATE) AS orderdate,
@@ -104,12 +144,40 @@ WHERE c_mktsegment = 'BUILDING'
 GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
 ORDER BY revenue DESC, l_orderkey
 LIMIT 10
-""",
+"""
+
+register(
+    "q3_join3",
+    oracle=_Q3_ORACLE,
     survey_ref="J1,J3,A3,O3",
     bench=True,
     doc="TPC-H Q3 shape: 3-way join, agg, deterministic top-10 by revenue",
+)(
+    _sql_query(f"""
+SELECT /*+ BROADCAST(o), BROADCAST(c) */ l_orderkey,
+       {spark_dsum('l_extendedprice * (1 - l_discount)', 'revenue')},
+       CAST(o_orderdate AS DATE) AS orderdate,
+       o_orderpriority
+FROM lj_lineitem l
+JOIN lj_orders o   ON l_orderkey = o_orderkey
+JOIN lj_customer c ON c_custkey = o_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP_NTZ '1998-03-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP_NTZ '1996-03-15 00:00:00'
+GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""")
 )
-def q3_join3(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+
+@register(
+    "q3_join3_df",
+    oracle=_Q3_ORACLE,
+    survey_ref="J1,J3,A3,O3",
+    doc="q3_join3 built through the DataFrame API (same oracle)",
+)
+def q3_join3_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir, "customer", "orders", "lineitem")
     cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
     orders = t["orders"].filter(
@@ -139,9 +207,7 @@ def q3_join3(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "q5_join5",
-    oracle=f"""
+_Q5_ORACLE = f"""
 SELECT n_name,
        {oracle_dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
 FROM customer
@@ -154,12 +220,40 @@ WHERE r_name = 'ASIA'
   AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
 GROUP BY n_name
-""",
+"""
+
+register(
+    "q5_join5",
+    oracle=_Q5_ORACLE,
     survey_ref="J1,J3,A3",
     bench=True,
     doc="TPC-H Q5 shape: 6-table star join (all dims broadcast), agg by nation",
+)(
+    _sql_query(f"""
+SELECT /*+ BROADCAST(o), BROADCAST(c), BROADCAST(s), BROADCAST(n), BROADCAST(r) */
+       n_name,
+       {spark_dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
+FROM lj_lineitem l
+JOIN lj_orders o   ON l_orderkey = o_orderkey
+JOIN lj_customer c ON c_custkey  = o_custkey
+JOIN lj_supplier s ON l_suppkey  = s_suppkey AND c_nationkey = s_nationkey
+JOIN lj_nation n   ON s_nationkey = n_nationkey
+JOIN lj_region r   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP_NTZ '1998-01-01 00:00:00'
+GROUP BY n_name
+""")
 )
-def q5_join5(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+
+@register(
+    "q5_join5_df",
+    oracle=_Q5_ORACLE,
+    survey_ref="J1,J3,A3",
+    doc="q5_join5 built through the DataFrame API (same oracle)",
+)
+def q5_join5_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir, "region", "nation", "customer", "supplier", "orders", "lineitem")
     region = t["region"].filter(F.col("r_name") == "ASIA")
     orders = t["orders"].filter(
@@ -187,9 +281,7 @@ def q5_join5(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "window_rank",
-    oracle="""
+_WINDOW_RANK_ORACLE = """
 SELECT o_custkey, o_orderkey, o_totalprice, rn
 FROM (
   SELECT o_custkey, o_orderkey, o_totalprice,
@@ -197,12 +289,35 @@ FROM (
                             ORDER BY o_totalprice DESC, o_orderkey) AS rn
   FROM orders
 ) WHERE rn <= 3
-""",
+"""
+
+register(
+    "window_rank",
+    oracle=_WINDOW_RANK_ORACLE,
     survey_ref="W1,W4",
     bench=True,
     doc="row_number() top-3 orders per customer (unique tiebreaker => deterministic)",
+)(
+    _sql_query("""
+SELECT o_custkey, o_orderkey, o_totalprice, rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(row_number() OVER (PARTITION BY o_custkey
+                                 ORDER BY o_totalprice DESC, o_orderkey)
+              AS BIGINT) AS rn
+  FROM lj_orders
+) WHERE rn <= 3
+""")
 )
-def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+
+@register(
+    "window_rank_df",
+    oracle=_WINDOW_RANK_ORACLE,
+    survey_ref="W1,W4",
+    doc="window_rank built through the DataFrame API (same oracle)",
+)
+def window_rank_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")["orders"]
     w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
     return (
@@ -218,19 +333,36 @@ def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "distinct_count",
-    oracle="""
+_DISTINCT_COUNT_ORACLE = """
 SELECT COUNT(DISTINCT l_partkey) AS distinct_parts,
        COUNT(DISTINCT l_suppkey) AS distinct_supps,
        COUNT(*) AS n_rows
 FROM lineitem
-""",
+"""
+
+register(
+    "distinct_count",
+    oracle=_DISTINCT_COUNT_ORACLE,
     survey_ref="A4",
     bench=True,
     doc="two exact count-distincts + count over lineitem",
+)(
+    _sql_query("""
+SELECT COUNT(DISTINCT l_partkey) AS distinct_parts,
+       COUNT(DISTINCT l_suppkey) AS distinct_supps,
+       COUNT(*) AS n_rows
+FROM lj_lineitem
+""")
 )
-def distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+
+@register(
+    "distinct_count_df",
+    oracle=_DISTINCT_COUNT_ORACLE,
+    survey_ref="A4",
+    doc="distinct_count built through the DataFrame API (same oracle)",
+)
+def distinct_count_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")["lineitem"]
     return li.agg(
         F.countDistinct("l_partkey").alias("distinct_parts"),
@@ -244,19 +376,37 @@ def distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "topk_sort",
-    oracle="""
+_TOPK_SORT_ORACLE = """
 SELECT l_orderkey, l_linenumber, l_partkey, l_extendedprice, l_shipdate::DATE AS shipdate
 FROM lineitem
 ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber, l_partkey
 LIMIT 100
-""",
+"""
+
+register(
+    "topk_sort",
+    oracle=_TOPK_SORT_ORACLE,
     survey_ref="O3",
     bench=True,
     doc="top-100 by extendedprice with unique tiebreakers",
+)(
+    _sql_query("""
+SELECT l_orderkey, l_linenumber, l_partkey, l_extendedprice,
+       CAST(l_shipdate AS DATE) AS shipdate
+FROM lj_lineitem
+ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber, l_partkey
+LIMIT 100
+""")
 )
-def topk_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+
+@register(
+    "topk_sort_df",
+    oracle=_TOPK_SORT_ORACLE,
+    survey_ref="O3",
+    doc="topk_sort built through the DataFrame API (same oracle)",
+)
+def topk_sort_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")["lineitem"]
     return (
         li.select(
@@ -276,21 +426,40 @@ def topk_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "json_events",
-    oracle=f"""
+_JSON_EVENTS_ORACLE = f"""
 SELECT event_type,
        COUNT(*) AS n,
        CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        {oracle_dsum('value', 'sum_value')}
 FROM events
 GROUP BY event_type
-""",
+"""
+
+register(
+    "json_events",
+    oracle=_JSON_EVENTS_ORACLE,
     survey_ref="F7,A3",
     bench=True,
     doc="get_json_object on events.props + groupBy agg",
+)(
+    _sql_query(f"""
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(TRY_CAST(get_json_object(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       {spark_dsum('value', 'sum_value')}
+FROM lj_events
+GROUP BY event_type
+""")
 )
-def json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+
+@register(
+    "json_events_df",
+    oracle=_JSON_EVENTS_ORACLE,
+    survey_ref="F7,A3",
+    doc="json_events built through the DataFrame API (same oracle)",
+)
+def json_events_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")["events"]
     k = F.expr("try_cast(get_json_object(props, '$.k') AS BIGINT)")
     return ev.groupBy("event_type").agg(
@@ -307,9 +476,7 @@ def json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GAP_US = 30 * 60 * 1_000_000  # 30-minute session gap, in microseconds
 
 
-@register(
-    "sessionize",
-    oracle=f"""
+_SESSIONIZE_ORACLE = f"""
 WITH ts_events AS (
   SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events
 ), flagged AS (
@@ -331,12 +498,48 @@ SELECT user_id, session_id,
        {oracle_dsum('value', 'sum_value')}
 FROM sessions
 GROUP BY user_id, session_id
-""",
+"""
+
+register(
+    "sessionize",
+    oracle=_SESSIONIZE_ORACLE,
     survey_ref="W2,W3,W5",
     bench=True,
     doc="30-min-gap sessionization via lag + running sum of session breaks",
+)(
+    _sql_query(f"""
+WITH ts_events AS (
+  SELECT user_id, event_id, ts_ns div 1000 AS ts_us, value FROM lj_events
+), flagged AS (
+  SELECT user_id, ts_us, value,
+         CASE WHEN ts_us - lag(ts_us) OVER w > {_GAP_US}
+                OR lag(ts_us) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM ts_events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+), sessions AS (
+  SELECT user_id, ts_us, value,
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM flagged
 )
-def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+SELECT user_id, session_id,
+       COUNT(*) AS n_events,
+       (MAX(ts_us) - MIN(ts_us)) div 1000 AS duration_ms,
+       {spark_dsum('value', 'sum_value')}
+FROM sessions
+GROUP BY user_id, session_id
+""")
+)
+
+
+@register(
+    "sessionize_df",
+    oracle=_SESSIONIZE_ORACLE,
+    survey_ref="W2,W3,W5",
+    doc="sessionize built through the DataFrame API (same oracle)",
+)
+def sessionize_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessions on the deterministic microsecond event-time column.
 
     Uses ``ts_ns div 1000`` (== DuckDB ``epoch_us``) so both engines bucket
@@ -377,19 +580,36 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 _REGEX = "(join|merge) (scan|sort)"
 
 
-@register(
-    "string_regex",
-    oracle=f"""
+_STRING_REGEX_ORACLE = f"""
 SELECT doc_id, lang, source, n_chars
 FROM documents
 WHERE regexp_matches(text, '{_REGEX}')
   AND lang IN ('en', 'zh', 'de')
-""",
+"""
+
+register(
+    "string_regex",
+    oracle=_STRING_REGEX_ORACLE,
     survey_ref="F2,P5",
     bench=True,
     doc="regex predicate + IN-list filter on documents",
+)(
+    _sql_query(f"""
+SELECT doc_id, lang, source, n_chars
+FROM lj_documents
+WHERE text RLIKE '{_REGEX}'
+  AND lang IN ('en', 'zh', 'de')
+""")
 )
-def string_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+
+@register(
+    "string_regex_df",
+    oracle=_STRING_REGEX_ORACLE,
+    survey_ref="F2,P5",
+    doc="string_regex built through the DataFrame API (same oracle)",
+)
+def string_regex_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")["documents"]
     return docs.filter(
         F.col("text").rlike(_REGEX) & F.col("lang").isin("en", "zh", "de")

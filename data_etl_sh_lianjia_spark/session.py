@@ -126,6 +126,25 @@ def ensure_package_shipped(spark: SparkSession) -> None:
     spark._lianjia_pkg_shipped = True
 
 
+def register_views(
+    spark: SparkSession, sf_dir: str, prefix: str = "lj_"
+) -> None:
+    """Register the testdata tables as ``lj_*`` temp views, memoized per dir.
+
+    The single-round-trip ``spark.sql`` query path (used by the headline
+    bench queries) reads these views instead of rebuilding DataFrames: one
+    py4j call per query instead of dozens. Registration is memoized on the
+    session keyed by ``sf_dir`` — switching scale factors mid-session
+    re-registers, so the views always point at the requested directory.
+    The ``lj_`` prefix keeps them from colliding with caller-owned views.
+    """
+    if getattr(spark, "_lianjia_views_dir", None) == sf_dir:
+        return
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(prefix + name)
+    spark._lianjia_views_dir = sf_dir
+
+
 def read_events(spark: SparkSession, path: str) -> DataFrame:
     """Read the ``events`` table, tolerating parquet TIMESTAMP(NANOS).
 
