@@ -1,0 +1,89 @@
+"""Public engine facade — the thin API layer from SURVEY.md §3.4.
+
+A user of the reference runs ``scrapy crawl lianjia -o out.json`` and then
+works with the exported collections; a user of this engine gets the same
+surface as four calls:
+
+    eng = Engine(sf_dir="/root/testdata/sf0.1")
+    eng.table("lineitem")              # catalog lookup -> DataFrame
+    eng.sql("SELECT ... FROM lineitem")  # ANSI SQL over registered tables
+    eng.query("q1_scan_agg")           # any declared operator from the registry
+    eng.write_json(df, path)           # the reference's JSON-lines feed export
+
+Everything returns plain PySpark DataFrames — the facade adds catalog
+bootstrap and name routing, never its own plan representation, so Catalyst
+optimizations apply unchanged (SURVEY.md §4.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from data_etl_sh_lianjia_spark.plans.registry import all_queries
+from data_etl_sh_lianjia_spark.session import (
+    DEFAULT_SF_DIR,
+    TABLES,
+    get_spark,
+    load_tables,
+)
+
+
+class Engine:
+    """Session + catalog + declared-query registry behind one handle.
+
+    Tables are registered as *unprefixed* temp views (``lineitem``,
+    ``orders``, …) so ``sql()`` reads like the reference's logical names
+    (`items.py:18,35` routes to named collections the same way).
+    """
+
+    def __init__(
+        self,
+        sf_dir: str = DEFAULT_SF_DIR,
+        spark: SparkSession | None = None,
+        app_name: str = "lianjia-engine",
+    ) -> None:
+        self.spark = spark or get_spark(app_name=app_name)
+        self.sf_dir = sf_dir
+        self._tables = load_tables(self.spark, sf_dir)
+        for name, df in self._tables.items():
+            df.createOrReplaceTempView(name)
+
+    # -- catalog ------------------------------------------------------------
+
+    def table(self, name: str) -> DataFrame:
+        if name not in self._tables:
+            raise KeyError(
+                f"unknown table {name!r}; available: {sorted(self._tables)}"
+            )
+        return self._tables[name]
+
+    def tables(self) -> list[str]:
+        return sorted(self._tables)
+
+    # -- query surfaces -----------------------------------------------------
+
+    def sql(self, query: str) -> DataFrame:
+        """ANSI SQL over the registered tables (one py4j round trip)."""
+        return self.spark.sql(query)
+
+    def query(self, name: str) -> DataFrame:
+        """Run a declared operator from the registry against this catalog."""
+        return all_queries()[name].spark_fn(self.spark, self.sf_dir)
+
+    def queries(self) -> list[str]:
+        return sorted(all_queries())
+
+    # -- sinks (SURVEY.md §2.1 S8/S9) ---------------------------------------
+
+    def write_json(self, df: DataFrame, path: str, mode: str = "overwrite") -> None:
+        """JSON-lines feed export — the reference's ``-o out.json`` analog."""
+        df.write.mode(mode).json(path)
+
+    def write_table(
+        self, df: DataFrame, name: str, mode: str = "overwrite"
+    ) -> None:
+        """Named-collection routing (``lianjia_village`` / ``lianjia_House``)."""
+        df.write.mode(mode).saveAsTable(name)
+
+
+__all__ = ["Engine", "TABLES"]

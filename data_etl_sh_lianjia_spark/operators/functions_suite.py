@@ -288,3 +288,103 @@ def posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.posexplode(F.slice(F.split("text", " "), 1, 5)).alias("pos", "token"),
         )
     )
+
+
+@register(
+    "variant_json_suite",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       MIN(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+       COUNT(json_extract_string(props, '$.missing')) AS n_missing_present
+FROM events
+GROUP BY event_type
+""",
+    survey_ref="F7,A3",
+    doc="VARIANT semi-structured path: parse_json -> variant_get typed extraction + agg",
+)
+def variant_json_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT as the semi-structured fast path: ``parse_json`` once
+    into a variant column (binary-encoded, shreddable at the scan at scale),
+    then typed ``variant_get``/``try_variant_get`` extraction — instead of
+    re-parsing the JSON string per field as ``get_json_object`` does. The
+    DuckDB oracle reads the same fields through its JSON extension."""
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    k = F.expr("try_variant_get(parse_json(props), '$.k', 'bigint')")
+    missing = F.expr("try_variant_get(parse_json(props), '$.missing', 'string')")
+    return ev.select("event_type", k.alias("k"), missing.alias("m")).groupBy(
+        "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.count("m").alias("n_missing_present"),
+    )
+
+
+@register(
+    "json_construct_roundtrip",
+    oracle="""
+SELECT event_id,
+       to_json(struct_pack(t := event_type, k := TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) * 2)) AS j,
+       TRY_CAST(json_extract_string(to_json(struct_pack(t := event_type, k := TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) * 2)), '$.k') AS BIGINT) AS k2
+FROM events
+WHERE event_id % 97 = 0
+""",
+    survey_ref="F7,F4",
+    doc="JSON construction round-trip: named_struct -> to_json -> re-extract, byte-identical cross-engine",
+)
+def json_construct_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Construct-side JSON (the reference's feed-export analog, README.md:7):
+    build a struct, serialize with ``to_json``, and re-extract. Both engines
+    emit the same compact ``{"t":...,"k":...}`` form, so the serialized
+    string itself is oracle-hashed, not just the reparsed value."""
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    k2 = F.expr("try_cast(get_json_object(props, '$.k') AS BIGINT)") * 2
+    j = F.to_json(F.struct(F.col("event_type").alias("t"), k2.alias("k")))
+    return (
+        ev.filter(F.col("event_id") % 97 == 0)
+        .select(
+            "event_id",
+            j.alias("j"),
+            F.expr(
+                "try_cast(get_json_object("
+                "to_json(named_struct('t', event_type,"
+                " 'k', try_cast(get_json_object(props, '$.k') AS BIGINT) * 2)),"
+                " '$.k') AS BIGINT)"
+            ).alias("k2"),
+        )
+    )
+
+
+@register(
+    "explode_outer_digits",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(str_split(text, ' '), x -> regexp_full_match(x, '[0-9]+')) AS nums
+  FROM documents
+  WHERE doc_id % 7 = 0
+)
+SELECT doc_id,
+       unnest(CASE WHEN len(nums) = 0 THEN [NULL] ELSE nums END) AS num_token
+FROM toks
+""",
+    survey_ref="P1,P7,F13",
+    doc="explode_outer: lateral expansion preserving rows whose array is empty (NULL row)",
+)
+def explode_outer_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-preserving lateral expansion (P1 + the P7 default-on-miss rule):
+    digit-only tokens per document are often an empty array, and
+    ``explode_outer`` keeps those documents as a NULL row where plain
+    ``explode`` would drop them — the same absent-means-null convention the
+    reference's feed export forces on consumers (SURVEY §1.3)."""
+    docs = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    nums = F.filter(F.split("text", " "), lambda x: x.rlike("^[0-9]+$"))
+    return (
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .select("doc_id", F.explode_outer(nums).alias("num_token"))
+    )

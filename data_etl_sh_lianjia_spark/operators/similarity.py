@@ -317,3 +317,58 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_vecs"),
         )
     )
+
+
+@register(
+    "ann_lsh_topk",
+    oracle=None,  # approximate by construction: recall-checked against
+    # ann_brute_topk in tests/test_ann_recall.py, rows-only at the driver
+    survey_ref="L3,J5",
+    doc="LSH-bucketed ANN: random-projection buckets -> approxSimilarityJoin -> top-5 rerank",
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The other 100 TB ANN path (SURVEY §2.4 J5): MLlib's
+    BucketedRandomProjectionLSH. Vectors are L2-normalized with JVM-side
+    array expressions (no Python), so euclidean distance orders exactly like
+    cosine similarity (d^2 = 2 - 2s); the LSH join then only compares pairs
+    sharing a hash bucket in some table instead of the full cross product.
+    Fixed seed -> deterministic buckets; still no oracle because bucketing
+    can miss true neighbors (that loss is what the recall test bounds)."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector, vector_to_array  # noqa: F401
+
+    emb = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    unit = emb.select(
+        "vec_id",
+        array_to_vector(
+            F.transform(
+                "embedding",
+                lambda x: x.cast("double")
+                / F.when(norm == 0.0, F.lit(1.0)).otherwise(norm),
+            )
+        ).alias("vec"),
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="vec", outputCol="hashes", bucketLength=0.8, numHashTables=8, seed=42
+    )
+    model = lsh.fit(unit)
+    queries = unit.filter(F.col("vec_id") % 100 == 0)
+    joined = model.approxSimilarityJoin(queries, unit, 2.0, distCol="dist")
+    scored = joined.select(
+        F.col("datasetA.vec_id").alias("q_id"),
+        F.col("datasetB.vec_id").alias("neighbor_id"),
+        F.round(1.0 - F.col("dist") * F.col("dist") / 2.0, 4).alias("sim"),
+    ).filter(F.col("q_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+    )

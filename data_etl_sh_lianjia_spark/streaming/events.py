@@ -525,3 +525,71 @@ def stream_tws_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             spark.conf.unset(provider_key)
     return out.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+
+
+# --- T-sink: foreachBatch idempotent file sink -------------------------------
+
+
+@register(
+    "stream_foreach_batch_sink",
+    oracle=f"""
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_value
+FROM events
+GROUP BY user_id
+""",
+    survey_ref="T7,S8,S12",
+    doc="foreachBatch exactly-once sink: per-epoch overwrite dirs, latest state wins on read-back",
+)
+def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom-sink surface (S8 at streaming time): an update-mode
+    per-user aggregation lands through ``foreachBatch``, which writes each
+    epoch's changed rows to its own ``epoch=<id>`` directory with
+    ``mode=overwrite`` — a replayed epoch after failure overwrites the same
+    directory, giving exactly-once output on top of at-least-once delivery
+    (the standard idempotent-sink recipe). Read-back reduces to the latest
+    emission per user. The input is closed, so the final state must equal
+    the batch aggregate — which is the DuckDB oracle (T7 batch-equivalence,
+    scaled-long exact sums). At scale the same recipe targets transactional
+    table formats (MERGE per epoch) instead of directories."""
+    import uuid
+
+    out_dir = os.path.join("/tmp/spark-graft-fb", uuid.uuid4().hex[:12])
+    ev = read_events_stream(spark, sf_dir)
+    agg = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")).alias(
+            "sum_scaled"
+        ),
+    )
+
+    def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"epoch={epoch_id}")
+        )
+
+    unique = f"fb_{uuid.uuid4().hex[:12]}"
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(write_epoch)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation", os.path.join("/tmp/spark-graft-ckpt", unique)
+        )
+        .start()
+    )
+    q.awaitTermination()
+
+    from pyspark.sql.window import Window
+
+    sunk = spark.read.option("basePath", out_dir).parquet(out_dir)
+    w = Window.partitionBy("user_id").orderBy(F.desc("epoch"))
+    return (
+        sunk.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            (F.col("sum_scaled").cast("double") / F.lit(10000.0)).alias("sum_value"),
+        )
+    )

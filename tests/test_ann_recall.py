@@ -73,3 +73,16 @@ def test_approx_percentile_tolerance(spark, sf_dir):
     ).collect()[0]
     for a, e in zip(row["approx"], row["exact"]):
         assert abs(a - e) / e < 0.01, (a, e)
+
+
+def test_lsh_recall_vs_brute_force(spark, sf_dir):
+    """BucketedRandomProjectionLSH with 8 hash tables over unit vectors:
+    every query must come back, and bucket collisions must retain most of
+    the true top-5 (union-of-tables OR-amplification keeps recall high)."""
+    qs = all_queries()
+    brute = _topk_sets(qs["ann_brute_topk"].spark_fn(spark, sf_dir).collect())
+    lsh = _topk_sets(qs["ann_lsh_topk"].spark_fn(spark, sf_dir).collect())
+    assert set(lsh) == set(brute), "every query vector must get LSH results"
+    recalls = [len(lsh[q] & brute[q]) / len(brute[q]) for q in brute]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.5, f"LSH mean recall@5 too low: {mean_recall:.2f} ({recalls})"

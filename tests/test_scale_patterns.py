@@ -180,3 +180,20 @@ def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
         for k, v in old.items():
             if v is not None:
                 spark.conf.set(k, v)
+
+
+def test_q3_sql_path_broadcasts_both_dims(spark, sf_dir):
+    """The SQL-text path must produce the same physical shape as the
+    DataFrame twin: lineitem streams, orders/customer broadcast."""
+    plan = _plan(all_queries()["q3_join3"].spark_fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_q21_exists_shapes_are_semi_and_anti(spark, sf_dir):
+    """EXISTS/NOT EXISTS must plan as semi/anti joins with the non-equi
+    residual attached — never a cartesian product."""
+    plan = _plan(all_queries()["q21_waiting_supplier"].spark_fn(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
