@@ -68,7 +68,12 @@ class Engine:
 
     def query(self, name: str) -> DataFrame:
         """Run a declared operator from the registry against this catalog."""
-        return all_queries()[name].spark_fn(self.spark, self.sf_dir)
+        queries = all_queries()
+        if name not in queries:
+            raise KeyError(
+                f"unknown query {name!r}; available: {sorted(queries)}"
+            )
+        return queries[name].spark_fn(self.spark, self.sf_dir)
 
     def queries(self) -> list[str]:
         return sorted(all_queries())

@@ -111,8 +111,9 @@ def having_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "collect_ordered",
     oracle="""
 SELECT o_orderstatus,
-       list_sort(list(DISTINCT o_orderpriority)) AS priorities,
-       list_sort(list(o_orderpriority))[1:5] AS first5
+       array_to_string(list_sort(list(DISTINCT o_orderpriority)), '|')
+           AS priorities,
+       array_to_string(list_sort(list(o_orderpriority))[1:5], '|') AS first5
 FROM orders
 GROUP BY o_orderstatus
 """,
@@ -120,10 +121,19 @@ GROUP BY o_orderstatus
     doc="deterministically ordered collect_set / collect_list (array_sort wrapped)",
 )
 def collect_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: the collected arrays are serialized to delimited strings for the
+    cross-engine hash — the driver's canonicalizer sorts result rows through
+    pandas, where raw list cells are unhashable and crash the comparison
+    (round-1 failure). The ordering guarantee under test (explicit
+    ``array_sort`` on ``collect_set``/``collect_list``) is unchanged."""
     orders = _t(spark, sf_dir, "orders")["orders"]
     return orders.groupBy("o_orderstatus").agg(
-        F.array_sort(F.collect_set("o_orderpriority")).alias("priorities"),
-        F.slice(F.array_sort(F.collect_list("o_orderpriority")), 1, 5).alias("first5"),
+        F.array_join(F.array_sort(F.collect_set("o_orderpriority")), "|").alias(
+            "priorities"
+        ),
+        F.array_join(
+            F.slice(F.array_sort(F.collect_list("o_orderpriority")), 1, 5), "|"
+        ).alias("first5"),
     )
 
 
@@ -225,8 +235,9 @@ def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT l_orderkey, n_lines,
        ROW_NUMBER() OVER (ORDER BY l_orderkey) AS emit_seq,
-       SUM(n_lines) OVER (ORDER BY l_orderkey
-                          ROWS UNBOUNDED PRECEDING) AS running_emitted
+       CAST(SUM(n_lines) OVER (ORDER BY l_orderkey
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS running_emitted
 FROM (
     SELECT l_orderkey, COUNT(*) AS n_lines
     FROM lineitem GROUP BY l_orderkey

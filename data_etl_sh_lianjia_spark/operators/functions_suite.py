@@ -312,9 +312,12 @@ def variant_json_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-parsing the JSON string per field as ``get_json_object`` does. The
     DuckDB oracle reads the same fields through its JSON extension."""
     ev = load_tables(spark, sf_dir, names=("events",))["events"]
-    k = F.expr("try_variant_get(parse_json(props), '$.k', 'bigint')")
-    missing = F.expr("try_variant_get(parse_json(props), '$.missing', 'string')")
-    return ev.select("event_type", k.alias("k"), missing.alias("m")).groupBy(
+    parsed = ev.select("event_type", F.parse_json("props").alias("v"))
+    return parsed.select(
+        "event_type",
+        F.expr("try_variant_get(v, '$.k', 'bigint')").alias("k"),
+        F.expr("try_variant_get(v, '$.missing', 'string')").alias("m"),
+    ).groupBy(
         "event_type"
     ).agg(
         F.count(F.lit(1)).alias("n"),
@@ -344,7 +347,13 @@ def json_construct_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     string itself is oracle-hashed, not just the reparsed value."""
     ev = load_tables(spark, sf_dir, names=("events",))["events"]
     k2 = F.expr("try_cast(get_json_object(props, '$.k') AS BIGINT)") * 2
-    j = F.to_json(F.struct(F.col("event_type").alias("t"), k2.alias("k")))
+    # ignoreNullFields=false: emit "k":null like the DuckDB oracle does, so
+    # byte-identity does not silently depend on every row having a numeric
+    # $.k (it does in the fixed testdata; null props would diverge).
+    j = F.to_json(
+        F.struct(F.col("event_type").alias("t"), k2.alias("k")),
+        {"ignoreNullFields": "false"},
+    )
     return (
         ev.filter(F.col("event_id") % 97 == 0)
         .select(
@@ -353,7 +362,8 @@ def json_construct_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 "try_cast(get_json_object("
                 "to_json(named_struct('t', event_type,"
-                " 'k', try_cast(get_json_object(props, '$.k') AS BIGINT) * 2)),"
+                " 'k', try_cast(get_json_object(props, '$.k') AS BIGINT) * 2),"
+                " map('ignoreNullFields', 'false')),"
                 " '$.k') AS BIGINT)"
             ).alias("k2"),
         )
@@ -370,7 +380,8 @@ WITH toks AS (
   WHERE doc_id % 7 = 0
 )
 SELECT doc_id,
-       unnest(CASE WHEN len(nums) = 0 THEN [NULL] ELSE nums END) AS num_token
+       unnest(CASE WHEN nums IS NULL OR len(nums) = 0 THEN [NULL] ELSE nums END)
+           AS num_token
 FROM toks
 """,
     survey_ref="P1,P7,F13",

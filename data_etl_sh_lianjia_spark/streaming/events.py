@@ -41,6 +41,13 @@ _RAW_SCHEMA = T.StructType(
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of session.read_events: same ts derivation, file source."""
+    from data_etl_sh_lianjia_spark.session import tune_for_sf
+
+    # Streaming state-store ops scale with shuffle partitions (one state
+    # store instance per partition per stateful operator): the default 200
+    # on a driver-built session makes each micro-batch pay 200 store
+    # open/commit cycles to manage a few thousand rows.
+    tune_for_sf(spark, sf_dir)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # The file source requires a directory: stream the sf dir with a glob
     # filter selecting event files (multi-file drops stream in naturally,
@@ -53,7 +60,23 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(sf_dir)
     )
     return (
-        raw.withColumnRenamed("ts", "ts_ns")
+        raw.withColumnRenamed("ts", "ts_raw")
+        # Unit normalization: the batch reader (nanosAsLong) surfaces
+        # TIMESTAMP(NANOS) as nanoseconds, but the file *stream* source with
+        # an explicit LongType schema converts the same column to
+        # MICROseconds. Joins/windows built on the raw value were therefore
+        # 1000x compressed vs the batch twins (round-2 finding: the
+        # stream-stream interval join emitted 11690 rows vs the true 23).
+        # Decide by magnitude: epoch-nanos for any plausible date is >= 1e17
+        # (~1973), epoch-micros is ~1e15 — normalize everything to ts_ns.
+        .withColumn(
+            "ts_ns",
+            F.expr(
+                "CASE WHEN abs(ts_raw) >= 100000000000000000 THEN ts_raw"
+                " ELSE ts_raw * 1000 END"
+            ),
+        )
+        .drop("ts_raw")
         .withColumn(
             "ts",
             F.expr(
@@ -76,21 +99,25 @@ def run_to_completion(stream_df: DataFrame, name: str, output_mode: str) -> Data
     an empty table (results themselves are deterministic — the checkpoint is
     restart state, not query state).
     """
+    import shutil
     import uuid
 
     spark = stream_df.sparkSession
     unique = f"{name}_{uuid.uuid4().hex[:12]}"
+    ckpt = os.path.join("/tmp/spark-graft-ckpt", unique)
     q = (
         stream_df.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(unique)
         .trigger(availableNow=True)
-        .option(
-            "checkpointLocation", os.path.join("/tmp/spark-graft-ckpt", unique)
-        )
+        .option("checkpointLocation", ckpt)
         .start()
     )
     q.awaitTermination()
+    # The memory sink holds the results on the driver; the checkpoint is
+    # pure restart state for a query that just completed — remove it rather
+    # than accumulating one dir per invocation across bench/test runs.
+    shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(unique)
 
 
@@ -532,7 +559,7 @@ def stream_tws_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_foreach_batch_sink",
-    oracle=f"""
+    oracle="""
 SELECT user_id, COUNT(*) AS n_events,
        CAST(SUM(CAST(round(value * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_value
 FROM events
@@ -552,9 +579,11 @@ def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch aggregate — which is the DuckDB oracle (T7 batch-equivalence,
     scaled-long exact sums). At scale the same recipe targets transactional
     table formats (MERGE per epoch) instead of directories."""
+    import shutil
+    import tempfile
     import uuid
 
-    out_dir = os.path.join("/tmp/spark-graft-fb", uuid.uuid4().hex[:12])
+    out_dir = tempfile.mkdtemp(prefix="spark-graft-fb-")
     ev = read_events_stream(spark, sf_dir)
     agg = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -569,13 +598,12 @@ def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     unique = f"fb_{uuid.uuid4().hex[:12]}"
+    ckpt = os.path.join("/tmp/spark-graft-ckpt", unique)
     q = (
         agg.writeStream.outputMode("update")
         .foreachBatch(write_epoch)
         .trigger(availableNow=True)
-        .option(
-            "checkpointLocation", os.path.join("/tmp/spark-graft-ckpt", unique)
-        )
+        .option("checkpointLocation", ckpt)
         .start()
     )
     q.awaitTermination()
@@ -584,7 +612,7 @@ def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sunk = spark.read.option("basePath", out_dir).parquet(out_dir)
     w = Window.partitionBy("user_id").orderBy(F.desc("epoch"))
-    return (
+    result = (
         sunk.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select(
@@ -593,3 +621,10 @@ def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sum_scaled").cast("double") / F.lit(10000.0)).alias("sum_value"),
         )
     )
+    # Materialize the (one-row-per-user, bounded) read-back reduction so the
+    # sink + checkpoint dirs can be removed instead of leaking one pair per
+    # invocation. The returned frame no longer references the deleted files.
+    rows = result.collect()
+    shutil.rmtree(out_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.createDataFrame(rows, result.schema)
