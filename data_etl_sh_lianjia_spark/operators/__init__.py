@@ -16,3 +16,4 @@ import data_etl_sh_lianjia_spark.operators.text_analysis  # noqa: F401
 import data_etl_sh_lianjia_spark.operators.tpch_extra  # noqa: F401
 import data_etl_sh_lianjia_spark.operators.udf_surface  # noqa: F401
 import data_etl_sh_lianjia_spark.operators.windows  # noqa: F401
+import data_etl_sh_lianjia_spark.operators.training_pipeline  # noqa: F401

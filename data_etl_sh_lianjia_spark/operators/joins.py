@@ -223,3 +223,46 @@ def join_asof_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("event_type") == "purchase")
         .select("event_id", "user_id", "ts_us", "prior_click_us")
     )
+
+
+@register(
+    "lateral_join_topn",
+    oracle="""
+SELECT r.r_name, n.n_name, n.n_suppliers
+FROM region r,
+     LATERAL (
+       SELECT n_name, COUNT(s_suppkey) AS n_suppliers
+       FROM nation LEFT JOIN supplier ON s_nationkey = n_nationkey
+       WHERE n_regionkey = r.r_regionkey
+       GROUP BY n_name
+       ORDER BY n_suppliers DESC, n_name
+       LIMIT 2
+     ) n
+""",
+    survey_ref="J3,A3,O3,W4",
+    doc="correlated LATERAL subquery: per-region top-2 nations by supplier count",
+)
+def lateral_join_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LATERAL correlated-subquery join (SQL:1999 lateral derived
+    table, Spark 3.2+): each outer row drives an ordered-and-limited inner
+    query — the declarative form of per-key top-N. Catalyst decorrelates
+    it into a join + per-key window rather than re-executing the subquery
+    per row (`DecorrelateInnerQuery`), so it scales like window_rank, not
+    like a nested loop."""
+    from data_etl_sh_lianjia_spark.session import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+SELECT r.r_name, n.n_name, n.n_suppliers
+FROM lj_region r,
+     LATERAL (
+       SELECT n_name, COUNT(s_suppkey) AS n_suppliers
+       FROM lj_nation LEFT JOIN lj_supplier ON s_nationkey = n_nationkey
+       WHERE n_regionkey = r.r_regionkey
+       GROUP BY n_name
+       ORDER BY n_suppliers DESC, n_name
+       LIMIT 2
+     ) n
+"""
+    )

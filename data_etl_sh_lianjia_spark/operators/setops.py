@@ -112,3 +112,50 @@ def dedup_first_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
     )
+
+
+@register(
+    "except_all_multiset",
+    oracle="""
+SELECT c_nationkey AS nationkey
+FROM customer WHERE c_custkey % 10 = 0
+EXCEPT ALL
+SELECT s_nationkey FROM supplier
+""",
+    survey_ref="O4",
+    doc="EXCEPT ALL: bag difference preserving multiplicities (customer minus supplier nations)",
+)
+def except_all_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4's multiset variant: ``exceptAll`` subtracts per-value
+    multiplicities (a value appearing 5 times left and 2 right survives 3
+    times) — Spark plans it as one aggregate computing count deltas plus a
+    generate, a single shuffle; no row-identity needed, so it
+    hash-matches as a sorted bag."""
+    t = load_tables(spark, sf_dir, names=("customer", "supplier"))
+    return (
+        t["customer"]
+        .filter(F.col("c_custkey") % 10 == 0)
+        .select(F.col("c_nationkey").alias("nationkey"))
+        .exceptAll(t["supplier"].select(F.col("s_nationkey").alias("nationkey")))
+    )
+
+
+@register(
+    "intersect_all_multiset",
+    oracle="""
+SELECT c_nationkey AS nationkey
+FROM customer WHERE c_custkey % 10 = 0
+INTERSECT ALL
+SELECT s_nationkey FROM supplier
+""",
+    survey_ref="O4",
+    doc="INTERSECT ALL: bag intersection with min-multiplicity semantics",
+)
+def intersect_all_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, names=("customer", "supplier"))
+    return (
+        t["customer"]
+        .filter(F.col("c_custkey") % 10 == 0)
+        .select(F.col("c_nationkey").alias("nationkey"))
+        .intersectAll(t["supplier"].select(F.col("s_nationkey").alias("nationkey")))
+    )

@@ -1,0 +1,345 @@
+"""LLM training-data pipeline operators — SURVEY.md §2.9 extensions.
+
+None of these exist in the reference (it stops at extraction); they are the
+**[derived]** corpus-preparation stages between a raw crawl like the
+reference's output and a training run, each expressed as a declared,
+oracle-hashed query over the driver's ``documents`` corpus:
+
+- *Chunking* splits documents into fixed-size overlapping windows
+  (`sequence` + `explode` + `substring` — a Generate, row-local, no
+  shuffle; at 100 TB this is embarrassingly parallel per input split).
+- *Sequence packing* assigns documents to fixed token-budget bins
+  (context-length packing). The streaming formulation used here —
+  bin = floor(preceding-token-cumsum / budget) within a source — is one
+  window pass; bins can overflow by at most one document, the standard
+  trade against the O(n log n) global first-fit-decreasing packing that
+  cannot stream. Partitioned by ``source`` so the window parallelizes.
+- *Dataset mixture* reweights sources with per-source deterministic
+  sampling rates (md5-threshold, engine/partitioning-independent — same
+  recipe as `deterministic_sample`), the mixing step of corpus assembly.
+- *Contamination screening* flags training documents sharing 5-gram
+  shingles with a held-out benchmark set (exact-overlap variant of the
+  standard n-gram decontamination pass). Shingle-join shape: explode to
+  (shingle, doc) pairs, distinct, equi-join on shingle — at scale the
+  join shuffles on the shingle hash, so cost follows shared-shingle
+  density, never |train| × |benchmark|.
+- *URL parsing* (`parse_url`) covers the crawl-metadata hygiene family
+  (host/path/query extraction for filtering and per-domain stats); the
+  oracle mirrors it with regexes since DuckDB has no URL parser.
+- *OHLC downsampling* (min_by/max_by per time bucket) is the time-series
+  summarization twin of `resample_gapfill` (open/high/low/close bars).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_etl_sh_lianjia_spark.operators.lakehouse import md5_bucket
+from data_etl_sh_lianjia_spark.plans.registry import register
+from data_etl_sh_lianjia_spark.session import load_tables
+
+_CHUNK = 200  # chars per chunk
+_STRIDE = 150  # chunk start stride (=> 50-char overlap)
+_PACK_BUDGET = 512  # tokens per packed sequence bin
+
+
+@register(
+    "doc_chunking",
+    oracle=f"""
+SELECT doc_id,
+       CAST(pos AS BIGINT) AS chunk_start,
+       substr(text, pos, {_CHUNK}) AS chunk,
+       CAST(length(substr(text, pos, {_CHUNK})) AS BIGINT) AS chunk_len
+FROM (
+  SELECT doc_id, text, unnest(generate_series(1, len(text), {_STRIDE})) AS pos
+  FROM documents WHERE doc_id % 5 = 0
+)
+""",
+    survey_ref="L4,P1,F13",
+    doc="fixed-size overlapping document chunks (substring windows) for context packing",
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """200-char chunks every 150 chars (50-char overlap). ``sequence`` of
+    chunk starts + ``explode`` + ``substring`` stays entirely inside
+    whole-stage codegen — no UDF, no shuffle; output size ~len/stride per
+    doc regardless of corpus size."""
+    docs = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    return (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.length("text"), F.lit(_STRIDE))
+            ).alias("chunk_start"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_start").cast("long").alias("chunk_start"),
+            F.expr(f"substr(text, chunk_start, {_CHUNK})").alias("chunk"),
+            F.expr(f"CAST(length(substr(text, chunk_start, {_CHUNK})) AS BIGINT)").alias(
+                "chunk_len"
+            ),
+        )
+    )
+
+
+@register(
+    "pack_sequences",
+    oracle=f"""
+WITH toks AS (
+  SELECT source, doc_id, len(string_split(text, ' ')) AS n_tok
+  FROM documents
+), packed AS (
+  SELECT source, doc_id, n_tok,
+         CAST((SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) - n_tok)
+              // {_PACK_BUDGET} AS BIGINT) AS bin_id
+  FROM toks
+)
+SELECT source, bin_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS bin_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM packed
+GROUP BY source, bin_id
+""",
+    survey_ref="L4,W3,A3",
+    doc="context-length sequence packing: token-budget bins via one window cumsum per source",
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sequence packing: a document's bin is
+    ``floor(tokens-before-it / budget)`` within its source (deterministic
+    doc_id order). One window pass, partitioned by source — each bin holds
+    >= budget tokens only by the final straddling document, the standard
+    streaming-packing overflow bound. Global FFD packing would need a
+    corpus-wide sort + sequential state; this shape scales linearly and
+    parallelizes per source shard."""
+    from pyspark.sql.window import Window
+
+    docs = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    toks = docs.select(
+        "source", "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    packed = toks.withColumn(
+        "bin_id",
+        ((F.sum("n_tok").over(w) - F.col("n_tok")) / F.lit(_PACK_BUDGET))
+        .cast("bigint"),
+    )
+    return packed.groupBy("source", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("bin_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+@register(
+    "dataset_mixture",
+    oracle="""
+WITH rated AS (
+  SELECT source, doc_id, len(string_split(text, ' ')) AS n_tok,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bkt,
+         CASE CAST(substr(source, 4) AS INT) % 4
+           WHEN 0 THEN 'ff' WHEN 1 THEN '80' WHEN 2 THEN '40' ELSE '20'
+         END AS thr
+  FROM documents
+)
+SELECT source,
+       COUNT(*) FILTER (WHERE bkt < thr) AS kept_docs,
+       CAST(COALESCE(SUM(n_tok) FILTER (WHERE bkt < thr), 0) AS BIGINT)
+           AS kept_tokens,
+       COUNT(*) AS total_docs
+FROM rated
+GROUP BY source
+""",
+    survey_ref="L4,O5,A3,A6",
+    doc="dataset mixing: per-source deterministic sampling rates (corpus reweighting)",
+)
+def dataset_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing: each source keeps a deterministic md5-threshold
+    fraction (src%4: 100%/50%/25%/12.5%) — the weighted-mixture step of
+    training-corpus assembly, auditable because the same rows are kept on
+    any engine or cluster layout. Pure scan filter + one agg shuffle."""
+    docs = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    thr = (
+        F.when(F.expr("CAST(substr(source, 4) AS INT) % 4") == 0, "ff")
+        .when(F.expr("CAST(substr(source, 4) AS INT) % 4") == 1, "80")
+        .when(F.expr("CAST(substr(source, 4) AS INT) % 4") == 2, "40")
+        .otherwise("20")
+    )
+    kept = md5_bucket("doc_id") < thr
+    n_tok = F.size(F.split("text", " "))
+    return docs.groupBy("source").agg(
+        F.count(F.when(kept, 1)).alias("kept_docs"),
+        F.coalesce(F.sum(F.when(kept, n_tok)), F.lit(0))
+        .cast("bigint")
+        .alias("kept_tokens"),
+        F.count(F.lit(1)).alias("total_docs"),
+    )
+
+
+# 5-token shingles, structurally identical in both engines (the same
+# parallel-expression discipline as text_analysis._SPARK_SHINGLES).
+_SPARK_5GRAMS = """
+CASE WHEN size(split(text, ' ')) >= 5 THEN
+  transform(sequence(1, size(split(text, ' ')) - 4),
+            i -> concat_ws(' ', element_at(split(text, ' '), i),
+                                element_at(split(text, ' '), i + 1),
+                                element_at(split(text, ' '), i + 2),
+                                element_at(split(text, ' '), i + 3),
+                                element_at(split(text, ' '), i + 4)))
+ELSE array(text) END
+"""
+
+_DUCK_5GRAMS = """
+CASE WHEN len(string_split(text, ' ')) >= 5 THEN
+  list_transform(generate_series(1, len(string_split(text, ' ')) - 4),
+                 i -> concat_ws(' ', string_split(text, ' ')[i],
+                                     string_split(text, ' ')[i + 1],
+                                     string_split(text, ' ')[i + 2],
+                                     string_split(text, ' ')[i + 3],
+                                     string_split(text, ' ')[i + 4]))
+ELSE [text] END
+"""
+
+
+@register(
+    "contamination_ngram",
+    oracle=f"""
+WITH bench AS (
+  SELECT DISTINCT unnest({_DUCK_5GRAMS}) AS shingle
+  FROM documents WHERE doc_id % 97 = 0
+), train AS (
+  SELECT doc_id, unnest(list_distinct({_DUCK_5GRAMS})) AS shingle
+  FROM documents WHERE doc_id % 97 <> 0
+)
+SELECT t.doc_id, COUNT(*) AS n_shared,
+       COUNT(*) >= 2 AS contaminated
+FROM train t JOIN bench b ON t.shingle = b.shingle
+GROUP BY t.doc_id
+""",
+    survey_ref="L2,L4,J3,A3",
+    doc="benchmark decontamination: training docs sharing 5-gram shingles with a held-out set",
+)
+def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram decontamination: distinct 5-gram shingles of the
+    benchmark split (doc_id % 97 == 0 stands in for an eval set) broadcast
+    against exploded training shingles; per-doc shared-shingle counts flag
+    contamination. The join key is the shingle string — at 100 TB hash the
+    shingle first (sha2 prefix) so the broadcast set is fixed-width and the
+    explode output stays narrow."""
+    docs = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    bench = (
+        docs.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode(F.expr(_SPARK_5GRAMS)).alias("shingle"))
+        .distinct()
+    )
+    train = docs.filter(F.col("doc_id") % 97 != 0).select(
+        "doc_id",
+        F.explode(F.expr(f"array_distinct({_SPARK_5GRAMS})")).alias("shingle"),
+    )
+    return (
+        train.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .select("doc_id", "n_shared", (F.col("n_shared") >= 2).alias("contaminated"))
+    )
+
+
+@register(
+    "url_parse_suite",
+    oracle="""
+WITH u AS (
+  SELECT o_orderkey,
+         'https://shop-' || CAST(o_orderkey % 7 AS VARCHAR) ||
+         '.example.com/' || o_orderstatus || '/item/' ||
+         CAST(o_orderkey AS VARCHAR) || '?page=' ||
+         CAST(o_orderkey % 13 AS VARCHAR) || '&sort=price' AS url
+  FROM orders WHERE o_orderkey % 501 = 0
+)
+SELECT o_orderkey, url,
+       regexp_extract(url, 'https?://([^/?#]+)', 1) AS host,
+       regexp_extract(url, 'https?://[^/?#]+([^?#]*)', 1) AS path,
+       regexp_extract(url, '[?&]page=([^&#]*)', 1) AS page
+FROM u
+""",
+    survey_ref="F2,F4,L4",
+    doc="URL host/path/query parsing (parse_url) for crawl-metadata hygiene",
+)
+def url_parse_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``parse_url`` host/path/query extraction — the per-domain filtering
+    primitive of crawl curation (the reference builds URLs by concat,
+    lianjia.py:34,42; this is the inverse). URLs are synthesized from
+    orders so the check is closed-form; the DuckDB oracle parses the same
+    strings with regexes (it has no URL parser)."""
+    orders = load_tables(spark, sf_dir, names=("orders",))["orders"]
+    url = F.concat(
+        F.lit("https://shop-"),
+        (F.col("o_orderkey") % 7).cast("string"),
+        F.lit(".example.com/"),
+        F.col("o_orderstatus"),
+        F.lit("/item/"),
+        F.col("o_orderkey").cast("string"),
+        F.lit("?page="),
+        (F.col("o_orderkey") % 13).cast("string"),
+        F.lit("&sort=price"),
+    )
+    return (
+        orders.filter(F.col("o_orderkey") % 501 == 0)
+        .select("o_orderkey", url.alias("url"))
+        .select(
+            "o_orderkey",
+            "url",
+            F.parse_url("url", F.lit("HOST")).alias("host"),
+            F.parse_url("url", F.lit("PATH")).alias("path"),
+            F.parse_url("url", F.lit("QUERY"), F.lit("page")).alias("page"),
+        )
+    )
+
+
+@register(
+    "ohlc_downsample",
+    oracle="""
+SELECT user_id,
+       CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour_bucket,
+       COUNT(*) AS n,
+       arg_min(value, epoch_us(ts)) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       arg_max(value, epoch_us(ts)) AS close
+FROM events
+WHERE user_id % 40 = 0
+GROUP BY user_id, CAST(epoch_us(ts) // 3600000000 AS BIGINT)
+""",
+    survey_ref="A3,A8,W3",
+    doc="OHLC bars: min_by/max_by open/close per hourly bucket (time-series downsampling)",
+)
+def ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open/high/low/close downsampling via ``min_by``/``max_by`` on the
+    event-time key — one hash aggregate, no window, no self-join (the
+    classic alternative — row_number twice — costs two sorts). Event
+    micro-timestamps are unique per user in this corpus, so the arg
+    extremes are deterministic; values are untouched doubles (picked, not
+    summed), hence exactly hashable cross-engine."""
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    e = ev.filter(F.col("user_id") % 40 == 0).select(
+        "user_id",
+        F.expr("(ts_ns div 1000) div 3600000000").alias("hour_bucket"),
+        F.expr("ts_ns div 1000").alias("ts_us"),
+        "value",
+    )
+    return e.groupBy("user_id", "hour_bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min_by("value", "ts_us").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", "ts_us").alias("close"),
+    )

@@ -150,3 +150,54 @@ def udf_row_registered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT c_custkey, seg_code_udf(c_mktsegment) AS seg_code FROM cust_for_udf"
     )
+
+
+@register(
+    "udf_arrow_norms",
+    oracle="""
+SELECT vec_id,
+       CAST(len(embedding) AS BIGINT) AS dim,
+       round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                          x -> x * x))), 4) AS l2_norm
+FROM embeddings
+WHERE vec_id % 4 = 0
+""",
+    survey_ref="UDF(arrow),L5",
+    doc="mapInArrow over embedding batches: L2 norms straight off Arrow buffers",
+)
+def udf_arrow_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The zero-copy rung of the UDF ladder: ``mapInArrow`` hands the Python
+    worker raw ``pyarrow.RecordBatch``es — no pandas materialization, no
+    per-row objects. The list column's values buffer is viewed as one flat
+    numpy array and reshaped via its offsets; float32 inputs are widened to
+    float64 before squaring exactly like the oracle's CAST(... AS DOUBLE[]),
+    so the rounded norms hash-match."""
+    import numpy as np
+    import pyarrow as pa
+
+    ensure_package_shipped(spark)
+    emb = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+
+    def fn(batches):
+        for batch in batches:
+            ids = batch.column(0)
+            col = batch.column(1)
+            arr = col.combine_chunks() if hasattr(col, "combine_chunks") else col
+            offsets = arr.offsets.to_numpy(zero_copy_only=False)
+            flat = arr.values.to_numpy(zero_copy_only=False).astype(np.float64)
+            sq = np.add.reduceat(flat * flat, offsets[:-1])
+            dims = np.diff(offsets).astype(np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array(dims, type=pa.int64()),
+                    pa.array(np.round(np.sqrt(sq), 4), type=pa.float64()),
+                ],
+                names=["vec_id", "dim", "l2_norm"],
+            )
+
+    return (
+        emb.filter(F.col("vec_id") % 4 == 0)
+        .select("vec_id", "embedding")
+        .mapInArrow(fn, "vec_id long, dim long, l2_norm double")
+    )

@@ -115,6 +115,13 @@ def tune_for_sf(spark: SparkSession, sf_dir: str) -> None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
         # sf0.001/sf0.01 -> 8, sf0.1 -> 32 (bench regime), sf1+ -> cores.
         parts = max(8, min(int(sf * 320), cpus))
+        try:
+            current = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except Exception:
+            current = 200
+        # Cap, never raise: a caller that sized the session deliberately
+        # (bench.py uses 8 at sf0.1) keeps its tighter setting.
+        parts = min(parts, current)
         spark.conf.set("spark.sql.shuffle.partitions", str(parts))
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")

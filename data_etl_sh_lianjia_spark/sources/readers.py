@@ -153,3 +153,61 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n"), dsum("c_acctbal", "sum_bal", scale=2))
     )
+
+
+@register(
+    "orc_roundtrip",
+    oracle=f"""
+SELECT s_nationkey, COUNT(*) AS n,
+       {oracle_dsum('s_acctbal', 'sum_bal', scale=2)}
+FROM supplier
+GROUP BY s_nationkey
+""",
+    survey_ref="S4,S8,S9",
+    doc="ORC sink -> source round-trip; agg equals the direct parquet query",
+)
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar-format breadth (S4/S8 beyond parquet/CSV/JSON): write the
+    supplier table as ORC, read it back, aggregate — must equal querying
+    the parquet directly (the oracle never sees the ORC copy). ORC is the
+    other splittable columnar container Spark ships natively; the engine
+    treats format as a storage detail, not a semantic one."""
+    import tempfile
+
+    sup = load_tables(spark, sf_dir, names=("supplier",))["supplier"]
+    path = tempfile.mkdtemp(prefix="spark-graft-orc-")
+    sup.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n"), dsum("s_acctbal", "sum_bal", scale=2)
+    )
+
+
+@register(
+    "partitioned_write_prune",
+    oracle=f"""
+SELECT o_orderpriority, COUNT(*) AS n,
+       {oracle_dsum('o_totalprice', 'sum_price', scale=2)}
+FROM orders
+WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority
+""",
+    survey_ref="S9,S11,P5",
+    doc="hive-partitioned write + partition-pruned read-back (only one partition scanned)",
+)
+def partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 at rest + S11 partition pruning: write orders hive-partitioned by
+    o_orderstatus, read back filtered to one status — the filter prunes to
+    a single partition directory at *file listing* time (visible as
+    ``PartitionFilters`` in the scan node), the mechanism that lets a
+    100 TB table answer a one-partition query by reading one partition.
+    Aggregate must equal the direct parquet query (the oracle)."""
+    import tempfile
+
+    orders = load_tables(spark, sf_dir, names=("orders",))["orders"]
+    path = tempfile.mkdtemp(prefix="spark-graft-part-")
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "sum_price", scale=2)
+    )

@@ -182,11 +182,14 @@ def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
                 spark.conf.set(k, v)
 
 
-def test_q3_sql_path_broadcasts_both_dims(spark, sf_dir):
-    """The SQL-text path must produce the same physical shape as the
-    DataFrame twin: lineitem streams, orders/customer broadcast."""
+def test_q3_sql_path_join_strategies(spark, sf_dir):
+    """The SQL-text path must produce the scale-correct physical shape:
+    customer (dim) broadcasts, the orders fact side is a shuffled hash
+    join build (orders cannot broadcast at 100 TB), lineitem streams —
+    and no sort-merge fallback."""
     plan = _plan(all_queries()["q3_join3"].spark_fn(spark, sf_dir))
-    assert plan.count("BroadcastHashJoin") >= 2
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "ShuffledHashJoin" in plan
     assert "SortMergeJoin" not in plan
 
 
