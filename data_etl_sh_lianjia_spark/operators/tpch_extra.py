@@ -286,3 +286,202 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(F.count(F.lit(1)).alias("numcust"), dsum("c_acctbal", "totacctbal"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q14_promo_revenue — TPC-H Q14 shape: conditional revenue ratio over a join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q14_promo_revenue",
+    oracle="""
+SELECT round(
+         100.0 * (CAST(SUM(CASE WHEN p_type = 'PROMO' THEN
+                    CAST(round(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT)
+                  ELSE 0 END) AS DOUBLE) / 1e6)
+         / (CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT)) AS DOUBLE) / 1e6),
+         6) AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+  AND l_shipdate <  TIMESTAMP '1995-10-01'
+""",
+    survey_ref="J3,A3,A6",
+    doc="TPC-H Q14 shape: promo revenue share — conditional aggregate ratio over a fact-dim join",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-sum ratio over a lineitem×part join (part broadcasts; one
+    month of lineitem survives the pushed-down shipdate band). Both sums go
+    through scaled longs so the final two IEEE divisions are bit-identical
+    cross-engine."""
+    t = _t(spark, sf_dir, "lineitem", "part")
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1995-09-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01 00:00:00").cast("timestamp_ntz"))
+    )
+    rev = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1000000 + F.lit(0.5)
+    ).cast("long")
+    joined = li.join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+    return joined.agg(
+        F.round(
+            100.0
+            * (
+                F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))).cast(
+                    "double"
+                )
+                / 1e6
+            )
+            / (F.sum(rev).cast("double") / 1e6),
+            6,
+        ).alias("promo_pct")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q16_notin_distinct — TPC-H Q16 shape: NOT IN (null-aware anti join) +
+# multi-key count-distinct
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q16_notin_distinct",
+    oracle="""
+SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_type <> 'PROMO'
+  AND p_size IN (1, 14, 23, 45)
+  AND l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY p_brand, p_size
+""",
+    survey_ref="J3,A4,A6",
+    doc="TPC-H Q16 shape: NOT IN subquery (null-aware anti join) + grouped count-distinct",
+)
+def q16_notin_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``NOT IN (subquery)`` is not a plain anti join: one NULL in the
+    subquery empties the result under SQL three-valued logic, so Spark
+    plans a *null-aware* anti join — the executed plan shows
+    ``BroadcastHashJoin ... LeftAnti, BuildRight, true`` where the trailing
+    flag is ``isNullAwareAntiJoin`` (broadcast-only strategy; a plain
+    ``left_anti`` DataFrame join would skip the null check). s_suppkey is
+    non-null here, so the result equals NOT EXISTS, but the plan shape
+    under test is the null-aware one. Count-distinct over the surviving
+    join feeds a two-key group."""
+    from data_etl_sh_lianjia_spark.session import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lj_lineitem JOIN lj_part ON l_partkey = p_partkey
+WHERE p_type <> 'PROMO'
+  AND p_size IN (1, 14, 23, 45)
+  AND l_suppkey NOT IN (
+    SELECT s_suppkey FROM lj_supplier WHERE s_acctbal < 0
+  )
+GROUP BY p_brand, p_size
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# q19_disjunctive_pred — TPC-H Q19 shape: OR-of-ANDs join predicate bands
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q19_disjunctive_pred",
+    oracle=f"""
+SELECT COUNT(*) AS n, {oracle_dsum("l_extendedprice * (1 - l_discount)", "revenue")}
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#22' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 10 AND 35)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 20 AND 50
+       AND l_quantity BETWEEN 20 AND 50)
+""",
+    survey_ref="J3,P5,A3",
+    doc="TPC-H Q19 shape: disjunctive (OR-of-ANDs) mixed-table predicate over a join",
+)
+def q19_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OR-of-ANDs predicate mixes columns from both join sides, so no
+    single conjunct pushes below the join — the optimizer instead derives
+    per-side prunes from the disjunction (CNF extraction: p_brand IN (...)
+    AND p_size <= 50 push to the part scan; l_quantity <= 50 to lineitem)
+    and evaluates the full disjunction as the join residual."""
+    t = _t(spark, sf_dir, "lineitem", "part")
+    j = t["lineitem"].join(
+        F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey")
+    )
+    band = (
+        (
+            (F.col("p_brand") == "Brand#11")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#22")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 35)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 50)
+        )
+    )
+    return j.filter(band).agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q15_top_supplier_cte — TPC-H Q15 shape: CTE revenue view + global-max match
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q15_top_supplier_cte",
+    oracle=f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         {oracle_dsum("l_extendedprice * (1 - l_discount)", "total_revenue")}
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+    AND l_shipdate <  TIMESTAMP '1995-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+""",
+    survey_ref="J3,A3,A6",
+    doc="TPC-H Q15 shape: CTE revenue view joined against its own global MAX",
+)
+def q15_top_supplier_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A named intermediate (CTE) consumed twice — once as the join input,
+    once reduced to a global scalar MAX. Spark evaluates the reused subplan
+    twice unless it is explicitly shared; the exact scaled-long revenue
+    makes the equality comparison safe (doubles compared for equality would
+    be engine-dependent)."""
+    t = _t(spark, sf_dir, "lineitem", "supplier")
+    rev = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1995-04-01 00:00:00").cast("timestamp_ntz"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue"))
+    )
+    max_rev = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        t["supplier"]
+        .join(rev, F.col("s_suppkey") == F.col("supplier_no"))
+        .join(F.broadcast(max_rev), F.col("total_revenue") == F.col("mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )

@@ -200,3 +200,11 @@ def test_q21_exists_shapes_are_semi_and_anti(spark, sf_dir):
     assert "LeftSemi" in plan
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q16_not_in_plans_null_aware_anti_join(spark, sf_dir):
+    """NOT IN (subquery) must plan as the null-aware anti join variant
+    (`BroadcastHashJoin ... LeftAnti, BuildRight, true`), not a plain
+    left anti — three-valued NOT IN semantics depend on the null check."""
+    plan = _plan(all_queries()["q16_notin_distinct"].spark_fn(spark, sf_dir))
+    assert "LeftAnti, BuildRight, true" in plan
