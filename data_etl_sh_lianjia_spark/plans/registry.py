@@ -75,6 +75,7 @@ def _load_all() -> None:
     import data_etl_sh_lianjia_spark.operators  # noqa: F401
     import data_etl_sh_lianjia_spark.sources.frontier  # noqa: F401
     import data_etl_sh_lianjia_spark.sources.lianjia  # noqa: F401
+    import data_etl_sh_lianjia_spark.sources.pagefeed  # noqa: F401
     import data_etl_sh_lianjia_spark.sources.readers  # noqa: F401
     import data_etl_sh_lianjia_spark.streaming  # noqa: F401
 

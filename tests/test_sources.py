@@ -61,3 +61,35 @@ def test_transform_chain_order(spark):
         ],
     )
     assert [r["x"] for r in out.orderBy("id").collect()] == [20, 30, 40, 50]
+
+
+def test_python_datasource_filter_pushdown_prunes_partitions(spark):
+    """The custom Python source plans one InputPartition per village range;
+    a pushed village_id band must shrink the planned partition set (filter
+    pushdown acting as partition pruning), and the surviving rows must
+    respect the band exactly."""
+    from data_etl_sh_lianjia_spark.sources import pagefeed
+
+    pagefeed._ensure_registered(spark)
+    reader = pagefeed.PageFeedReader({"villages": "40"})
+    # no filters: ceil(40/8) = 5 partitions
+    assert len(reader.partitions()) == 5
+
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThan
+
+    leftover = list(
+        reader.pushFilters(
+            [GreaterThanOrEqual(("village_id",), 10), LessThan(("village_id",), 30)]
+        )
+    )
+    assert leftover == []  # both accepted
+    assert len(reader.partitions()) <= 3  # 20 villages / 8 per range
+
+    df = (
+        spark.read.format("lianjia_pages")
+        .option("villages", "40")
+        .load()
+        .filter((F.col("village_id") >= 10) & (F.col("village_id") < 30))
+    )
+    ids = {r["village_id"] for r in df.select("village_id").distinct().collect()}
+    assert ids == set(range(10, 30))
