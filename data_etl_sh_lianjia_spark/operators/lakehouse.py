@@ -291,3 +291,96 @@ def scd2_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.alias("valid_to"),
         F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
     )
+
+
+@register(
+    "hierarchical_rollup_reuse",
+    oracle="""
+SELECT user_id,
+       CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_bucket,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value * 10000) AS BIGINT)) AS DOUBLE) / 10000
+           AS sum_value
+FROM events
+WHERE user_id % 25 = 0
+GROUP BY user_id, CAST(epoch_us(ts) // 86400000000 AS BIGINT)
+""",
+    survey_ref="A3,A5,W3,T1",
+    doc="continuous-aggregate pattern: daily rollup reaggregated from an hourly rollup, exact",
+)
+def hierarchical_rollup_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hypertable/materialized-rollup identity: a daily aggregate
+    computed FROM the hourly rollup (re-aggregation of partials) must equal
+    aggregating the raw events directly — which is what the oracle does.
+    This is the maintenance pattern for continuous aggregates at 100 TB:
+    the raw table is touched once per refresh interval, every coarser
+    granularity reaggregates the next-finer rollup (COUNTs and scaled-long
+    SUMs are decomposable; AVG derives from SUM/COUNT — never store it).
+    Epoch-integer buckets keep the hierarchy exact and tz-independent."""
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    hourly = (
+        ev.filter(F.col("user_id") % 25 == 0)
+        .groupBy(
+            "user_id",
+            F.expr("(ts_ns div 1000) div 3600000000").alias("hour_bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")
+            ).alias("sum_scaled"),
+        )
+    )
+    return (
+        hourly.groupBy(
+            "user_id", (F.col("hour_bucket") / 24).cast("bigint").alias("day_bucket")
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            (F.sum("sum_scaled").cast("double") / 10000).alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "compact_small_files",
+    oracle=f"""
+SELECT o_orderstatus, COUNT(*) AS n,
+       {oracle_dsum('o_totalprice', 'sum_price', scale=2)}
+FROM orders
+WHERE o_orderkey % 3 = 0
+GROUP BY o_orderstatus
+""",
+    survey_ref="S9,S11",
+    doc="small-file compaction: many-file table rewritten to few files, content-identical",
+)
+def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The table-maintenance pass every long-lived ingest pipeline needs:
+    a slice written as 64 tiny files (streaming/incremental ingest shape)
+    is compacted with a single ``repartition(4)`` rewrite; aggregating the
+    compacted copy must equal querying the source directly (the oracle).
+    At 100 TB compaction targets a size per file (~128 MB-1 GB), runs per
+    partition, and is the difference between a scan planning 10^6 splits
+    and 10^3."""
+    import shutil
+    import tempfile
+
+    orders = load_tables(spark, sf_dir, names=("orders",))["orders"]
+    src = orders.filter(F.col("o_orderkey") % 3 == 0)
+    small_dir = tempfile.mkdtemp(prefix="spark-graft-small-")
+    compact_dir = tempfile.mkdtemp(prefix="spark-graft-compact-")
+    try:
+        src.repartition(64).write.mode("overwrite").parquet(small_dir)
+        small = spark.read.parquet(small_dir)
+        small.repartition(4).write.mode("overwrite").parquet(compact_dir)
+        compacted = spark.read.parquet(compact_dir)
+        result = compacted.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "sum_price", scale=2)
+        )
+        # materialize the (tiny) summary so the scratch dirs can be removed
+        # instead of leaking one pair per invocation
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(small_dir, ignore_errors=True)
+        shutil.rmtree(compact_dir, ignore_errors=True)

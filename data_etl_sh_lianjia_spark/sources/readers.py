@@ -172,15 +172,22 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the parquet directly (the oracle never sees the ORC copy). ORC is the
     other splittable columnar container Spark ships natively; the engine
     treats format as a storage detail, not a semantic one."""
+    import shutil
     import tempfile
 
     sup = load_tables(spark, sf_dir, names=("supplier",))["supplier"]
     path = tempfile.mkdtemp(prefix="spark-graft-orc-")
-    sup.write.mode("overwrite").orc(path)
-    back = spark.read.orc(path)
-    return back.groupBy("s_nationkey").agg(
-        F.count(F.lit(1)).alias("n"), dsum("s_acctbal", "sum_bal", scale=2)
-    )
+    try:
+        sup.write.mode("overwrite").orc(path)
+        back = spark.read.orc(path)
+        result = back.groupBy("s_nationkey").agg(
+            F.count(F.lit(1)).alias("n"), dsum("s_acctbal", "sum_bal", scale=2)
+        )
+        # materialize the small summary, then drop the scratch dir
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
 
 
 @register(
@@ -202,12 +209,18 @@ def partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``PartitionFilters`` in the scan node), the mechanism that lets a
     100 TB table answer a one-partition query by reading one partition.
     Aggregate must equal the direct parquet query (the oracle)."""
+    import shutil
     import tempfile
 
     orders = load_tables(spark, sf_dir, names=("orders",))["orders"]
     path = tempfile.mkdtemp(prefix="spark-graft-part-")
-    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
-    back = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
-    return back.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "sum_price", scale=2)
-    )
+    try:
+        orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+        back = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
+        result = back.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "sum_price", scale=2)
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
