@@ -60,6 +60,22 @@ class Engine:
     def tables(self) -> list[str]:
         return sorted(self._tables)
 
+    def ingest(self, parts: int | None = None) -> str:
+        """Rewrite the raw landed tables into engine-managed storage.
+
+        Facts become scan-parallel range-clustered multi-file parquet;
+        dimensions stay single-file (see ``session.ingest_tables``). The
+        catalog (``table()``/``sql()`` views) re-points at the managed
+        copy — values are identical, only the physical layout changes.
+        Returns the managed-storage directory."""
+        from data_etl_sh_lianjia_spark.session import ingest_tables
+
+        out = ingest_tables(self.spark, self.sf_dir, parts=parts)
+        self._tables = load_tables(self.spark, self.sf_dir)
+        for name, df in self._tables.items():
+            df.createOrReplaceTempView(name)
+        return out
+
     # -- query surfaces -----------------------------------------------------
 
     def sql(self, query: str) -> DataFrame:

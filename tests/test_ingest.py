@@ -1,0 +1,81 @@
+"""Engine-managed storage ingestion (session.ingest_tables).
+
+Contract: ingestion changes only the physical layout — every declared
+query returns identical values over raw landed files and the managed
+copy, facts come out scan-parallel (multiple files), and the session
+catalog re-points transparently.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from data_etl_sh_lianjia_spark import session as sess
+from data_etl_sh_lianjia_spark.canon import canon_rows
+from data_etl_sh_lianjia_spark.plans.registry import all_queries
+
+CHECK_QUERIES = ("q1_scan_agg_df", "json_events_df", "sessionize_df", "string_regex_df")
+
+
+@pytest.fixture()
+def restore_catalog(spark):
+    saved = (
+        dict(getattr(spark, "_lianjia_ingest_map", {}) or {}),
+        dict(getattr(spark, "_lianjia_table_cache", {}) or {}),
+        getattr(spark, "_lianjia_views_dir", None),
+    )
+    yield
+    spark._lianjia_ingest_map = saved[0]
+    spark._lianjia_table_cache = saved[1]
+    spark._lianjia_views_dir = saved[2]
+
+
+def _run(spark, sf_dir, name):
+    df = all_queries()[name].spark_fn(spark, sf_dir)
+    return canon_rows([tuple(r) for r in df.collect()], df.columns)
+
+
+def test_ingest_is_value_identical_and_scan_parallel(
+    spark, sf_dir, tmp_path, monkeypatch, restore_catalog
+):
+    raw = {n: _run(spark, sf_dir, n) for n in CHECK_QUERIES}
+
+    monkeypatch.setattr(sess, "INGEST_ROOT", str(tmp_path))
+    out_dir = sess.ingest_tables(spark, sf_dir)
+    assert os.path.isdir(out_dir)
+
+    # facts split into multiple scan-parallel files, dims stay single
+    li_parts = [
+        f for f in os.listdir(os.path.join(out_dir, "lineitem.parquet"))
+        if f.endswith(".parquet")
+    ]
+    assert len(li_parts) > 1
+    nation_parts = [
+        f for f in os.listdir(os.path.join(out_dir, "nation.parquet"))
+        if f.endswith(".parquet")
+    ]
+    assert len(nation_parts) == 1
+
+    for n in CHECK_QUERIES:
+        assert _run(spark, sf_dir, n) == raw[n], f"{n} diverged after ingest"
+
+
+def test_ingest_idempotent_and_redirects(spark, sf_dir, tmp_path, monkeypatch, restore_catalog):
+    monkeypatch.setattr(sess, "INGEST_ROOT", str(tmp_path))
+    first = sess.ingest_tables(spark, sf_dir)
+    mtime = os.path.getmtime(os.path.join(first, "lineitem.parquet", "_SUCCESS"))
+    second = sess.ingest_tables(spark, sf_dir)
+    assert first == second
+    assert os.path.getmtime(os.path.join(first, "lineitem.parquet", "_SUCCESS")) == mtime
+    # load_tables serves from the managed copy for this session
+    df = sess.load_tables(spark, sf_dir, names=("lineitem",))["lineitem"]
+    files = {r[0] for r in df.select(F_input_file()).distinct().collect()}
+    assert all(str(tmp_path) in f for f in files)
+
+
+def F_input_file():
+    from pyspark.sql import functions as F
+
+    return F.input_file_name()
