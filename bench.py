@@ -82,10 +82,12 @@ def main() -> None:
     # and - the big one - C2 JIT compilation of the Catalyst analyzer/
     # optimizer rule stack plus the DAGScheduler/task-serialization path,
     # which otherwise inflates fresh query builds by 2-4x each.
+    # Warm through toPandas(), not collect(): the timed runs materialize
+    # via Arrow, and the Arrow serving path has its own JIT/buffer warmup.
     warm = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "4"))
     for _ in range(warm):
         for dq in bench_queries.values():
-            dq.spark_fn(spark, SF_DIR).collect()
+            dq.spark_fn(spark, SF_DIR).toPandas()
 
     # Each timed run rebuilds the query (plan + analyze + optimize + execute —
     # no plan caching: same protocol as the DuckDB baseline re-executing its

@@ -388,3 +388,43 @@ def hll_mergeable_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_customers"),
     )
     return per_group_est.unionByName(global_est)
+
+
+@register(
+    "count_min_heavy_hitters",
+    oracle=None,  # sketch estimates are implementation-specific:
+    # tolerance-checked against exact counts in tests/test_ann_recall.py
+    survey_ref="A4,A3",
+    doc="count-min sketch: distributed frequency sketch probed for the exact top keys",
+)
+def count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming-frequency counterpart of the HLL sketch (A4): a
+    count-min sketch over lineitem's supplier key, built distributedly
+    (one mergeable sketch per partition, merged on the driver — the same
+    shape Spark uses for every sketch aggregate), then probed for the
+    exact top-10 suppliers. Output rows carry (key, estimate, exact):
+    CMS guarantees estimate >= exact and estimate <= exact + eps*N with
+    probability >= confidence — the bound the tolerance test asserts. At
+    100 TB the sketch is the only state that moves: a few KB per
+    partition regardless of input rows."""
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    sketch_bytes = li.agg(
+        F.expr("count_min_sketch(l_suppkey, 0.001d, 0.99d, 42)").alias("cms")
+    ).collect()[0]["cms"]
+    # The SQL aggregate emits the serialized mergeable sketch; probing is a
+    # driver-side deserialize (the class Spark itself uses for the agg).
+    cms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        bytes(sketch_bytes)
+    )
+    top = (
+        li.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("exact"))
+        .orderBy(F.desc("exact"), "l_suppkey")
+        .limit(10)
+        .collect()
+    )
+    rows = [
+        (int(r["l_suppkey"]), int(cms.estimateCount(int(r["l_suppkey"]))), int(r["exact"]))
+        for r in top
+    ]
+    return spark.createDataFrame(rows, "l_suppkey long, est bigint, exact bigint")

@@ -358,8 +358,12 @@ def load_tables(
     # (see ingest_tables): same values, scan-parallel layout.
     redirect = getattr(spark, "_lianjia_ingest_map", None) or {}
     data_dir = redirect.get(os.path.normpath(sf_dir), sf_dir)
-    cache: dict[str, DataFrame] = getattr(spark, "_lianjia_table_cache", None) or {}
-    if not hasattr(spark, "_lianjia_table_cache"):
+    # NOTE: an empty cache dict is falsy — test for None, not truthiness,
+    # or a reset-to-{} cache (ingest_tables) silently stops memoizing and
+    # every call re-pays the parquet-footer schema read (~0.1 s/table).
+    cache: dict[str, DataFrame] = getattr(spark, "_lianjia_table_cache", None)
+    if cache is None:
+        cache = {}
         spark._lianjia_table_cache = cache
     out: dict[str, DataFrame] = {}
     for name in names:

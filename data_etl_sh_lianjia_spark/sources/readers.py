@@ -191,6 +191,40 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "catalog_save_as_table",
+    oracle=f"""
+SELECT c_mktsegment, COUNT(*) AS n,
+       {oracle_dsum('c_acctbal', 'sum_bal', scale=2)}
+FROM customer
+GROUP BY c_mktsegment
+""",
+    survey_ref="S9,S11",
+    doc="saveAsTable catalog routing: managed-table write + catalog read-back",
+)
+def catalog_save_as_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 named-collection routing, done literally: the reference routes
+    item streams to named collections (``lianjia_village`` /
+    ``lianjia_House``, items.py:18,35); the engine analog is
+    ``saveAsTable`` into the session catalog and reading back BY NAME
+    (``spark.table``) — schema travels with the catalog entry, not the
+    caller. The aggregate over the catalog copy must equal the direct
+    parquet query (the oracle never sees the managed table). The managed
+    table is dropped afterwards so repeated runs stay idempotent."""
+    cust = load_tables(spark, sf_dir, names=("customer",))["customer"]
+    table_name = "lianjia_customer_snapshot"
+    try:
+        cust.write.mode("overwrite").format("parquet").saveAsTable(table_name)
+        back = spark.table(table_name)
+        result = back.groupBy("c_mktsegment").agg(
+            F.count(F.lit(1)).alias("n"), dsum("c_acctbal", "sum_bal", scale=2)
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+
+
+@register(
     "partitioned_write_prune",
     oracle=f"""
 SELECT o_orderpriority, COUNT(*) AS n,

@@ -75,6 +75,20 @@ def test_approx_percentile_tolerance(spark, sf_dir):
         assert abs(a - e) / e < 0.01, (a, e)
 
 
+def test_count_min_sketch_bounds(spark, sf_dir):
+    """CMS one-sided error bound: estimate >= exact always, and
+    estimate <= exact + eps*N with probability >= confidence (eps=0.001,
+    N = |lineitem| — at sf0.01 that is a slack of ~60 counts)."""
+    from data_etl_sh_lianjia_spark.session import load_tables
+
+    rows = all_queries()["count_min_heavy_hitters"].spark_fn(spark, sf_dir).collect()
+    assert len(rows) == 10
+    n = load_tables(spark, sf_dir, names=("lineitem",))["lineitem"].count()
+    for r in rows:
+        assert r["est"] >= r["exact"], f"CMS underestimated: {r}"
+        assert r["est"] <= r["exact"] + 0.001 * n, f"CMS above eps bound: {r}"
+
+
 def test_lsh_recall_vs_brute_force(spark, sf_dir):
     """BucketedRandomProjectionLSH with 8 hash tables over unit vectors:
     every query must come back, and bucket collisions must retain most of
