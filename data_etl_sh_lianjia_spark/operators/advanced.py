@@ -41,6 +41,59 @@ def paginated_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "recursive_page_walk",
+    oracle="""
+WITH RECURSIVE walk(o_custkey, page, total) AS (
+  SELECT o_custkey, CAST(1 AS BIGINT), n_pages
+  FROM (
+    SELECT o_custkey, CAST(ceil(COUNT(*) / 10.0) AS BIGINT) AS n_pages
+    FROM orders GROUP BY o_custkey
+  )
+  UNION ALL
+  SELECT o_custkey, page + 1, total FROM walk WHERE page < total
+)
+SELECT o_custkey, COUNT(*) AS n_pages_walked,
+       CAST(MAX(page) AS BIGINT) AS last_page,
+       CAST(SUM(page) AS BIGINT) AS page_checksum
+FROM walk
+GROUP BY o_custkey
+""",
+    survey_ref="S3,S2,O1,F11",
+    doc="recursive-CTE pagination walk: declarative twin of the crawler's self-recursion",
+)
+def recursive_page_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's pagination is a *self-recursive callback*: page n
+    yields the request for page n+1 while ``curPage < totalPage``
+    (lianjia.py:53-57,113-119). `paginated_expansion` expresses it as a
+    closed-form sequence; this is the faithful declarative twin — a
+    RECURSIVE CTE (Spark 4.1 UnionLoop) stepping one page per iteration
+    until the bound. Each iteration is a distributed step over all
+    cursors at that depth, so the recursion depth is max pages per
+    parent, not total pages — the same frontier-parallel shape as
+    `sources/frontier.py`'s crawl loop. Identical SQL runs on DuckDB as
+    the oracle."""
+    from data_etl_sh_lianjia_spark.session import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql("""
+WITH RECURSIVE walk(o_custkey, page, total) AS (
+  SELECT o_custkey, CAST(1 AS BIGINT), n_pages
+  FROM (
+    SELECT o_custkey, CAST(ceil(COUNT(*) / 10.0) AS BIGINT) AS n_pages
+    FROM lj_orders GROUP BY o_custkey
+  )
+  UNION ALL
+  SELECT o_custkey, page + 1, total FROM walk WHERE page < total
+)
+SELECT o_custkey, COUNT(*) AS n_pages_walked,
+       CAST(MAX(page) AS BIGINT) AS last_page,
+       CAST(SUM(page) AS BIGINT) AS page_checksum
+FROM walk
+GROUP BY o_custkey
+""")
+
+
+@register(
     "map_pivot_labels",
     oracle="""
 WITH kv AS (

@@ -208,3 +208,52 @@ def test_q16_not_in_plans_null_aware_anti_join(spark, sf_dir):
     left anti — three-valued NOT IN semantics depend on the null check."""
     plan = _plan(all_queries()["q16_notin_distinct"].spark_fn(spark, sf_dir))
     assert "LeftAnti, BuildRight, true" in plan
+
+
+def test_q6_all_predicates_pushed(spark, sf_dir):
+    """Q6 is scan-bound by design: every predicate (date band, discount
+    band, quantity cap) must reach the parquet scan as a pushed filter,
+    and the plan must contain no join and no shuffle other than the
+    single-partition final aggregate exchange."""
+    df = all_queries()["q6_forecast_revenue"].spark_fn(spark, sf_dir)
+    plan = _optimized(df)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert f"IsNotNull({col})" in plan, f"{col} filter not pushed"
+    phys = _plan(df)
+    assert "Join" not in phys
+
+
+def test_q8_q9_dims_broadcast_no_sort_merge(spark, sf_dir):
+    """The Q8/Q9 star shapes must broadcast every dimension: the fact scan
+    streams through broadcast-hash joins and the only shuffle is the final
+    aggregate's."""
+    for name, n_joins in (("q8_market_share", 7), ("q9_product_profit", 4)):
+        plan = _plan(all_queries()[name].spark_fn(spark, sf_dir))
+        assert plan.count("BroadcastHashJoin") >= n_joins, name
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_q10_top20_is_take_ordered(spark, sf_dir):
+    plan = _plan(all_queries()["q10_returned_items"].spark_fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q20_plans_semi_join(spark, sf_dir):
+    plan = _plan(all_queries()["q20_excess_supply"].spark_fn(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_fk_audit_uses_anti_joins(spark, sf_dir):
+    plan = _plan(all_queries()["fk_integrity_audit"].spark_fn(spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_recursive_cte_plans_union_loop(spark, sf_dir):
+    """Spark 4.1 plans WITH RECURSIVE as a UnionLoop iteration — assert the
+    recursive structure actually reached the physical plan (a rewrite to a
+    static union would silently cap the depth)."""
+    df = all_queries()["recursive_page_walk"].spark_fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Loop" in plan or "CTERelation" in plan or "Recursion" in plan
