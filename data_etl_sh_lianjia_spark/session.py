@@ -124,6 +124,7 @@ def _ingest_local(
     min_rows_to_split: int,
     cpus: int,
     parts: int | None,
+    fingerprint: str = "",
 ) -> None:
     """Driver-side ingest of one small landed file (see ingest_tables)."""
     import shutil
@@ -147,7 +148,8 @@ def _ingest_local(
                 pq.write_table(chunk, os.path.join(tmp, f"part-{i:05d}.parquet"))
     else:
         pq.write_table(table, os.path.join(tmp, "part-00000.parquet"))
-    open(os.path.join(tmp, "_SUCCESS"), "w").close()
+    with open(os.path.join(tmp, "_SUCCESS"), "w") as fh:
+        fh.write(fingerprint)
     shutil.rmtree(dst, ignore_errors=True)
     os.replace(tmp, dst)
 
@@ -177,21 +179,36 @@ def ingest_tables(
         if not os.path.exists(src):
             continue
         dst = os.path.join(out_dir, f"{name}.parquet")
-        if os.path.exists(os.path.join(dst, "_SUCCESS")):
-            continue
+        # Freshness fingerprint: managed copies persist in INGEST_ROOT across
+        # processes, so a regenerated source file must invalidate the copy —
+        # skip-if-exists alone would silently serve stale data.
+        st = os.stat(src)
+        fingerprint = f"{st.st_size}:{int(st.st_mtime)}"
+        marker = os.path.join(dst, "_SUCCESS")
+        if os.path.exists(marker):
+            try:
+                with open(marker) as fh:
+                    if fh.read().strip() == fingerprint:
+                        continue
+            except OSError:
+                pass
         key = _INGEST_LAYOUT.get(name)
         if os.path.getsize(src) < 256 * 1024 * 1024:
             # Local fast path: at landed-file sizes below a task's worth of
             # data, a driver-side pyarrow sort+split (deterministic, no
             # sampling job) beats a Spark repartitionByRange round by ~10×.
             # The distributed branch below is the same layout at scale.
-            _ingest_local(src, dst, key, min_rows_to_split, cpus, parts)
+            _ingest_local(
+                src, dst, key, min_rows_to_split, cpus, parts, fingerprint
+            )
             continue
         df = read_events(spark, src) if name == "events" else spark.read.parquet(src)
         if key:
             n_parts = parts or max(2, cpus // 2)
             df = df.repartitionByRange(n_parts, key)
         df.write.mode("overwrite").parquet(dst)
+        with open(marker, "w") as fh:
+            fh.write(fingerprint)
     redirect = getattr(spark, "_lianjia_ingest_map", None) or {}
     redirect[os.path.normpath(sf_dir)] = out_dir
     spark._lianjia_ingest_map = redirect

@@ -74,6 +74,14 @@ def test_ingest_idempotent_and_redirects(spark, sf_dir, tmp_path, monkeypatch, r
     files = {r[0] for r in df.select(F_input_file()).distinct().collect()}
     assert all(str(tmp_path) in f for f in files)
 
+    # a fingerprint mismatch (regenerated source) must trigger a rebuild
+    marker = os.path.join(first, "lineitem.parquet", "_SUCCESS")
+    with open(marker, "w") as fh:
+        fh.write("0:0")
+    sess.ingest_tables(spark, sf_dir)
+    with open(marker) as fh:
+        assert fh.read().strip() != "0:0", "stale managed copy was not rebuilt"
+
 
 def F_input_file():
     from pyspark.sql import functions as F
