@@ -295,21 +295,21 @@ def string_agg_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort is explicit, exactly the rule oracle-hashed collect queries follow.
     Map-side partial collect keeps the shuffle at one array per group."""
     o = _t(spark, sf_dir, "orders")["orders"]
+    sampled = F.array_sort(
+        F.collect_list(
+            F.when(F.col("o_orderkey") % 1000 == 0, F.col("o_orderkey"))
+        )
+    )
+    # SQL-standard LISTAGG over zero qualifying rows is NULL, and that is
+    # what the DuckDB oracle's FILTERed string_agg returns; array_join on
+    # the empty collected array would yield '' instead (diverges on groups
+    # with no sampled keys — caught at sf0.001).
+    joined = F.array_join(F.transform(sampled, lambda x: x.cast("string")), ",")
     return o.groupBy("o_orderstatus").agg(
         F.array_join(
             F.array_sort(F.collect_set("o_orderpriority")), "|"
         ).alias("priorities"),
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.when(F.col("o_orderkey") % 1000 == 0, F.col("o_orderkey"))
-                    )
-                ),
-                lambda x: x.cast("string"),
-            ),
-            ",",
-        ).alias("sample_keys"),
+        F.when(F.size(sampled) > 0, joined).alias("sample_keys"),
     )
 
 

@@ -143,6 +143,88 @@ def extract_features(
 
 
 @register(
+    "multimodal_resize",
+    oracle=None,  # pandas-UDF byte-domain transform: tests/test_multimodal.py
+    # re-derives the subsampled bytes driver-side and matches the digests
+    survey_ref="L5",
+    doc="stubbed resize: 2x byte-domain downsample via mapInPandas, digest-audited",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-style resize at the Spark plumbing level: a real pipeline
+    decodes, resamples pixels, re-encodes inside this exact mapInPandas
+    seam; the no-codec stand-in keeps the byte domain (every 2nd byte —
+    deterministic, shape-preserving for the plumbing) and emits the
+    digest + lengths so correctness is auditable without a codec. Scale:
+    identical to decode — embarrassingly parallel over Arrow batches,
+    output blob rides the columnar path back."""
+    ensure_package_shipped(spark)
+    media = media_table(spark, sf_dir).select("media_id", "media")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out_len, digest = [], []
+            for blob in pdf["media"]:
+                resized = bytes(blob)[::2]
+                out_len.append(len(resized))
+                digest.append(hashlib.md5(resized).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "orig_len": pdf["media"].map(len),
+                    "resized_len": out_len,
+                    "resized_md5": digest,
+                }
+            )
+
+    return media.mapInPandas(
+        fn, "media_id long, orig_len long, resized_len long, resized_md5 string"
+    )
+
+
+@register(
+    "multimodal_waveform_stats",
+    oracle=None,  # pandas-UDF numeric reinterpretation: tests/test_multimodal.py
+    # recomputes rms/peak driver-side with numpy and compares exactly
+    survey_ref="L5",
+    doc="audio-style stats: bytes as int8 PCM -> rms/peak/dc via mapInPandas",
+)
+def multimodal_waveform_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-analysis plumbing: reinterpret the blob as int8 PCM samples and
+    compute RMS / peak / DC offset per clip in one vectorized numpy pass
+    per Arrow batch. A real pipeline swaps the reinterpretation for an
+    audio decoder at this seam; everything downstream (schema, batch
+    shape, rounded float outputs) is the production path."""
+    ensure_package_shipped(spark)
+    media = media_table(spark, sf_dir).select("media_id", "media")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rms, peak, dc = [], [], []
+            for blob in pdf["media"]:
+                s = np.frombuffer(bytes(blob), dtype=np.int8).astype(np.float64)
+                if s.size == 0:
+                    rms.append(0.0); peak.append(0.0); dc.append(0.0)
+                    continue
+                rms.append(round(float(np.sqrt(np.mean(s * s))), 6))
+                peak.append(float(np.max(np.abs(s))))
+                dc.append(round(float(np.mean(s)), 6))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "rms": rms,
+                    "peak": peak,
+                    "dc_offset": dc,
+                }
+            )
+
+    return media.mapInPandas(
+        fn, "media_id long, rms double, peak double, dc_offset double"
+    )
+
+
+@register(
     "multimodal_features",
     oracle=None,  # pandas-UDF decode path: checked by tests/test_multimodal.py
     survey_ref="L5",

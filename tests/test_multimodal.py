@@ -51,3 +51,46 @@ def test_feature_vector_matches_manual_computation(spark, sf_dir):
         v[: len(raw)] = raw
         v = v / np.linalg.norm(v)
         assert np.allclose(feats[row["media_id"]], v)
+
+
+def test_resize_digests_match_driver_side_recompute(spark, sf_dir):
+    """The 2x byte-domain downsample must equal the same transform applied
+    driver-side to the source text bytes (audits the UDF path end-to-end)."""
+    import hashlib
+
+    from data_etl_sh_lianjia_spark.plans.registry import all_queries
+    from data_etl_sh_lianjia_spark.session import load_tables
+
+    rows = {
+        r["media_id"]: r
+        for r in all_queries()["multimodal_resize"].spark_fn(spark, sf_dir).collect()
+    }
+    docs = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    for d in docs.limit(50).collect():
+        raw = d["text"].encode("utf-8")
+        resized = raw[::2]
+        r = rows[d["doc_id"]]
+        assert r["orig_len"] == len(raw)
+        assert r["resized_len"] == len(resized)
+        assert r["resized_md5"] == hashlib.md5(resized).hexdigest()
+
+
+def test_waveform_stats_match_numpy_recompute(spark, sf_dir):
+    import numpy as np
+
+    from data_etl_sh_lianjia_spark.plans.registry import all_queries
+    from data_etl_sh_lianjia_spark.session import load_tables
+
+    rows = {
+        r["media_id"]: r
+        for r in all_queries()["multimodal_waveform_stats"]
+        .spark_fn(spark, sf_dir)
+        .collect()
+    }
+    docs = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    for d in docs.limit(50).collect():
+        s = np.frombuffer(d["text"].encode("utf-8"), dtype=np.int8).astype(np.float64)
+        r = rows[d["doc_id"]]
+        assert r["rms"] == round(float(np.sqrt(np.mean(s * s))), 6)
+        assert r["peak"] == float(np.max(np.abs(s)))
+        assert r["dc_offset"] == round(float(np.mean(s)), 6)
