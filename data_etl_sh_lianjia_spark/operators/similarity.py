@@ -306,6 +306,153 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQ_M = 8  # subspaces
+_PQ_K = 16  # centroids per subspace
+_PQ_RERANK = 32  # ADC candidates kept per query for exact rerank
+
+
+@register(
+    "ann_pq_topk",
+    oracle=None,  # approximate by construction: recall-checked against
+    # ann_brute_topk in tests/test_ann_recall.py, rows-only at the driver
+    survey_ref="L3,J5",
+    doc="product-quantization ANN: subspace codebooks -> ADC scan -> exact rerank",
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN — the memory-bound 100 TB serving path
+    (IVF-PQ is the standard large-corpus index): vectors compress to
+    m=8 one-byte codes (64 bytes -> 8), queries scan codes with
+    asymmetric distance (ADC) lookup tables, and only the top ADC
+    candidates get exact reranking.
+
+    Stages, each as it would run at scale:
+    1. Train: per-subspace k-means codebooks (deterministic seed/init,
+       driver-side on a sample — production trains offline, refreshes
+       like any index artifact). Broadcast (m*k*d/m floats — KBs).
+    2. Encode: one mapInPandas pass argmin-assigns every vector's m
+       subvectors — full scan, no shuffle, output is 8 bytes + id/row.
+    3. ADC scan: each query builds an (m, k) lookup table of partial
+       inner products; candidate scoring is m table lookups per vector
+       — another embarrassingly parallel scan over the codes.
+    4. Exact rerank of the top ADC candidates (cosine on raw vectors).
+    Recall is bounded by quantization distortion — tolerance-tested
+    against ann_brute_topk, never hash-matched."""
+    ensure_package_shipped(spark)
+    emb = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+
+    # -- 1. train codebooks (deterministic: fixed seed, data-order init) ----
+    all_ids, all_mat = _vector_index(
+        spark, emb, f"{sf_dir}:embeddings:all"
+    ).value
+    d = all_mat.shape[1]
+    sub_d = d // _PQ_M
+    rng = np.random.RandomState(42)
+    codebooks = np.empty((_PQ_M, _PQ_K, sub_d))
+    for m in range(_PQ_M):
+        sub = all_mat[:, m * sub_d : (m + 1) * sub_d]
+        cent = sub[rng.choice(len(sub), _PQ_K, replace=False)]
+        for _ in range(8):  # Lloyd iterations
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for k in range(_PQ_K):
+                pts = sub[assign == k]
+                if len(pts):
+                    cent[k] = pts.mean(axis=0)
+        codebooks[m] = cent
+    bc_books = spark.sparkContext.broadcast(codebooks)
+
+    # -- 2. encode the collection (distributed scan) ------------------------
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        books = bc_books.value
+        m_, k_, sd = books.shape
+        for pdf in batches:
+            mat = np.stack(
+                pdf["embedding"].map(lambda v: np.asarray(v, dtype=np.float64))
+            )
+            norms = np.sqrt((mat * mat).sum(axis=1))
+            norms[norms == 0.0] = 1.0
+            mat = mat / norms[:, None]
+            codes = np.empty((len(mat), m_), dtype=np.int32)
+            for m in range(m_):
+                sub = mat[:, m * sd : (m + 1) * sd]
+                d2 = ((sub[:, None, :] - books[m][None, :, :]) ** 2).sum(axis=2)
+                codes[:, m] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "code": [c.tolist() for c in codes],
+                }
+            )
+
+    encoded = emb.select("vec_id", "embedding").mapInPandas(
+        encode, "vec_id long, code array<int>"
+    )
+
+    # -- 3. ADC scan: score codes against every query's lookup table --------
+    q_bc = _vector_index(
+        spark, emb.filter(F.col("vec_id") % 100 == 0), f"{sf_dir}:embeddings:mod100"
+    )
+
+    def adc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        books = bc_books.value
+        q_ids, q_mat = q_bc.value
+        m_, k_, sd = books.shape
+        # (n_q, m, k) partial-inner-product tables
+        q_sub = q_mat[:, : m_ * sd].reshape(len(q_mat), m_, sd)
+        tables = np.einsum("qms,mks->qmk", q_sub, books)
+        for pdf in batches:
+            codes = np.stack(pdf["code"].map(np.asarray))  # (n, m)
+            n_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            # score[q, n] = sum_m tables[q, m, codes[n, m]] — gather per
+            # subspace and accumulate (one fancy-index per subspace)
+            acc = np.zeros((len(q_ids), len(codes)))
+            for m in range(m_):
+                acc += tables[:, m, :][:, codes[:, m]]
+            keep = min(_PQ_RERANK, acc.shape[1])
+            top = np.argpartition(acc, -keep, axis=1)[:, -keep:]
+            qi = np.repeat(np.arange(len(q_ids)), keep)
+            ni = top.ravel()
+            mask = q_ids[qi] != n_ids[ni]
+            yield pd.DataFrame(
+                {
+                    "q_id": q_ids[qi[mask]],
+                    "neighbor_id": n_ids[ni[mask]],
+                    "adc_score": acc[qi[mask], ni[mask]],
+                }
+            )
+
+    cand = encoded.mapInPandas(adc, "q_id long, neighbor_id long, adc_score double")
+
+    # -- 4. exact rerank of ADC survivors (cosine on raw vectors) -----------
+    rer = cand.join(emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+                    "neighbor_id")
+
+    def rerank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        q_ids, q_mat = q_bc.value
+        qpos = {int(q): i for i, q in enumerate(q_ids)}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            a = np.stack(pdf["embedding"].map(lambda v: np.asarray(v, dtype=np.float64)))
+            an = np.sqrt((a * a).sum(axis=1))
+            an[an == 0.0] = 1.0
+            a = a / an[:, None]
+            qi = pdf["q_id"].map(qpos).to_numpy()
+            sims = (a * q_mat[qi]).sum(axis=1)
+            yield pd.DataFrame(
+                {"q_id": pdf["q_id"], "neighbor_id": pdf["neighbor_id"], "sim": sims}
+            )
+
+    scored = rer.mapInPandas(rerank, "q_id long, neighbor_id long, sim double")
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        scored.select("q_id", "neighbor_id", F.round("sim", 4).alias("sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+    )
+
+
 @register(
     "embedding_centroids",
     oracle="""

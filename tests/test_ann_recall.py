@@ -75,6 +75,20 @@ def test_approx_percentile_tolerance(spark, sf_dir):
         assert abs(a - e) / e < 0.01, (a, e)
 
 
+def test_pq_recall_vs_brute_force(spark, sf_dir):
+    """PQ with m=8 x 16 centroids on near-uniform unit vectors is a coarse
+    code (quantization distortion dominates), but the ADC ordering plus
+    exact rerank of 32 candidates must still recover a solid share of the
+    true top-5 and return every query."""
+    qs = all_queries()
+    brute = _topk_sets(qs["ann_brute_topk"].spark_fn(spark, sf_dir).collect())
+    pq = _topk_sets(qs["ann_pq_topk"].spark_fn(spark, sf_dir).collect())
+    assert set(pq) == set(brute), "every query vector must get PQ results"
+    recalls = [len(pq[q] & brute[q]) / len(brute[q]) for q in brute]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.3, f"PQ mean recall@5 too low: {mean_recall:.2f} ({recalls})"
+
+
 def test_count_min_sketch_bounds(spark, sf_dir):
     """CMS one-sided error bound: estimate >= exact always, and
     estimate <= exact + eps*N with probability >= confidence (eps=0.001,
