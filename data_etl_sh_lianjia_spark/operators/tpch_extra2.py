@@ -117,8 +117,9 @@ GROUP BY o_year
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q8's market-share ratio: the nation dimension joins twice (customer
     side restricts the market region; supplier side labels the share
-    numerator). All five dimensions broadcast, so the fact scan never
-    shuffles before the per-year aggregate. The share is a ratio of two
+    numerator). The five dimensions broadcast; the lineitem-orders
+    fact-fact join is optimizer-selected (broadcast at test scale,
+    shuffled at 100 TB). The share is a ratio of two
     exact scaled-long sums divided as doubles — one IEEE division on each
     engine, so the quotient is bit-identical (no post-hoc rounding
     needed). Substitution: the testdata has no p_type phrases, so the
@@ -141,7 +142,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = (
         t["lineitem"]
         .join(F.broadcast(promo_parts), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(t["orders"]), F.col("o_orderkey") == F.col("l_orderkey"))
+        # orders is a fact table: no forced broadcast — the optimizer picks
+        # broadcast below autoBroadcastJoinThreshold (test scale) and a
+        # shuffled join beyond it (the 100 TB posture).
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
         .join(F.broadcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(n_cust), F.col("cn_key") == F.col("c_nationkey"))
@@ -203,7 +207,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["lineitem"]
         .join(F.broadcast(green), F.col("p_partkey") == F.col("l_partkey"))
         .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
-        .join(F.broadcast(t["orders"]), F.col("o_orderkey") == F.col("l_orderkey"))
+        # orders: optimizer-selected join (fact side, see q8 note)
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
         .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("s_nationkey"))
         .groupBy(
             F.col("n_name").alias("nation"),
@@ -251,7 +256,8 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1996-10-01 00:00:00").cast("timestamp_ntz"))
     )
     return (
-        returned.join(F.broadcast(quarter), F.col("l_orderkey") == F.col("o_orderkey"))
+        # quarter-filtered orders: optimizer-selected join (fact side)
+        returned.join(quarter, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("c_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
@@ -379,7 +385,7 @@ FROM brand JOIN thresh USING (l_partkey)
 WHERE l_quantity < lim
 """,
     survey_ref="J3,A3,W3",
-    doc="TPC-H Q17 shape: revenue of below-20%%-of-average-quantity orders",
+    doc="TPC-H Q17 shape: revenue of below-20-percent-of-average-quantity orders",
 )
 def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q17's correlated per-part average is expressed Spark-first as a

@@ -150,8 +150,14 @@ def _ingest_local(
         pq.write_table(table, os.path.join(tmp, "part-00000.parquet"))
     with open(os.path.join(tmp, "_SUCCESS"), "w") as fh:
         fh.write(fingerprint)
-    shutil.rmtree(dst, ignore_errors=True)
+    # Swap via rename-aside so a concurrent reader of dst never sees a
+    # half-deleted directory (rmtree-then-replace would leave that window).
+    trash = dst + ".old"
+    shutil.rmtree(trash, ignore_errors=True)
+    if os.path.exists(dst):
+        os.replace(dst, trash)
     os.replace(tmp, dst)
+    shutil.rmtree(trash, ignore_errors=True)
 
 
 def ingest_tables(
@@ -170,8 +176,15 @@ def ingest_tables(
     only the physical layout changes, so every declared query returns the
     same result either way (the correctness gate runs on the raw files).
     """
-    base = os.path.basename(os.path.normpath(sf_dir))
-    out_dir = os.path.join(INGEST_ROOT, base)
+    import hashlib
+
+    norm = os.path.normpath(sf_dir)
+    # Key the managed dir by basename + path hash: two source dirs that share
+    # a basename (/a/sf0.1 vs /b/sf0.1) must not collide on the same copy.
+    base = os.path.basename(norm)
+    out_dir = os.path.join(
+        INGEST_ROOT, f"{base}-{hashlib.md5(norm.encode()).hexdigest()[:8]}"
+    )
     os.makedirs(out_dir, exist_ok=True)
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     for name in TABLES:
@@ -181,9 +194,13 @@ def ingest_tables(
         dst = os.path.join(out_dir, f"{name}.parquet")
         # Freshness fingerprint: managed copies persist in INGEST_ROOT across
         # processes, so a regenerated source file must invalidate the copy —
-        # skip-if-exists alone would silently serve stale data.
+        # skip-if-exists alone would silently serve stale data. Covers the
+        # source bytes (size + ns-resolution mtime: a same-size rewrite in
+        # the same second must still invalidate) AND the requested layout
+        # (parts/cpus: re-ingesting with a different split count must
+        # rebuild, not silently no-op).
         st = os.stat(src)
-        fingerprint = f"{st.st_size}:{int(st.st_mtime)}"
+        fingerprint = f"{st.st_size}:{st.st_mtime_ns}:parts={parts or cpus}"
         marker = os.path.join(dst, "_SUCCESS")
         if os.path.exists(marker):
             try:
@@ -327,6 +344,12 @@ def read_events(spark: SparkSession, path: str) -> DataFrame:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             df = spark.read.parquet(path)
     dtypes = dict(df.dtypes)
+    if "ts_ns" in dtypes and dtypes.get("ts") != "bigint":
+        # Already-normalized storage (e.g. a managed copy written by the
+        # distributed ingest branch carries the exact nanos column next to
+        # a micros-truncated NTZ ts): keep the stored exact ts_ns rather
+        # than re-deriving a lossy one from ts.
+        return df
     if dtypes.get("ts") == "bigint":
         df = df.withColumnRenamed("ts", "ts_ns").withColumn(
             "ts",
