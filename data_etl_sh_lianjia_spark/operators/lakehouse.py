@@ -384,3 +384,45 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(small_dir, ignore_errors=True)
         shutil.rmtree(compact_dir, ignore_errors=True)
+
+
+@register(
+    "observed_pipeline_metrics",
+    oracle=f"""
+SELECT 'lineitem_scan' AS stage,
+       COUNT(*) AS n_rows,
+       {oracle_dsum('l_extendedprice', 'sum_price')},
+       CAST(SUM(CASE WHEN l_discount > 0.08 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_high_discount
+FROM lineitem
+WHERE l_returnflag = 'R'
+""",
+    survey_ref="S7,A3,A6",
+    doc="df.observe pipeline metrics: named accumulators collected off the main action",
+)
+def observed_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability (the admission-control/monitoring surface,
+    SURVEY §2.1 S7): ``df.observe`` attaches named metric expressions to a
+    plan node — they ride the main action as accumulators, so row counts /
+    sums / data-quality tallies cost no second scan. This is how a 100 TB
+    job reports per-stage health (rows kept, bytes, null ratios) without
+    rerunning aggregates. The observed values themselves are returned as
+    the result and oracle-checked against a direct aggregate."""
+    from pyspark.sql import Observation
+
+    li = load_tables(spark, sf_dir, names=("lineitem",))["lineitem"]
+    obs = Observation("lineitem_scan")
+    observed = li.filter(F.col("l_returnflag") == "R").observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("l_extendedprice", "sum_price"),
+        F.sum(F.when(F.col("l_discount") > 0.08, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_high_discount"),
+    )
+    observed.write.format("noop").mode("overwrite").save()  # the main action
+    m = obs.get
+    return spark.createDataFrame(
+        [("lineitem_scan", m["n_rows"], m["sum_price"], m["n_high_discount"])],
+        "stage string, n_rows bigint, sum_price double, n_high_discount bigint",
+    )
