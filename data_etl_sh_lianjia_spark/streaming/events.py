@@ -468,6 +468,66 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_stream_left_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream join: purchases keep a row even with no
+    prior click — but the NULL-extended row can only emit once the
+    watermark proves no matching click can still arrive, so unmatched
+    purchases newer than (final watermark) stay in state when a bounded
+    run terminates. That cutoff is watermark SEMANTICS, not a bug, and the
+    parity test asserts it exactly (SCALE.md §6: outer stream-stream joins
+    emit on watermark, never promptly)."""
+    ev = read_events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .withWatermark("ts_ltz", "1 hour")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts_ltz").alias("c_ts"),
+            F.expr("ts_ns div 1000").alias("c_ts_us"),
+        )
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts_ltz", "1 hour")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts_ltz").alias("p_ts"),
+            F.expr("ts_ns div 1000").alias("p_ts_us"),
+        )
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "left_outer",
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "click_id",
+        "p_ts_us",
+        "c_ts_us",
+    )
+
+
+@register(
+    "stream_stream_left_join",
+    oracle=None,  # outer emission depends on the final watermark position —
+    # exact-parity-tested (matched rows == batch inner join; null rows ==
+    # watermark-expired unmatched purchases) in tests/test_streaming.py
+    survey_ref="T6,T3,S12,J4",
+    doc="LEFT OUTER stream-stream join: null-extended rows emit on watermark expiry",
+)
+def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_to_completion(
+        stream_stream_left_join_stream(spark, sf_dir),
+        "stream_stream_left_join",
+        "append",
+    )
+
+
 # --- T5b: arbitrary state via transformWithStateInPandas (Spark 4.x API) ----
 
 

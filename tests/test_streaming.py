@@ -139,3 +139,52 @@ def test_tws_counter_matches_batch_or_skips(spark, sf_dir):
         for r in ev.groupBy("user_id").count().withColumnRenamed("count", "n_events").collect()
     }
     assert rows == expected
+
+
+def test_left_outer_stream_join_parity(spark, sf_dir):
+    """LEFT OUTER stream-stream join semantics, exactly:
+    - matched rows equal the batch inner interval join;
+    - NULL-extended rows appear only for unmatched purchases, and only
+      those old enough that the final watermark proved no click can
+      arrive (watermark = max event time - 1h delay);
+    - every unmatched purchase strictly older than the final watermark
+      minus the join bound emits its NULL row (the no-data final batch
+      flushes expired state)."""
+    import data_etl_sh_lianjia_spark.streaming.events as se
+    from pyspark.sql import functions as F
+
+    out = se.stream_stream_left_join(spark, sf_dir).collect()
+    inner = {
+        (r["purchase_id"], r["click_id"])
+        for r in se.stream_stream_join_batch(spark, sf_dir).collect()
+    }
+    matched = {(r["purchase_id"], r["click_id"]) for r in out if r["click_id"] is not None}
+    assert matched == inner
+
+    matched_purchases = {p for p, _ in inner}
+    null_rows = {r["purchase_id"]: r["p_ts_us"] for r in out if r["click_id"] is None}
+    assert not (set(null_rows) & matched_purchases), "null row for a matched purchase"
+
+    from data_etl_sh_lianjia_spark.session import load_tables
+
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    max_us = ev.agg(F.max(F.expr("ts_ns div 1000"))).collect()[0][0]
+    watermark_us = max_us - 3_600_000_000  # 1h delay
+    all_purchases = {
+        r["event_id"]: r["us"]
+        for r in ev.filter(F.col("event_type") == "purchase")
+        .select("event_id", F.expr("ts_ns div 1000").alias("us"))
+        .collect()
+    }
+    unmatched = {
+        p: us for p, us in all_purchases.items() if p not in matched_purchases
+    }
+    # null rows only for unmatched purchases
+    assert set(null_rows) <= set(unmatched)
+    # definitely-expired unmatched purchases must all have emitted
+    definitely_expired = {
+        p for p, us in unmatched.items() if us < watermark_us - 1_800_000_000
+    }
+    assert definitely_expired <= set(null_rows), (
+        f"{len(definitely_expired - set(null_rows))} expired purchases missing"
+    )
