@@ -94,6 +94,16 @@ class Engine:
     def queries(self) -> list[str]:
         return sorted(all_queries())
 
+    def explain(self, name: str, mode: str = "formatted") -> str:
+        """Formatted physical plan of a declared query (plan inspection is
+        part of the engine surface — see PLANS.md for the headline set)."""
+        df = self.query(name)
+        return df._jdf.queryExecution().explainString(
+            self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                mode
+            )
+        )
+
     # -- sinks (SURVEY.md §2.1 S8/S9) ---------------------------------------
 
     def write_json(self, df: DataFrame, path: str, mode: str = "overwrite") -> None:

@@ -36,3 +36,9 @@ def test_json_roundtrip_sink(eng, tmp_path):
     back = eng.spark.read.json(out)
     assert back.count() == 5
     assert set(back.columns) == {"r_regionkey", "r_name"}
+
+
+def test_explain_returns_formatted_plan(eng):
+    plan = eng.explain("q1_scan_agg")
+    assert "== Physical Plan ==" in plan
+    assert "Scan parquet" in plan
