@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from data_etl_sh_lianjia_spark.functions.deterministic import dsum, oracle_dsum
 from data_etl_sh_lianjia_spark.plans.registry import register
 from data_etl_sh_lianjia_spark.session import table_path
 
@@ -124,42 +125,52 @@ def run_to_completion(stream_df: DataFrame, name: str, output_mode: str) -> Data
 # --- T1: tumbling window aggregation ---------------------------------------
 
 
-def tumbling_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = read_events_stream(spark, sf_dir)
+_WIN_START_US = (
+    "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', win.start)"
+)
+
+
+def _tumbling_counts(ev: DataFrame) -> DataFrame:
+    """Shared tumbling shape: NTZ 10-minute windows keyed by epoch micros
+    (tz-independent, hashable by the driver canon) + scaled-long sum."""
     return (
         ev.groupBy(F.window("ts", "10 minutes").alias("win"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.col("value").cast("decimal(30,4)")).cast("double").alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
         .select(
-            F.col("win.start").alias("win_start"),
-            F.col("win.end").alias("win_end"),
+            F.expr(_WIN_START_US).alias("win_start_us"),
             "event_type",
             "n",
             "sum_value",
         )
     )
+
+
+def tumbling_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _tumbling_counts(read_events_stream(spark, sf_dir))
 
 
 def tumbling_counts_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_etl_sh_lianjia_spark.session import load_tables
 
-    ev = load_tables(spark, sf_dir, names=("events",))["events"]
-    return (
-        ev.groupBy(F.window("ts", "10 minutes").alias("win"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.col("value").cast("decimal(30,4)")).cast("double").alias("sum_value"))
-        .select(
-            F.col("win.start").alias("win_start"),
-            F.col("win.end").alias("win_end"),
-            "event_type",
-            "n",
-            "sum_value",
-        )
+    return _tumbling_counts(
+        load_tables(spark, sf_dir, names=("events",))["events"]
     )
 
 
 @register(
     "stream_tumbling_counts",
-    oracle=None,  # watermarked streaming agg: batch-parity tested in tests/test_streaming.py
-    survey_ref="T1,S12",
+    # Complete-mode + AvailableNow over a closed input emits every window
+    # exactly once -> fully deterministic, so the stream gets a real value
+    # oracle (T7 made literal), not just the batch-parity test.
+    oracle=f"""
+SELECT epoch_us(time_bucket(INTERVAL '10 minutes', ts)) AS win_start_us,
+       event_type,
+       COUNT(*) AS n,
+       {oracle_dsum('value', 'sum_value')}
+FROM events
+GROUP BY 1, 2
+""",
+    survey_ref="T1,T7,S12",
     doc="streaming tumbling-window counts (complete mode, AvailableNow)",
 )
 def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -171,30 +182,42 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- T1b: sliding window ----------------------------------------------------
 
 
-def sliding_avg_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = read_events_stream(spark, sf_dir)
+def _sliding_counts(ev: DataFrame) -> DataFrame:
     return (
         ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("win"))
         .agg(F.count(F.lit(1)).alias("n"))
-        .select(F.col("win.start").alias("win_start"), "n")
+        .select(F.expr(_WIN_START_US).alias("win_start_us"), "n")
     )
+
+
+def sliding_avg_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sliding_counts(read_events_stream(spark, sf_dir))
 
 
 def sliding_avg_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_etl_sh_lianjia_spark.session import load_tables
 
-    ev = load_tables(spark, sf_dir, names=("events",))["events"]
-    return (
-        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("win"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select(F.col("win.start").alias("win_start"), "n")
-    )
+    return _sliding_counts(load_tables(spark, sf_dir, names=("events",))["events"])
 
 
 @register(
     "stream_sliding_counts",
-    oracle=None,
-    survey_ref="T1,S12",
+    # Every event falls in exactly two 10m/5m windows: the one starting at
+    # its 5-minute bucket and the one 5 minutes earlier — the oracle
+    # materializes that membership with a two-branch UNION ALL.
+    oracle="""
+WITH b AS (
+  SELECT epoch_us(time_bucket(INTERVAL '5 minutes', ts)) AS b5 FROM events
+)
+SELECT s AS win_start_us, COUNT(*) AS n
+FROM (
+  SELECT b5 AS s FROM b
+  UNION ALL
+  SELECT b5 - 300000000 AS s FROM b
+)
+GROUP BY s
+""",
+    survey_ref="T1,T7,S12",
     doc="streaming sliding-window (10m/5m) counts",
 )
 def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -262,8 +285,12 @@ def dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_dedup",
-    oracle=None,
-    survey_ref="T4,S12",
+    # event_id is unique in the testdata and the raw events table is a
+    # single file (= one micro-batch, watermark still at minus-infinity),
+    # so nothing is dropped as duplicate OR as late: the streaming output
+    # equals the plain projection, which is the exact oracle.
+    oracle="SELECT event_id, user_id, event_type FROM events",
+    survey_ref="T4,T3,S12",
     doc="stateful streaming dedup on event_id within the watermark",
 )
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
