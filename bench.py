@@ -121,6 +121,11 @@ def main() -> None:
     results = {
         name: round(statistics.median(ts), 4) for name, ts in samples.items()
     }
+    # Best-of-run floor alongside the median: the host VM throttles in
+    # bursts (3× swings on identical queries minutes apart), so the min
+    # shows what the engine does on quiet hardware while the median stays
+    # the honest headline.
+    best = {name: round(min(ts), 4) for name, ts in samples.items()}
     plan_results = {
         name: round(statistics.median(ts), 4)
         for name, ts in planning.items()
@@ -135,6 +140,7 @@ def main() -> None:
                 "value": round(sum(results.values()), 4),
                 "unit": "sec",
                 "queries": results,
+                "queries_best": best,
                 "queries_planning": plan_results,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "runs": RUNS,
