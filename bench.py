@@ -70,12 +70,18 @@ def main() -> None:
     # ingested storage, not raw landings). Timed separately and reported
     # as ingest_sec; SPARK_GRAFT_BENCH_RAW=1 benches the raw files.
     ingest_sec = None
+    ingest_rebuilt = None
     if not os.environ.get("SPARK_GRAFT_BENCH_RAW"):
         from data_etl_sh_lianjia_spark.session import ingest_tables
 
         t0 = time.perf_counter()
         ingest_tables(spark, SF_DIR)
         ingest_sec = round(time.perf_counter() - t0, 4)
+        # 0 = warm run (managed copies reused from a previous process);
+        # >0 = this run paid the re-layout. A raw-file baseline comparison
+        # should look at a cold run's ingest_sec, or set
+        # SPARK_GRAFT_BENCH_RAW=1 for a true same-work parity run.
+        ingest_rebuilt = getattr(spark, "_lianjia_ingest_rebuilt", None)
     bench_queries = {n: dq for n, dq in all_queries().items() if dq.bench}
 
     # Warm the session: file-listing + parquet-footer caches, codegen cache,
@@ -145,6 +151,7 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "runs": RUNS,
                 "ingest_sec": ingest_sec,
+                "ingest_tables_rebuilt": ingest_rebuilt,
             }
         )
     )

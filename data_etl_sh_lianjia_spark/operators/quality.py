@@ -99,11 +99,14 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "fuzzy_match_levenshtein",
     oracle="""
-WITH names AS (SELECT DISTINCT p_name FROM part)
-SELECT a.p_name AS name_a, b.p_name AS name_b,
-       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
-FROM names a JOIN names b ON a.p_name < b.p_name
-WHERE levenshtein(a.p_name, b.p_name) <= 2
+WITH names AS (SELECT DISTINCT p_name FROM part),
+a AS (SELECT p_name AS name_a, length(p_name) AS la FROM names),
+bx AS (SELECT p_name AS name_b, length(p_name) + off.o AS bucket
+       FROM names, (SELECT unnest([-2,-1,0,1,2]) AS o) off)
+SELECT name_a, name_b,
+       CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+FROM a JOIN bx ON la = bucket AND name_a < name_b
+WHERE levenshtein(name_a, name_b) <= 2
 """,
     survey_ref="J3,L2,F2",
     doc="fuzzy duplicate detection: distinct-name pairs within levenshtein distance 2",
@@ -112,19 +115,29 @@ def fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance blocking for the denormalized-name problem (the
     reference stamps the village name by value onto every house row —
     近-miss variants split joins). Both engines implement classic
-    Levenshtein, so the distance is integer-exact. Scale note: the
-    distinct-name relation is orders of magnitude smaller than the rows
-    (dedup first!), and it broadcasts; at corpus scale the quadratic
-    pair space needs a blocking key first (length band or first-token —
-    the dedup_* family's LSH buckets are the scale path)."""
+    Levenshtein, so the distance is integer-exact. Scale shape: a
+    levenshtein distance ≤ 2 forces |len(a) − len(b)| ≤ 2, so one side
+    explodes into its 5 admissible length buckets and the pair space is
+    an EQUI-join on length (hash-joinable, shuffle-partitionable by
+    bucket) instead of an all-pairs nested loop — lossless blocking that
+    collapses ~n²/2 candidate pairs to same-length-band pairs only. At
+    corpus scale the dedup_* family's LSH buckets remain the coarser
+    first-stage path; this is the verify-stage kernel."""
     part = _t(spark, sf_dir, "part")["part"]
     names = part.select("p_name").distinct()
-    a = names.select(F.col("p_name").alias("name_a"))
-    b = names.select(F.col("p_name").alias("name_b"))
+    a = names.select(F.col("p_name").alias("name_a"), F.length("p_name").alias("la"))
+    bx = names.select(
+        F.col("p_name").alias("name_b"),
+        F.explode(
+            F.array(*[F.length("p_name") + F.lit(o) for o in range(-2, 3)])
+        ).alias("bucket"),
+    )
     return (
-        a.join(F.broadcast(b), F.col("name_a") < F.col("name_b"))
-        .withColumn(
-            "dist", F.levenshtein("name_a", "name_b").cast("bigint")
+        a.join(
+            F.broadcast(bx),
+            (F.col("la") == F.col("bucket")) & (F.col("name_a") < F.col("name_b")),
         )
+        .withColumn("dist", F.levenshtein("name_a", "name_b").cast("bigint"))
         .filter(F.col("dist") <= 2)
+        .select("name_a", "name_b", "dist")
     )

@@ -117,9 +117,9 @@ GROUP BY o_year
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q8's market-share ratio: the nation dimension joins twice (customer
     side restricts the market region; supplier side labels the share
-    numerator). The five dimensions broadcast; the lineitem-orders
-    fact-fact join is optimizer-selected (broadcast at test scale,
-    shuffled at 100 TB). The share is a ratio of two
+    numerator). Nation/region and the type-pruned part subset broadcast;
+    orders/customer/supplier (SF-scaling tables) take optimizer-selected
+    joins (broadcast at test scale, shuffled at 100 TB). The share is a ratio of two
     exact scaled-long sums divided as doubles — one IEEE division on each
     engine, so the quotient is bit-identical (no post-hoc rounding
     needed). Substitution: the testdata has no p_type phrases, so the
@@ -146,8 +146,13 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         # broadcast below autoBroadcastJoinThreshold (test scale) and a
         # shuffled join beyond it (the 100 TB posture).
         .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey"))
-        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        # customer/supplier scale with SF in TPC-H (terabytes at SF100k):
+        # like orders, they get no forced broadcast — the optimizer
+        # broadcasts them below the threshold and shuffles beyond it.
+        # Only the fixed-cardinality dims (nation/region) and the
+        # LIKE-pruned part subset keep explicit hints.
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["supplier"], F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(n_cust), F.col("cn_key") == F.col("c_nationkey"))
         .join(F.broadcast(region), F.col("r_regionkey") == F.col("cn_region"))
         .join(F.broadcast(n_supp), F.col("sn_key") == F.col("s_nationkey"))
@@ -196,8 +201,10 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (fact scan ⋈ filtered dim ⋈ three more dims → two-key rollup of a
     mixed-sign expression) is unchanged. True decimal precision of the
     profit expression is 4 digits (2dp price × 2dp discount); scale 6
-    routes it exactly. At 100 TB the only shuffle is the final two-key
-    aggregate — every dimension broadcasts."""
+    routes it exactly. At scale the LIKE-pruned part subset and nation
+    broadcast; supplier and orders (SF-scaling tables) take
+    optimizer-selected joins that degrade to shuffles beyond the
+    broadcast threshold."""
     t = _t(spark, sf_dir, "part", "supplier", "orders", "nation", "lineitem")
     green = t["part"].filter(F.col("p_name").like("%green%"))
     profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(0.5) * F.col(
@@ -206,7 +213,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t["lineitem"]
         .join(F.broadcast(green), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        # supplier scales with SF: optimizer-selected join (see q8 note)
+        .join(t["supplier"], F.col("s_suppkey") == F.col("l_suppkey"))
         # orders: optimizer-selected join (fact side, see q8 note)
         .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
         .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("s_nationkey"))

@@ -40,6 +40,101 @@ _RAW_SCHEMA = T.StructType(
 )
 
 
+def _events_files(sf_dir: str) -> list[str]:
+    import glob
+
+    return sorted(glob.glob(os.path.join(sf_dir, "events*.parquet")))
+
+
+def _assert_single_events_file(sf_dir: str, query: str) -> None:
+    """Guard for queries whose EXACT value oracle assumes the whole events
+    table arrives in ONE micro-batch (watermark still at -inf, so nothing is
+    dropped as late). With multiple event files the reader feeds one file
+    per trigger and the watermark advances between files — late rows would
+    silently be dropped and the oracle would no longer describe the output."""
+    files = _events_files(sf_dir)
+    if len(files) != 1:
+        raise AssertionError(
+            f"{query}: exact oracle requires a single events file in {sf_dir}; "
+            f"found {len(files)} ({files}). Use the batch twin or a "
+            "sentinel-closed input for multi-file directories."
+        )
+
+
+def _closed_events_dir(sf_dir: str) -> str:
+    """A /tmp copy of ``sf_dir``'s events table plus two staggered far-future
+    sentinel batches that drive the watermark past every real event.
+
+    Purpose: append-mode stateful streams over a finite input keep their
+    tail state forever (the watermark never passes it), so their output is a
+    timing-dependent prefix. Closing the input with sentinels makes the
+    run drain ALL state — the output becomes the exact batch equivalent,
+    which a plain SQL oracle can describe. Each sentinel file carries one
+    'click' and one 'purchase' row for user −1 so the rows pass the
+    type-filters ahead of every withWatermark operator (filtered-out rows
+    never update a watermark); callers filter ``user_id >= 0``.
+
+    Cached per (path, size, mtime) fingerprint; rebuilt when the source
+    changes. Staging dir is per-PID and published with an atomic rename, so
+    concurrent builders race safely.
+    """
+    import hashlib
+    import shutil
+    import time
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    src = table_path(sf_dir, "events")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{os.path.normpath(src)}:{st.st_size}:{st.st_mtime_ns}".encode()
+    ).hexdigest()[:12]
+    out = os.path.join("/tmp/spark-graft-closed", key)
+    if os.path.exists(os.path.join(out, "_READY")):
+        return out
+    tmp = f"{out}.tmp-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    shutil.copy(src, os.path.join(tmp, "events.parquet"))
+    ts = pq.read_table(src, columns=["ts"]).column("ts")
+    if pa.types.is_timestamp(ts.type):
+        max_ns = pc.max(ts.cast(pa.timestamp("ns"))).cast(pa.int64()).as_py()
+    else:  # already stored as int64 epoch-nanos
+        max_ns = int(pc.max(ts).as_py())
+    base = time.time()
+    for i, hours in enumerate((10, 30), start=1):
+        sent_ns = max_ns + hours * 3600 * 10**9
+        sent = pa.table(
+            {
+                "event_id": pa.array([-1, -2], pa.int64()),
+                # raw INT64 epoch-nanos: the stream's LongType schema reads
+                # it identically to TIMESTAMP(NANOS)-as-long
+                "ts": pa.array([sent_ns, sent_ns], pa.int64()),
+                "user_id": pa.array([-1, -1], pa.int64()),
+                "event_type": pa.array(["click", "purchase"]),
+                "value": pa.array([0.0, 0.0], pa.float64()),
+                "props": pa.array(["{}", "{}"]),
+            }
+        )
+        path = os.path.join(tmp, f"events_sentinel{i}.parquet")
+        pq.write_table(sent, path)
+        os.utime(path, (base + 100 * i, base + 100 * i))
+    os.utime(os.path.join(tmp, "events.parquet"), (base, base))
+    with open(os.path.join(tmp, "_READY"), "w") as fh:
+        fh.write("ok")
+    if not os.path.exists(out):
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        try:
+            os.replace(tmp, out)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    else:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of session.read_events: same ts derivation, file source."""
     from data_etl_sh_lianjia_spark.session import tune_for_sf
@@ -263,13 +358,48 @@ def session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_session_window",
-    oracle=None,
+    # Exact value oracle for append-mode session windows over a single-file
+    # (one-micro-batch) input: the run emits precisely the sessions whose
+    # end ≤ the final watermark (max event time − 1h). Session semantics in
+    # SQL: a new session starts when the gap to the previous event is ≥ the
+    # 30-min gap (Spark merges an event iff its time < previous window
+    # end, which is exclusive); session end = last event + gap. Verified
+    # row-set-identical to the streaming output at sf0.001/0.01/0.1.
+    oracle="""
+WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+flagged AS (
+  SELECT user_id, ts_us,
+     CASE WHEN ts_us - lag(ts_us) OVER w >= 1800000000
+            OR lag(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+), sess AS (
+  SELECT user_id, ts_us,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+), agg AS (
+  SELECT user_id, MIN(ts_us) AS sess_start_us,
+         MAX(ts_us) + 1800000000 AS sess_end_us, COUNT(*) AS n_events
+  FROM sess GROUP BY user_id, sid
+)
+SELECT user_id, sess_start_us, sess_end_us, n_events
+FROM agg, (SELECT MAX(epoch_us(ts)) - 3600000000 AS wm FROM events) w
+WHERE sess_end_us <= wm
+""",
     survey_ref="T2,T3,S12",
     doc="streaming session_window(30m) per user with 1h watermark",
 )
 def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return run_to_completion(
+    _assert_single_events_file(sf_dir, "stream_session_window")
+    out = run_to_completion(
         session_window_stream(spark, sf_dir), "stream_session_window", "append"
+    )
+    # Project window bounds to epoch-micros: tz-independent, hash-stable.
+    return out.select(
+        "user_id",
+        F.unix_micros("sess_start").alias("sess_start_us"),
+        F.unix_micros("sess_end").alias("sess_end_us"),
+        "n_events",
     )
 
 
@@ -294,6 +424,9 @@ def dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="stateful streaming dedup on event_id within the watermark",
 )
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Multi-file dirs advance the watermark between micro-batches and would
+    # drop late rows, breaking the plain-projection oracle above.
+    _assert_single_events_file(sf_dir, "stream_dedup")
     return run_to_completion(dedup_stream(spark, sf_dir), "stream_dedup", "append")
 
 
@@ -379,7 +512,11 @@ def stateful_counter_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_stateful_counter",
-    oracle=None,
+    # Exact oracle: the counter is monotone and never evicted (NoTimeout, no
+    # watermark filter ahead of it), so max-over-updates per user == the
+    # final count == the batch aggregate — regardless of how many triggers
+    # the input splits into.
+    oracle="SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id",
     survey_ref="T5,S12",
     doc="applyInPandasWithState running per-user counters (update mode)",
 )
@@ -541,18 +678,39 @@ def stream_stream_left_join_stream(spark: SparkSession, sf_dir: str) -> DataFram
 
 @register(
     "stream_stream_left_join",
-    oracle=None,  # outer emission depends on the final watermark position —
-    # exact-parity-tested (matched rows == batch inner join; null rows ==
-    # watermark-expired unmatched purchases) in tests/test_streaming.py
+    # Exact value oracle via a sentinel-closed input: two staggered
+    # far-future sentinel batches drive the watermark past every real
+    # event, so ALL retained outer state drains before the run ends and
+    # the emission equals the batch LEFT JOIN (sentinel user −1 filtered
+    # from the output). The raw watermark-cutoff behavior (null rows only
+    # for state the final watermark expired) stays pinned by
+    # tests/test_streaming.py::test_left_outer_stream_join_parity, which
+    # runs the same stream WITHOUT sentinels.
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events
+)
+SELECT p.user_id AS user_id,
+       p.event_id AS purchase_id,
+       c.event_id AS click_id,
+       p.ts_us AS p_ts_us,
+       c.ts_us AS c_ts_us
+FROM (SELECT * FROM e WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT * FROM e WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts_us BETWEEN p.ts_us - 1800000000 AND p.ts_us
+""",
     survey_ref="T6,T3,S12,J4",
     doc="LEFT OUTER stream-stream join: null-extended rows emit on watermark expiry",
 )
 def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return run_to_completion(
-        stream_stream_left_join_stream(spark, sf_dir),
+    closed = _closed_events_dir(sf_dir)
+    out = run_to_completion(
+        stream_stream_left_join_stream(spark, closed),
         "stream_stream_left_join",
         "append",
     )
+    return out.filter(F.col("user_id") >= 0)
 
 
 # --- T5b: arbitrary state via transformWithStateInPandas (Spark 4.x API) ----

@@ -153,7 +153,13 @@ def test_left_outer_stream_join_parity(spark, sf_dir):
     import data_etl_sh_lianjia_spark.streaming.events as se
     from pyspark.sql import functions as F
 
-    out = se.stream_stream_left_join(spark, sf_dir).collect()
+    # Raw (no-sentinel) run: the registered query closes the input to drain
+    # all state; this test pins the *unclosed* watermark-cutoff semantics.
+    out = se.run_to_completion(
+        se.stream_stream_left_join_stream(spark, sf_dir),
+        "raw_left_join",
+        "append",
+    ).collect()
     inner = {
         (r["purchase_id"], r["click_id"])
         for r in se.stream_stream_join_batch(spark, sf_dir).collect()
@@ -188,3 +194,45 @@ def test_left_outer_stream_join_parity(spark, sf_dir):
     assert definitely_expired <= set(null_rows), (
         f"{len(definitely_expired - set(null_rows))} expired purchases missing"
     )
+
+
+def test_left_join_flush_equals_batch_left_join(spark, sf_dir):
+    """The registered stream_stream_left_join runs over a sentinel-closed
+    input, so its output must equal the full batch LEFT JOIN exactly."""
+    import data_etl_sh_lianjia_spark.streaming.events as se
+    from pyspark.sql import functions as F
+
+    from data_etl_sh_lianjia_spark.session import load_tables
+
+    out = se.stream_stream_left_join(spark, sf_dir)
+    stream_rows = [tuple(r) for r in out.collect()]
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    us = ev.select(
+        "user_id", "event_id", "event_type", F.expr("ts_ns div 1000").alias("ts_us")
+    )
+    clicks = us.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts_us").alias("c_ts_us"),
+    )
+    purchases = us.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts_us").alias("p_ts_us"),
+    )
+    batch = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts_us") >= F.col("p_ts_us") - F.lit(1_800_000_000))
+        & (F.col("c_ts_us") <= F.col("p_ts_us")),
+        "left_outer",
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "click_id",
+        "p_ts_us",
+        "c_ts_us",
+    )
+    batch_rows = [tuple(r) for r in batch.collect()]
+    res = compare_results(stream_rows, out.columns, batch_rows, batch.columns)
+    assert res.ok, f"left join flush: {res.reason}\nsample: {res.sample_diff}"
