@@ -307,37 +307,51 @@ WHERE round(list_cosine_similarity(a.vec, b.vec), 4) >= {_COS_THRESHOLD}
     survey_ref="L2,J5",
     doc=f"embedding near-dup: all pairs with cosine >= {_COS_THRESHOLD}",
 )
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_embedding_cosine(
+    spark: SparkSession, sf_dir: str, tile_size: int | None = None
+) -> DataFrame:
+    """All embedding pairs with cosine ≥ threshold — exact, with the
+    broadcast side TILED (operators/similarity._tiled_vector_index): the
+    driver collects at most one bounded hash tile at a time and the
+    collection streams once per tile, so no stage ever materializes the
+    full corpus in one place. The threshold filter bounds each tile scan's
+    output; at corpus scale the LSH/banded near-dup paths remain the
+    cheaper first stage, with this kernel as the exact verifier."""
+    from functools import reduce
+
+    from data_etl_sh_lianjia_spark.operators.similarity import _tiled_vector_index
+
     ensure_package_shipped(spark)
     emb = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
-    pdf = emb.select("vec_id", "embedding").toPandas()
-    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-    mat = np.stack(pdf["embedding"].map(lambda v: np.asarray(v, dtype=np.float64)))
-    norms = np.sqrt((mat * mat).sum(axis=1))
-    norms[norms == 0.0] = 1.0
-    matn = mat / norms[:, None]
-    bc = spark.sparkContext.broadcast((ids, matn))
-
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        b_ids, b_mat = bc.value
-        for pdf_batch in batches:
-            a_ids = pdf_batch["vec_id"].to_numpy(dtype=np.int64)
-            a = np.stack(
-                pdf_batch["embedding"].map(lambda v: np.asarray(v, dtype=np.float64))
-            )
-            an = np.sqrt((a * a).sum(axis=1))
-            an[an == 0.0] = 1.0
-            sims = (a / an[:, None]) @ b_mat.T
-            ai, bi = np.nonzero(
-                (a_ids[:, None] < b_ids[None, :]) & (sims >= _COS_THRESHOLD - 1e-4)
-            )
-            yield pd.DataFrame(
-                {"vec_id_a": a_ids[ai], "vec_id_b": b_ids[bi], "sim": sims[ai, bi]}
-            )
-
-    cand = emb.select("vec_id", "embedding").mapInPandas(
-        fn, "vec_id_a long, vec_id_b long, sim double"
+    tiles = _tiled_vector_index(
+        spark, emb, f"{sf_dir}:embeddings:all", tile_size=tile_size
     )
+
+    def tile_scan(bc) -> DataFrame:
+        def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            b_ids, b_mat = bc.value
+            for pdf_batch in batches:
+                if not len(b_ids):
+                    continue
+                a_ids = pdf_batch["vec_id"].to_numpy(dtype=np.int64)
+                a = np.stack(
+                    pdf_batch["embedding"].map(lambda v: np.asarray(v, dtype=np.float64))
+                )
+                an = np.sqrt((a * a).sum(axis=1))
+                an[an == 0.0] = 1.0
+                sims = (a / an[:, None]) @ b_mat.T
+                ai, bi = np.nonzero(
+                    (a_ids[:, None] < b_ids[None, :]) & (sims >= _COS_THRESHOLD - 1e-4)
+                )
+                yield pd.DataFrame(
+                    {"vec_id_a": a_ids[ai], "vec_id_b": b_ids[bi], "sim": sims[ai, bi]}
+                )
+
+        return emb.select("vec_id", "embedding").mapInPandas(
+            fn, "vec_id_a long, vec_id_b long, sim double"
+        )
+
+    cand = reduce(DataFrame.unionByName, [tile_scan(bc) for bc in tiles])
     return cand.select(
         "vec_id_a", "vec_id_b", F.round("sim", 4).alias("sim")
     ).filter(F.col("sim") >= _COS_THRESHOLD)

@@ -37,14 +37,15 @@ from pyspark.sql.window import Window
 from data_etl_sh_lianjia_spark.plans.registry import register
 from data_etl_sh_lianjia_spark.session import ensure_package_shipped, load_tables
 
-_TILE_NOTE = (
-    "At collection sizes beyond executor memory, broadcast B in tiles of "
-    "~1e6 vectors and union the per-tile candidate sets before the final "
-    "top-k; per-batch local top-k keeps every tile's output bounded."
-)
-
 _PAIR_SCHEMA = "vec_id_a long, vec_id_b long, sim double"
 _KNN_SCHEMA = "q_id long, neighbor_id long, sim double"
+
+# Tile size (vectors) for the broadcast side of exact-pair kernels. One tile
+# of 200k×64 float64 is ~100 MB — bounded regardless of corpus size. At the
+# test scale factors every corpus fits one tile, so the plan is identical to
+# an untiled broadcast; tests force tile_size < corpus to pin the multi-tile
+# path (tests/test_ann_recall.py::test_cosine_topk_tiled_matches_untiled).
+DEFAULT_TILE_VECTORS = 200_000
 
 
 def _collect_normalized(df: DataFrame) -> tuple[np.ndarray, np.ndarray]:
@@ -85,6 +86,47 @@ def _vector_index(
     return bc
 
 
+def _tiled_vector_index(
+    spark: SparkSession,
+    df: DataFrame,
+    key: str,
+    tile_size: int | None = None,
+) -> list["pyspark.Broadcast"]:  # noqa: F821
+    """The scale-safe form of :func:`_vector_index`: the collection is
+    broadcast as ``ceil(n / tile_size)`` hash tiles (``vec_id % T``), each
+    collected in its own bounded driver round-trip — the driver never holds
+    more than one tile's matrix while building, and each executor task only
+    deserializes the single tile its scan branch references (broadcast
+    blocks are MEMORY_AND_DISK, so cold tiles evict under pressure).
+
+    Callers union one candidate scan per tile; per-batch local top-k /
+    thresholding keeps every tile's output bounded, so the union stays
+    small no matter how many tiles the corpus needs. Tiles are memoized per
+    (session, key, T) like the single-tile index.
+    """
+    tile_size = tile_size or DEFAULT_TILE_VECTORS
+    cache = getattr(spark, "_lianjia_vec_index", None)
+    if cache is None:
+        cache = {}
+        spark._lianjia_vec_index = cache
+    nkey = f"{key}:n"
+    n = cache.get(nkey)
+    if n is None:
+        n = df.count()
+        cache[nkey] = n
+    t = max(1, -(-n // tile_size))
+    tiles = []
+    for i in range(t):
+        tkey = f"{key}:tile{i}/{t}"
+        bc = cache.get(tkey)
+        if bc is None:
+            tile_df = df.filter(F.pmod(F.col("vec_id"), F.lit(t)) == i)
+            bc = spark.sparkContext.broadcast(_collect_normalized(tile_df))
+            cache[tkey] = bc
+        tiles.append(bc)
+    return tiles
+
+
 @register(
     "cosine_topk",
     oracle="""
@@ -105,21 +147,27 @@ LIMIT 10
     doc="global top-10 cosine pairs: broadcast matrix + blocked numpy matmul",
 )
 def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ensure_package_shipped(spark)
-    emb = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
-    bc = _vector_index(spark, emb, f"{sf_dir}:embeddings:all")
-    keep = 64
+    return _cosine_topk_impl(spark, sf_dir)
+
+
+def _topk_tile_scan(emb: DataFrame, bc, keep: int) -> DataFrame:
+    """One candidate scan of the collection against one broadcast tile:
+    per Arrow batch, one BLAS matmul + local top-``keep`` — any global
+    top-10 pair ranks ≤ 10 within its (batch, tile) cell, so keep=64 is a
+    safe superset."""
 
     # NOTE: closure must stay self-contained (numpy/pandas + broadcast only)
     # so cloudpickle ships it by value — see session.ensure_package_shipped.
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         b_ids_w, b_mat_w = bc.value
         for pdf in batches:
+            if not len(b_ids_w):
+                continue
             a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             a = np.stack(pdf["embedding"].map(lambda v: np.asarray(v, dtype=np.float64)))
             an = np.sqrt((a * a).sum(axis=1))
             an[an == 0.0] = 1.0
-            sims = (a / an[:, None]) @ b_mat_w.T  # (batch, |B|)
+            sims = (a / an[:, None]) @ b_mat_w.T  # (batch, |tile|)
             mask = a_ids[:, None] < b_ids_w[None, :]
             flat = np.where(mask, sims, -np.inf).ravel()
             n = min(keep, flat.size)
@@ -130,7 +178,124 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"vec_id_a": a_ids[ai], "vec_id_b": b_ids_w[bi], "sim": sims[ai, bi]}
             )
 
-    cand = emb.select("vec_id", "embedding").mapInPandas(fn, _PAIR_SCHEMA)
+    return emb.select("vec_id", "embedding").mapInPandas(fn, _PAIR_SCHEMA)
+
+
+def _cosine_topk_impl(
+    spark: SparkSession, sf_dir: str, tile_size: int | None = None
+) -> DataFrame:
+    """Global top-10 cosine pairs with a TILED broadcast side: the corpus is
+    broadcast in bounded hash tiles and the collection streams once per
+    tile; the unioned candidate sets (≤ keep rows per batch-tile cell) feed
+    one TakeOrderedAndProject. At the test SFs the corpus fits one tile, so
+    the plan degenerates to the single-broadcast form with zero overhead;
+    ``tile_size`` is exposed so tests force the multi-tile path and
+    hash-match it against the untiled result."""
+    from functools import reduce
+
+    ensure_package_shipped(spark)
+    emb = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+    tiles = _tiled_vector_index(
+        spark, emb, f"{sf_dir}:embeddings:all", tile_size=tile_size
+    )
+    keep = 64
+    cand = reduce(
+        DataFrame.unionByName, [_topk_tile_scan(emb, bc, keep) for bc in tiles]
+    )
+    return (
+        cand.select("vec_id_a", "vec_id_b", F.round("sim", 4).alias("sim"))
+        .orderBy(F.desc("sim"), "vec_id_a", "vec_id_b")
+        .limit(10)
+    )
+
+
+@register(
+    "cosine_topk_grid",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+         round(list_cosine_similarity(a.vec, b.vec), 4) AS sim
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+)
+SELECT vec_id_a, vec_id_b, sim
+FROM pairs
+ORDER BY sim DESC, vec_id_a, vec_id_b
+LIMIT 10
+""",
+    survey_ref="J5,L3",
+    doc="top-10 cosine pairs via shuffle-partitioned block grid (no broadcast, no driver collect)",
+)
+def cosine_topk_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The zero-broadcast exact-pair kernel: block-partitioned matrix
+    product. Rows hash into T blocks by vec_id; block pair (i, j), i ≤ j,
+    becomes one cogroup cell — the A side replicates each row to cells
+    (bi, j ≥ bi), the B side to cells (i ≤ bj, bj) — and each cell does one
+    numpy matmul over its two blocks, emitting only its local top-keep
+    pairs. Everything is shuffle + applyInPandas: no driver collect, no
+    broadcast, shuffle volume = n·(T+1)/2 rows against n²/2 scored pairs.
+    This is the shape that holds when BOTH sides outgrow broadcast tiles;
+    the tiled-broadcast kernel (cosine_topk) is the lower-latency choice
+    while one side fits executor memory."""
+    ensure_package_shipped(spark)
+    emb = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+    t_blocks = 4
+    keep = 64
+
+    base = emb.select(
+        "vec_id", "embedding", F.pmod("vec_id", F.lit(t_blocks)).alias("blk")
+    )
+    a_rep = base.withColumn(
+        "bj", F.explode(F.sequence(F.col("blk"), F.lit(t_blocks - 1)))
+    ).select(F.col("blk").alias("bi"), "bj", "vec_id", "embedding")
+    # Right-side columns get fresh names: self-cogrouping one base plan
+    # reuses attribute ids, and the analyzer then prunes the right group's
+    # duplicate columns out of the pdf handed to the UDF (observed: the
+    # right pdf arrives with only the key column).
+    b_rep = base.withColumn(
+        "bi", F.explode(F.sequence(F.lit(0), F.col("blk")))
+    ).select(
+        "bi",
+        F.col("blk").alias("bj"),
+        F.col("vec_id").alias("vec_id_r"),
+        F.col("embedding").alias("embedding_r"),
+    )
+
+    def cell(key, a_pdf: pd.DataFrame, b_pdf: pd.DataFrame) -> pd.DataFrame:
+        if a_pdf.empty or b_pdf.empty:
+            return pd.DataFrame({"vec_id_a": [], "vec_id_b": [], "sim": []})
+        a_ids = a_pdf["vec_id"].to_numpy(dtype=np.int64)
+        b_ids = b_pdf["vec_id_r"].to_numpy(dtype=np.int64)
+        a = np.stack(a_pdf["embedding"].map(lambda v: np.asarray(v, dtype=np.float64)))
+        b = np.stack(b_pdf["embedding_r"].map(lambda v: np.asarray(v, dtype=np.float64)))
+        for m in (a, b):
+            nm = np.sqrt((m * m).sum(axis=1))
+            nm[nm == 0.0] = 1.0
+            m /= nm[:, None]
+        sims = a @ b.T
+        # Diagonal cell (i == j): both orientations of every same-block pair
+        # are present — keep the a<b one. Off-diagonal cell (i < j): each
+        # cross-block pair appears exactly once with fixed orientation —
+        # keep all non-self pairs and canonicalize ids afterwards.
+        if key[0] == key[1]:
+            mask = a_ids[:, None] < b_ids[None, :]
+        else:
+            mask = a_ids[:, None] != b_ids[None, :]
+        flat = np.where(mask, sims, -np.inf).ravel()
+        n = min(keep, flat.size)
+        idx = np.argpartition(flat, -n)[-n:]
+        idx = idx[np.isfinite(flat[idx])]
+        ai, bi = np.unravel_index(idx, sims.shape)
+        lo = np.minimum(a_ids[ai], b_ids[bi])
+        hi = np.maximum(a_ids[ai], b_ids[bi])
+        return pd.DataFrame({"vec_id_a": lo, "vec_id_b": hi, "sim": sims[ai, bi]})
+
+    cand = (
+        a_rep.groupBy("bi", "bj")
+        .cogroup(b_rep.groupBy("bi", "bj"))
+        .applyInPandas(cell, _PAIR_SCHEMA)
+    )
     return (
         cand.select("vec_id_a", "vec_id_b", F.round("sim", 4).alias("sim"))
         .orderBy(F.desc("sim"), "vec_id_a", "vec_id_b")
@@ -256,18 +421,37 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         assign, "vec_id long, bucket long, embedding array<float>"
     )
 
-    # Queries probe their nprobe nearest centroid buckets.
-    q_ids, q_mat = _collect_normalized(emb.filter(F.col("vec_id") % 100 == 0))
-    c_ids, c_mat = cent
-    probe_sims = q_mat @ c_mat.T
-    probes = [
-        (int(q_ids[qi]), int(c_ids[bi]))
-        for qi in range(len(q_ids))
-        for bi in np.argsort(-probe_sims[qi])[:_IVF_NPROBE]
-    ]
-    probe_df = spark.createDataFrame(probes, "q_id long, bucket long")
+    # Queries probe their nprobe nearest centroid buckets. Probe assignment
+    # is the same mapInPandas shape as the collection assignment above —
+    # the query set never materializes on the driver, so it can grow with
+    # the corpus (a driver-side argsort loop here was the round-2 scale
+    # finding).
+    q_df = emb.filter(F.col("vec_id") % 100 == 0)
 
-    bc_q = spark.sparkContext.broadcast((q_ids, q_mat))
+    def probe_assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c_ids, c_mat = bc_cent.value
+        nprobe = min(_IVF_NPROBE, len(c_ids))
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            a = np.stack(pdf["embedding"].map(lambda v: np.asarray(v, dtype=np.float64)))
+            an = np.sqrt((a * a).sum(axis=1))
+            an[an == 0.0] = 1.0
+            sims = (a / an[:, None]) @ c_mat.T
+            top = np.argpartition(sims, -nprobe, axis=1)[:, -nprobe:]
+            yield pd.DataFrame(
+                {
+                    "q_id": np.repeat(ids, nprobe),
+                    "bucket": c_ids[top.ravel()],
+                }
+            )
+
+    probe_df = q_df.select("vec_id", "embedding").mapInPandas(
+        probe_assign, "q_id long, bucket long"
+    )
+
+    # The query matrix itself is the legitimately-small broadcast side of
+    # the rerank (memoized index artifact, same as ann_brute_topk).
+    bc_q = _vector_index(spark, q_df, f"{sf_dir}:embeddings:mod100")
 
     # Candidate set: only vectors in probed buckets (shuffle on bucket id).
     cand = assigned.join(F.broadcast(probe_df), "bucket").filter(

@@ -114,3 +114,35 @@ def test_lsh_recall_vs_brute_force(spark, sf_dir):
     recalls = [len(lsh[q] & brute[q]) / len(brute[q]) for q in brute]
     mean_recall = sum(recalls) / len(recalls)
     assert mean_recall >= 0.5, f"LSH mean recall@5 too low: {mean_recall:.2f} ({recalls})"
+
+
+def test_cosine_topk_tiled_matches_untiled(spark, sf_dir):
+    """Force tile_size < corpus so the exact-pair kernel takes the
+    multi-tile broadcast path; the result must hash-match the single-tile
+    (untiled) run row for row."""
+    from data_etl_sh_lianjia_spark.canon import compare_results
+    from data_etl_sh_lianjia_spark.operators.similarity import _cosine_topk_impl
+
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    small = max(1, n // 4)  # >= 4 tiles
+    tiled = _cosine_topk_impl(spark, sf_dir, tile_size=small)
+    untiled = _cosine_topk_impl(spark, sf_dir, tile_size=n + 1)
+    t_rows = [tuple(r) for r in tiled.collect()]
+    u_rows = [tuple(r) for r in untiled.collect()]
+    res = compare_results(t_rows, tiled.columns, u_rows, untiled.columns)
+    assert res.ok, f"tiled != untiled: {res.reason}\n{res.sample_diff}"
+
+
+def test_dedup_embedding_cosine_tiled_matches_untiled(spark, sf_dir):
+    from data_etl_sh_lianjia_spark.canon import compare_results
+    from data_etl_sh_lianjia_spark.operators.dedup import dedup_embedding_cosine
+
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    small = max(1, n // 4)
+    tiled = dedup_embedding_cosine(spark, sf_dir, tile_size=small)
+    untiled = dedup_embedding_cosine(spark, sf_dir, tile_size=n + 1)
+    t_rows = [tuple(r) for r in tiled.collect()]
+    u_rows = [tuple(r) for r in untiled.collect()]
+    assert len(t_rows) > 0
+    res = compare_results(t_rows, tiled.columns, u_rows, untiled.columns)
+    assert res.ok, f"tiled != untiled: {res.reason}\n{res.sample_diff}"
