@@ -41,14 +41,21 @@ _COLLECT_TS = "2026-08-13 10:00:00"
 
 
 def synthesize_fixtures(
-    spark: SparkSession,
+    spark: SparkSession | None,
     out_dir: str,
     n_villages: int = 200,
     n_houses: int = 2000,
     seed: int = 42,
 ) -> tuple[str, str]:
     """Deterministic raw-string fixtures per FIXTURES.md §B. Returns
-    (villages_path, houses_path); idempotent per (out_dir, params)."""
+    (villages_path, houses_path); idempotent per (out_dir, params).
+
+    Written driver-side with pyarrow (no SparkSession needed — ``spark`` is
+    accepted for signature compatibility and ignored): the DuckDB oracle of
+    ``lianjia_zone_summary`` reads the same files by absolute path, so the
+    fixtures must exist before EITHER engine runs, independent of which the
+    correctness harness happens to execute first.
+    """
     vpath = os.path.join(out_dir, "villages.parquet")
     hpath = os.path.join(out_dir, "houses.parquet")
     if os.path.exists(vpath) and os.path.exists(hpath):
@@ -143,14 +150,17 @@ def synthesize_fixtures(
     # every village except 'childless' got houses only by chance; force none
     houses = [h for h in houses if h["小区ID"] != childless]
 
-    v_schema = ", ".join(f"`{k}` string" for k in villages[0])
-    h_schema = ", ".join(f"`{k}` string" for k in houses[0])
-    spark.createDataFrame(
-        [tuple(v.values()) for v in villages], v_schema
-    ).coalesce(1).write.mode("overwrite").parquet(vpath)
-    spark.createDataFrame(
-        [tuple(h.values()) for h in houses], h_schema
-    ).coalesce(1).write.mode("overwrite").parquet(hpath)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def _write(rows: list[dict], path: str) -> None:
+        schema = pa.schema([(k, pa.string()) for k in rows[0]])
+        tmp = f"{path}.tmp-{os.getpid()}"
+        pq.write_table(pa.Table.from_pylist(rows, schema=schema), tmp)
+        os.replace(tmp, path)  # atomic publish: concurrent builders race safely
+
+    _write(villages, vpath)
+    _write(houses, hpath)
     return vpath, hpath
 
 
@@ -236,12 +246,55 @@ def zone_price_summary(joined: DataFrame) -> DataFrame:
     )
 
 
-_FIXTURE_DIR = "/tmp/spark-graft-lianjia-fixtures"
+# v2: pyarrow-written single-file fixtures (v1 dirs were Spark-written and
+# needed a live session; the oracle below reads these paths directly).
+_FIXTURE_DIR = "/tmp/spark-graft-lianjia-fixtures-v2"
+
+# Generated eagerly at import: the registry (and therefore this module) is
+# imported before the correctness harness runs either engine, so the oracle's
+# read_parquet() paths are guaranteed to exist no matter which side runs
+# first. Deterministic (seed=42) and idempotent, ~2k rows — negligible cost.
+_FIXTURE_PATHS = synthesize_fixtures(None, _FIXTURE_DIR)
+
+_NORM_PRICE_SQL = """
+try_cast(regexp_extract(nullif(nullif(trim({col}), '暂无数据'), ''),
+                        '([0-9]+(\\.[0-9]+)?)', 1) AS DOUBLE) * 10000
+"""
 
 
 @register(
     "lianjia_zone_summary",
-    oracle=None,  # fixture tables are not in the driver's DuckDB catalog
+    # Full-pipeline DuckDB mirror over the same fixture parquet files
+    # (normalize → snapshot-dedup → FK left join → per-district/status
+    # aggregate). Ties in the dedup window are exact duplicate snapshots,
+    # so row_number's pick is value-identical either way.
+    oracle=f"""
+WITH houses_n AS (
+  SELECT "房屋Id" AS house_id, "小区ID" AS village_id, "状态" AS status,
+         {_NORM_PRICE_SQL.format(col='"售价"')} AS asking_price_cny,
+         {_NORM_PRICE_SQL.format(col='"成交价"')} AS deal_price_cny,
+         try_cast(regexp_extract(nullif(nullif(trim("建筑面积"), '暂无数据'), ''),
+                                 '([0-9]+(\\.[0-9]+)?)', 1) AS DOUBLE) AS area_sqm,
+         "采集时间" AS collected_at
+  FROM read_parquet('{_FIXTURE_PATHS[1]}')
+  QUALIFY row_number() OVER (PARTITION BY "房屋Id" ORDER BY "采集时间" DESC) = 1
+), villages_n AS (
+  SELECT id AS village_id, string_split(zone, ',')[1] AS district
+  FROM read_parquet('{_FIXTURE_PATHS[0]}')
+), joined AS (
+  SELECT h.*, v.district,
+         COALESCE(h.deal_price_cny, h.asking_price_cny) AS price
+  FROM houses_n h LEFT JOIN villages_n v USING (village_id)
+)
+SELECT district, status,
+       COUNT(*) AS n_listings,
+       COUNT(price) AS n_priced,
+       round(CAST(SUM(CAST(price / area_sqm AS DECIMAL(30,2))) AS DOUBLE)
+             / COUNT(price), 2) AS avg_price_per_sqm
+FROM joined
+WHERE district IS NOT NULL
+GROUP BY district, status
+""",
     survey_ref="J1,J2,O2,O5,F12,S9,P2,P4,P7,P8",
     doc="end-to-end reference-parity pipeline: ingest raw strings -> normalize -> dedup -> FK join -> zone aggregates",
 )

@@ -111,11 +111,11 @@ WITH houses_n AS (
          try_cast(regexp_extract(nullif(nullif(trim("建筑面积"), '暂无数据'), ''),
                                  '([0-9]+(\\.[0-9]+)?)', 1) AS DOUBLE) AS area_sqm,
          "采集时间" AS collected_at
-  FROM read_parquet('{hpath}/*.parquet')
+  FROM read_parquet('{hpath}')
   QUALIFY row_number() OVER (PARTITION BY "房屋Id" ORDER BY "采集时间" DESC) = 1
 ), villages_n AS (
   SELECT id AS village_id, string_split(zone, ',')[1] AS district
-  FROM read_parquet('{vpath}/*.parquet')
+  FROM read_parquet('{vpath}')
 ), joined AS (
   SELECT h.*, v.district,
          COALESCE(h.deal_price_cny, h.asking_price_cny) AS price
