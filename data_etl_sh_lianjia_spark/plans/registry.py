@@ -74,6 +74,7 @@ def _load_all() -> None:
     """Import every module that registers queries (idempotent)."""
     import data_etl_sh_lianjia_spark.operators  # noqa: F401
     import data_etl_sh_lianjia_spark.sources.frontier  # noqa: F401
+    import data_etl_sh_lianjia_spark.sources.html_source  # noqa: F401
     import data_etl_sh_lianjia_spark.sources.lianjia  # noqa: F401
     import data_etl_sh_lianjia_spark.sources.pagefeed  # noqa: F401
     import data_etl_sh_lianjia_spark.sources.readers  # noqa: F401
