@@ -1,0 +1,88 @@
+"""CLI entry point — the ``scrapy crawl lianjia -o out.json`` analogue
+(`/root/reference/README.md:7`, `scrapy.cfg:6-7`).
+
+    python -m data_etl_sh_lianjia_spark list
+    python -m data_etl_sh_lianjia_spark run <query> [-o out.json] [--sf-dir DIR]
+    python -m data_etl_sh_lianjia_spark sql "SELECT ..." [-o out.json]
+    python -m data_etl_sh_lianjia_spark explain <query>
+
+``run`` executes any declared query from the registry over the catalog at
+``--sf-dir`` and, like the reference's feed export, writes JSON-lines when
+``-o`` is given (otherwise prints a bounded preview). Exit code 0 on
+success; unknown query names list the registry and exit 2.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="python -m data_etl_sh_lianjia_spark",
+        description="PySpark analytics engine CLI (reference: scrapy crawl lianjia -o out.json)",
+    )
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    runp = sub.add_parser("run", help="run a declared query")
+    runp.add_argument("query", help="declared query name (see `list`)")
+    runp.add_argument("-o", "--output", help="write result as JSON-lines to this path")
+    runp.add_argument("--sf-dir", default=None, help="testdata directory (default: $SPARK_GRAFT_SF_DIR)")
+    runp.add_argument("--limit", type=int, default=20, help="preview rows when no -o (default 20)")
+
+    sqlp = sub.add_parser("sql", help="run ANSI SQL over the registered tables")
+    sqlp.add_argument("statement")
+    sqlp.add_argument("-o", "--output")
+    sqlp.add_argument("--sf-dir", default=None)
+    sqlp.add_argument("--limit", type=int, default=20)
+
+    exp = sub.add_parser("explain", help="print a declared query's physical plan")
+    exp.add_argument("query")
+    exp.add_argument("--sf-dir", default=None)
+    exp.add_argument("--mode", default="formatted")
+
+    sub.add_parser("list", help="list declared queries")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _build_parser().parse_args(argv)
+
+    from data_etl_sh_lianjia_spark.plans.registry import all_queries
+
+    if args.cmd == "list":
+        for name, dq in sorted(all_queries().items()):
+            print(f"{name}\t{dq.doc or ''}")
+        return 0
+
+    from data_etl_sh_lianjia_spark.api import Engine
+    from data_etl_sh_lianjia_spark.session import DEFAULT_SF_DIR
+
+    eng = Engine(sf_dir=args.sf_dir or DEFAULT_SF_DIR, app_name="lianjia-cli")
+
+    if args.cmd == "explain":
+        print(eng.explain(args.query, mode=args.mode))
+        return 0
+
+    if args.cmd == "run":
+        try:
+            df = eng.query(args.query)
+        except KeyError:
+            print(f"unknown query {args.query!r}; available:", file=sys.stderr)
+            for name in eng.queries():
+                print(f"  {name}", file=sys.stderr)
+            return 2
+    else:  # sql
+        df = eng.sql(args.statement)
+
+    if args.output:
+        eng.write_json(df, args.output)
+        print(f"wrote {args.output}")
+    else:
+        df.show(args.limit, truncate=False)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

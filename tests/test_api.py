@@ -42,3 +42,27 @@ def test_explain_returns_formatted_plan(eng):
     plan = eng.explain("q1_scan_agg")
     assert "== Physical Plan ==" in plan
     assert "Scan parquet" in plan
+
+
+def test_cli_run_writes_json(spark, sf_dir, tmp_path):
+    """In-process smoke of the `python -m data_etl_sh_lianjia_spark run`
+    surface (the reference's `scrapy crawl lianjia -o out.json` analog)."""
+    from data_etl_sh_lianjia_spark.__main__ import main
+
+    out = str(tmp_path / "out.json")
+    rc = main(["run", "q1_scan_agg", "-o", out, "--sf-dir", sf_dir])
+    assert rc == 0
+    import glob
+    import json
+
+    lines = []
+    for f in glob.glob(out + "/*.json"):
+        with open(f) as fh:
+            lines += [json.loads(line) for line in fh if line.strip()]
+    assert lines and "l_returnflag" in lines[0]
+
+
+def test_cli_unknown_query_exit_code(spark, sf_dir):
+    from data_etl_sh_lianjia_spark.__main__ import main
+
+    assert main(["run", "no_such_query", "--sf-dir", sf_dir]) == 2
