@@ -105,15 +105,22 @@ INGEST_ROOT = os.environ.get(
     "SPARK_GRAFT_INGEST_ROOT", "/tmp/spark-graft-warehouse/ingest"
 )
 
-# (min_rows, cluster_key) per table: facts split for parallel scan and
-# range-clustered on their dominant filter/locality column so parquet
-# row-group min/max stats prune at the scan (q1/q3/q5/q14/q19 filter on
-# ship/order dates; events cluster on event time). Dimensions stay single-file.
+# (cluster_key, target_rows_per_file) per fact table: facts split for
+# parallel scan and range-clustered on their dominant filter/locality column
+# so parquet row-group min/max stats prune at the scan (q1/q3/q5/q14/q19
+# filter on ship/order dates; events cluster on event time). Dimensions stay
+# single-file. Target rows balance scan parallelism against per-task
+# dispatch cost (~1.5 ms serialized): row-heavy work (JSON parse on events,
+# join probes on lineitem) wants smaller files than plain column scans —
+# measured best at lineitem 75k / orders 37.5k / events 25k rows per file
+# across the headline set. At deployment sizes the distributed branch
+# targets 128 MB files instead and these row counts never bind (the
+# per-file cap is min(cpus, rows/target)).
 _INGEST_LAYOUT = {
-    "lineitem": "l_shipdate",
-    "orders": "o_orderdate",
-    "events": "ts_ns",
-    "documents": "doc_id",
+    "lineitem": ("l_shipdate", 75_000),
+    "orders": ("o_orderdate", 37_500),
+    "events": ("ts_ns", 25_000),
+    "documents": ("doc_id", 150_000),
 }
 
 
@@ -125,6 +132,7 @@ def _ingest_local(
     cpus: int,
     parts: int | None,
     fingerprint: str = "",
+    target_rows: int = 150_000,
 ) -> None:
     """Driver-side ingest of one small landed file (see ingest_tables)."""
     import shutil
@@ -145,13 +153,11 @@ def _ingest_local(
     os.makedirs(tmp, exist_ok=True)
     if key and table.num_rows >= min_rows_to_split:
         table = table.sort_by(key)
-        # Split size targets ~150k rows per file: enough files that every
-        # scan parallelizes across executur-sized chunks, few enough that
-        # per-task scheduling overhead (measured ~1.5 ms/task serialized on
-        # the driver) stays negligible in the sub-second query regime. At
-        # real deployment sizes the distributed branch below targets
-        # 128 MB-per-file instead.
-        n_parts = parts or max(2, min(cpus, table.num_rows // 150_000))
+        # Per-table target rows per file (see _INGEST_LAYOUT): enough files
+        # that every scan parallelizes, few enough that per-task scheduling
+        # overhead (measured ~1.5 ms/task serialized on the driver) stays
+        # negligible in the sub-second query regime.
+        n_parts = parts or max(2, min(cpus, table.num_rows // target_rows))
         step = -(-table.num_rows // n_parts)
         for i in range(n_parts):
             chunk = table.slice(i * step, step)
@@ -212,9 +218,9 @@ def ingest_tables(
         # (parts/cpus: re-ingesting with a different split count must
         # rebuild, not silently no-op).
         st = os.stat(src)
-        # "v2" = the 150k-rows-per-file split formula; bumping the layout
-        # version invalidates copies built under the old 25k-row formula.
-        fingerprint = f"{st.st_size}:{st.st_mtime_ns}:parts={parts or cpus}:v2"
+        # "v3" = the per-table target-rows split formula; bumping the layout
+        # version invalidates copies built under older formulas.
+        fingerprint = f"{st.st_size}:{st.st_mtime_ns}:parts={parts or cpus}:v3"
         marker = os.path.join(dst, "_SUCCESS")
         if os.path.exists(marker):
             try:
@@ -223,14 +229,15 @@ def ingest_tables(
                         continue
             except OSError:
                 pass
-        key = _INGEST_LAYOUT.get(name)
+        key, target_rows = _INGEST_LAYOUT.get(name, (None, 150_000))
         if os.path.getsize(src) < 256 * 1024 * 1024:
             # Local fast path: at landed-file sizes below a task's worth of
             # data, a driver-side pyarrow sort+split (deterministic, no
             # sampling job) beats a Spark repartitionByRange round by ~10×.
             # The distributed branch below is the same layout at scale.
             _ingest_local(
-                src, dst, key, min_rows_to_split, cpus, parts, fingerprint
+                src, dst, key, min_rows_to_split, cpus, parts, fingerprint,
+                target_rows,
             )
             rebuilt += 1
             continue
