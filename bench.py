@@ -19,13 +19,13 @@ from data_etl_sh_lianjia_spark.plans.registry import all_queries
 from data_etl_sh_lianjia_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-# 13 runs: (a) the host VM intermittently freezes/throttles in bursts of
-# 10-30s (CPU steal) — measured swings of 3× on the same query minutes
-# apart — so a larger odd run-count spreads the rotation across more host
-# phases and keeps the median out of the slow tail; (b) the C2 JIT keeps
+# 21 runs: (a) the host VM throttles in multi-minute phases (measured 1.7×
+# swings on the identical 9-query rotation minutes apart in one session) —
+# a larger odd run-count spreads the rotation across more host phases so
+# the median doesn't land entirely inside a slow one; (b) the C2 JIT keeps
 # speeding up fresh plan builds for the first ~50 queries of a session, so
 # later samples run at the converged rate and the median lands among them.
-RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "13"))
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "21"))
 
 
 def main() -> None:
