@@ -343,3 +343,117 @@ def ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("low"),
         F.max_by("value", "ts_us").alias("close"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate n-gram removal (C4-style corpus-frequent span filtering)
+# ---------------------------------------------------------------------------
+
+_BOILER_MIN_DOCS = 5  # shingle present in >= this many docs => boilerplate
+
+
+@register(
+    "boilerplate_ngram_flags",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+      list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+                     i -> concat_ws(' ', string_split(text, ' ')[i],
+                                         string_split(text, ' ')[i + 1],
+                                         string_split(text, ' ')[i + 2]))
+    ELSE [text] END)) AS sh
+  FROM documents
+), freq AS (
+  SELECT sh, COUNT(*) AS n_docs FROM sh GROUP BY sh
+)
+SELECT doc_id,
+       COUNT(*) AS n_shingles,
+       CAST(SUM(CASE WHEN n_docs >= {_BOILER_MIN_DOCS} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_boiler,
+       round(CAST(SUM(CASE WHEN n_docs >= {_BOILER_MIN_DOCS} THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS boiler_ratio
+FROM sh JOIN freq USING (sh)
+GROUP BY doc_id
+""",
+    survey_ref="L4,L6,A3,J1",
+    doc=f"C4-style boilerplate: 3-gram shingles in >= {_BOILER_MIN_DOCS} docs flagged, per-doc boiler ratio",
+)
+def boilerplate_ngram_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequent-span detection, the dedup-adjacent cleaning pass that
+    strips nav bars / license footers from crawl corpora: distinct 3-gram
+    shingles per doc, corpus frequency by distinct-doc count, spans present
+    in ≥ {_BOILER_MIN_DOCS} docs marked boilerplate, and each doc scored by
+    its boilerplate fraction. Scale shape: both the frequency aggregate and
+    the back-join shuffle on the shingle value (hash-partitionable,
+    partial-aggregated) — never on the corpus cross product; the per-doc
+    rollup reuses the doc_id partitioning of the explode side."""
+    from data_etl_sh_lianjia_spark.operators.text_analysis import _SPARK_SHINGLES
+
+    docs = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.expr(_SPARK_SHINGLES))).alias("sh"),
+    )
+    freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("n_docs"))
+    boiler = F.when(F.col("n_docs") >= _BOILER_MIN_DOCS, 1).otherwise(0)
+    return (
+        sh.join(freq, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(boiler).cast("bigint").alias("n_boiler"),
+            F.round(
+                F.sum(boiler).cast("double") / F.count(F.lit(1)), 6
+            ).alias("boiler_ratio"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Group-preserving train/val/test split (leakage-safe corpus partitioning)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dataset_split_groups",
+    oracle="""
+WITH tagged AS (
+  SELECT source, n_chars,
+         CASE WHEN substr(md5(source), 1, 2) < 'e6' THEN 'train'
+              WHEN substr(md5(source), 1, 2) < 'f3' THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split,
+       COUNT(DISTINCT source) AS n_sources,
+       COUNT(*) AS n_docs,
+       SUM(n_chars) AS sum_chars
+FROM tagged
+GROUP BY split
+""",
+    survey_ref="O5,A3,A4",
+    doc="group-preserving train/val/test split: md5(source) hex band routes whole groups",
+)
+def dataset_split_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe corpus split: the split key is the GROUP (source/domain),
+    not the row, so near-duplicate documents from one crawl source can never
+    straddle train and eval. Bands on the md5 hex prefix ('00'-'e5' train
+    ≈ 90%, 'e6'-'f2' val ≈ 5%, rest test) are engine- and
+    partitioning-independent — the same recipe as deterministic_sample,
+    lifted from Bernoulli-per-row to per-group routing. One scan + one
+    partial-aggregated shuffle on the split label."""
+    docs = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    prefix = F.substring(F.md5("source"), 1, 2)
+    split = (
+        F.when(prefix < "e6", "train").when(prefix < "f3", "val").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "source", "n_chars")
+        .groupBy("split")
+        .agg(
+            F.countDistinct("source").alias("n_sources"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )

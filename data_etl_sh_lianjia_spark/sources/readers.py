@@ -258,3 +258,61 @@ def partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, result.schema)
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# S6 — source-config rotation (UA / proxy assignment per request)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "source_config_rotation",
+    oracle="""
+WITH req AS (
+  SELECT url,
+         substr(md5(url), 1, 1) AS ua_bucket,
+         CASE WHEN substr(md5(url), 2, 1) < '4' THEN 0
+              WHEN substr(md5(url), 2, 1) < '8' THEN 1
+              WHEN substr(md5(url), 2, 1) < 'c' THEN 2
+              ELSE 3 END AS proxy_idx
+  FROM read_parquet('/tmp/spark-graft-html-fixtures/pages.parquet')
+)
+SELECT ua_bucket, CAST(proxy_idx AS BIGINT) AS proxy_idx, COUNT(*) AS n_requests
+FROM req
+GROUP BY ua_bucket, proxy_idx
+""",
+    survey_ref="S6",
+    doc="deterministic UA/proxy rotation per request: md5(url) hex bands pick from the config pools",
+)
+def source_config_rotation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 made analytic: the reference rotates its 16-entry User-Agent pool
+    and proxy list with ``random.choice`` per request
+    (`/root/reference/house_spider/middlewares.py:108-138,146-160`). The
+    engine's batch analogue assigns configs DETERMINISTICALLY — md5(url)
+    hex bands index the pools (first nibble → one of 16 UAs, second nibble
+    div 4 → one of 4 proxies) — so replays, retries, and both engines pick
+    identical configs, while the assignment stays uniform like the
+    reference's. One scan, partial-aggregated rollup of requests per
+    config pair; the same expression works as a reader-option stamp on any
+    ingested request log."""
+    from data_etl_sh_lianjia_spark.sources.html_source import (
+        _HTML_FIXTURE_DIR,
+        synthesize_html_fixtures,
+    )
+
+    path = synthesize_html_fixtures(_HTML_FIXTURE_DIR)
+    pages = spark.read.parquet(path)
+    ua = F.substring(F.md5("url"), 1, 1)
+    nib2 = F.substring(F.md5("url"), 2, 1)
+    proxy = (
+        F.when(nib2 < "4", 0)
+        .when(nib2 < "8", 1)
+        .when(nib2 < "c", 2)
+        .otherwise(3)
+        .cast("bigint")
+    )
+    return (
+        pages.select(ua.alias("ua_bucket"), proxy.alias("proxy_idx"))
+        .groupBy("ua_bucket", "proxy_idx")
+        .agg(F.count(F.lit(1)).alias("n_requests"))
+    )
