@@ -426,3 +426,73 @@ def observed_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("lineitem_scan", m["n_rows"], m["sum_price"], m["n_high_discount"])],
         "stage string, n_rows bigint, sum_price double, n_high_discount bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) clustering — multi-dimensional ingest layout
+# ---------------------------------------------------------------------------
+
+
+def _spark_morton(xcol: str, ycol: str, bits: int = 16) -> "F.Column":
+    """Bit-interleaved Morton code of two integer columns (JVM-side shift/or
+    expression tree — 2*bits terms, all inside whole-stage codegen)."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(F.col(xcol), i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(F.col(ycol), i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+def _duck_morton(x: str, y: str, bits: int = 16) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+@register(
+    "zorder_cluster",
+    oracle=f"""
+WITH z AS (
+  SELECT l_partkey, l_suppkey,
+         {_duck_morton('l_partkey', 'l_suppkey')} AS zval
+  FROM lineitem
+)
+SELECT zval // 16777216 AS z_bucket,
+       COUNT(*) AS n_rows,
+       MIN(l_partkey) AS min_part, MAX(l_partkey) AS max_part,
+       MIN(l_suppkey) AS min_supp, MAX(l_suppkey) AS max_supp
+FROM z
+GROUP BY z_bucket
+""",
+    survey_ref="S11,P5,A3",
+    doc="Z-order (Morton) clustering key + per-bucket min/max locality stats",
+)
+def zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional clustering for ingest layout: interleaving the bits
+    of two filter columns gives a single sort key whose contiguous ranges
+    are small rectangles in (partkey, suppkey) space — files/row groups
+    written in z-order carry tight min/max on BOTH columns, so 2-D range
+    predicates prune the scan (the reason Delta/Iceberg OPTIMIZE ZORDER
+    exists; this engine's range-cluster ingest generalizes to it for
+    multi-predicate tables). The query materializes the z-value (pure
+    shift/or codegen, no UDF) and the per-bucket min/max spans that a
+    pruning-effectiveness audit would read."""
+    li = load_tables(spark, sf_dir, names=("lineitem",))["lineitem"]
+    z = li.select(
+        "l_partkey", "l_suppkey", _spark_morton("l_partkey", "l_suppkey").alias("zval")
+    )
+    return (
+        z.groupBy((F.col("zval") / F.lit(16777216)).cast("long").alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_partkey").alias("min_part"),
+            F.max("l_partkey").alias("max_part"),
+            F.min("l_suppkey").alias("min_supp"),
+            F.max("l_suppkey").alias("max_supp"),
+        )
+    )

@@ -94,3 +94,38 @@ def test_waveform_stats_match_numpy_recompute(spark, sf_dir):
         assert r["rms"] == round(float(np.sqrt(np.mean(s * s))), 6)
         assert r["peak"] == float(np.max(np.abs(s)))
         assert r["dc_offset"] == round(float(np.mean(s)), 6)
+
+
+def test_bmp_roundtrip_property():
+    """encode->decode is the identity for arbitrary small RGB images
+    (padding widths 0-3 all exercised)."""
+    import numpy as np
+
+    from data_etl_sh_lianjia_spark.operators.multimodal import (
+        _decode_bmp,
+        _encode_bmp,
+    )
+
+    rng = np.random.RandomState(11)
+    for w in (1, 2, 3, 4, 5, 8, 17, 33):
+        for h in (1, 2, 7, 19):
+            rgb = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+            out = _decode_bmp(_encode_bmp(rgb))
+            assert out.shape == (h, w, 3)
+            assert np.array_equal(out, rgb), (w, h)
+
+
+def test_wav_roundtrip_property():
+    import numpy as np
+
+    from data_etl_sh_lianjia_spark.operators.multimodal import (
+        _decode_wav,
+        _encode_wav,
+    )
+
+    rng = np.random.RandomState(13)
+    for n in (1, 2, 33, 501, 2048):
+        for rate in (8000, 16000, 44100):
+            s = rng.randint(-32768, 32768, size=n).astype(np.int16)
+            out, r = _decode_wav(_encode_wav(s, rate))
+            assert r == rate and np.array_equal(out, s)
