@@ -428,7 +428,7 @@ WITH tagged AS (
 SELECT split,
        COUNT(DISTINCT source) AS n_sources,
        COUNT(*) AS n_docs,
-       SUM(n_chars) AS sum_chars
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM tagged
 GROUP BY split
 """,

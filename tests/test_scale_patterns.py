@@ -265,3 +265,39 @@ def test_recursive_cte_plans_union_loop(spark, sf_dir):
     df = all_queries()["recursive_page_walk"].spark_fn(spark, sf_dir)
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "Loop" in plan or "CTERelation" in plan or "Recursion" in plan
+
+
+def test_zorder_stays_in_codegen_no_python(spark, sf_dir):
+    """The Morton interleave must be a pure JVM expression tree: no Python
+    eval nodes, exactly one aggregation exchange."""
+    plan = _plan(all_queries()["zorder_cluster"].spark_fn(spark, sf_dir))
+    assert "Python" not in plan and "MapInPandas" not in plan
+    assert plan.count("Exchange") == 1
+    assert "HashAggregate" in plan
+
+
+def test_boilerplate_join_is_hash_partitioned_with_partial_agg(spark, sf_dir):
+    """Boilerplate detection must shuffle on the shingle value (hash join /
+    hash aggregate), never plan a nested-loop over doc pairs."""
+    plan = _plan(all_queries()["boilerplate_ngram_flags"].spark_fn(spark, sf_dir))
+    assert "NestedLoop" not in plan
+    assert "partial_count" in plan  # map-side combine on the frequency agg
+
+
+def test_tiled_cosine_plans_one_scan_per_tile(spark, sf_dir):
+    """Forcing tile_size < corpus must produce a union of per-tile candidate
+    scans (one MapInPandas per tile), not a single full-corpus broadcast."""
+    from data_etl_sh_lianjia_spark.operators.similarity import _cosine_topk_impl
+
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    df = _cosine_topk_impl(spark, sf_dir, tile_size=max(1, n // 3))
+    plan = _plan(df)
+    assert plan.count("MapInPandas") >= 3
+
+
+def test_fuzzy_match_blocking_is_equi_join(spark, sf_dir):
+    """The levenshtein length-band blocking must plan as a hash join on the
+    bucket key — the all-pairs BroadcastNestedLoopJoin is the anti-pattern
+    this blocking removes."""
+    plan = _plan(all_queries()["fuzzy_match_levenshtein"].spark_fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
