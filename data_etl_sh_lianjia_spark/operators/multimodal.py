@@ -263,7 +263,9 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # so the driver's hash gate verifies the decoder end-to-end.
 # ---------------------------------------------------------------------------
 
-_MEDIA_FIXTURE_DIR = "/tmp/spark-graft-media-fixtures"
+# Versioned dir: generation is skip-if-exists — bump the suffix whenever the
+# generators/truth columns change, or a stale corpus silently survives.
+_MEDIA_FIXTURE_DIR = "/tmp/spark-graft-media-fixtures-v2"
 
 
 def _encode_bmp(rgb: "np.ndarray") -> bytes:

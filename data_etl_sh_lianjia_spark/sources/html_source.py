@@ -112,7 +112,9 @@ def synthesize_html_fixtures(
     return path
 
 
-_HTML_FIXTURE_DIR = "/tmp/spark-graft-html-fixtures"
+# Versioned dir: generation is skip-if-exists, so any change to the page
+# generator MUST bump the suffix or a stale corpus silently survives in /tmp.
+_HTML_FIXTURE_DIR = "/tmp/spark-graft-html-fixtures-v2"
 _HTML_FIXTURE_PATH = synthesize_html_fixtures(_HTML_FIXTURE_DIR)
 
 # Spark-side selector expressions (reference parity, lianjia.py line cites):

@@ -265,9 +265,14 @@ def partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+from data_etl_sh_lianjia_spark.sources.html_source import (  # noqa: E402
+    _HTML_FIXTURE_PATH,
+)
+
+
 @register(
     "source_config_rotation",
-    oracle="""
+    oracle=f"""
 WITH req AS (
   SELECT url,
          substr(md5(url), 1, 1) AS ua_bucket,
@@ -275,7 +280,7 @@ WITH req AS (
               WHEN substr(md5(url), 2, 1) < '8' THEN 1
               WHEN substr(md5(url), 2, 1) < 'c' THEN 2
               ELSE 3 END AS proxy_idx
-  FROM read_parquet('/tmp/spark-graft-html-fixtures/pages.parquet')
+  FROM read_parquet('{_HTML_FIXTURE_PATH}')
 )
 SELECT ua_bucket, CAST(proxy_idx AS BIGINT) AS proxy_idx, COUNT(*) AS n_requests
 FROM req
