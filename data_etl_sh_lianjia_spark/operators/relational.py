@@ -360,11 +360,24 @@ register(
     bench=True,
     doc="two exact count-distincts + count over lineitem",
 )(
+    # One branch per distinct column, 1-row results cross-joined, instead
+    # of the single multi-distinct aggregate: Spark plans 2+ distincts in
+    # one agg via Expand — every input row is tripled (one copy per
+    # aggregate group) before partial aggregation, a row multiplication
+    # that grows linearly with the fact table and widens the partial-agg
+    # hash key to the full (gid, partkey, suppkey) tuple. Split, each
+    # branch is a single-column scan -> partial hash-distinct -> count
+    # (count(*) rides the suppkey branch: one distinct group per agg
+    # plans Expand-free). Measured at sf0.1 (tools/profile_q1_ab.py):
+    # exec-only both forms ~30 ms (= DuckDB's 29.8 ms baseline); the
+    # split adds ~70 ms of per-stage scheduling floor at toy scale —
+    # a fixed cost that amortizes at real data sizes, traded for
+    # removing the 3x data-proportional Expand.
     _sql_query("""
-SELECT COUNT(DISTINCT l_partkey) AS distinct_parts,
-       COUNT(DISTINCT l_suppkey) AS distinct_supps,
-       COUNT(*) AS n_rows
-FROM lj_lineitem
+SELECT p.distinct_parts, s.distinct_supps, s.n_rows
+FROM (SELECT COUNT(DISTINCT l_partkey) AS distinct_parts FROM lj_lineitem) p
+CROSS JOIN (SELECT COUNT(DISTINCT l_suppkey) AS distinct_supps,
+                   COUNT(*) AS n_rows FROM lj_lineitem) s
 """)
 )
 

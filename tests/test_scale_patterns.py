@@ -46,7 +46,13 @@ def test_topk_uses_take_ordered(spark, sf_dir):
 def test_column_pruning_reads_only_needed_columns(spark, sf_dir):
     df = all_queries()["distinct_count"].spark_fn(spark, sf_dir)
     plan = _optimized(df)
-    assert "ReadSchema: struct<l_partkey:bigint,l_suppkey:bigint>" in plan
+    # split-distinct form: each branch scan prunes to exactly its own key
+    # column; no branch reads both, and no Expand triples the input rows
+    assert "ReadSchema: struct<l_partkey:bigint>" in plan
+    assert "ReadSchema: struct<l_suppkey:bigint>" in plan
+    assert "ReadSchema: struct<l_partkey:bigint,l_suppkey:bigint>" not in plan
+    # and no Expand-based multi-distinct row multiplication anywhere
+    assert "Expand" not in plan
 
 
 def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
