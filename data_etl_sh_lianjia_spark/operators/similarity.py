@@ -529,8 +529,22 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # index artifact: memoized per (session, collection) and reused across
     # queries — production trains offline and refreshes with the corpus.
     def _train() -> "pyspark.Broadcast":  # noqa: F821
+        # Train on a bounded deterministic sample, never the full corpus:
+        # codebook quality saturates at ~O(100) vectors per centroid, so
+        # production PQ trains on a fixed-size sample (FAISS-style) while
+        # the corpus grows without bound. vec_id % mod keeps the sample
+        # deterministic; mod = 1 (identical to full-corpus training) until
+        # the collection exceeds the training budget.
+        nkey = f"{sf_dir}:embeddings:n"
+        n = cache.get(nkey)
+        if n is None:
+            n = emb.count()
+            cache[nkey] = n
+        budget = 25_000  # ~100+ vectors/centroid at _PQ_K=16 per subspace
+        mod = max(1, n // budget)
+        train_df = emb.filter(F.pmod(F.col("vec_id"), F.lit(mod)) == 0)
         all_ids, all_mat = _vector_index(
-            spark, emb, f"{sf_dir}:embeddings:all"
+            spark, train_df, f"{sf_dir}:embeddings:pqtrain{mod}"
         ).value
         d = all_mat.shape[1]
         sub_d = d // _PQ_M
