@@ -437,3 +437,116 @@ def dedup_connected_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     return labels.select(F.col("u").alias("doc_id"), F.col("label").alias("group_rep"))
+
+
+# ---------------------------------------------------------------------------
+# L2 — SemDeDup-style semantic dedup: centroid clusters + within-cluster drop
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_semantic_clusters",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+), c AS (
+  SELECT vec_id AS cid, vec AS cvec FROM v WHERE vec_id % 73 = 0
+), scored AS (
+  SELECT v.vec_id, c.cid,
+         round(list_cosine_similarity(v.vec, c.cvec), 6) AS sim
+  FROM v CROSS JOIN c
+), asg AS (
+  SELECT vec_id, cid AS cluster_id FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+    FROM scored) t WHERE rn = 1
+), dropped AS (
+  SELECT DISTINCT hi.vec_id
+  FROM asg lo
+  JOIN asg hi ON lo.cluster_id = hi.cluster_id AND lo.vec_id < hi.vec_id
+  JOIN v vlo ON vlo.vec_id = lo.vec_id
+  JOIN v vhi ON vhi.vec_id = hi.vec_id
+  WHERE round(list_cosine_similarity(vlo.vec, vhi.vec), 4) >= {_COS_THRESHOLD}
+)
+SELECT a.vec_id, a.cluster_id, (d.vec_id IS NOT NULL) AS is_dropped
+FROM asg a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+""",
+    survey_ref="L2,J5",
+    doc="SemDeDup: centroid-cluster assign, drop within-cluster cosine near-dups",
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup in the SemDeDup shape (Abbas et al. 2023, public):
+    cluster the corpus around centroids, then deduplicate *within* each
+    cluster only — pairwise cosine is confined to cluster-sized blocks, so
+    total pair work is O(n * cluster_size), never O(n^2).
+
+    Stage 1 (assign): centroids are the deterministic ``vec_id % 73``
+    subset (an index artifact, like IVF's), broadcast sorted by id; one
+    ``mapInPandas`` scan argmax-assigns every vector (similarities rounded
+    to 6 decimals, ties to the lowest centroid id — reproducible across
+    engines). Stage 2 (drop): ``applyInPandas`` per cluster computes the
+    cluster-local similarity matrix and drops any vector that has a
+    lower-id neighbor at cosine >= threshold (greedy keep-lowest-id rule —
+    deterministic, no iteration). Centroid count grows with the corpus, so
+    cluster size stays ~constant: at 100 TB both stages remain one scan +
+    one cluster-keyed shuffle; no driver collect of the corpus (the
+    centroid subset is 1/73rd and itself tileable)."""
+    from data_etl_sh_lianjia_spark.operators.similarity import _vector_index
+
+    ensure_package_shipped(spark)
+    emb = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+    cent_bc = _vector_index(
+        spark,
+        emb.filter(F.pmod(F.col("vec_id"), F.lit(73)) == 0),
+        f"{sf_dir}:embeddings:mod73",
+    )
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c_ids, c_mat = cent_bc.value
+        order = np.argsort(c_ids)  # ascending cid => argmax tie -> lowest
+        c_ids, c_mat = c_ids[order], c_mat[order]
+        for pdf in batches:
+            mat = np.stack(
+                pdf["embedding"].map(lambda v: np.asarray(v, dtype=np.float64))
+            )
+            norms = np.sqrt((mat * mat).sum(axis=1))
+            norms[norms == 0.0] = 1.0
+            sims = np.round((mat / norms[:, None]) @ c_mat.T, 6)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cluster_id": c_ids[np.argmax(sims, axis=1)],
+                    "embedding": pdf["embedding"],
+                }
+            )
+
+    assigned = emb.select("vec_id", "embedding").mapInPandas(
+        assign, "vec_id long, cluster_id long, embedding array<float>"
+    )
+
+    def drop_near_dups(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        mat = np.stack(
+            pdf["embedding"].iloc[order].map(
+                lambda v: np.asarray(v, dtype=np.float64)
+            )
+        )
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        norms[norms == 0.0] = 1.0
+        sims = np.round((mat / norms[:, None]) @ (mat / norms[:, None]).T, 4)
+        near = sims >= _COS_THRESHOLD
+        # strictly-lower-id neighbor exists => dropped
+        dropped = np.tril(near, k=-1).any(axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cluster_id": pdf["cluster_id"].iloc[order],
+                "is_dropped": dropped,
+            }
+        )
+
+    return assigned.groupBy("cluster_id").applyInPandas(
+        drop_near_dups, "vec_id long, cluster_id long, is_dropped boolean"
+    )

@@ -134,6 +134,10 @@ _INGEST_LAYOUT = {
     "orders": ("o_orderdate", 37_500),
     "events": ("ts_ns", 25_000),
     "documents": ("doc_id", 150_000),
+    # embeddings: the vector kernels (mapInPandas matmul scans) parallelize
+    # per file; small target so 10x-and-up corpora fan out while the
+    # sub-second bench corpus (2k rows) stays one task
+    "embeddings": ("vec_id", 5_000),
 }
 
 
@@ -164,7 +168,10 @@ def _ingest_local(
     tmp = dst + f".tmp-{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp, exist_ok=True)
-    if key and table.num_rows >= min_rows_to_split:
+    # Split when the table clears the global floor OR 4× its own per-table
+    # target (lets small-target tables like embeddings split below the
+    # global floor once they have ≥ 4 files' worth of rows).
+    if key and table.num_rows >= min(min_rows_to_split, 4 * target_rows):
         table = table.sort_by(key)
         # Per-table target rows per file (see _INGEST_LAYOUT): enough files
         # that every scan parallelizes, few enough that per-task scheduling
@@ -231,9 +238,10 @@ def ingest_tables(
         # (parts/cpus: re-ingesting with a different split count must
         # rebuild, not silently no-op).
         st = os.stat(src)
-        # "v3" = the per-table target-rows split formula; bumping the layout
-        # version invalidates copies built under older formulas.
-        fingerprint = f"{st.st_size}:{st.st_mtime_ns}:parts={parts or cpus}:v3"
+        # "v4" = split formula version (v4: embeddings range-split + per-table
+        # split floor); bumping the layout version invalidates copies built
+        # under older formulas.
+        fingerprint = f"{st.st_size}:{st.st_mtime_ns}:parts={parts or cpus}:v4"
         marker = os.path.join(dst, "_SUCCESS")
         if os.path.exists(marker):
             try:

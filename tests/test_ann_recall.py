@@ -146,3 +146,20 @@ def test_dedup_embedding_cosine_tiled_matches_untiled(spark, sf_dir):
     assert len(t_rows) > 0
     res = compare_results(t_rows, tiled.columns, u_rows, untiled.columns)
     assert res.ok, f"tiled != untiled: {res.reason}\n{res.sample_diff}"
+
+
+def test_cosine_topk_f32_path_matches_f64(spark, sf_dir, monkeypatch):
+    """Force the large-cell f32 scoring path (normally >16M-entry cells
+    only) and require it to match the exact-f64 selection row for row —
+    the f32 pass only *selects* candidates; emitted sims are re-scored in
+    float64, so the results must be identical at any corpus the margin
+    argument holds for."""
+    from data_etl_sh_lianjia_spark.canon import compare_results
+    from data_etl_sh_lianjia_spark.operators import similarity
+
+    f64 = [tuple(r) for r in similarity._cosine_topk_impl(spark, sf_dir).collect()]
+    monkeypatch.setattr(similarity, "_TOPK_F32_CELL", 1)
+    f32 = [tuple(r) for r in similarity._cosine_topk_impl(spark, sf_dir).collect()]
+    cols = ["vec_id_a", "vec_id_b", "sim"]
+    res = compare_results(f32, cols, f64, cols)
+    assert res.ok, f"f32 path != f64 path: {res.reason}\n{res.sample_diff}"
