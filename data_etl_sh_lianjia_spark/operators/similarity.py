@@ -318,22 +318,35 @@ def cosine_topk_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             nm[nm == 0.0] = 1.0
             m /= nm[:, None]
         sims = a @ b.T
-        # Diagonal cell (i == j): both orientations of every same-block pair
-        # are present — keep the a<b one. Off-diagonal cell (i < j): each
-        # cross-block pair appears exactly once with fixed orientation —
-        # keep all non-self pairs and canonicalize ids afterwards.
+        # Same threshold selection as _topk_tile_scan (never a masked copy
+        # or a cell-size introselect — see that kernel's docstring).
+        # Diagonal cell (i == j): both orientations of every same-block
+        # pair are present — self-sims would poison the rowmax threshold,
+        # scatter them to -inf, then keep the a<b orientation. Off-diagonal
+        # cell (i < j): blocks are disjoint pmod classes, so every entry is
+        # a distinct non-self pair — no mask needed at all.
         if key[0] == key[1]:
-            mask = a_ids[:, None] < b_ids[None, :]
-        else:
-            mask = a_ids[:, None] != b_ids[None, :]
-        flat = np.where(mask, sims, -np.inf).ravel()
-        n = min(keep, flat.size)
-        idx = np.argpartition(flat, -n)[-n:]
-        idx = idx[np.isfinite(flat[idx])]
-        ai, bi = np.unravel_index(idx, sims.shape)
+            order = np.argsort(b_ids)
+            b_ids, sims = b_ids[order], sims[:, order]
+            pos = np.searchsorted(b_ids, a_ids)
+            hit = (pos < len(b_ids)) & (
+                b_ids[np.minimum(pos, len(b_ids) - 1)] == a_ids
+            )
+            sims[np.nonzero(hit)[0], pos[hit]] = -np.inf
+        rowmax = sims.max(axis=1)
+        k = min(keep, rowmax.size)
+        t = np.partition(rowmax, -k)[-k]
+        ai, bi = np.nonzero(sims >= t)
+        vals = sims[ai, bi]
+        if key[0] == key[1]:
+            valid = a_ids[ai] < b_ids[bi]
+            ai, bi, vals = ai[valid], bi[valid], vals[valid]
+        if len(vals) > keep:
+            sel = np.argpartition(vals, -keep)[-keep:]
+            ai, bi, vals = ai[sel], bi[sel], vals[sel]
         lo = np.minimum(a_ids[ai], b_ids[bi])
         hi = np.maximum(a_ids[ai], b_ids[bi])
-        return pd.DataFrame({"vec_id_a": lo, "vec_id_b": hi, "sim": sims[ai, bi]})
+        return pd.DataFrame({"vec_id_a": lo, "vec_id_b": hi, "sim": vals})
 
     cand = (
         a_rep.groupBy("bi", "bj")
