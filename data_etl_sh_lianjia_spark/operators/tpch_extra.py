@@ -485,3 +485,103 @@ def q15_top_supplier_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(max_rev), F.col("total_revenue") == F.col("mx"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
+
+
+# ---------------------------------------------------------------------------
+# q4_order_priority — TPC-H Q4 shape: EXISTS-only semi join + priority counts
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q4_order_priority",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+  AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+      )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    survey_ref="J2,J3,A3",
+    doc="TPC-H Q4 shape: orders with a late line item, counted by priority",
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS with a correlated non-equi residual → one left-semi join:
+    lineitem shuffles on l_orderkey once (orders' date window is pushed to
+    its scan first), the lateness predicate evaluates inside the join, and
+    the surviving orders fold into a 5-group count. No decorrelated
+    re-scan of the fact table."""
+    t = _t(spark, sf_dir, "orders", "lineitem")
+    window = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp_ntz"))
+    )
+    has_late = window.join(
+        t["lineitem"].select("l_orderkey", "l_shipdate"),
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")),
+        "left_semi",
+    )
+    return (
+        has_late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q18_large_orders — TPC-H Q18 shape: HAVING-filtered IN subquery + top-k
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q18_large_orders",
+    oracle="""
+SELECT c_custkey, o_orderkey, o_totalprice, SUM(l_quantity) AS total_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING SUM(l_quantity) > 240
+      )
+GROUP BY c_custkey, o_orderkey, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+""",
+    survey_ref="J3,A3,A6,O3",
+    doc="TPC-H Q18 shape: large-volume orders (HAVING > 240) joined back, top-20",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IN-subquery is one hash aggregate on l_orderkey (map-side
+    partial, HAVING filter on the aggregate) re-joined as a semi filter;
+    the qualified-order set is small (sub-percent of orders) but scales
+    with SF, so it carries no forced broadcast hint — the optimizer
+    broadcasts below autoBroadcastJoinThreshold and shuffles beyond it
+    (the semi join co-partitions with lineitem's l_orderkey shuffle
+    either way). Quantities are integral doubles, so
+    SUM is exact and the HAVING threshold is engine-stable. Top-20 is
+    TakeOrderedAndProject on (o_totalprice DESC, o_orderkey)."""
+    t = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("big_qty"))
+        .filter(F.col("big_qty") > 240)
+        .select(F.col("l_orderkey").alias("big_ok"))
+    )
+    return (
+        t["lineitem"]
+        .join(big, F.col("big_ok") == F.col("l_orderkey"), "left_semi")
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_custkey", "o_orderkey", "o_totalprice")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(20)
+    )
