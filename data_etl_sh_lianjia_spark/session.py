@@ -238,10 +238,17 @@ def ingest_tables(
         # (parts/cpus: re-ingesting with a different split count must
         # rebuild, not silently no-op).
         st = os.stat(src)
+        # A landed "table" may be a directory of part files (large replicas,
+        # multi-file landings): fingerprint and size it by its parts.
+        src_bytes = st.st_size
+        if os.path.isdir(src):
+            src_bytes = sum(
+                e.stat().st_size for e in os.scandir(src) if e.is_file()
+            )
         # "v4" = split formula version (v4: embeddings range-split + per-table
         # split floor); bumping the layout version invalidates copies built
         # under older formulas.
-        fingerprint = f"{st.st_size}:{st.st_mtime_ns}:parts={parts or cpus}:v4"
+        fingerprint = f"{src_bytes}:{st.st_mtime_ns}:parts={parts or cpus}:v4"
         marker = os.path.join(dst, "_SUCCESS")
         if os.path.exists(marker):
             try:
@@ -251,7 +258,7 @@ def ingest_tables(
             except OSError:
                 pass
         key, target_rows = _INGEST_LAYOUT.get(name, (None, 150_000))
-        if os.path.getsize(src) < 256 * 1024 * 1024:
+        if src_bytes < 256 * 1024 * 1024:
             # Local fast path: at landed-file sizes below a task's worth of
             # data, a driver-side pyarrow sort+split (deterministic, no
             # sampling job) beats a Spark repartitionByRange round by ~10×.
