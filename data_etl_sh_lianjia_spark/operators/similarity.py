@@ -156,6 +156,11 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bit-exact f64 path; the fast path only engages on 10×-and-up corpora.
 _TOPK_F32_CELL = 16_000_000
 
+# Per-chunk score-matrix budget (entries): the scan never materializes more
+# than this many scores at once (f32: 128 MB), independent of tile size —
+# a batch × 200k-vector tile would otherwise allocate GBs per task.
+_TOPK_CHUNK_ENTRIES = 32_000_000
+
 
 def _topk_tile_scan(emb: DataFrame, bc, keep: int) -> DataFrame:
     """One candidate scan of the collection against one broadcast tile:
@@ -191,30 +196,51 @@ def _topk_tile_scan(emb: DataFrame, bc, keep: int) -> DataFrame:
             an = np.sqrt((a * a).sum(axis=1))
             an[an == 0.0] = 1.0
             a64 = a / an[:, None]
-            cell = len(a_ids) * len(b_ids_w)
-            use_f32 = cell > _TOPK_F32_CELL
-            if use_f32:
-                if b_mat32 is None:
-                    b_mat32 = b_mat_w.astype(np.float32)
-                sims = a64.astype(np.float32) @ b_mat32.T
-                eps = 1e-5
-            else:
-                sims = a64 @ b_mat_w.T  # (batch, |tile|)
-                eps = 0.0
-            # self-pairs would poison the rowmax threshold (every row's max
-            # becomes its own sim=1); scatter them to -inf first
-            pos = np.searchsorted(b_ids_w, a_ids)
-            hit = (pos < len(b_ids_w)) & (b_ids_w[np.minimum(pos, len(b_ids_w) - 1)] == a_ids)
-            sims[np.nonzero(hit)[0], pos[hit]] = -np.inf
-            rowmax = sims.max(axis=1)
-            k = min(keep, rowmax.size)
-            t = np.partition(rowmax, -k)[-k] - eps
-            ai, bi = np.nonzero(sims >= t)
-            vals = (
-                (a64[ai] * b_mat_w[bi]).sum(axis=1) if use_f32 else sims[ai, bi]
-            )
-            valid = a_ids[ai] < b_ids_w[bi]
-            ai, bi, vals = ai[valid], bi[valid], vals[valid]
+            a32 = None
+            n_b = len(b_ids_w)
+            # walk the tile in column chunks so the score matrix stays
+            # bounded regardless of tile size; the threshold argument
+            # applies per (batch, chunk) cell, and the per-batch top-keep
+            # over the concatenated candidates restores the old contract
+            chunk_cols = max(1, _TOPK_CHUNK_ENTRIES // max(1, len(a_ids)))
+            cand_ai, cand_bi, cand_vals = [], [], []
+            for c0 in range(0, n_b, chunk_cols):
+                c1 = min(n_b, c0 + chunk_cols)
+                b_ids_c = b_ids_w[c0:c1]
+                use_f32 = len(a_ids) * (c1 - c0) > _TOPK_F32_CELL
+                if use_f32:
+                    if b_mat32 is None:
+                        b_mat32 = b_mat_w.astype(np.float32)
+                    if a32 is None:
+                        a32 = a64.astype(np.float32)
+                    sims = a32 @ b_mat32[c0:c1].T
+                    eps = 1e-5
+                else:
+                    sims = a64 @ b_mat_w[c0:c1].T  # (batch, chunk)
+                    eps = 0.0
+                # self-pairs would poison the rowmax threshold (every row's
+                # max becomes its own sim=1); scatter them to -inf first
+                pos = np.searchsorted(b_ids_c, a_ids)
+                hit = (pos < len(b_ids_c)) & (
+                    b_ids_c[np.minimum(pos, len(b_ids_c) - 1)] == a_ids
+                )
+                sims[np.nonzero(hit)[0], pos[hit]] = -np.inf
+                rowmax = sims.max(axis=1)
+                k = min(keep, rowmax.size)
+                t = np.partition(rowmax, -k)[-k] - eps
+                ai, bi = np.nonzero(sims >= t)
+                vals = (
+                    (a64[ai] * b_mat_w[c0 + bi]).sum(axis=1)
+                    if use_f32
+                    else sims[ai, bi]
+                )
+                valid = a_ids[ai] < b_ids_c[bi]
+                cand_ai.append(ai[valid])
+                cand_bi.append(c0 + bi[valid])
+                cand_vals.append(vals[valid])
+            ai = np.concatenate(cand_ai)
+            bi = np.concatenate(cand_bi)
+            vals = np.concatenate(cand_vals)
             if len(vals) > keep:
                 sel = np.argpartition(vals, -keep)[-keep:]
                 ai, bi, vals = ai[sel], bi[sel], vals[sel]

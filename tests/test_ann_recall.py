@@ -163,3 +163,20 @@ def test_cosine_topk_f32_path_matches_f64(spark, sf_dir, monkeypatch):
     cols = ["vec_id_a", "vec_id_b", "sim"]
     res = compare_results(f32, cols, f64, cols)
     assert res.ok, f"f32 path != f64 path: {res.reason}\n{res.sample_diff}"
+
+
+def test_cosine_topk_chunked_matches_unchunked(spark, sf_dir, monkeypatch):
+    """Force the column-chunked tile walk (normally only corpora whose
+    score matrix exceeds the per-chunk budget) and require identical
+    results: per-(batch, chunk) threshold selection is a superset of
+    per-batch selection, and the final per-batch top-keep restores the
+    same candidate contract."""
+    from data_etl_sh_lianjia_spark.canon import compare_results
+    from data_etl_sh_lianjia_spark.operators import similarity
+
+    whole = [tuple(r) for r in similarity._cosine_topk_impl(spark, sf_dir).collect()]
+    monkeypatch.setattr(similarity, "_TOPK_CHUNK_ENTRIES", 10_000)
+    chunked = [tuple(r) for r in similarity._cosine_topk_impl(spark, sf_dir).collect()]
+    cols = ["vec_id_a", "vec_id_b", "sim"]
+    res = compare_results(chunked, cols, whole, cols)
+    assert res.ok, f"chunked != whole-tile: {res.reason}\n{res.sample_diff}"
