@@ -330,6 +330,11 @@ def dedup_embedding_cosine(
     def tile_scan(bc) -> DataFrame:
         def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             b_ids, b_mat = bc.value
+            # column-chunked like similarity._topk_tile_scan: the score
+            # matrix never exceeds ~32M entries per task no matter how
+            # large a tile is; the fixed threshold filters each chunk
+            # independently, so chunking changes nothing semantically
+            chunk_entries = 32_000_000
             for pdf_batch in batches:
                 if not len(b_ids):
                     continue
@@ -339,13 +344,23 @@ def dedup_embedding_cosine(
                 )
                 an = np.sqrt((a * a).sum(axis=1))
                 an[an == 0.0] = 1.0
-                sims = (a / an[:, None]) @ b_mat.T
-                ai, bi = np.nonzero(
-                    (a_ids[:, None] < b_ids[None, :]) & (sims >= _COS_THRESHOLD - 1e-4)
-                )
-                yield pd.DataFrame(
-                    {"vec_id_a": a_ids[ai], "vec_id_b": b_ids[bi], "sim": sims[ai, bi]}
-                )
+                a_norm = a / an[:, None]
+                chunk_cols = max(1, chunk_entries // max(1, len(a_ids)))
+                for c0 in range(0, len(b_ids), chunk_cols):
+                    c1 = min(len(b_ids), c0 + chunk_cols)
+                    b_ids_c = b_ids[c0:c1]
+                    sims = a_norm @ b_mat[c0:c1].T
+                    ai, bi = np.nonzero(
+                        (a_ids[:, None] < b_ids_c[None, :])
+                        & (sims >= _COS_THRESHOLD - 1e-4)
+                    )
+                    yield pd.DataFrame(
+                        {
+                            "vec_id_a": a_ids[ai],
+                            "vec_id_b": b_ids_c[bi],
+                            "sim": sims[ai, bi],
+                        }
+                    )
 
         return emb.select("vec_id", "embedding").mapInPandas(
             fn, "vec_id_a long, vec_id_b long, sim double"
