@@ -343,30 +343,44 @@ def cosine_topk_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             nm = np.sqrt((m * m).sum(axis=1))
             nm[nm == 0.0] = 1.0
             m /= nm[:, None]
-        sims = a @ b.T
-        # Same threshold selection as _topk_tile_scan (never a masked copy
-        # or a cell-size introselect — see that kernel's docstring).
+        # Same threshold selection as _topk_tile_scan, column-chunked so a
+        # cell never materializes more than ~32M scores (never a masked
+        # copy or a cell-size introselect — see that kernel's docstring).
         # Diagonal cell (i == j): both orientations of every same-block
         # pair are present — self-sims would poison the rowmax threshold,
         # scatter them to -inf, then keep the a<b orientation. Off-diagonal
         # cell (i < j): blocks are disjoint pmod classes, so every entry is
         # a distinct non-self pair — no mask needed at all.
-        if key[0] == key[1]:
+        diag = key[0] == key[1]
+        if diag:
             order = np.argsort(b_ids)
-            b_ids, sims = b_ids[order], sims[:, order]
-            pos = np.searchsorted(b_ids, a_ids)
-            hit = (pos < len(b_ids)) & (
-                b_ids[np.minimum(pos, len(b_ids) - 1)] == a_ids
-            )
-            sims[np.nonzero(hit)[0], pos[hit]] = -np.inf
-        rowmax = sims.max(axis=1)
-        k = min(keep, rowmax.size)
-        t = np.partition(rowmax, -k)[-k]
-        ai, bi = np.nonzero(sims >= t)
-        vals = sims[ai, bi]
-        if key[0] == key[1]:
-            valid = a_ids[ai] < b_ids[bi]
-            ai, bi, vals = ai[valid], bi[valid], vals[valid]
+            b_ids, b = b_ids[order], b[order]
+        chunk_cols = max(1, _TOPK_CHUNK_ENTRIES // max(1, len(a_ids)))
+        c_ai, c_bi, c_vals = [], [], []
+        for c0 in range(0, len(b_ids), chunk_cols):
+            c1 = min(len(b_ids), c0 + chunk_cols)
+            b_ids_c = b_ids[c0:c1]
+            sims = a @ b[c0:c1].T
+            if diag:
+                pos = np.searchsorted(b_ids_c, a_ids)
+                hit = (pos < len(b_ids_c)) & (
+                    b_ids_c[np.minimum(pos, len(b_ids_c) - 1)] == a_ids
+                )
+                sims[np.nonzero(hit)[0], pos[hit]] = -np.inf
+            rowmax = sims.max(axis=1)
+            k = min(keep, rowmax.size)
+            t = np.partition(rowmax, -k)[-k]
+            ai, bi = np.nonzero(sims >= t)
+            vals = sims[ai, bi]
+            if diag:
+                valid = a_ids[ai] < b_ids_c[bi]
+                ai, bi, vals = ai[valid], bi[valid], vals[valid]
+            c_ai.append(ai)
+            c_bi.append(c0 + bi)
+            c_vals.append(vals)
+        ai = np.concatenate(c_ai)
+        bi = np.concatenate(c_bi)
+        vals = np.concatenate(c_vals)
         if len(vals) > keep:
             sel = np.argpartition(vals, -keep)[-keep:]
             ai, bi, vals = ai[sel], bi[sel], vals[sel]
