@@ -620,11 +620,15 @@ register(
     bench=True,
     doc="regex predicate + IN-list filter on documents",
 )(
+    # lang IN before RLIKE: And short-circuits left-to-right in codegen, so
+    # the 3-way IN-list skips the regex for non-matching langs (measured
+    # -12% median, tools/profile_q5_regex.py; an instr() guard added nothing
+    # on top). Catalyst does not cost-reorder conjuncts — order is ours.
     _sql_query(f"""
 SELECT doc_id, lang, source, n_chars
 FROM lj_documents
-WHERE text RLIKE '{_REGEX}'
-  AND lang IN ('en', 'zh', 'de')
+WHERE lang IN ('en', 'zh', 'de')
+  AND text RLIKE '{_REGEX}'
 """)
 )
 
@@ -638,7 +642,7 @@ WHERE text RLIKE '{_REGEX}'
 def string_regex_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")["documents"]
     return docs.filter(
-        F.col("text").rlike(_REGEX) & F.col("lang").isin("en", "zh", "de")
+        F.col("lang").isin("en", "zh", "de") & F.col("text").rlike(_REGEX)
     ).select("doc_id", "lang", "source", "n_chars")
 
 
