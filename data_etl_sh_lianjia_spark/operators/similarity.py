@@ -468,8 +468,54 @@ _IVF_NPROBE = 6
 
 @register(
     "ann_ivf_topk",
-    oracle=None,  # approximate by construction: recall-checked against
-    # ann_brute_topk in tests/test_ann_recall.py, rows-only at the driver
+    # IVF is approximate as a *search* (recall < 1 vs ann_brute_topk,
+    # tolerance-tested in tests/test_ann_recall.py) but fully deterministic
+    # as a *computation*: centroids are a fixed modulus sample, assignment
+    # and probing are argmax/top-nprobe over exact cosines, rerank is exact.
+    # The whole pipeline is therefore SQL-expressible and hash-checked —
+    # unlike PQ (seeded k-means training) and LSH (MLlib RNG hyperplanes),
+    # which stay rows-only. Tie risk between engines is float-last-ulp only
+    # (same as the ann_brute_topk oracle, green since r2).
+    oracle="""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+), c AS (
+  SELECT vec_id AS c_id, vec AS c_vec FROM v WHERE vec_id % 73 = 0
+), assigned AS (
+  SELECT vec_id, bucket FROM (
+    SELECT v.vec_id, c.c_id AS bucket,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_cosine_similarity(v.vec, c.c_vec) DESC, c.c_id
+           ) AS rn
+    FROM v CROSS JOIN c
+  ) WHERE rn = 1
+), q AS (
+  SELECT vec_id AS q_id, vec AS q_vec FROM v WHERE vec_id % 100 = 0
+), probes AS (
+  SELECT q_id, bucket FROM (
+    SELECT q.q_id, c.c_id AS bucket,
+           row_number() OVER (
+             PARTITION BY q.q_id
+             ORDER BY list_cosine_similarity(q.q_vec, c.c_vec) DESC, c.c_id
+           ) AS rn
+    FROM q CROSS JOIN c
+  ) WHERE rn <= 6
+), cand AS (
+  SELECT p.q_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assigned a USING (bucket)
+  WHERE p.q_id <> a.vec_id
+), scored AS (
+  SELECT cand.q_id, cand.neighbor_id,
+         round(list_cosine_similarity(q.q_vec, v.vec), 4) AS sim
+  FROM cand
+  JOIN q ON cand.q_id = q.q_id
+  JOIN v ON cand.neighbor_id = v.vec_id
+)
+SELECT q_id, neighbor_id, sim
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) <= 5
+""",
     survey_ref="L3",
     doc="IVF-style ANN: coarse centroids -> bucket assignment -> nprobe probe -> exact rerank",
 )
