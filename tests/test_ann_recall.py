@@ -180,3 +180,18 @@ def test_cosine_topk_chunked_matches_unchunked(spark, sf_dir, monkeypatch):
     cols = ["vec_id_a", "vec_id_b", "sim"]
     res = compare_results(chunked, cols, whole, cols)
     assert res.ok, f"chunked != whole-tile: {res.reason}\n{res.sample_diff}"
+
+
+def test_cosine_topk_grid_chunked_matches_unchunked(spark, sf_dir, monkeypatch):
+    """Same contract for the block-grid kernel: forcing the column-chunked
+    cell walk (diagonal cells re-sort the block by id; off-diagonal cells
+    chunk the b-side) must reproduce the whole-cell selection exactly."""
+    from data_etl_sh_lianjia_spark.canon import compare_results
+    from data_etl_sh_lianjia_spark.operators import similarity
+
+    whole = [tuple(r) for r in similarity.cosine_topk_grid(spark, sf_dir).collect()]
+    monkeypatch.setattr(similarity, "_TOPK_CHUNK_ENTRIES", 10_000)
+    chunked = [tuple(r) for r in similarity.cosine_topk_grid(spark, sf_dir).collect()]
+    cols = ["vec_id_a", "vec_id_b", "sim"]
+    res = compare_results(chunked, cols, whole, cols)
+    assert res.ok, f"grid chunked != whole-cell: {res.reason}\n{res.sample_diff}"
