@@ -265,3 +265,151 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_phones"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition metrics + unigram surprisal (SURVEY.md §2.9 L4/L6)
+# ---------------------------------------------------------------------------
+
+# Thresholds chosen against the corpus distribution (uniq_frac median 0.46,
+# min 0.28; top_bigram_frac median 0.033, max 0.167): the flag fires on a
+# meaningful minority, not none/all rows.
+_REP_UNIQ_MIN = 0.35
+_REP_BIGRAM_MAX = 0.08
+
+
+@register(
+    "repetition_stats",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+), b AS (
+  SELECT doc_id, words,
+         list_transform(range(1, len(words)),
+                        i -> words[i] || ' ' || words[i + 1]) AS bigrams
+  FROM w
+), s AS (
+  SELECT doc_id,
+         len(words) AS n_words,
+         round(CAST(len(list_distinct(words)) AS DOUBLE) / len(words), 6) AS uniq_frac,
+         round(CAST(list_max(list_transform(list_distinct(words),
+                  d -> len(list_filter(words, x -> x = d)))) AS DOUBLE)
+               / len(words), 6) AS top_word_frac,
+         CASE WHEN len(bigrams) = 0 THEN 0.0
+              ELSE round(CAST(list_max(list_transform(list_distinct(bigrams),
+                       d -> len(list_filter(bigrams, x -> x = d)))) AS DOUBLE)
+                   / len(bigrams), 6) END AS top_bigram_frac
+  FROM b
+)
+SELECT doc_id, n_words, uniq_frac, top_word_frac, top_bigram_frac,
+       (uniq_frac < {_REP_UNIQ_MIN} OR top_bigram_frac >= {_REP_BIGRAM_MAX})
+         AS is_repetitive
+FROM s
+""",
+    survey_ref="L4,L6",
+    doc="Gopher-style repetition signals: type-token ratio, top word/bigram fraction",
+)
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals (the Gopher/MassiveText filter
+    family): type-token ratio, most-common-word fraction, most-common-
+    bigram fraction, and the combined repetitive-document flag.
+
+    Everything is a row-local array expression (split -> zip_with ->
+    transform/filter lambdas), so at 100 TB this is a map-only pass with
+    no shuffle and no Python: the per-row cost is O(distinct x words) on
+    bounded documents (long documents would swap the inner count for a
+    sort-and-run-length pass, same contract). Divisions are exact-int over
+    exact-int rounded to 6, so the oracle hash-matches bit-for-bit."""
+    docs = _docs(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    # zip_with over two shifted slices: no sequence() guard needed — a
+    # 1-word doc slices to two empty arrays and yields zero bigrams.
+    bigrams = F.expr(
+        "zip_with(slice(split(text, ' '), 1, greatest(size(split(text, ' ')) - 1, 0)),"
+        "         slice(split(text, ' '), 2, greatest(size(split(text, ' ')) - 1, 0)),"
+        "         (a, b) -> concat(a, ' ', b))"
+    )
+    top_count = (
+        lambda arr: f"array_max(transform(array_distinct({arr}),"
+        f" d -> size(filter({arr}, x -> x = d))))"
+    )
+    base = docs.select(
+        "doc_id",
+        F.size(words).cast("bigint").alias("n_words"),
+        F.round(
+            F.size(F.array_distinct(words)).cast("double") / F.size(words), 6
+        ).alias("uniq_frac"),
+        F.round(
+            F.expr(top_count("split(text, ' ')")).cast("double") / F.size(words), 6
+        ).alias("top_word_frac"),
+        bigrams.alias("bigrams"),
+    )
+    base = base.withColumn(
+        "top_bigram_frac",
+        F.when(F.size("bigrams") == 0, F.lit(0.0)).otherwise(
+            F.round(
+                F.expr(top_count("bigrams")).cast("double") / F.size("bigrams"), 6
+            )
+        ),
+    ).drop("bigrams")
+    return base.withColumn(
+        "is_repetitive",
+        (F.col("uniq_frac") < _REP_UNIQ_MIN)
+        | (F.col("top_bigram_frac") >= _REP_BIGRAM_MAX),
+    )
+
+
+@register(
+    "unigram_surprisal",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), freq AS (
+  SELECT w, COUNT(*) AS cnt FROM words GROUP BY w
+), tot AS (
+  SELECT SUM(cnt) AS total FROM freq
+), scored AS (
+  SELECT doc_id,
+         CAST(round(-log10(cnt / CAST(total AS DOUBLE)), 9) AS DECIMAL(20,9)) AS surp
+  FROM words JOIN freq USING (w) CROSS JOIN tot
+)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       round(CAST(SUM(surp) AS DOUBLE) / COUNT(*), 4) AS avg_surprisal,
+       round(CAST(MAX(surp) AS DOUBLE), 4) AS max_surprisal
+FROM scored
+GROUP BY doc_id
+""",
+    survey_ref="L4,L6",
+    doc="corpus-unigram surprisal score per document (perplexity-proxy quality)",
+)
+def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score: mean per-token surprisal
+    -log10 p(w) under the corpus's own unigram distribution — the cheap
+    stand-in for model-based perplexity filtering in LLM data pipelines.
+
+    Scale shape: the token explode is row-local; the frequency table
+    shuffles on the word key but is VOCABULARY-sized (bounded, unlike the
+    corpus) and broadcasts back to the token stream, so the only
+    corpus-sized shuffle is the final per-document aggregation.
+    Determinism: each surprisal is rounded to 9 decimals and summed as
+    DECIMAL (exact, order-independent) before the final 4-decimal round —
+    the same dsum contract as every float aggregate in the registry."""
+    docs = _docs(spark, sf_dir)
+    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    freq = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    total = freq.agg(F.sum("cnt").alias("total"))
+    surp = F.expr(
+        "CAST(round(-log10(cnt / CAST(total AS DOUBLE)), 9) AS DECIMAL(20,9))"
+    )
+    scored = (
+        words.join(F.broadcast(freq), "w")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", surp.alias("surp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.sum("surp").cast("double") / F.count(F.lit(1)), 4).alias(
+            "avg_surprisal"
+        ),
+        F.round(F.max("surp").cast("double"), 4).alias("max_surprisal"),
+    )
