@@ -153,8 +153,20 @@ def extract_features(
 
 @register(
     "multimodal_resize",
-    oracle=None,  # pandas-UDF byte-domain transform: tests/test_multimodal.py
-    # re-derives the subsampled bytes driver-side and matches the digests
+    # The media blob is encode(text, 'UTF-8') of an all-ASCII corpus
+    # (max codepoint 121 across every test SF), so byte k == character k
+    # and DuckDB can re-derive the subsampled payload and its md5 from
+    # first principles — a full differential check of the binary path
+    # (encode -> Arrow -> numpy slice -> digest), not just row counts.
+    oracle="""
+SELECT doc_id AS media_id,
+       length(text) AS orig_len,
+       CAST(ceil(length(text) / 2.0) AS BIGINT) AS resized_len,
+       md5(array_to_string(
+             list_transform(range(1, length(text) + 1, 2), i -> text[i]),
+             '')) AS resized_md5
+FROM documents
+""",
     survey_ref="L5",
     doc="stubbed resize: 2x byte-domain downsample via mapInPandas, digest-audited",
 )
@@ -194,8 +206,28 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_waveform_stats",
-    oracle=None,  # pandas-UDF numeric reinterpretation: tests/test_multimodal.py
-    # recomputes rms/peak driver-side with numpy and compares exactly
+    # ASCII corpus: int8 reinterpretation == code points, and every sum
+    # below is a sum of small integers — exact in float64 regardless of
+    # accumulation order, so sqrt/divide/round are bit-identical across
+    # numpy and DuckDB.
+    # Quantization is floor(x*1e6 + 0.5)/1e6 SPELLED THE SAME in both
+    # engines: Python round() is half-even, DuckDB round() half-away, and
+    # rms values land on exact 6-decimal ties often enough (6 rows at
+    # sf0.1) that the formulas must match operation-for-operation.
+    oracle="""
+WITH cp AS (
+  SELECT doc_id, length(text) AS n,
+         list_transform(string_split(text, ''), c -> unicode(c)) AS cps
+  FROM documents
+)
+SELECT doc_id AS media_id,
+       floor(sqrt(CAST(list_sum(list_transform(cps, x -> x * x)) AS DOUBLE) / n)
+             * 1000000 + 0.5) / 1000000 AS rms,
+       CAST(list_max(cps) AS DOUBLE) AS peak,
+       floor(CAST(list_sum(cps) AS DOUBLE) / n * 1000000 + 0.5) / 1000000
+         AS dc_offset
+FROM cp
+""",
     survey_ref="L5",
     doc="audio-style stats: bytes as int8 PCM -> rms/peak/dc via mapInPandas",
 )
@@ -216,9 +248,13 @@ def multimodal_waveform_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if s.size == 0:
                     rms.append(0.0); peak.append(0.0); dc.append(0.0)
                     continue
-                rms.append(round(float(np.sqrt(np.mean(s * s))), 6))
+                # floor(x*1e6+0.5)/1e6, not round(): matches the oracle's
+                # quantization op-for-op (Python round is half-even)
+                rms.append(
+                    float(np.floor(np.sqrt(np.mean(s * s)) * 1e6 + 0.5) / 1e6)
+                )
                 peak.append(float(np.max(np.abs(s))))
-                dc.append(round(float(np.mean(s)), 6))
+                dc.append(float(np.floor(np.mean(s) * 1e6 + 0.5) / 1e6))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -235,7 +271,28 @@ def multimodal_waveform_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_features",
-    oracle=None,  # pandas-UDF decode path: checked by tests/test_multimodal.py
+    # First-8-bytes unit vector re-derived from code points: the L2 norm is
+    # sqrt of an exact integer sum, each component divide/square is one IEEE
+    # op, and the norm2 fold runs left-to-right in both engines (Spark
+    # F.aggregate == DuckDB list_reduce), so round(.,6) hash-matches.
+    oracle="""
+WITH v AS (
+  SELECT doc_id,
+         list_transform(range(1, least(8, length(text)) + 1),
+                        i -> unicode(text[i])) AS raw
+  FROM documents
+), n AS (
+  SELECT doc_id, raw,
+         sqrt(CAST(list_sum(list_transform(raw, x -> x * x)) AS DOUBLE)) AS nrm
+  FROM v
+)
+SELECT doc_id AS media_id,
+       round(raw[1] / nrm, 6) AS f1,
+       round(list_reduce(
+               list_transform(raw, x -> (x / nrm) * (x / nrm)),
+               (a, b) -> a + b), 6) AS norm2
+FROM n
+""",
     survey_ref="L5",
     doc="stubbed decode -> deterministic 8-dim feature vector via mapInPandas",
 )

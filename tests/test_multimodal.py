@@ -91,9 +91,9 @@ def test_waveform_stats_match_numpy_recompute(spark, sf_dir):
     for d in docs.limit(50).collect():
         s = np.frombuffer(d["text"].encode("utf-8"), dtype=np.int8).astype(np.float64)
         r = rows[d["doc_id"]]
-        assert r["rms"] == round(float(np.sqrt(np.mean(s * s))), 6)
+        assert r["rms"] == float(np.floor(np.sqrt(np.mean(s * s)) * 1e6 + 0.5) / 1e6)
         assert r["peak"] == float(np.max(np.abs(s)))
-        assert r["dc_offset"] == round(float(np.mean(s)), 6)
+        assert r["dc_offset"] == float(np.floor(np.mean(s) * 1e6 + 0.5) / 1e6)
 
 
 def test_bmp_roundtrip_property():
