@@ -236,6 +236,13 @@ register(
     bench=True,
     doc="TPC-H Q5 shape: 6-table star join (dims broadcast), agg by nation",
 )(
+    # Flat 5-broadcast form, kept after interleaved A/Bs (tools/
+    # profile_q5_regex.py + r3 follow-ups, sf0.1 medians in one session):
+    # pushing the ASIA filter into customer/supplier dim CTEs 294 ms,
+    # pre-merging nation x region into one broadcast 243 ms, scalar-
+    # subquery region 234 ms, this form 220-224 ms — deeper broadcast
+    # build chains serialize into extra sub-jobs and lose more than the
+    # smaller build sides save at this scale.
     _sql_query(f"""
 SELECT /*+ BROADCAST(c), BROADCAST(s), BROADCAST(n), BROADCAST(r) */
        n_name,
