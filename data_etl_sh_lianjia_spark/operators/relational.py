@@ -375,7 +375,11 @@ register(
     # hash key to the full (gid, partkey, suppkey) tuple. Split, each
     # branch is a single-column scan -> partial hash-distinct -> count
     # (count(*) rides the suppkey branch: one distinct group per agg
-    # plans Expand-free). Measured at sf0.1 (tools/profile_q1_ab.py):
+    # plans Expand-free). A GROUPING SETS ((pk),(sk)) rewrite (2x Expand,
+    # count riding a gid-conditional sum) was also measured: between the
+    # two (~189 ms vs Expand 177 / split 247 in one r3 session) — the
+    # extra final-agg stage eats the smaller Expand's win, so it replaces
+    # neither form. Measured at sf0.1 (tools/profile_q1_ab.py):
     # exec-only both forms ~30 ms (= DuckDB's 29.8 ms baseline); the
     # split adds ~70 ms of per-stage scheduling floor at toy scale —
     # a fixed cost that amortizes at real data sizes, traded for
