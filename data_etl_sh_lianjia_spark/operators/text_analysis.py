@@ -315,10 +315,11 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigram fraction, and the combined repetitive-document flag.
 
     Everything is a row-local array expression (split -> zip_with ->
-    transform/filter lambdas), so at 100 TB this is a map-only pass with
-    no shuffle and no Python: the per-row cost is O(distinct x words) on
-    bounded documents (long documents would swap the inner count for a
-    sort-and-run-length pass, same contract). Divisions are exact-int over
+    sort + run-length fold), so at 100 TB this is a map-only pass with no
+    shuffle and no Python: the per-row cost is O(words log words) — the
+    most-common-element count folds once over the sorted array instead of
+    filtering per distinct element (the O(distinct x words) lambda form
+    measured ~2x slower at the 10x replica). Divisions are exact-int over
     exact-int rounded to 6, so the oracle hash-matches bit-for-bit."""
     docs = _docs(spark, sf_dir)
     words = F.split(F.col("text"), " ")
@@ -329,9 +330,17 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "         slice(split(text, ' '), 2, greatest(size(split(text, ' ')) - 1, 0)),"
         "         (a, b) -> concat(a, ' ', b))"
     )
-    top_count = (
-        lambda arr: f"array_max(transform(array_distinct({arr}),"
-        f" d -> size(filter({arr}, x -> x = d))))"
+    # max run length over the sorted array == count of the most common
+    # element; single left fold, no per-distinct rescan
+    top_count = lambda arr: (  # noqa: E731
+        f"aggregate(array_sort({arr}),"
+        " named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0),"
+        " (acc, x) -> named_struct("
+        "   'prev', x,"
+        "   'run', IF(acc.prev IS NOT NULL AND x = acc.prev, acc.run + 1, 1),"
+        "   'best', GREATEST(acc.best,"
+        "     IF(acc.prev IS NOT NULL AND x = acc.prev, acc.run + 1, 1))),"
+        " acc -> acc.best)"
     )
     base = docs.select(
         "doc_id",

@@ -68,8 +68,30 @@ KEY_DOMAINS = {
 
 # DuckDB-side skips: each maps a query to the scale dirs where its oracle
 # is quadratic in corpus size and would run for hours in the reference
-# engine (measured 26 s at 10x -> ~72 min extrapolated at 100x, per run).
-_DUCK_SKIP_AT = {"cosine_topk": ("sf10x",), "ann_brute_topk": ("sf10x",)}
+# engine (measured 26 s at 10x -> ~72 min extrapolated at 100x, per run),
+# or (repetition_stats) where the O(distinct x words) list lambdas cost
+# 43 s/run single-run — too slow to sample repeatedly, not a plan defect.
+_DUCK_SKIP_AT = {
+    "cosine_topk": ("sf10x",),
+    "ann_brute_topk": ("sf10x",),
+    "repetition_stats": ("sf10x",),
+}
+
+# LLM-pipeline operators, measured as their OWN curve (SCALE_CURVE_LLM=1
+# -> this set replaces the bench headline set). Separate run on purpose:
+# repetition_stats / unigram_surprisal at the 100x point are tens of
+# seconds per sample and evict the page cache between rotation samples,
+# which contaminates the sub-second headline queries with cold-read times
+# (measured: ann_brute_topk 37 s median inside a mixed rotation vs 1.1 s
+# warm standalone). One rotation = one cache regime; two files, two
+# honest protocols.
+LLM_QUERIES = (
+    "text_stats",
+    "repetition_stats",
+    "unigram_surprisal",
+    "dedup_exact",
+    "quality_filter",
+)
 
 
 def _shift_units() -> dict[tuple[str, str], int]:
@@ -138,7 +160,11 @@ def main() -> None:
             "spark.sql.optimizer.dynamicPartitionPruning.enabled": "false",
         },
     )
-    bench = {n: dq for n, dq in all_queries().items() if dq.bench}
+    qs = all_queries()
+    if os.environ.get("SCALE_CURVE_LLM"):
+        bench = {n: qs[n] for n in LLM_QUERIES}
+    else:
+        bench = {n: dq for n, dq in qs.items() if dq.bench}
     runs = int(os.environ.get("SCALE_CURVE_RUNS", "7"))
     for d in scales.values():
         ingest_tables(spark, d)
