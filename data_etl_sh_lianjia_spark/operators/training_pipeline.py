@@ -457,3 +457,128 @@ def dataset_split_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("sum_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# chunk -> embed -> retrieve: the composed RAG-indexing pipeline
+# ---------------------------------------------------------------------------
+
+_CE_CHUNK = 120  # chars per chunk (non-overlapping)
+_CE_HEX = "0123456789abcdef"
+
+
+def _hexvec_spark(col: str) -> str:
+    """8-dim embedding from a 32-hex-digit column: one double per hex byte
+    pair, via per-digit table lookup (instr) so the identical arithmetic
+    runs in DuckDB (which has no conv()). Pass a hoisted md5 column, not
+    md5(text) inline — inlining would re-hash 16x per row."""
+    return (
+        f"transform(sequence(0, 7), i ->"
+        f" 16.0D * (instr('{_CE_HEX}', substring({col}, 2*i+1, 1)) - 1)"
+        f" + (instr('{_CE_HEX}', substring({col}, 2*i+2, 1)) - 1))"
+    )
+
+
+def _hexvec_duck(col: str) -> str:
+    return (
+        f"list_transform(range(0, 8), i ->"
+        f" 16.0 * (strpos('{_CE_HEX}', {col}[2*i+1]) - 1)"
+        f" + (strpos('{_CE_HEX}', {col}[2*i+2]) - 1))"
+    )
+
+
+@register(
+    "chunk_embed_topk",
+    oracle=f"""
+WITH chunks AS (
+  SELECT doc_id, k AS chunk_idx,
+         md5(substr(text, k * {_CE_CHUNK} + 1, {_CE_CHUNK})) AS h
+  FROM documents,
+       unnest(range(0, CAST(ceil(length(text) / {_CE_CHUNK}.0) AS BIGINT))) AS t(k)
+), vec AS (
+  SELECT doc_id, chunk_idx, {_hexvec_duck('h')} AS v FROM chunks
+), emb AS (
+  SELECT doc_id, chunk_idx, v,
+         sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
+  FROM vec
+), q AS (
+  SELECT doc_id AS q_doc, chunk_idx AS q_idx, v AS q_v, nrm AS q_nrm
+  FROM emb WHERE doc_id % 100 = 0
+), scored AS (
+  SELECT q.q_doc, q.q_idx, e.doc_id, e.chunk_idx,
+         floor(list_reduce(list_transform(range(1, 9),
+                   i -> q.q_v[i] * e.v[i]), (a, b) -> a + b)
+               / (q.q_nrm * e.nrm) * 1000000 + 0.5) / 1000000 AS sim
+  FROM q JOIN emb e ON e.doc_id <> q.q_doc
+)
+SELECT q_doc, q_idx, doc_id, chunk_idx, sim
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY q_doc, q_idx
+                           ORDER BY sim DESC, doc_id, chunk_idx) <= 3
+""",
+    survey_ref="L3,L4,P1",
+    doc="composed pipeline: chunk docs -> hash embedding -> cosine top-3 retrieval",
+)
+def chunk_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed RAG-indexing pipeline as ONE declared query: chunk the
+    corpus (row-local Generate), embed each chunk (here a deterministic
+    md5-derived 8-dim vector standing in for a model encoder — the
+    embedding seam is the same mapInPandas boundary `extract_features`
+    owns), and retrieve top-3 chunks per query chunk by cosine.
+
+    Scale shape: chunking+embedding pipeline inside the scan (no shuffle);
+    the query side is a sampled subset that BROADCASTS (the corpus never
+    shuffles for retrieval), and per-pair scoring is a map-side zip_with
+    fold followed by a per-query top-k window — the brute baseline whose
+    production twin is the IVF bucket path (`ann_ivf_topk`). Exact-int
+    dot products (hex bytes 0-255) keep every sum order-independent;
+    the one float divide is quantized floor(x*1e6+0.5)/1e6 identically
+    in both engines."""
+    docs = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    chunks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, CAST(ceil(length(text) / {_CE_CHUNK}.0)"
+                f" AS INT) - 1), k -> named_struct('chunk_idx', CAST(k AS BIGINT),"
+                f" 'chunk', substring(text, k * {_CE_CHUNK} + 1, {_CE_CHUNK})))"
+            )
+        ).alias("c"),
+    ).select("doc_id", "c.chunk_idx", "c.chunk")
+    emb = (
+        chunks.select("doc_id", "chunk_idx", F.md5("chunk").alias("h"))
+        .select("doc_id", "chunk_idx", F.expr(_hexvec_spark("h")).alias("v"))
+        .withColumn(
+            "nrm",
+            F.sqrt(
+                F.expr("aggregate(transform(v, x -> x * x), 0D, (a, b) -> a + b)")
+            ),
+        )
+    )
+    q = emb.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("q_doc"),
+        F.col("chunk_idx").alias("q_idx"),
+        F.col("v").alias("q_v"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    scored = (
+        emb.join(F.broadcast(q), F.col("doc_id") != F.col("q_doc"))
+        .withColumn(
+            "sim",
+            F.expr(
+                "floor(aggregate(zip_with(q_v, v, (x, y) -> x * y), 0D,"
+                " (a, b) -> a + b) / (q_nrm * nrm) * 1000000 + 0.5) / 1000000"
+            ),
+        )
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("q_doc", "q_idx").orderBy(
+        F.desc("sim"), "doc_id", "chunk_idx"
+    )
+    return (
+        scored.select("q_doc", "q_idx", "doc_id", "chunk_idx", "sim")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
