@@ -307,3 +307,34 @@ def test_fuzzy_match_blocking_is_equi_join(spark, sf_dir):
     this blocking removes."""
     plan = _plan(all_queries()["fuzzy_match_levenshtein"].spark_fn(spark, sf_dir))
     assert "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_string_regex_cheap_predicate_first(spark, sf_dir):
+    """Conjunct order is preserved into codegen and Catalyst does not
+    cost-reorder it, so the 3-way IN-list must sit LEFT of the regex in
+    the Filter condition (short-circuits the expensive RLIKE for
+    non-matching langs — measured -12%, tools/profile_q5_regex.py)."""
+    plan = _plan(all_queries()["string_regex"].spark_fn(spark, sf_dir))
+    cond = next(l for l in plan.splitlines() if "RLIKE" in l)
+    assert cond.index(" IN (") < cond.index("RLIKE"), cond
+
+
+def test_chunk_embed_topk_broadcasts_queries_no_corpus_shuffle(spark, sf_dir):
+    """The composed chunk->embed->retrieve pipeline must broadcast the
+    sampled query side; the corpus side may not hit an Exchange below the
+    scoring join (retrieval is a map-side pass over the scan)."""
+    plan = _plan(all_queries()["chunk_embed_topk"].spark_fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    join_pos = plan.find("BroadcastNestedLoopJoin")
+    if join_pos == -1:
+        join_pos = plan.find("BroadcastHashJoin")
+    # below (after, in toString order) the join: only the broadcast
+    # exchange for the query side, never a shuffle Exchange on the corpus
+    below = plan[join_pos:]
+    import re
+
+    shuffles = [
+        l for l in below.splitlines()
+        if re.search(r"\bExchange (hash|range|Single)", l)
+    ]
+    assert not shuffles, shuffles
