@@ -88,17 +88,19 @@ def main() -> None:
     # and - the big one - C2 JIT compilation of the Catalyst analyzer/
     # optimizer rule stack plus the DAGScheduler/task-serialization path,
     # which otherwise inflates fresh query builds by 2-4x each.
-    # Warm through toPandas(), not collect(): the timed runs materialize
-    # via Arrow, and the Arrow serving path has its own JIT/buffer warmup.
+    # Warm through toArrow(), matching the timed runs' materialization.
     warm = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "4"))
     for _ in range(warm):
         for dq in bench_queries.values():
-            dq.spark_fn(spark, SF_DIR).toPandas()
+            dq.spark_fn(spark, SF_DIR).toArrow()
 
     # Each timed run rebuilds the query (plan + analyze + optimize + execute —
     # no plan caching: same protocol as the DuckDB baseline re-executing its
-    # SQL). Results materialize via toPandas(): Arrow batches are the engine's
-    # documented result path; row-pickling collect() adds ~0.2s on the two
+    # SQL). Results materialize via toArrow() — full driver-side
+    # materialization of every result row as an Arrow table, the engine's
+    # documented result format and the closest analog of DuckDB's native
+    # (columnar) fetch. toPandas() adds a ~10-15 ms/query pandas conversion
+    # the baseline never pays; row-pickling collect() adds ~0.2 s on the two
     # queries that return >40k rows and measures serialization, not the query.
     # Runs are interleaved round-robin (all queries once, then again ×RUNS)
     # so a host freeze burst degrades one sample of many queries instead of
@@ -113,7 +115,7 @@ def main() -> None:
         for name, dq in sorted(bench_queries.items()):
             t0 = time.perf_counter()
             df = dq.spark_fn(spark, SF_DIR)
-            df.toPandas()
+            df.toArrow()
             samples[name].append(time.perf_counter() - t0)
             try:
                 phases = df._jdf.queryExecution().tracker().phases()
