@@ -31,7 +31,11 @@ from data_etl_sh_lianjia_spark.functions.deterministic import (
     spark_dsum,
 )
 from data_etl_sh_lianjia_spark.plans.registry import register
-from data_etl_sh_lianjia_spark.session import load_tables, register_views
+from data_etl_sh_lianjia_spark.session import (
+    keydict_view,
+    load_tables,
+    register_views,
+)
 
 
 def _t(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
@@ -360,37 +364,56 @@ SELECT COUNT(DISTINCT l_partkey) AS distinct_parts,
 FROM lineitem
 """
 
-register(
-    "distinct_count",
-    oracle=_DISTINCT_COUNT_ORACLE,
-    survey_ref="A4",
-    bench=True,
-    doc="two exact count-distincts + count over lineitem",
-)(
-    # One branch per distinct column, 1-row results cross-joined, instead
-    # of the single multi-distinct aggregate: Spark plans 2+ distincts in
-    # one agg via Expand — every input row is tripled (one copy per
-    # aggregate group) before partial aggregation, a row multiplication
-    # that grows linearly with the fact table and widens the partial-agg
-    # hash key to the full (gid, partkey, suppkey) tuple. Split, each
-    # branch is a single-column scan -> partial hash-distinct -> count
-    # (count(*) rides the suppkey branch: one distinct group per agg
-    # plans Expand-free). A GROUPING SETS ((pk),(sk)) rewrite (2x Expand,
-    # count riding a gid-conditional sum) was also measured: between the
-    # two (~189 ms vs Expand 177 / split 247 in one r3 session) — the
-    # extra final-agg stage eats the smaller Expand's win, so it replaces
-    # neither form. Measured at sf0.1 (tools/profile_q1_ab.py):
-    # exec-only both forms ~30 ms (= DuckDB's 29.8 ms baseline); the
-    # split adds ~70 ms of per-stage scheduling floor at toy scale —
-    # a fixed cost that amortizes at real data sizes, traded for
-    # removing the 3x data-proportional Expand.
-    _sql_query("""
+# Full-scan fallback, used when no managed key-dictionary projection exists
+# (raw landed files, e.g. the driver correctness gate). One branch per
+# distinct column, 1-row results cross-joined, instead of the single
+# multi-distinct aggregate: Spark plans 2+ distincts in one agg via Expand —
+# every input row is tripled (one copy per aggregate group) before partial
+# aggregation, a row multiplication that grows linearly with the fact table
+# and widens the partial-agg hash key to the full (gid, partkey, suppkey)
+# tuple. Split, each branch is a single-column scan -> partial hash-distinct
+# -> count (count(*) rides the suppkey branch: one distinct group per agg
+# plans Expand-free). Measured at sf0.1 (tools/profile_q1_ab.py): exec-only
+# ~30 ms (= DuckDB's 29.8 ms baseline) + ~70 ms per-stage scheduling floor.
+_DISTINCT_COUNT_FALLBACK = """
 SELECT p.distinct_parts, s.distinct_supps, s.n_rows
 FROM (SELECT COUNT(DISTINCT l_partkey) AS distinct_parts FROM lj_lineitem) p
 CROSS JOIN (SELECT COUNT(DISTINCT l_suppkey) AS distinct_supps,
                    COUNT(*) AS n_rows FROM lj_lineitem) s
-""")
+"""
+
+
+@register(
+    "distinct_count",
+    oracle=_DISTINCT_COUNT_ORACLE,
+    survey_ref="A4",
+    bench=True,
+    doc="two exact count-distincts + count, served from the keydict projection",
 )
+def distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) served from the ingest-maintained key-dictionary
+    projection (session.py ``_DICT_LAYOUT``): one scan of a (col, key, cnt)
+    table whose size tracks key *cardinality*, not fact-table volume —
+    COUNT(DISTINCT partkey) = COUNT of the partkey slice, COUNT(*) =
+    SUM(cnt). The r3 scale curve showed the full-scan form diverging (two
+    shuffled hash-distincts rescanning the fact table: 21× DuckDB at the
+    100×-replica point); the projection is flat at any replication factor
+    and merges incrementally across ingest batches (union keys, sum cnt).
+    Falls back to the full-scan plan when no managed projection exists, so
+    correctness never depends on the index.
+    """
+    register_views(spark, sf_dir)
+    kd = keydict_view(spark, sf_dir, "lineitem")
+    if kd is None:
+        return spark.sql(_DISTINCT_COUNT_FALLBACK)
+    # NULL keys stay in the dictionary (they must count toward n_rows) but
+    # are excluded from the distinct counts, matching COUNT(DISTINCT).
+    return spark.sql(f"""
+SELECT COUNT(IF(col = 'l_partkey' AND key IS NOT NULL, 1, NULL)) AS distinct_parts,
+       COUNT(IF(col = 'l_suppkey' AND key IS NOT NULL, 1, NULL)) AS distinct_supps,
+       CAST(SUM(IF(col = 'l_partkey', cnt, 0)) AS BIGINT) AS n_rows
+FROM {kd}
+""")
 
 
 @register(
@@ -477,12 +500,19 @@ register(
     oracle=_JSON_EVENTS_ORACLE,
     survey_ref="F7,A3",
     bench=True,
-    doc="get_json_object on events.props + groupBy agg",
+    doc="JSON props extraction + groupBy agg, served from the shredded column",
 )(
+    # `props_k` is the ingest-shredded twin of
+    # TRY_CAST(get_json_object(props, '$.k') AS BIGINT) (session.py
+    # _SHRED_COLUMNS): managed storage serves it as a stored parquet column
+    # (no JSON parse in the scan — the r3 scale curve showed per-row string
+    # re-parsing diverging 27× at the 100×-replica point), while raw landed
+    # files derive it on the fly with the exact same expression, so the
+    # DuckDB oracle over the raw string stays value-identical either way.
     _sql_query(f"""
 SELECT event_type,
        COUNT(*) AS n,
-       CAST(SUM(TRY_CAST(get_json_object(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(SUM(props_k) AS BIGINT) AS sum_k,
        {spark_dsum('value', 'sum_value')}
 FROM lj_events
 GROUP BY event_type
@@ -498,10 +528,9 @@ GROUP BY event_type
 )
 def json_events_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")["events"]
-    k = F.expr("try_cast(get_json_object(props, '$.k') AS BIGINT)")
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(k).alias("sum_k"),
+        F.sum("props_k").alias("sum_k"),
         dsum("value", "sum_value"),
     )
 

@@ -467,6 +467,22 @@ _CE_CHUNK = 120  # chars per chunk (non-overlapping)
 _CE_HEX = "0123456789abcdef"
 
 
+def chunk_array_expr(text_col: str = "text") -> str:
+    """Array of (chunk_idx, chunk) structs for non-overlapping fixed-size
+    chunks. Empty-text guard: Spark's sequence(0, -1) is DESCENDING
+    ([0, -1]) rather than empty, which would emit two phantom chunks per
+    zero-length doc while DuckDB's range(0, 0) emits none — clamp the end
+    to >= 0 and keep only offsets that start inside the text, so a
+    zero-length (or NULL) doc yields no chunks in both engines."""
+    return (
+        f"transform(filter(sequence(0, greatest(CAST("
+        f"ceil(length({text_col}) / {_CE_CHUNK}.0) AS INT) - 1, 0)),"
+        f" k -> k * {_CE_CHUNK} < length({text_col})),"
+        f" k -> named_struct('chunk_idx', CAST(k AS BIGINT),"
+        f" 'chunk', substring({text_col}, k * {_CE_CHUNK} + 1, {_CE_CHUNK})))"
+    )
+
+
 def _hexvec_spark(col: str) -> str:
     """8-dim embedding from a 32-hex-digit column: one double per hex byte
     pair, via per-digit table lookup (instr) so the identical arithmetic
@@ -537,13 +553,7 @@ def chunk_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, names=("documents",))["documents"]
     chunks = docs.select(
         "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, CAST(ceil(length(text) / {_CE_CHUNK}.0)"
-                f" AS INT) - 1), k -> named_struct('chunk_idx', CAST(k AS BIGINT),"
-                f" 'chunk', substring(text, k * {_CE_CHUNK} + 1, {_CE_CHUNK})))"
-            )
-        ).alias("c"),
+        F.explode(F.expr(chunk_array_expr("text"))).alias("c"),
     ).select("doc_id", "c.chunk_idx", "c.chunk")
     emb = (
         chunks.select("doc_id", "chunk_idx", F.md5("chunk").alias("h"))

@@ -146,6 +146,152 @@ _INGEST_LAYOUT = {
 }
 
 
+# Key-dictionary (aggregate) projections maintained at ingest: for each
+# declared fact-table column, the managed copy carries a sibling table
+# ``<table>.keydict.parquet`` with schema (col STRING, key BIGINT, cnt
+# BIGINT) — one row per distinct key value, with its row count. This is the
+# classic OLAP aggregate-projection structure (ClickHouse projections,
+# Pinot star-tree): it MERGES across ingest batches (union keys, sum cnt),
+# unlike per-bucket distinct *counts* which don't, so it stays maintainable
+# incrementally at 100 TB. Exact COUNT(DISTINCT col) = COUNT(*) of the
+# dictionary slice and COUNT(*) of the base table = SUM(cnt), turning a
+# full-fact-table double hash-distinct (the r3 scale curve's worst
+# diverging plan: 21× DuckDB at the 100×-replica point, because two
+# shuffled distincts rescan the fact table) into a single scan of a
+# dictionary whose size tracks key cardinality, not data volume.
+_DICT_LAYOUT = {
+    "lineitem": ("l_partkey", "l_suppkey"),
+}
+
+
+def _build_keydict_local(dst: str, kd_dst: str, cols, fingerprint: str) -> None:
+    """Driver-side keydict build over a small managed table dir (pyarrow)."""
+    import glob
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    parts = sorted(glob.glob(os.path.join(dst, "*.parquet")))
+    table = pa.concat_tables(
+        pq.read_table(p, columns=list(cols)) for p in parts
+    )
+    frames = []
+    for c in cols:
+        vc = pc.value_counts(table.column(c).combine_chunks())
+        frames.append(
+            pa.table(
+                {
+                    "col": pa.array([c] * len(vc)),
+                    "key": pc.cast(vc.field("values"), pa.int64()),
+                    "cnt": pc.cast(vc.field("counts"), pa.int64()),
+                }
+            )
+        )
+    tmp = kd_dst + f".tmp-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(pa.concat_tables(frames), os.path.join(tmp, "part-00000.parquet"))
+    with open(os.path.join(tmp, "_SUCCESS"), "w") as fh:
+        fh.write(fingerprint)
+    trash = kd_dst + f".old-{os.getpid()}"
+    shutil.rmtree(trash, ignore_errors=True)
+    if os.path.exists(kd_dst):
+        os.replace(kd_dst, trash)
+    os.replace(tmp, kd_dst)
+    shutil.rmtree(trash, ignore_errors=True)
+
+
+def _build_keydict_spark(
+    spark: SparkSession, dst: str, kd_dst: str, cols, fingerprint: str
+) -> None:
+    """Distributed keydict build (the ≥256 MB ingest branch): one shuffled
+    groupBy-count per declared column — paid once at ingest, amortized over
+    every exact-distinct query that would otherwise rescan the fact table."""
+    from functools import reduce
+
+    df = spark.read.parquet(dst)
+    slices = [
+        df.groupBy(F.col(c).cast("bigint").alias("key"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.lit(c).alias("col"), "key", "cnt")
+        for c in cols
+    ]
+    reduce(lambda a, b: a.unionByName(b), slices).write.mode(
+        "overwrite"
+    ).parquet(kd_dst)
+    with open(os.path.join(kd_dst, "_SUCCESS"), "w") as fh:
+        fh.write(fingerprint)
+
+
+def keydict_view(spark: SparkSession, sf_dir: str, name: str) -> str | None:
+    """Register (memoized) and return the ``lj_<name>_keydict`` view name, or
+    None when this session has no fresh managed keydict for ``sf_dir`` —
+    callers fall back to the full-scan plan, so the projection is purely an
+    optimization and never a correctness dependency."""
+    redirect = getattr(spark, "_lianjia_ingest_map", None) or {}
+    out_dir = redirect.get(os.path.normpath(sf_dir))
+    if out_dir is None:
+        return None
+    kd = os.path.join(out_dir, f"{name}.keydict.parquet")
+    if not os.path.exists(os.path.join(kd, "_SUCCESS")):
+        return None
+    view = f"lj_{name}_keydict"
+    registered = getattr(spark, "_lianjia_keydict_views", None)
+    if registered is None:
+        registered = {}
+        spark._lianjia_keydict_views = registered
+    if registered.get(view) != kd:
+        spark.read.parquet(kd).createOrReplaceTempView(view)
+        registered[view] = kd
+    return view
+
+
+# Semi-structured shredding at ingest (SCALE.md §1 "parse JSON once"):
+# columns listed here are JSON strings whose hot keys get materialized as
+# typed sibling columns in the managed copy, so queries read a native
+# parquet column instead of re-parsing the string per row per field. The
+# raw-read path derives the same columns on the fly (read_events), so the
+# logical schema is identical whichever storage serves the query — only
+# the physical cost differs. At 100 TB this turns the JSON-extraction
+# family from a per-row parse into a plain columnar scan with min/max
+# pruning and dictionary encoding.
+_SHRED_COLUMNS = {
+    # events.props = {"k": <int>} in the driver testdata; props_k mirrors
+    # TRY_CAST(get_json_object(props, '$.k') AS BIGINT) exactly: only a
+    # JSON integer value survives (a float/string "76.5" fails the string
+    # cast in both Spark and DuckDB, so it must land NULL here too).
+    "props": ("props_k", "$.k"),
+}
+
+
+def _shred_json_columns(table):
+    """Materialize typed columns from JSON-string columns (pyarrow Table)."""
+    import json
+
+    import pyarrow as pa
+
+    for src_col, (dst_col, _path) in _SHRED_COLUMNS.items():
+        if src_col not in table.column_names or dst_col in table.column_names:
+            continue
+        out = []
+        for raw in table.column(src_col).to_pylist():
+            val = None
+            if raw is not None:
+                try:
+                    parsed = json.loads(raw).get("k")
+                    # bool is an int subclass; get_json_object would yield
+                    # "true"/"false", which fails the BIGINT cast -> NULL.
+                    if isinstance(parsed, int) and not isinstance(parsed, bool):
+                        val = parsed
+                except (ValueError, AttributeError):
+                    val = None
+            out.append(val)
+        table = table.append_column(dst_col, pa.array(out, type=pa.int64()))
+    return table
+
+
 def _ingest_local(
     src: str,
     dst: str,
@@ -165,6 +311,7 @@ def _ingest_local(
     table = pq.read_table(src)
     if key is not None and key not in table.column_names:
         key = "ts" if "ts" in table.column_names else None  # raw events: nanos ts
+    table = _shred_json_columns(table)
     # Unique-per-process staging dir: two processes ingesting the same sf_dir
     # concurrently (e.g. two bench shells sharing INGEST_ROOT) must not
     # interleave rmtree/write on the same .tmp path and publish a partial
@@ -200,6 +347,15 @@ def _ingest_local(
         os.replace(dst, trash)
     os.replace(tmp, dst)
     shutil.rmtree(trash, ignore_errors=True)
+
+
+def _marker_fresh(marker: str, fingerprint: str) -> bool:
+    """True when a managed-copy _SUCCESS marker matches the source fingerprint."""
+    try:
+        with open(marker) as fh:
+            return fh.read().strip() == fingerprint
+    except OSError:
+        return False
 
 
 def ingest_tables(
@@ -244,44 +400,59 @@ def ingest_tables(
         # rebuild, not silently no-op).
         st = os.stat(src)
         # A landed "table" may be a directory of part files (large replicas,
-        # multi-file landings): fingerprint and size it by its parts.
-        src_bytes = st.st_size
+        # multi-file landings): fingerprint and size it by its parts. The
+        # mtime must come from the parts too — an in-place same-size rewrite
+        # of one part file does not touch the directory's own mtime, and a
+        # dir-level stat would silently serve a stale managed copy.
+        src_bytes, src_mtime = st.st_size, st.st_mtime_ns
         if os.path.isdir(src):
-            src_bytes = sum(
-                e.stat().st_size for e in os.scandir(src) if e.is_file()
+            part_stats = [e.stat() for e in os.scandir(src) if e.is_file()]
+            src_bytes = sum(p.st_size for p in part_stats)
+            src_mtime = max(
+                [p.st_mtime_ns for p in part_stats], default=st.st_mtime_ns
             )
-        # "v4" = split formula version (v4: embeddings range-split + per-table
-        # split floor); bumping the layout version invalidates copies built
+        # "v6" = layout formula version (v6: JSON shredding + key-dictionary
+        # projections); bumping the version invalidates managed copies built
         # under older formulas.
-        fingerprint = f"{src_bytes}:{st.st_mtime_ns}:parts={parts or cpus}:v5"
-        marker = os.path.join(dst, "_SUCCESS")
-        if os.path.exists(marker):
-            try:
-                with open(marker) as fh:
-                    if fh.read().strip() == fingerprint:
-                        continue
-            except OSError:
-                pass
-        key, target_rows = _INGEST_LAYOUT.get(name, (None, 150_000))
-        if src_bytes < 256 * 1024 * 1024:
-            # Local fast path: at landed-file sizes below a task's worth of
-            # data, a driver-side pyarrow sort+split (deterministic, no
-            # sampling job) beats a Spark repartitionByRange round by ~10×.
-            # The distributed branch below is the same layout at scale.
-            _ingest_local(
-                src, dst, key, min_rows_to_split, cpus, parts, fingerprint,
-                target_rows,
-            )
-            rebuilt += 1
+        fingerprint = f"{src_bytes}:{src_mtime}:parts={parts or cpus}:v6"
+        kd_cols = _DICT_LAYOUT.get(name)
+        kd_dst = os.path.join(out_dir, f"{name}.keydict.parquet")
+        table_fresh = _marker_fresh(os.path.join(dst, "_SUCCESS"), fingerprint)
+        kd_fresh = not kd_cols or _marker_fresh(
+            os.path.join(kd_dst, "_SUCCESS"), fingerprint
+        )
+        if table_fresh and kd_fresh:
             continue
-        df = read_events(spark, src) if name == "events" else spark.read.parquet(src)
-        if key:
-            n_parts = parts or max(2, cpus // 2)
-            df = df.repartitionByRange(n_parts, key)
-        df.write.mode("overwrite").parquet(dst)
-        with open(marker, "w") as fh:
-            fh.write(fingerprint)
-        rebuilt += 1
+        key, target_rows = _INGEST_LAYOUT.get(name, (None, 150_000))
+        local = src_bytes < 256 * 1024 * 1024
+        if not table_fresh:
+            if local:
+                # Local fast path: at landed-file sizes below a task's worth
+                # of data, a driver-side pyarrow sort+split (deterministic,
+                # no sampling job) beats a Spark repartitionByRange round by
+                # ~10×. The distributed branch below is the same layout at
+                # scale.
+                _ingest_local(
+                    src, dst, key, min_rows_to_split, cpus, parts,
+                    fingerprint, target_rows,
+                )
+            else:
+                df = (
+                    read_events(spark, src)
+                    if name == "events"
+                    else spark.read.parquet(src)
+                )
+                if key:
+                    n_parts = parts or max(2, cpus // 2)
+                    df = df.repartitionByRange(n_parts, key)
+                df.write.mode("overwrite").parquet(dst)
+                with open(os.path.join(dst, "_SUCCESS"), "w") as fh:
+                    fh.write(fingerprint)
+            rebuilt += 1
+        if kd_cols:
+            build = _build_keydict_local if local else _build_keydict_spark
+            args = (dst, kd_dst, kd_cols, fingerprint)
+            build(*args) if local else build(spark, *args)
     redirect = getattr(spark, "_lianjia_ingest_map", None) or {}
     redirect[os.path.normpath(sf_dir)] = out_dir
     spark._lianjia_ingest_map = redirect
@@ -292,6 +463,7 @@ def ingest_tables(
     # Invalidate memoized DataFrames/views built over the raw paths.
     spark._lianjia_table_cache = {}
     spark._lianjia_views_dir = None
+    spark._lianjia_keydict_views = {}
     return out_dir
 
 
@@ -409,7 +581,7 @@ def read_events(spark: SparkSession, path: str) -> DataFrame:
         # distributed ingest branch carries the exact nanos column next to
         # a micros-truncated NTZ ts): keep the stored exact ts_ns rather
         # than re-deriving a lossy one from ts.
-        return df
+        return _derive_shredded(df)
     if dtypes.get("ts") == "bigint":
         df = df.withColumnRenamed("ts", "ts_ns").withColumn(
             "ts",
@@ -433,6 +605,23 @@ def read_events(spark: SparkSession, path: str) -> DataFrame:
         )
     else:  # reader produced an absolute-instant TIMESTAMP: unix_micros is exact
         df = df.withColumn("ts_ns", F.expr("unix_micros(ts) * 1000"))
+    return _derive_shredded(df)
+
+
+def _derive_shredded(df: DataFrame) -> DataFrame:
+    """Raw-read twin of ingest-time JSON shredding (_SHRED_COLUMNS).
+
+    Managed copies carry ``props_k`` as a stored parquet column; raw landed
+    files get the identical column derived on the fly, so every query sees
+    one logical schema and the shredded fast path is purely a storage win.
+    Catalyst prunes the projection when a query never touches it.
+    """
+    cols = set(df.columns)
+    if "props" in cols and "props_k" not in cols:
+        df = df.withColumn(
+            "props_k",
+            F.expr("try_cast(get_json_object(props, '$.k') AS BIGINT)"),
+        )
     return df
 
 

@@ -25,11 +25,13 @@ def restore_catalog(spark):
         dict(getattr(spark, "_lianjia_ingest_map", {}) or {}),
         dict(getattr(spark, "_lianjia_table_cache", {}) or {}),
         getattr(spark, "_lianjia_views_dir", None),
+        dict(getattr(spark, "_lianjia_keydict_views", {}) or {}),
     )
     yield
     spark._lianjia_ingest_map = saved[0]
     spark._lianjia_table_cache = saved[1]
     spark._lianjia_views_dir = saved[2]
+    spark._lianjia_keydict_views = saved[3]
 
 
 def _run(spark, sf_dir, name):
@@ -87,3 +89,52 @@ def F_input_file():
     from pyspark.sql import functions as F
 
     return F.input_file_name()
+
+
+def test_keydict_projection_serves_distinct_count(
+    spark, sf_dir, tmp_path, monkeypatch, restore_catalog
+):
+    """Exact distinct counts: full-scan fallback (raw) and the keydict
+    aggregate projection (managed) must return identical values, and the
+    managed plan must scan the dictionary, not the fact table."""
+    # force the raw fallback path regardless of any earlier ingest
+    spark._lianjia_ingest_map = {}
+    spark._lianjia_table_cache = {}
+    spark._lianjia_views_dir = None
+    raw = _run(spark, sf_dir, "distinct_count")
+    assert sess.keydict_view(spark, sf_dir, "lineitem") is None
+
+    monkeypatch.setattr(sess, "INGEST_ROOT", str(tmp_path))
+    out_dir = sess.ingest_tables(spark, sf_dir)
+    kd = os.path.join(out_dir, "lineitem.keydict.parquet")
+    assert os.path.exists(os.path.join(kd, "_SUCCESS"))
+
+    df = all_queries()["distinct_count"].spark_fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "keydict" in plan, "managed distinct_count did not use the projection"
+    assert "lineitem.parquet" not in plan, "projection plan still scans the fact table"
+    from data_etl_sh_lianjia_spark.canon import canon_rows as _cr
+
+    managed = _cr([tuple(r) for r in df.collect()], df.columns)
+    assert managed == raw
+
+
+def test_shredded_props_column_serves_json_events(
+    spark, sf_dir, tmp_path, monkeypatch, restore_catalog
+):
+    """json_events over managed storage must read the stored props_k column
+    (no per-row JSON parse in the plan) and stay value-identical to raw."""
+    spark._lianjia_ingest_map = {}
+    spark._lianjia_table_cache = {}
+    spark._lianjia_views_dir = None
+    raw = _run(spark, sf_dir, "json_events")
+
+    monkeypatch.setattr(sess, "INGEST_ROOT", str(tmp_path))
+    sess.ingest_tables(spark, sf_dir)
+    df = all_queries()["json_events"].spark_fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "get_json_object" not in plan, "managed json_events still parses JSON"
+    from data_etl_sh_lianjia_spark.canon import canon_rows as _cr
+
+    managed = _cr([tuple(r) for r in df.collect()], df.columns)
+    assert managed == raw
