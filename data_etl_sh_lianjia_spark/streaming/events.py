@@ -53,10 +53,14 @@ def _assert_single_events_file(sf_dir: str, query: str) -> None:
     per trigger and the watermark advances between files — late rows would
     silently be dropped and the oracle would no longer describe the output."""
     files = _events_files(sf_dir)
-    if len(files) != 1:
+    if len(files) != 1 or os.path.isdir(files[0]):
+        # A directory-form events table counts as one glob entry but its
+        # part files stream as separate micro-batches (and the stream's
+        # pathGlobFilter 'events*.parquet' won't even match the inner
+        # part-*.parquet names) — reject it like any multi-file landing.
         raise AssertionError(
             f"{query}: exact oracle requires a single events file in {sf_dir}; "
-            f"found {len(files)} ({files}). Use the batch twin or a "
+            f"found {files}. Use the batch twin or a "
             "sentinel-closed input for multi-file directories."
         )
 
@@ -88,8 +92,18 @@ def _closed_events_dir(sf_dir: str) -> str:
 
     src = table_path(sf_dir, "events")
     st = os.stat(src)
+    # Directory-form events tables (multi-file landings, large replicas):
+    # fingerprint by the parts, and concatenate them into ONE file below so
+    # the whole table still arrives as a single first micro-batch — copying
+    # the directory as-is would stream each part separately (watermark
+    # advancing between parts drops late rows the oracle keeps).
+    size, mtime = st.st_size, st.st_mtime_ns
+    if os.path.isdir(src):
+        parts = [e.stat() for e in os.scandir(src) if e.is_file()]
+        size = sum(p.st_size for p in parts)
+        mtime = max([p.st_mtime_ns for p in parts], default=mtime)
     key = hashlib.md5(
-        f"{os.path.normpath(src)}:{st.st_size}:{st.st_mtime_ns}".encode()
+        f"{os.path.normpath(src)}:{size}:{mtime}".encode()
     ).hexdigest()[:12]
     out = os.path.join("/tmp/spark-graft-closed", key)
     if os.path.exists(os.path.join(out, "_READY")):
@@ -97,8 +111,16 @@ def _closed_events_dir(sf_dir: str) -> str:
     tmp = f"{out}.tmp-{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp)
-    shutil.copy(src, os.path.join(tmp, "events.parquet"))
-    ts = pq.read_table(src, columns=["ts"]).column("ts")
+    if os.path.isdir(src):
+        import glob
+
+        part_files = sorted(glob.glob(os.path.join(src, "*.parquet")))
+        merged = pa.concat_tables(pq.read_table(p) for p in part_files)
+        pq.write_table(merged, os.path.join(tmp, "events.parquet"))
+        ts = merged.column("ts")
+    else:
+        shutil.copy(src, os.path.join(tmp, "events.parquet"))
+        ts = pq.read_table(src, columns=["ts"]).column("ts")
     if pa.types.is_timestamp(ts.type):
         max_ns = pc.max(ts.cast(pa.timestamp("ns"))).cast(pa.int64()).as_py()
     else:  # already stored as int64 epoch-nanos
@@ -627,9 +649,16 @@ JOIN e c
     doc="stream-stream interval join: purchases x prior 30-min clicks per user",
 )
 def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return run_to_completion(
-        stream_stream_join_stream(spark, sf_dir), "stream_stream_join", "append"
+    # Route through the sentinel-closed copy like the left join: a
+    # multi-file (or directory-form) events landing would otherwise stream
+    # one file per trigger, advancing the watermark between files and
+    # silently dropping late rows the whole-table oracle keeps. Sentinel
+    # rows (user −1) join only each other and are filtered out.
+    closed = _closed_events_dir(sf_dir)
+    out = run_to_completion(
+        stream_stream_join_stream(spark, closed), "stream_stream_join", "append"
     )
+    return out.filter(F.col("user_id") >= 0)
 
 
 def stream_stream_left_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

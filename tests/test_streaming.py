@@ -236,3 +236,48 @@ def test_left_join_flush_equals_batch_left_join(spark, sf_dir):
     batch_rows = [tuple(r) for r in batch.collect()]
     res = compare_results(stream_rows, out.columns, batch_rows, batch.columns)
     assert res.ok, f"left join flush: {res.reason}\nsample: {res.sample_diff}"
+
+
+def test_closed_events_dir_handles_directory_form_source(spark, sf_dir, tmp_path):
+    """A directory-form events landing (multiple part files under
+    events.parquet/) must be concatenated into ONE streamed file by
+    _closed_events_dir — copying the directory as-is would stream each
+    part as its own micro-batch (watermark advancing between parts drops
+    late rows the whole-table oracle keeps), and _assert_single_events_file
+    must reject such a source outright."""
+    import glob
+
+    import pyarrow.parquet as pq
+    import pytest
+
+    import data_etl_sh_lianjia_spark.streaming.events as se
+
+    src = pq.read_table(f"{sf_dir}/events.parquet")
+    dir_sf = tmp_path / "dirsf"
+    ev_dir = dir_sf / "events.parquet"
+    ev_dir.mkdir(parents=True)
+    half = src.num_rows // 2
+    pq.write_table(src.slice(0, half), str(ev_dir / "part-00000.parquet"))
+    pq.write_table(src.slice(half), str(ev_dir / "part-00001.parquet"))
+
+    with pytest.raises(AssertionError, match="single events file"):
+        se._assert_single_events_file(str(dir_sf), "probe")
+
+    closed = se._closed_events_dir(str(dir_sf))
+    data_files = [
+        f
+        for f in glob.glob(f"{closed}/events*.parquet")
+        if "sentinel" not in f
+    ]
+    assert len(data_files) == 1
+    assert pq.read_table(data_files[0]).num_rows == src.num_rows
+
+    # end-to-end: the registered inner stream-stream join over the
+    # directory-form landing equals the same query over the plain file
+    got = sorted(
+        tuple(r) for r in se.stream_stream_join(spark, str(dir_sf)).collect()
+    )
+    want = sorted(
+        tuple(r) for r in se.stream_stream_join(spark, sf_dir).collect()
+    )
+    assert got == want
