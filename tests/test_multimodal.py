@@ -129,3 +129,44 @@ def test_wav_roundtrip_property():
             s = rng.randint(-32768, 32768, size=n).astype(np.int16)
             out, r = _decode_wav(_encode_wav(s, rate))
             assert r == rate and np.array_equal(out, s)
+
+
+def test_png_codec_roundtrip_all_filters():
+    """The first-principles PNG codec must round-trip arbitrary RGB data.
+    The encoder cycles all five PNG row filters (None/Sub/Up/Average/Paeth),
+    so a >=5-row image exercises every un-filter path in the decoder."""
+    import numpy as np
+
+    from data_etl_sh_lianjia_spark.operators.multimodal import (
+        _decode_png,
+        _encode_png,
+    )
+
+    rng = np.random.default_rng(42)
+    for h, w in [(1, 1), (5, 3), (23, 31), (64, 7)]:
+        rgb = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        blob = _encode_png(rgb)
+        assert blob[:8] == b"\x89PNG\r\n\x1a\n"
+        assert np.array_equal(_decode_png(blob), rgb), (h, w)
+
+
+def test_png_decoder_rejects_unsupported_variants():
+    import struct
+    import zlib
+
+    import pytest
+
+    from data_etl_sh_lianjia_spark.operators.multimodal import _decode_png
+
+    with pytest.raises(ValueError, match="not a PNG"):
+        _decode_png(b"BM" + b"\x00" * 40)
+    # 16-bit depth header must be refused, not mis-decoded
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0)
+    chunk = (
+        struct.pack(">I", len(ihdr))
+        + b"IHDR"
+        + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    )
+    with pytest.raises(ValueError, match="unsupported PNG variant"):
+        _decode_png(b"\x89PNG\r\n\x1a\n" + chunk)
