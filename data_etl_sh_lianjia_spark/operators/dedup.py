@@ -402,6 +402,70 @@ _DUCK_NGRAM_EDGES = f"""
 """
 
 
+def min_label_components(
+    nodes: DataFrame, edges: DataFrame, max_rounds: int = 30
+) -> tuple[DataFrame, int]:
+    """Connected components by min-label propagation WITH pointer jumping.
+
+    ``nodes`` is (u), ``edges`` is directed (u, v) — pass both directions
+    for an undirected graph. Returns (labels (u, label), rounds_used).
+
+    Each round does two steps:
+    1. propagate: every node takes the min of its own and its neighbors'
+       labels (the classic hash-min step — O(diameter) rounds alone);
+    2. jump (path compression): every node replaces its label with its
+       *label's* label — one self-join on the label table. Labels are node
+       ids and only ever decrease, so label-of-label is always <= label and
+       stays inside the component; composing the two steps halves the
+       remaining pointer depth every round, so a chain of length d
+       converges in O(log d) rounds instead of O(d) (the r3 verdict's
+       deep-chain concern: 30 eager-checkpoint rounds at scale).
+
+    Convergence probe: labels decrease monotonically, so the label SUM is
+    strictly decreasing until fixpoint — comparing one DECIMAL(38) sum per
+    round replaces the old join-and-count-diffs job (an extra shuffle join
+    per round). At the combined fixpoint the propagate step alone is also
+    at fixpoint, which is exactly the min-label correctness condition.
+
+    localCheckpoint truncates lineage per round (at 100 TB: reliable
+    checkpoint + persisted labels, exactly like sources.frontier).
+    """
+    labels = nodes.select(
+        F.col("u"), F.col("u").alias("label")
+    ).localCheckpoint(eager=True)
+    sum_col = F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+    prev_sum = labels.agg(sum_col).collect()[0]["s"]
+    rounds = 0
+    for _ in range(max_rounds):
+        rounds += 1
+        neighbor_labels = edges.join(
+            labels.withColumnRenamed("u", "v2"), edges["v"] == F.col("v2")
+        ).select("u", "label")
+        propagated = (
+            labels.unionByName(neighbor_labels)
+            .groupBy("u")
+            .agg(F.min("label").alias("label"))
+        )
+        # pointer jump: label <- label(label). Every label is a node id, so
+        # the inner self-join is total; the joined label is always <= the
+        # current one (labels never exceed their node id).
+        jumped = (
+            propagated.alias("a")
+            .join(
+                propagated.selectExpr("u AS lu", "label AS llabel").alias("b"),
+                F.col("a.label") == F.col("b.lu"),
+            )
+            .select(F.col("a.u").alias("u"), F.col("llabel").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        labels = jumped
+        new_sum = labels.agg(sum_col).collect()[0]["s"]
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return labels, rounds
+
+
 @register(
     "dedup_connected_groups",
     oracle=f"""
@@ -419,17 +483,13 @@ reach(u, v) AS (
 SELECT u AS doc_id, MIN(v) AS group_rep FROM reach GROUP BY u
 """,
     survey_ref="L2,S2",
-    doc="near-dup groups: connected components by iterative min-label propagation (keep min doc_id)",
+    doc="near-dup groups: connected components by min-label propagation + pointer jumping",
 )
 def dedup_connected_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive closure of the near-dup relation (SURVEY §2.9 L2: '...->
-    connected components (iterative joins) -> keep min doc_id').
-
-    Driver-side loop, one Catalyst job per round: every node starts labeled
-    with its own id; each round every node takes the min of its label and
-    its neighbors' labels; fixpoint in O(component diameter) rounds.
-    localCheckpoint truncates lineage per round (at 100 TB: reliable
-    checkpoint + persisted labels, exactly like sources.frontier).
+    connected components (iterative joins) -> keep min doc_id'), via
+    :func:`min_label_components` (hash-min + pointer jumping, O(log d)
+    rounds — see its docstring for the 100 TB posture).
 
     The DuckDB oracle computes the same groups by recursive-CTE reachability
     — two very different algorithms agreeing is the point of the check.
@@ -439,30 +499,8 @@ def dedup_connected_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.selectExpr("doc_a AS u", "doc_b AS v").unionByName(
         pairs.selectExpr("doc_b AS u", "doc_a AS v")
     ).localCheckpoint(eager=True)
-
-    labels = docs.select(
-        F.col("doc_id").alias("u"), F.col("doc_id").alias("label")
-    ).localCheckpoint(eager=True)
-    for _ in range(30):  # >= max component diameter; loop exits at fixpoint
-        neighbor_labels = (
-            edges.join(labels.withColumnRenamed("u", "v2"), edges["v"] == F.col("v2"))
-            .select("u", "label")
-        )
-        new_labels = (
-            labels.unionByName(neighbor_labels)
-            .groupBy("u")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "u")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+    nodes = docs.select(F.col("doc_id").alias("u"))
+    labels, _rounds = min_label_components(nodes, edges)
     return labels.select(F.col("u").alias("doc_id"), F.col("label").alias("group_rep"))
 
 

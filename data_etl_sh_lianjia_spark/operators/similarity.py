@@ -35,7 +35,22 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from data_etl_sh_lianjia_spark.plans.registry import register
-from data_etl_sh_lianjia_spark.session import ensure_package_shipped, load_tables
+from data_etl_sh_lianjia_spark.session import (
+    ensure_package_shipped,
+    load_tables,
+    table_fingerprint,
+)
+
+
+def _index_key(spark: SparkSession, sf_dir: str, tag: str) -> str:
+    """Memo key for session-cached vector indexes: source dir + the served
+    storage's freshness fingerprint + variant tag. The staleness contract:
+    an index is valid exactly as long as the bytes it was built from — an
+    in-place rewrite of the underlying parquet (same path, new content)
+    changes the fingerprint and misses the cache, so no query can be served
+    from a stale broadcast. (Ingesting a dir mid-session also re-keys: the
+    fingerprint tracks the storage the session would actually scan.)"""
+    return f"{sf_dir}:{table_fingerprint(spark, sf_dir, 'embeddings')}:{tag}"
 
 _PAIR_SCHEMA = "vec_id_a long, vec_id_b long, sim double"
 _KNN_SCHEMA = "q_id long, neighbor_id long, sim double"
@@ -266,7 +281,7 @@ def _cosine_topk_impl(
     ensure_package_shipped(spark)
     emb = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
     tiles = _tiled_vector_index(
-        spark, emb, f"{sf_dir}:embeddings:all", tile_size=tile_size
+        spark, emb, _index_key(spark, sf_dir, "all"), tile_size=tile_size
     )
     keep = 64
     cand = reduce(
@@ -427,7 +442,7 @@ def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_package_shipped(spark)
     emb = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
     q_df = emb.filter(F.col("vec_id") % 100 == 0)
-    bc = _vector_index(spark, q_df, f"{sf_dir}:embeddings:mod100")
+    bc = _vector_index(spark, q_df, _index_key(spark, sf_dir, "mod100"))
     keep = 16  # per-query per-batch candidates: k=5 + rounding-margin
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -594,7 +609,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # The query matrix itself is the legitimately-small broadcast side of
     # the rerank (memoized index artifact, same as ann_brute_topk).
-    bc_q = _vector_index(spark, q_df, f"{sf_dir}:embeddings:mod100")
+    bc_q = _vector_index(spark, q_df, _index_key(spark, sf_dir, "mod100"))
 
     # Candidate set: only vectors in probed buckets (shuffle on bucket id).
     cand = assigned.join(F.broadcast(probe_df), "bucket").filter(
@@ -678,7 +693,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the corpus grows without bound. vec_id % mod keeps the sample
         # deterministic; mod = 1 (identical to full-corpus training) until
         # the collection exceeds the training budget.
-        nkey = f"{sf_dir}:embeddings:n"
+        nkey = _index_key(spark, sf_dir, "n")
         n = cache.get(nkey)
         if n is None:
             n = emb.count()
@@ -687,7 +702,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         mod = max(1, n // budget)
         train_df = emb.filter(F.pmod(F.col("vec_id"), F.lit(mod)) == 0)
         all_ids, all_mat = _vector_index(
-            spark, train_df, f"{sf_dir}:embeddings:pqtrain{mod}"
+            spark, train_df, _index_key(spark, sf_dir, f"pqtrain{mod}")
         ).value
         d = all_mat.shape[1]
         sub_d = d // _PQ_M
@@ -710,7 +725,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     if cache is None:
         cache = {}
         spark._lianjia_vec_index = cache
-    pq_key = f"{sf_dir}:embeddings:pq{_PQ_M}x{_PQ_K}"
+    pq_key = _index_key(spark, sf_dir, f"pq{_PQ_M}x{_PQ_K}")
     bc_books = cache.get(pq_key)
     if bc_books is None:
         bc_books = _train()
@@ -745,7 +760,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # -- 3. ADC scan: score codes against every query's lookup table --------
     q_bc = _vector_index(
-        spark, emb.filter(F.col("vec_id") % 100 == 0), f"{sf_dir}:embeddings:mod100"
+        spark, emb.filter(F.col("vec_id") % 100 == 0), _index_key(spark, sf_dir, "mod100")
     )
 
     def adc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -225,6 +225,33 @@ def _build_keydict_spark(
         fh.write(fingerprint)
 
 
+def table_fingerprint(spark: SparkSession, sf_dir: str, name: str) -> str:
+    """Cheap freshness fingerprint of the storage a table is CURRENTLY
+    served from (managed copy if this session ingested ``sf_dir``, else the
+    raw landed file): size + ns-resolution mtime, per-part for directories.
+
+    Session-lifetime caches keyed on a path alone (the broadcast vector
+    indexes in ``operators.similarity``, most prominently) would silently
+    serve stale state after an in-place rewrite of the underlying parquet;
+    folding this fingerprint into the cache key makes any byte-level change
+    a cache miss. Costs a handful of stat() calls — negligible next to the
+    collect+broadcast it guards.
+    """
+    redirect = getattr(spark, "_lianjia_ingest_map", None) or {}
+    data_dir = redirect.get(os.path.normpath(sf_dir), sf_dir)
+    path = table_path(data_dir, name)
+    try:
+        st = os.stat(path)
+    except OSError:
+        return "missing"
+    if os.path.isdir(path):
+        parts = [e.stat() for e in os.scandir(path) if e.is_file()]
+        size = sum(p.st_size for p in parts)
+        mtime = max([p.st_mtime_ns for p in parts], default=st.st_mtime_ns)
+        return f"{size}:{mtime}"
+    return f"{st.st_size}:{st.st_mtime_ns}"
+
+
 def keydict_view(spark: SparkSession, sf_dir: str, name: str) -> str | None:
     """Register (memoized) and return the ``lj_<name>_keydict`` view name, or
     None when this session has no fresh managed keydict for ``sf_dir`` —

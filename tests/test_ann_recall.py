@@ -195,3 +195,44 @@ def test_cosine_topk_grid_chunked_matches_unchunked(spark, sf_dir, monkeypatch):
     cols = ["vec_id_a", "vec_id_b", "sim"]
     res = compare_results(chunked, cols, whole, cols)
     assert res.ok, f"grid chunked != whole-cell: {res.reason}\n{res.sample_diff}"
+
+
+def test_vector_index_invalidates_on_source_rewrite(spark, tmp_path):
+    """The broadcast-index staleness contract: memo keys fold in the served
+    storage's (size, mtime) fingerprint, so an in-place rewrite of the
+    embeddings parquet must produce fresh results — never a stale index."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from data_etl_sh_lianjia_spark.operators.similarity import ann_brute_topk
+
+    sf = tmp_path / "sfidx"
+    sf.mkdir()
+    src = "/root/testdata/sf0.001"
+    for t in ("embeddings",):
+        shutil.copy(f"{src}/{t}.parquet", str(sf / f"{t}.parquet"))
+
+    first = sorted(tuple(r) for r in ann_brute_topk(spark, str(sf)).collect())
+
+    # in-place rewrite: shift every vec_id so the top-k ids must change
+    tab = pq.read_table(str(sf / "embeddings.parquet"))
+    shifted = tab.set_column(
+        tab.column_names.index("vec_id"),
+        "vec_id",
+        pc.add(tab["vec_id"], pa.scalar(1_000_000, type=tab["vec_id"].type)),
+    )
+    pq.write_table(shifted, str(sf / "embeddings.parquet"))
+    # drop the memoized DataFrame handle (tracked separately from the vector
+    # index; this test pins the INDEX invalidation)
+    spark._lianjia_table_cache = {}
+
+    second = sorted(tuple(r) for r in ann_brute_topk(spark, str(sf)).collect())
+    first_ids = {r[0] for r in first}
+    second_ids = {r[0] for r in second}
+    assert second_ids and all(i >= 1_000_000 for i in second_ids), (
+        "stale broadcast index served old vec_ids after an in-place rewrite"
+    )
+    assert first_ids != second_ids

@@ -49,3 +49,34 @@ def test_chunk_generator_empty_text_yields_no_chunks(spark):
         """
     ).fetchall()
     assert [tuple(r) for r in duck] == got
+
+
+def test_connected_components_chain_converges_logarithmically(spark):
+    """Pointer jumping must collapse a 64-node chain in O(log d) rounds —
+    plain min-label propagation would need 63 (and blow the 30-round cap).
+    Labels must all reach the chain minimum."""
+    from data_etl_sh_lianjia_spark.operators.dedup import min_label_components
+
+    n = 64
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "u long")
+    chain = [(i, i + 1) for i in range(n - 1)]
+    edges = spark.createDataFrame(
+        chain + [(b, a) for a, b in chain], "u long, v long"
+    )
+    labels, rounds = min_label_components(nodes, edges)
+    got = {r.u: r.label for r in labels.collect()}
+    assert got == {i: 0 for i in range(n)}
+    assert rounds <= 10, f"chain of 64 took {rounds} rounds"
+
+
+def test_connected_components_isolated_and_multi_component(spark):
+    from data_etl_sh_lianjia_spark.operators.dedup import min_label_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(7)], "u long")
+    pairs = [(1, 2), (2, 3), (5, 6)]
+    edges = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], "u long, v long"
+    )
+    labels, _ = min_label_components(nodes, edges)
+    got = {r.u: r.label for r in labels.collect()}
+    assert got == {0: 0, 1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5}

@@ -281,3 +281,94 @@ def test_closed_events_dir_handles_directory_form_source(spark, sf_dir, tmp_path
         tuple(r) for r in se.stream_stream_join(spark, sf_dir).collect()
     )
     assert got == want
+
+
+def test_connector_rate_source_feeds_stateful_operators(spark, tmp_path):
+    """The named-connector surface (S12 deployment story): the rate source
+    must produce the normalized events frame, and a watermarked windowed
+    aggregation — the same operator shape the registered streams use —
+    must run on it unchanged."""
+    from data_etl_sh_lianjia_spark.streaming.connectors import (
+        events_stream_source,
+    )
+
+    from pyspark.sql import functions as F
+
+    src = events_stream_source(spark, "rate", throttle=500)
+    agg = (
+        src.withWatermark("ts_ltz", "10 seconds")
+        .groupBy(F.window("ts_ltz", "1 second"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("rate_conn_probe")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        import time as _t
+
+        deadline = _t.time() + 60
+        rows = []
+        while _t.time() < deadline:
+            q.processAllAvailable()
+            rows = spark.sql("SELECT * FROM rate_conn_probe").collect()
+            if rows:
+                break
+            _t.sleep(1)
+    finally:
+        q.stop()
+    assert rows, "rate connector produced no aggregated rows in 60s"
+    assert {r.event_type for r in rows} <= {
+        "view", "click", "purchase", "signup", "error"
+    }
+
+
+def test_connector_file_source_matches_direct_reader(spark, sf_dir):
+    from data_etl_sh_lianjia_spark.streaming.connectors import (
+        events_stream_source,
+    )
+    from data_etl_sh_lianjia_spark.streaming.events import read_events_stream
+
+    via_conn = events_stream_source(spark, "file", path=sf_dir)
+    direct = read_events_stream(spark, sf_dir)
+    assert set(via_conn.columns) <= set(direct.columns)
+    assert via_conn.isStreaming
+
+
+def test_connector_kafka_requires_config_and_package(spark):
+    import pytest
+
+    from data_etl_sh_lianjia_spark.streaming.connectors import (
+        events_stream_source,
+    )
+
+    with pytest.raises(ValueError, match="kafka source requires options"):
+        events_stream_source(spark, "kafka")
+    # With config present the failure (if any) must come from Spark's
+    # missing kafka package, i.e. AFTER the engine-side wiring — in a
+    # cluster deployment this same call succeeds.
+    try:
+        events_stream_source(
+            spark,
+            "kafka",
+            options={
+                "kafka.bootstrap.servers": "broker:9092",
+                "subscribe": "events",
+            },
+        )
+    except Exception as e:  # pragma: no cover - depends on classpath
+        assert "kafka" in str(e).lower()
+
+
+def test_connector_unknown_format_rejected(spark):
+    import pytest
+
+    from data_etl_sh_lianjia_spark.streaming.connectors import (
+        events_stream_source,
+    )
+
+    with pytest.raises(ValueError, match="unknown stream source"):
+        events_stream_source(spark, "pulsar")

@@ -66,15 +66,21 @@ KEY_DOMAINS = {
     "vecid": [("embeddings", "vec_id")],
 }
 
-# DuckDB-side skips: each maps a query to the scale dirs where its oracle
-# is quadratic in corpus size and would run for hours in the reference
-# engine (measured 26 s at 10x -> ~72 min extrapolated at 100x, per run),
-# or (repetition_stats) where the O(distinct x words) list lambdas cost
-# 43 s/run single-run — too slow to sample repeatedly, not a plan defect.
+# DuckDB-side sampling overrides, recorded EXPLICITLY in the output (a
+# missing point must read as "measured infeasible", never as a silent gap):
+# - "single": measured, but only once per scale — the query is tens of
+#   seconds there (repetition_stats' O(distinct x words) list lambdas cost
+#   ~43 s/run at 100x), so repeated sampling would take tens of minutes
+#   without changing the conclusion. Recorded in duckdb_median_ms with the
+#   scale listed under duckdb_single_run.
+# - any other string: skipped entirely, with the reason recorded under
+#   duckdb_skipped (quadratic all-pairs oracles measured 26 s at 10x ->
+#   ~72 min/run extrapolated at 100x).
+_QUADRATIC = "quadratic all-pairs oracle: 26 s at 10x, ~72 min/run at 100x"
 _DUCK_SKIP_AT = {
-    "cosine_topk": ("sf10x",),
-    "ann_brute_topk": ("sf10x",),
-    "repetition_stats": ("sf10x",),
+    "cosine_topk": {"sf10x": _QUADRATIC},
+    "ann_brute_topk": {"sf10x": _QUADRATIC},
+    "repetition_stats": {"sf10x": "single"},
 }
 
 # LLM-pipeline operators, measured as their OWN curve (SCALE_CURVE_LLM=1
@@ -190,6 +196,8 @@ def main() -> None:
     # compute-bound. DuckDB reads the raw landed files — its scan
     # parallelizes over row groups natively, so it needs no re-layout.
     duck = {}
+    duck_single = {}
+    duck_skipped = {}
     for s, d in scales.items():
         con = duckdb.connect()
         for t in TABLES:
@@ -203,7 +211,20 @@ def main() -> None:
                     f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
                 )
         for n, dq in sorted(bench.items()):
-            if not dq.oracle or s in _DUCK_SKIP_AT.get(n, ()):
+            if not dq.oracle:
+                continue
+            mode = _DUCK_SKIP_AT.get(n, {}).get(s)
+            if mode not in (None, "single"):
+                duck.setdefault(n, {})[s] = None
+                duck_skipped.setdefault(n, {})[s] = mode
+                continue
+            if mode == "single":
+                t0 = time.perf_counter()
+                con.execute(dq.oracle).fetchall()
+                duck.setdefault(n, {})[s] = round(
+                    (time.perf_counter() - t0) * 1000, 1
+                )
+                duck_single.setdefault(n, []).append(s)
                 continue
             con.execute(dq.oracle).fetchall()  # warm
             ts = []
@@ -218,6 +239,8 @@ def main() -> None:
         "runs": runs,
         "median_ms": result,
         "duckdb_median_ms": duck,
+        "duckdb_single_run": duck_single,
+        "duckdb_skipped": duck_skipped,
     }
     print(json.dumps(out, indent=1))
     if len(sys.argv) > 1:
