@@ -408,10 +408,12 @@ def distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.sql(_DISTINCT_COUNT_FALLBACK)
     # NULL keys stay in the dictionary (they must count toward n_rows) but
     # are excluded from the distinct counts, matching COUNT(DISTINCT).
+    # COALESCE: SUM over an empty dictionary (empty source table) is NULL,
+    # but the fallback plan and the oracle both return 0 there.
     return spark.sql(f"""
 SELECT COUNT(IF(col = 'l_partkey' AND key IS NOT NULL, 1, NULL)) AS distinct_parts,
        COUNT(IF(col = 'l_suppkey' AND key IS NOT NULL, 1, NULL)) AS distinct_supps,
-       CAST(SUM(IF(col = 'l_partkey', cnt, 0)) AS BIGINT) AS n_rows
+       CAST(COALESCE(SUM(IF(col = 'l_partkey', cnt, 0)), 0) AS BIGINT) AS n_rows
 FROM {kd}
 """)
 

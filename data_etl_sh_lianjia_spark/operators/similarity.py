@@ -49,8 +49,24 @@ def _index_key(spark: SparkSession, sf_dir: str, tag: str) -> str:
     in-place rewrite of the underlying parquet (same path, new content)
     changes the fingerprint and misses the cache, so no query can be served
     from a stale broadcast. (Ingesting a dir mid-session also re-keys: the
-    fingerprint tracks the storage the session would actually scan.)"""
-    return f"{sf_dir}:{table_fingerprint(spark, sf_dir, 'embeddings')}:{tag}"
+    fingerprint tracks the storage the session would actually scan.)
+
+    Superseded entries are EVICTED, not stranded: on a fingerprint change,
+    every cached index built over the same source dir is dropped and its
+    broadcast unpersisted — a long-lived session over a periodically
+    re-landed table holds exactly one generation of index memory.
+    """
+    fp = table_fingerprint(spark, sf_dir, "embeddings")
+    prefix, current = f"{sf_dir}|", f"{sf_dir}|{fp}|"
+    cache = getattr(spark, "_lianjia_vec_index", None)
+    if cache:
+        for k in [
+            k for k in cache if k.startswith(prefix) and not k.startswith(current)
+        ]:
+            stale = cache.pop(k)
+            if hasattr(stale, "unpersist"):
+                stale.unpersist()
+    return f"{current}{tag}"
 
 _PAIR_SCHEMA = "vec_id_a long, vec_id_b long, sim double"
 _KNN_SCHEMA = "q_id long, neighbor_id long, sim double"

@@ -225,6 +225,24 @@ def _build_keydict_spark(
         fh.write(fingerprint)
 
 
+def path_stat_fingerprint(path: str) -> tuple[int, int]:
+    """(total bytes, max ns-mtime) of a landed file — or of a DIRECTORY's
+    part files: an in-place same-size rewrite of one part does not touch
+    the directory's own mtime, so a dir-level stat would fingerprint stale.
+    The single source of truth for every freshness check in the engine
+    (managed-copy ingest markers, served-storage fingerprints, the
+    streaming sentinel-closed copy); raises OSError for a missing path.
+    """
+    st = os.stat(path)
+    if os.path.isdir(path):
+        parts = [e.stat() for e in os.scandir(path) if e.is_file()]
+        return (
+            sum(p.st_size for p in parts),
+            max([p.st_mtime_ns for p in parts], default=st.st_mtime_ns),
+        )
+    return st.st_size, st.st_mtime_ns
+
+
 def table_fingerprint(spark: SparkSession, sf_dir: str, name: str) -> str:
     """Cheap freshness fingerprint of the storage a table is CURRENTLY
     served from (managed copy if this session ingested ``sf_dir``, else the
@@ -239,17 +257,11 @@ def table_fingerprint(spark: SparkSession, sf_dir: str, name: str) -> str:
     """
     redirect = getattr(spark, "_lianjia_ingest_map", None) or {}
     data_dir = redirect.get(os.path.normpath(sf_dir), sf_dir)
-    path = table_path(data_dir, name)
     try:
-        st = os.stat(path)
+        size, mtime = path_stat_fingerprint(table_path(data_dir, name))
     except OSError:
         return "missing"
-    if os.path.isdir(path):
-        parts = [e.stat() for e in os.scandir(path) if e.is_file()]
-        size = sum(p.st_size for p in parts)
-        mtime = max([p.st_mtime_ns for p in parts], default=st.st_mtime_ns)
-        return f"{size}:{mtime}"
-    return f"{st.st_size}:{st.st_mtime_ns}"
+    return f"{size}:{mtime}"
 
 
 def keydict_view(spark: SparkSession, sf_dir: str, name: str) -> str | None:
@@ -286,32 +298,64 @@ def keydict_view(spark: SparkSession, sf_dir: str, name: str) -> str | None:
 # pruning and dictionary encoding.
 _SHRED_COLUMNS = {
     # events.props = {"k": <int>} in the driver testdata; props_k mirrors
-    # TRY_CAST(get_json_object(props, '$.k') AS BIGINT) exactly: only a
-    # JSON integer value survives (a float/string "76.5" fails the string
-    # cast in both Spark and DuckDB, so it must land NULL here too).
+    # TRY_CAST(get_json_object(props, '$.k') AS BIGINT) exactly (semantics
+    # probed against live Spark — see _try_cast_bigint).
     "props": ("props_k", "$.k"),
 }
 
 
+def _try_cast_bigint(parsed):
+    """Python mirror of Spark's TRY_CAST(get_json_object(col, path) AS
+    BIGINT), probed against live Spark 4.1:
+
+    - JSON int -> that int, NULL outside int64 (try_cast overflows to NULL);
+    - JSON bool -> get_json_object yields "true"/"false" -> cast NULL;
+    - JSON float -> always renders with a fraction ("5.0", "1000.0") and
+      Spark's string->BIGINT cast rejects any decimal point -> NULL;
+    - JSON string -> trimmed, then only [+-]?digits casts ("5"->5,
+      " 5 "->5, "+7"->7, "5.7"/"0x10"->NULL), int64-bounded;
+    - arrays/objects/missing -> NULL.
+
+    (DuckDB's TRY_CAST differs on floats — '76.5' rounds to 77 there — a
+    pre-existing cross-engine edge shared by the raw path; the contract
+    this function guards is managed-copy == Spark-raw, bit for bit.)
+    """
+    import re
+
+    if parsed is None or isinstance(parsed, (bool, float, list, dict)):
+        return None
+    if isinstance(parsed, str):
+        s = parsed.strip()
+        if not re.fullmatch(r"[+-]?[0-9]+", s):
+            return None
+        parsed = int(s)
+    return parsed if -(2**63) <= parsed < 2**63 else None
+
+
 def _shred_json_columns(table):
-    """Materialize typed columns from JSON-string columns (pyarrow Table)."""
+    """Materialize typed columns from JSON-string columns (pyarrow Table).
+
+    Driver-side per-row loop: runs once per cold ingest of a <256 MB landed
+    file (the distributed branch shreds via the Spark expression instead),
+    ~100 ns/row — bounded by the same size cap that justifies the local
+    ingest fast path. Correctness over vectorization here: the only
+    vectorized JSON extractor in-container is DuckDB's, whose float cast
+    semantics differ from Spark's (see _try_cast_bigint).
+    """
     import json
 
     import pyarrow as pa
 
-    for src_col, (dst_col, _path) in _SHRED_COLUMNS.items():
+    for src_col, (dst_col, path) in _SHRED_COLUMNS.items():
         if src_col not in table.column_names or dst_col in table.column_names:
             continue
+        key = path.removeprefix("$.")
         out = []
         for raw in table.column(src_col).to_pylist():
             val = None
             if raw is not None:
                 try:
-                    parsed = json.loads(raw).get("k")
-                    # bool is an int subclass; get_json_object would yield
-                    # "true"/"false", which fails the BIGINT cast -> NULL.
-                    if isinstance(parsed, int) and not isinstance(parsed, bool):
-                        val = parsed
+                    val = _try_cast_bigint(json.loads(raw).get(key))
                 except (ValueError, AttributeError):
                     val = None
             out.append(val)
@@ -425,19 +469,10 @@ def ingest_tables(
         # the same second must still invalidate) AND the requested layout
         # (parts/cpus: re-ingesting with a different split count must
         # rebuild, not silently no-op).
-        st = os.stat(src)
         # A landed "table" may be a directory of part files (large replicas,
-        # multi-file landings): fingerprint and size it by its parts. The
-        # mtime must come from the parts too — an in-place same-size rewrite
-        # of one part file does not touch the directory's own mtime, and a
-        # dir-level stat would silently serve a stale managed copy.
-        src_bytes, src_mtime = st.st_size, st.st_mtime_ns
-        if os.path.isdir(src):
-            part_stats = [e.stat() for e in os.scandir(src) if e.is_file()]
-            src_bytes = sum(p.st_size for p in part_stats)
-            src_mtime = max(
-                [p.st_mtime_ns for p in part_stats], default=st.st_mtime_ns
-            )
+        # multi-file landings): path_stat_fingerprint sizes and mtimes it
+        # by its parts so an in-place part rewrite always invalidates.
+        src_bytes, src_mtime = path_stat_fingerprint(src)
         # "v6" = layout formula version (v6: JSON shredding + key-dictionary
         # projections); bumping the version invalidates managed copies built
         # under older formulas.
@@ -644,11 +679,14 @@ def _derive_shredded(df: DataFrame) -> DataFrame:
     Catalyst prunes the projection when a query never touches it.
     """
     cols = set(df.columns)
-    if "props" in cols and "props_k" not in cols:
-        df = df.withColumn(
-            "props_k",
-            F.expr("try_cast(get_json_object(props, '$.k') AS BIGINT)"),
-        )
+    for src_col, (dst_col, path) in _SHRED_COLUMNS.items():
+        if src_col in cols and dst_col not in cols:
+            df = df.withColumn(
+                dst_col,
+                F.expr(
+                    f"try_cast(get_json_object({src_col}, '{path}') AS BIGINT)"
+                ),
+            )
     return df
 
 

@@ -67,6 +67,8 @@ def events_stream_source(
     run unchanged on any of them — swapping the landing-zone file source
     for the production Kafka bus is a config change, not a query change.
     """
+    if fmt not in THROTTLE_OPTION:
+        raise ValueError(f"unknown stream source format: {fmt!r}")
     options = dict(options or {})
     if throttle is not None:
         options[THROTTLE_OPTION[fmt]] = str(throttle)
@@ -78,11 +80,17 @@ def events_stream_source(
 
         if path is None:
             raise ValueError("file source requires path=<dir with events*.parquet>")
+        # read_events_stream fixes maxFilesPerTrigger=1 (one file per
+        # micro-batch — the watermark contract the registered streams
+        # assume) and owns the reader options; silently dropping a
+        # caller's knobs would be worse than refusing them.
+        unhonored = {k: v for k, v in options.items() if (k, v) != ("maxFilesPerTrigger", "1")}
+        if unhonored:
+            raise ValueError(
+                "file source pins maxFilesPerTrigger=1 and accepts no other"
+                f" reader options; cannot honor {sorted(unhonored)}"
+            )
         df = read_events_stream(spark, path)
-        if "maxFilesPerTrigger" in options:
-            # read_events_stream already sets maxFilesPerTrigger=1; rebuild
-            # only if a caller asks for a different intake bound.
-            pass
         return df.select(*_EVENT_COLUMNS)
 
     if fmt == "rate":
@@ -114,10 +122,17 @@ def events_stream_source(
         # on the cluster classpath — not present in this container). The
         # value contract: JSON-encoded event rows; ts carried as epoch
         # nanos, exactly the landed-parquet layout.
-        required = {"kafka.bootstrap.servers", "subscribe"}
-        missing = required - options.keys()
-        if missing:
-            raise ValueError(f"kafka source requires options {sorted(missing)}")
+        if "kafka.bootstrap.servers" not in options:
+            raise ValueError(
+                "kafka source requires options ['kafka.bootstrap.servers']"
+            )
+        # Spark's Kafka source accepts exactly one subscription mode.
+        modes = {"subscribe", "subscribePattern", "assign"} & options.keys()
+        if len(modes) != 1:
+            raise ValueError(
+                "kafka source requires exactly one of"
+                f" subscribe/subscribePattern/assign (got {sorted(modes)})"
+            )
         reader = spark.readStream.format("kafka")
         for k, v in options.items():
             reader = reader.option(k, v)
@@ -149,4 +164,4 @@ def events_stream_source(
             F.expr("timestamp_micros(ts_ns div 1000)"),
         ).select(*_EVENT_COLUMNS)
 
-    raise ValueError(f"unknown stream source format: {fmt!r}")
+    raise AssertionError(f"unreachable: {fmt!r} validated above")

@@ -26,7 +26,7 @@ from pyspark.sql import types as T
 
 from data_etl_sh_lianjia_spark.functions.deterministic import dsum, oracle_dsum
 from data_etl_sh_lianjia_spark.plans.registry import register
-from data_etl_sh_lianjia_spark.session import table_path
+from data_etl_sh_lianjia_spark.session import path_stat_fingerprint, table_path
 
 _RAW_SCHEMA = T.StructType(
     [
@@ -91,17 +91,13 @@ def _closed_events_dir(sf_dir: str) -> str:
     import pyarrow.parquet as pq
 
     src = table_path(sf_dir, "events")
-    st = os.stat(src)
     # Directory-form events tables (multi-file landings, large replicas):
-    # fingerprint by the parts, and concatenate them into ONE file below so
-    # the whole table still arrives as a single first micro-batch — copying
-    # the directory as-is would stream each part separately (watermark
-    # advancing between parts drops late rows the oracle keeps).
-    size, mtime = st.st_size, st.st_mtime_ns
-    if os.path.isdir(src):
-        parts = [e.stat() for e in os.scandir(src) if e.is_file()]
-        size = sum(p.st_size for p in parts)
-        mtime = max([p.st_mtime_ns for p in parts], default=mtime)
+    # fingerprint by the parts (shared path_stat_fingerprint helper), and
+    # concatenate them into ONE file below so the whole table still arrives
+    # as a single first micro-batch — copying the directory as-is would
+    # stream each part separately (watermark advancing between parts drops
+    # late rows the oracle keeps).
+    size, mtime = path_stat_fingerprint(src)
     key = hashlib.md5(
         f"{os.path.normpath(src)}:{size}:{mtime}".encode()
     ).hexdigest()[:12]

@@ -138,3 +138,58 @@ def test_shredded_props_column_serves_json_events(
 
     managed = _cr([tuple(r) for r in df.collect()], df.columns)
     assert managed == raw
+
+
+def test_shredder_mirrors_spark_cast_semantics_on_edge_values(
+    spark, tmp_path, monkeypatch, restore_catalog
+):
+    """The ingest-time Python shredder must agree with the raw path's
+    TRY_CAST(get_json_object(...)) on every edge shape: string-wrapped
+    ints, signed/padded strings, floats (NULL), bools (NULL), out-of-int64
+    ints (NULL), arrays (NULL), missing keys (NULL)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    props = [
+        '{"k": 5}', '{"k": "5"}', '{"k": " 5 "}', '{"k": "+7"}',
+        '{"k": -3}', '{"k": 76.5}', '{"k": 5.0}', '{"k": 1e3}',
+        '{"k": true}', '{"k": "5.7"}', '{"k": "0x10"}',
+        '{"k": 99999999999999999999}', '{"k": [1]}', '{"k": null}',
+        "{}", None, "not json",
+    ]
+    n = len(props)
+    sf = tmp_path / "sfshred"
+    sf.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(n), pa.int64()),
+                "ts": pa.array([1_700_000_000_000_000_000 + i for i in range(n)], pa.int64()),
+                "user_id": pa.array([1] * n, pa.int64()),
+                "event_type": pa.array(["view"] * n),
+                "value": pa.array([0.0] * n, pa.float64()),
+                "props": pa.array(props),
+            }
+        ),
+        str(sf / "events.parquet"),
+    )
+
+    def grab():
+        df = sess.load_tables(spark, str(sf), names=("events",))["events"]
+        return {
+            r.event_id: r.props_k
+            for r in df.select("event_id", "props_k").collect()
+        }
+
+    spark._lianjia_ingest_map = {}
+    spark._lianjia_table_cache = {}
+    spark._lianjia_views_dir = None
+    raw = grab()
+    expected = {0: 5, 1: 5, 2: 5, 3: 7, 4: -3}
+    expected.update({i: None for i in range(5, n)})
+    assert raw == expected, "raw-path derivation drifted from probed semantics"
+
+    monkeypatch.setattr(sess, "INGEST_ROOT", str(tmp_path / "ingest"))
+    sess.ingest_tables(spark, str(sf))
+    managed = grab()
+    assert managed == raw, "managed shredded column diverged from raw path"

@@ -372,3 +372,44 @@ def test_connector_unknown_format_rejected(spark):
 
     with pytest.raises(ValueError, match="unknown stream source"):
         events_stream_source(spark, "pulsar")
+
+
+def test_connector_validation_edges(spark, sf_dir):
+    """Connector config errors must be precise: unknown format raises the
+    named ValueError even with a throttle set; the file source refuses
+    options it cannot honor; kafka accepts any single subscription mode."""
+    import pytest
+
+    from data_etl_sh_lianjia_spark.streaming.connectors import (
+        events_stream_source,
+    )
+
+    with pytest.raises(ValueError, match="unknown stream source"):
+        events_stream_source(spark, "pulsar", throttle=100)
+    with pytest.raises(ValueError, match="cannot honor"):
+        events_stream_source(spark, "file", path=sf_dir, throttle=16)
+    with pytest.raises(ValueError, match="exactly one of"):
+        events_stream_source(
+            spark,
+            "kafka",
+            options={
+                "kafka.bootstrap.servers": "b:9092",
+                "subscribe": "a",
+                "subscribePattern": "b.*",
+            },
+        )
+    # subscribePattern alone passes engine-side validation; any failure
+    # after that point is Spark's missing kafka package on this classpath
+    try:
+        events_stream_source(
+            spark,
+            "kafka",
+            options={
+                "kafka.bootstrap.servers": "b:9092",
+                "subscribePattern": "events.*",
+            },
+        )
+    except ValueError as e:  # engine-side rejection would be a regression
+        raise AssertionError(f"valid kafka config rejected: {e}")
+    except Exception as e:  # pragma: no cover - depends on classpath
+        assert "kafka" in str(e).lower()
