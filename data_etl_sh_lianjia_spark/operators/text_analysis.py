@@ -439,3 +439,243 @@ def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.max("surp").cast("double"), 4).alias("max_surprisal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L4/L3 — BM25 ranked retrieval (keyword search over the corpus)
+# ---------------------------------------------------------------------------
+
+# Fixed query terms spanning the corpus df spectrum (the synthetic docs use
+# a database-flavored vocabulary); k1/b are the standard Robertson defaults.
+_BM25_TERMS = ("join", "filter", "data")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def _bm25_sql(
+    table: str, split_fn: str, len_fn: str, contains: str, cond_count: str
+) -> str:
+    """One BM25 query text for both engines, parameterized on dialect:
+    ``split_fn(text)``, array length, per-term tf, and conditional count.
+    idf is quantized to 9 decimals BEFORE composing the score (ln() may
+    differ by 1 ulp across libm implementations), and the final score to 6
+    via floor(x*S+0.5)/S — the repo-wide cross-engine rounding contract."""
+    k1, b = _BM25_K1, _BM25_B
+    tf_cols = ",\n         ".join(
+        f"{contains.format(term=t)} AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS, 1)
+    )
+    df_cols = ",\n         ".join(
+        f"{cond_count.format(i=i)} AS df{i}"
+        for i in range(1, len(_BM25_TERMS) + 1)
+    )
+    idf_cols = ",\n         ".join(
+        f"floor(ln((n - df{i} + 0.5) / (df{i} + 0.5) + 1) * 1000000000 + 0.5)"
+        f" / 1000000000 AS idf{i}"
+        for i in range(1, len(_BM25_TERMS) + 1)
+    )
+    score_terms = "\n         + ".join(
+        f"idf{i} * tf{i} * {k1 + 1} / (tf{i} + {k1} * ({1 - b} + {b} * dl / avgdl))"
+        for i in range(1, len(_BM25_TERMS) + 1)
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, {split_fn} AS words, {len_fn}({split_fn}) AS dl
+  FROM {table}
+), t AS (
+  SELECT doc_id, dl,
+         {tf_cols}
+  FROM d
+), s AS (
+  SELECT COUNT(*) AS n, SUM(dl) AS sumdl,
+         {df_cols}
+  FROM t
+), i AS (
+  SELECT n, CAST(sumdl AS DOUBLE) / n AS avgdl,
+         {idf_cols}
+  FROM s
+)
+SELECT t.doc_id,
+       CAST(t.tf1 AS BIGINT) AS tf_join,
+       CAST(t.tf2 AS BIGINT) AS tf_filter,
+       CAST(t.tf3 AS BIGINT) AS tf_data,
+       floor(({score_terms}) * 1000000 + 0.5) / 1000000 AS score
+FROM t CROSS JOIN i
+ORDER BY score DESC, t.doc_id
+LIMIT 10
+"""
+
+
+@register(
+    "bm25_topk",
+    oracle=_bm25_sql(
+        "documents",
+        "string_split(text, ' ')",
+        "len",
+        "len(list_filter(words, x -> x = '{term}'))",
+        "COUNT(CASE WHEN tf{i} > 0 THEN 1 END)",
+    ),
+    survey_ref="L4,L3,A3,O3",
+    doc="BM25 ranked retrieval: fixed 3-term query, corpus stats, top-10 docs",
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword search over the corpus: full Okapi BM25 with corpus-derived
+    idf and length normalization — the lexical half of a hybrid
+    (BM25 + embedding) retrieval stack; `chunk_embed_topk` is the dense
+    half.
+
+    Scale shape: per-term tf is a row-local array filter inside the scan;
+    the corpus statistics (N, avg doc length, per-term document
+    frequencies) reduce to ONE row (conditional counts in a single
+    partial-agg'd pass — no per-term scan) that broadcasts back via cross
+    join, so the second pass scores inside the scan and the only sort is
+    the global top-10 (TakeOrderedAndProject). In production the stats row
+    is an incremental index artifact (df counts merge by addition across
+    ingest batches), so queries pay one scan, not two.
+    Determinism: idf quantized to 9 decimals before composing (ln differs
+    by ulps across libms), score floor-quantized to 6, doc_id tiebreak.
+    """
+    from data_etl_sh_lianjia_spark.session import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        _bm25_sql(
+            "lj_documents",
+            "split(text, ' ')",
+            "size",
+            "size(filter(words, x -> x = '{term}'))",
+            "COUNT(IF(tf{i} > 0, 1, NULL))",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# L3+L4 — hybrid retrieval: BM25 ∪ dense cosine, reciprocal-rank fusion
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60  # standard RRF damping (Cormack et al. 2009, public)
+_RRF_DEPTH = 20  # per-ranker candidate depth feeding the fusion
+_RRF_QUERY_VEC = 0  # query = embedding of doc 0 (ids align 1:1 with docs)
+
+
+def _hybrid_sql(dialect: str) -> str:
+    """Shared query text for the hybrid pipeline; `dialect` in {spark,duck}.
+
+    Lexical leg: the BM25 scorer (same corpus-stats shape as bm25_topk).
+    Dense leg: cosine of every embedding against the fixed query vector.
+    Fusion: RRF = sum over legs of 1/(k + rank) — rank-based, so the two
+    legs' incomparable score scales never touch; every score is
+    floor-quantized before ranking and ids break ties, making both ranks
+    and the fused ordering deterministic across engines.
+    """
+    if dialect == "spark":
+        docs, emb = "lj_documents", "lj_embeddings"
+        split, length = "split(text, ' ')", "size"
+        contains = "size(filter(words, x -> x = '{term}'))"
+        cond = "COUNT(IF(tf{i} > 0, 1, NULL))"
+        cos = (
+            "aggregate(zip_with(e.embedding, q.qv, (x, y) ->"
+            " CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (p, s) -> p + s)"
+            " / (sqrt(aggregate(e.embedding, 0D,"
+            "          (p, x) -> p + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+            " * sqrt(aggregate(q.qv, 0D,"
+            "          (p, x) -> p + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        )
+        qvec = f"SELECT embedding AS qv FROM {emb} WHERE vec_id = {_RRF_QUERY_VEC}"
+    else:
+        docs, emb = "documents", "embeddings"
+        split, length = "string_split(text, ' ')", "len"
+        contains = "len(list_filter(words, x -> x = '{term}'))"
+        cond = "COUNT(CASE WHEN tf{i} > 0 THEN 1 END)"
+        cos = (
+            "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),"
+            " CAST(q.qv AS DOUBLE[]))"
+        )
+        qvec = f"SELECT embedding AS qv FROM {emb} WHERE vec_id = {_RRF_QUERY_VEC}"
+
+    k1, b = _BM25_K1, _BM25_B
+    tf_cols = ", ".join(
+        f"{contains.format(term=t)} AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS, 1)
+    )
+    df_cols = ", ".join(
+        f"{cond.format(i=i)} AS df{i}" for i in range(1, len(_BM25_TERMS) + 1)
+    )
+    idf_cols = ", ".join(
+        f"floor(ln((n - df{i} + 0.5) / (df{i} + 0.5) + 1) * 1000000000 + 0.5)"
+        f" / 1000000000 AS idf{i}"
+        for i in range(1, len(_BM25_TERMS) + 1)
+    )
+    score_terms = " + ".join(
+        f"idf{i} * tf{i} * {k1 + 1} / (tf{i} + {k1} * ({1 - b} + {b} * dl / avgdl))"
+        for i in range(1, len(_BM25_TERMS) + 1)
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, {split} AS words, {length}({split}) AS dl FROM {docs}
+), t AS (
+  SELECT doc_id, dl, {tf_cols} FROM d
+), s AS (
+  SELECT COUNT(*) AS n, SUM(dl) AS sumdl, {df_cols} FROM t
+), i AS (
+  SELECT n, CAST(sumdl AS DOUBLE) / n AS avgdl, {idf_cols} FROM s
+), lex_scored AS (
+  SELECT t.doc_id,
+         floor(({score_terms}) * 1000000 + 0.5) / 1000000 AS lex_score
+  FROM t CROSS JOIN i
+), lex AS (
+  SELECT doc_id, lex_rank FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY lex_score DESC, doc_id) AS lex_rank
+    FROM lex_scored WHERE lex_score > 0) r
+  WHERE lex_rank <= {_RRF_DEPTH}
+), q AS ({qvec}), dense_scored AS (
+  SELECT e.vec_id AS doc_id,
+         floor(({cos}) * 1000000 + 0.5) / 1000000 AS sim
+  FROM {emb} e CROSS JOIN q
+  WHERE e.vec_id <> {_RRF_QUERY_VEC}
+), dense AS (
+  SELECT doc_id, dense_rank FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY sim DESC, doc_id) AS dense_rank
+    FROM dense_scored) r
+  WHERE dense_rank <= {_RRF_DEPTH}
+), fused AS (
+  SELECT COALESCE(lex.doc_id, dense.doc_id) AS doc_id,
+         lex.lex_rank, dense.dense_rank,
+         floor((COALESCE(1.0 / ({_RRF_K} + lex.lex_rank), 0)
+              + COALESCE(1.0 / ({_RRF_K} + dense.dense_rank), 0))
+               * 1000000000 + 0.5) / 1000000000 AS rrf
+  FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id
+)
+SELECT doc_id, CAST(lex_rank AS BIGINT) AS lex_rank,
+       CAST(dense_rank AS BIGINT) AS dense_rank, rrf
+FROM fused
+ORDER BY rrf DESC, doc_id
+LIMIT 10
+"""
+
+
+@register(
+    "hybrid_search_rrf",
+    oracle=_hybrid_sql("duck"),
+    survey_ref="L3,L4,J3,W1",
+    doc="hybrid retrieval: BM25 + dense-cosine legs fused by reciprocal rank",
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed retrieval stack of a production RAG pipeline in one
+    declared query: a lexical BM25 ranking and a dense cosine ranking are
+    each cut to a fixed candidate depth, then fused by reciprocal-rank
+    (1/(k+rank)) — rank fusion sidesteps the incomparable score scales.
+
+    Scale shape: each leg is the already-scale-vetted shape (BM25's
+    one-row stats broadcast; dense leg broadcast-query cosine confined to
+    per-row vector math), both legs end in a bounded top-DEPTH window, and
+    the fusion joins two DEPTH-row relations — trivially broadcastable at
+    any corpus size. In production each leg is served by its index (keydict
+    stats / IVF buckets); the fusion is unchanged.
+    """
+    from data_etl_sh_lianjia_spark.session import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_hybrid_sql("spark"))

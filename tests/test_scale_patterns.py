@@ -338,3 +338,15 @@ def test_chunk_embed_topk_broadcasts_queries_no_corpus_shuffle(spark, sf_dir):
         if re.search(r"\bExchange (hash|range|Single)", l)
     ]
     assert not shuffles, shuffles
+
+
+def test_bm25_plans_take_ordered_and_single_stats_row(spark, sf_dir):
+    """BM25: the global top-10 must compile to TakeOrderedAndProject (no
+    full sort), and the corpus-stats side must reduce before the cross
+    join (a broadcast of ONE row, never a corpus x corpus product)."""
+    from data_etl_sh_lianjia_spark.operators.text_analysis import bm25_topk
+
+    plan = _plan(bm25_topk(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
