@@ -382,3 +382,91 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min(q).alias("q_min"),
         F.array_max(q).alias("q_max"),
     )
+
+
+# ---------------------------------------------------------------------------
+# T1-adjacent — hypertable-style gap-filled hourly rollup with LOCF
+# ---------------------------------------------------------------------------
+
+_HR_US = 3_600_000_000  # one hour in microseconds
+
+
+@register(
+    "gapfill_locf",
+    oracle=f"""
+WITH e AS (
+  SELECT event_type, epoch_us(ts) // {_HR_US} AS hr, value FROM events
+), agg AS (
+  SELECT event_type, hr, COUNT(*) AS n, {oracle_dsum('value', 'sum_value')}
+  FROM e GROUP BY event_type, hr
+), bounds AS (
+  SELECT MIN(hr) AS h0, MAX(hr) AS h1 FROM e
+), grid AS (
+  SELECT t.event_type, g.hr
+  FROM (SELECT DISTINCT event_type FROM e) t
+  CROSS JOIN (SELECT unnest(range(h0, h1 + 1)) AS hr FROM bounds) g
+), j AS (
+  SELECT g.event_type, g.hr, COALESCE(a.n, 0) AS n, a.sum_value
+  FROM grid g LEFT JOIN agg a ON g.event_type = a.event_type AND g.hr = a.hr
+)
+SELECT event_type, hr, n, sum_value,
+       last_value(sum_value IGNORE NULLS)
+         OVER (PARTITION BY event_type ORDER BY hr) AS locf_value
+FROM j
+""",
+    survey_ref="T1,A3,W3,O1",
+    doc="gap-filled hourly rollup: dense time grid + LOCF interpolation",
+)
+def gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hypertable rollup pattern (continuous-aggregate +
+    ``time_bucket_gapfill`` + last-observation-carried-forward): hourly
+    per-type sums on a DENSE hour grid — empty buckets exist with n=0 and
+    a NULL raw sum, and ``locf_value`` carries the last observed sum
+    forward, which is what dashboards and downstream models consume.
+
+    Scale shape: the rollup is one partial-agg'd shuffle keyed (type, hour)
+    — cardinality = types x hours, bounded by time, not data. The grid is
+    generated (sequence + explode: O(types x hours) rows, never a scan),
+    the join against the rollup is grid-sized, and LOCF is one window per
+    type over the grid. At 100 TB the rollup side is the only data-sized
+    stage, and it reduces before its shuffle. Hour index = epoch-micros
+    div 3600e6 (integer, tz-independent in both engines).
+    """
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    e = ev.select(
+        "event_type", F.expr(f"(ts_ns div 1000) div {_HR_US}").alias("hr"), "value"
+    )
+    agg = e.groupBy("event_type", "hr").agg(
+        F.count(F.lit(1)).alias("n"), dsum("value", "sum_value")
+    )
+    # Bounds and the type dimension derive from the ROLLUP, not the raw
+    # events — identical values (every type/hr in e survives the group-by).
+    # The rollup is materialized once (localCheckpoint, types x hours rows
+    # — bounded by time, not data): without it Catalyst pushes each
+    # branch's projection past the group-by and plans THREE scans of the
+    # fact table (types branch reads event_type, bounds branch reads ts,
+    # rollup reads all three columns); with it the fact table is scanned
+    # exactly once (plan-pinned in tests/test_scale_patterns.py).
+    agg = agg.localCheckpoint(eager=True)
+    bounds = agg.agg(F.min("hr").alias("h0"), F.max("hr").alias("h1"))
+    grid = (
+        agg.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(h0, h1)")).alias("hr"),
+        )
+    )
+    j = grid.join(agg, ["event_type", "hr"], "left").select(
+        "event_type",
+        "hr",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        "sum_value",
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("event_type").orderBy("hr")
+    return j.withColumn(
+        "locf_value", F.last("sum_value", ignorenulls=True).over(w)
+    )

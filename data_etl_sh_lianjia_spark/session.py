@@ -203,6 +203,26 @@ def _build_keydict_local(dst: str, kd_dst: str, cols, fingerprint: str) -> None:
     shutil.rmtree(trash, ignore_errors=True)
 
 
+def merge_keydicts(tables):
+    """Merge per-batch key dictionaries into one (pyarrow Tables in, one
+    Table out): group by (col, key), sum cnt. This is WHY the projection
+    is a dictionary-with-counts and not a distinct-count-per-bucket —
+    counts per key ADD across ingest batches while distinct counts do
+    not, so at 100 TB each ingest batch ships its own keydict and the
+    global projection is a cheap re-aggregation (dictionary-sized, not
+    data-sized). Pinned by test_keydict_incremental_merge_equals_rebuild.
+    """
+    import pyarrow as pa
+
+    merged = pa.concat_tables(tables)
+    return (
+        merged.group_by(["col", "key"])
+        .aggregate([("cnt", "sum")])
+        .rename_columns(["col", "key", "cnt"])
+        .sort_by([("col", "ascending"), ("key", "ascending")])
+    )
+
+
 def _build_keydict_spark(
     spark: SparkSession, dst: str, kd_dst: str, cols, fingerprint: str
 ) -> None:

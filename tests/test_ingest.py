@@ -193,3 +193,45 @@ def test_shredder_mirrors_spark_cast_semantics_on_edge_values(
     sess.ingest_tables(spark, str(sf))
     managed = grab()
     assert managed == raw, "managed shredded column diverged from raw path"
+
+
+def test_keydict_incremental_merge_equals_rebuild(tmp_path):
+    """The scale contract of the keydict projection: per-batch dictionaries
+    merged by (col, key) cnt-sum must equal the dictionary built from the
+    concatenated data — so each ingest batch can ship its own keydict and
+    the global projection never rescans old data."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    rows_a = pa.table(
+        {"l_partkey": pa.array([1, 1, 2, 3], pa.int64()),
+         "l_suppkey": pa.array([7, 7, 7, 8], pa.int64())}
+    )
+    rows_b = pa.table(
+        {"l_partkey": pa.array([2, 4, 4, 4], pa.int64()),
+         "l_suppkey": pa.array([8, 9, 7, 9], pa.int64())}
+    )
+
+    def build(tbl, name):
+        d = tmp_path / name
+        d.mkdir()
+        pq.write_table(tbl, str(d / "part-00000.parquet"))
+        kd = tmp_path / f"{name}.keydict.parquet"
+        sess._build_keydict_local(
+            str(d), str(kd), ("l_partkey", "l_suppkey"), "fp"
+        )
+        return pq.read_table(str(kd))
+
+    kd_a, kd_b = build(rows_a, "a"), build(rows_b, "b")
+    kd_full = build(pa.concat_tables([rows_a, rows_b]), "full")
+
+    merged = sess.merge_keydicts([kd_a, kd_b])
+    full_sorted = kd_full.sort_by(
+        [("col", "ascending"), ("key", "ascending")]
+    )
+    assert merged.to_pylist() == full_sorted.to_pylist()
+    # and the distinct/count reads off the merged dictionary are exact
+    part = merged.filter(pc.equal(merged["col"], "l_partkey"))
+    assert part.num_rows == 4  # distinct partkeys 1,2,3,4
+    assert pc.sum(part["cnt"]).as_py() == 8  # total rows

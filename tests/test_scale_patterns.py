@@ -350,3 +350,18 @@ def test_bm25_plans_take_ordered_and_single_stats_row(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_gapfill_scans_events_once(spark, sf_dir):
+    """gapfill_locf derives its type dimension and hour bounds from the
+    rollup, so the fact table must appear in the plan exactly once."""
+    from data_etl_sh_lianjia_spark.operators.analytics import gapfill_locf
+
+    plan = _plan(gapfill_locf(spark, sf_dir))
+    # The single fact scan happens inside the rollup's localCheckpoint job;
+    # the final plan must consume ONLY the materialized rollup (ExistingRDD)
+    # — zero parquet scans means no branch re-reads the fact table (without
+    # the checkpoint, Catalyst plans THREE events scans here).
+    scans = plan.count("Scan parquet")
+    assert scans == 0, f"expected no fact re-scan, plan has {scans}"
+    assert "ExistingRDD" in plan
