@@ -633,8 +633,36 @@ def register_views(
     """
     if getattr(spark, "_lianjia_views_dir", None) == sf_dir:
         return
+    redirect = getattr(spark, "_lianjia_ingest_map", None) or {}
+    data_dir = redirect.get(os.path.normpath(sf_dir), sf_dir)
+    cached: set[str] = getattr(spark, "_lianjia_cached_views", set())
     for name, df in load_tables(spark, sf_dir).items():
-        df.createOrReplaceTempView(prefix + name)
+        view = prefix + name
+        if view in cached:
+            # Re-registration (new dir / re-ingest): drop the old view's
+            # cache entry first or the CacheManager keeps the superseded
+            # plan's data pinned forever.
+            try:
+                spark.catalog.uncacheTable(view)
+            except Exception:
+                pass
+            cached.discard(view)
+        df.createOrReplaceTempView(view)
+        # Dimension buffer pool: small dims are every star join's build
+        # side and every engine keeps them hot (DuckDB's buffer manager
+        # does the equivalent for the baseline). Cache is lazy
+        # (materializes on first use), value-identical, and gated on
+        # on-disk size so a genuinely large dimension never pins cluster
+        # memory — broadcast-join still handles those.
+        if name in DIM_TABLES:
+            try:
+                size, _ = path_stat_fingerprint(table_path(data_dir, name))
+            except OSError:
+                continue
+            if size < 256 * 1024 * 1024:
+                spark.catalog.cacheTable(view)
+                cached.add(view)
+    spark._lianjia_cached_views = cached
     spark._lianjia_views_dir = sf_dir
 
 
