@@ -118,6 +118,12 @@ INGEST_ROOT = os.environ.get(
     "SPARK_GRAFT_INGEST_ROOT", "/tmp/spark-graft-warehouse/ingest"
 )
 
+# Landed files below this go through the driver-side pyarrow ingest fast
+# path; at or above it, the distributed Spark branch (repartitionByRange +
+# Spark keydict build) takes over. Module-level so tests can force the
+# distributed branch on small fixtures.
+LOCAL_INGEST_MAX_BYTES = 256 * 1024 * 1024
+
 # (cluster_key, target_rows_per_file) per fact table: facts split for
 # parallel scan and range-clustered on their dominant filter/locality column
 # so parquet row-group min/max stats prune at the scan (q1/q3/q5/q14/q19
@@ -506,7 +512,7 @@ def ingest_tables(
         if table_fresh and kd_fresh:
             continue
         key, target_rows = _INGEST_LAYOUT.get(name, (None, 150_000))
-        local = src_bytes < 256 * 1024 * 1024
+        local = src_bytes < LOCAL_INGEST_MAX_BYTES
         if not table_fresh:
             if local:
                 # Local fast path: at landed-file sizes below a task's worth

@@ -235,3 +235,32 @@ def test_keydict_incremental_merge_equals_rebuild(tmp_path):
     part = merged.filter(pc.equal(merged["col"], "l_partkey"))
     assert part.num_rows == 4  # distinct partkeys 1,2,3,4
     assert pc.sum(part["cnt"]).as_py() == 8  # total rows
+
+
+def test_distributed_ingest_branch_matches_local(
+    spark, sf_dir, tmp_path, monkeypatch, restore_catalog
+):
+    """Force the >=256MB distributed ingest branch (Spark repartitionByRange
+    + Spark-built keydict + expression-shredded events) on the small
+    fixture and assert it is value-identical to the local pyarrow branch:
+    same distinct_count results off the keydict, same shredded json_events."""
+    spark._lianjia_ingest_map = {}
+    spark._lianjia_table_cache = {}
+    spark._lianjia_views_dir = None
+
+    monkeypatch.setattr(sess, "INGEST_ROOT", str(tmp_path / "local"))
+    sess.ingest_tables(spark, sf_dir)
+    local_dc = _run(spark, sf_dir, "distinct_count")
+    local_je = _run(spark, sf_dir, "json_events")
+
+    spark._lianjia_ingest_map = {}
+    spark._lianjia_table_cache = {}
+    spark._lianjia_views_dir = None
+    monkeypatch.setattr(sess, "INGEST_ROOT", str(tmp_path / "dist"))
+    monkeypatch.setattr(sess, "LOCAL_INGEST_MAX_BYTES", 0)
+    out_dir = sess.ingest_tables(spark, sf_dir)
+    # the distributed branch really ran: keydict written by the Spark writer
+    kd = os.path.join(out_dir, "lineitem.keydict.parquet")
+    assert os.path.exists(os.path.join(kd, "_SUCCESS"))
+    assert _run(spark, sf_dir, "distinct_count") == local_dc
+    assert _run(spark, sf_dir, "json_events") == local_je
