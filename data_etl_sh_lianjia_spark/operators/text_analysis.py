@@ -451,55 +451,89 @@ _BM25_TERMS = ("join", "filter", "data")
 _BM25_K1 = 1.2
 _BM25_B = 0.75
 
+# Per-engine SQL fragments for the shared BM25/hybrid query text. ONE place:
+# bm25_topk and hybrid_search_rrf's lexical leg are built from the same CTE
+# block, so the scoring contract (k1/b, term list, quantization scales)
+# cannot drift between them.
+_DIALECTS = {
+    "spark": {
+        "docs": "lj_documents",
+        "emb": "lj_embeddings",
+        "split": "split(text, ' ')",
+        "length": "size",
+        "contains": "size(filter(words, x -> x = '{term}'))",
+        "cond": "COUNT(IF(tf{i} > 0, 1, NULL))",
+        "cos": (
+            "aggregate(zip_with(e.embedding, q.qv, (x, y) ->"
+            " CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (p, s) -> p + s)"
+            " / (sqrt(aggregate(e.embedding, 0D,"
+            "          (p, x) -> p + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+            " * sqrt(aggregate(q.qv, 0D,"
+            "          (p, x) -> p + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        ),
+    },
+    "duck": {
+        "docs": "documents",
+        "emb": "embeddings",
+        "split": "string_split(text, ' ')",
+        "length": "len",
+        "contains": "len(list_filter(words, x -> x = '{term}'))",
+        "cond": "COUNT(CASE WHEN tf{i} > 0 THEN 1 END)",
+        "cos": (
+            "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),"
+            " CAST(q.qv AS DOUBLE[]))"
+        ),
+    },
+}
 
-def _bm25_sql(
-    table: str, split_fn: str, len_fn: str, contains: str, cond_count: str
-) -> str:
-    """One BM25 query text for both engines, parameterized on dialect:
-    ``split_fn(text)``, array length, per-term tf, and conditional count.
-    idf is quantized to 9 decimals BEFORE composing the score (ln() may
-    differ by 1 ulp across libm implementations), and the final score to 6
-    via floor(x*S+0.5)/S — the repo-wide cross-engine rounding contract."""
+
+def _bm25_core(dialect: str) -> tuple[str, str]:
+    """The shared BM25 scaffold: returns (CTE block ``d/t/s/i``, score
+    expression over ``t CROSS JOIN i``). idf is quantized to 9 decimals
+    BEFORE composing the score (ln() may differ by 1 ulp across libm
+    implementations); callers floor-quantize the composed score — the
+    repo-wide cross-engine rounding contract."""
+    d = _DIALECTS[dialect]
     k1, b = _BM25_K1, _BM25_B
-    tf_cols = ",\n         ".join(
-        f"{contains.format(term=t)} AS tf{i}"
+    tf_cols = ", ".join(
+        d["contains"].format(term=t) + f" AS tf{i}"
         for i, t in enumerate(_BM25_TERMS, 1)
     )
-    df_cols = ",\n         ".join(
-        f"{cond_count.format(i=i)} AS df{i}"
+    df_cols = ", ".join(
+        d["cond"].format(i=i) + f" AS df{i}"
         for i in range(1, len(_BM25_TERMS) + 1)
     )
-    idf_cols = ",\n         ".join(
+    idf_cols = ", ".join(
         f"floor(ln((n - df{i} + 0.5) / (df{i} + 0.5) + 1) * 1000000000 + 0.5)"
         f" / 1000000000 AS idf{i}"
         for i in range(1, len(_BM25_TERMS) + 1)
     )
-    score_terms = "\n         + ".join(
+    score = " + ".join(
         f"idf{i} * tf{i} * {k1 + 1} / (tf{i} + {k1} * ({1 - b} + {b} * dl / avgdl))"
         for i in range(1, len(_BM25_TERMS) + 1)
     )
-    return f"""
-WITH d AS (
-  SELECT doc_id, {split_fn} AS words, {len_fn}({split_fn}) AS dl
-  FROM {table}
+    ctes = f"""d AS (
+  SELECT doc_id, {d["split"]} AS words, {d["length"]}({d["split"]}) AS dl
+  FROM {d["docs"]}
 ), t AS (
-  SELECT doc_id, dl,
-         {tf_cols}
-  FROM d
+  SELECT doc_id, dl, {tf_cols} FROM d
 ), s AS (
-  SELECT COUNT(*) AS n, SUM(dl) AS sumdl,
-         {df_cols}
-  FROM t
+  SELECT COUNT(*) AS n, SUM(dl) AS sumdl, {df_cols} FROM t
 ), i AS (
-  SELECT n, CAST(sumdl AS DOUBLE) / n AS avgdl,
-         {idf_cols}
-  FROM s
-)
+  SELECT n, CAST(sumdl AS DOUBLE) / n AS avgdl, {idf_cols} FROM s
+)"""
+    return ctes, score
+
+
+def _bm25_sql(dialect: str) -> str:
+    ctes, score = _bm25_core(dialect)
+    return f"""
+WITH {ctes}
 SELECT t.doc_id,
        CAST(t.tf1 AS BIGINT) AS tf_join,
        CAST(t.tf2 AS BIGINT) AS tf_filter,
        CAST(t.tf3 AS BIGINT) AS tf_data,
-       floor(({score_terms}) * 1000000 + 0.5) / 1000000 AS score
+       floor(({score}) * 1000000 + 0.5) / 1000000 AS score
 FROM t CROSS JOIN i
 ORDER BY score DESC, t.doc_id
 LIMIT 10
@@ -508,13 +542,7 @@ LIMIT 10
 
 @register(
     "bm25_topk",
-    oracle=_bm25_sql(
-        "documents",
-        "string_split(text, ' ')",
-        "len",
-        "len(list_filter(words, x -> x = '{term}'))",
-        "COUNT(CASE WHEN tf{i} > 0 THEN 1 END)",
-    ),
+    oracle=_bm25_sql("duck"),
     survey_ref="L4,L3,A3,O3",
     doc="BM25 ranked retrieval: fixed 3-term query, corpus stats, top-10 docs",
 )
@@ -538,15 +566,7 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_etl_sh_lianjia_spark.session import register_views
 
     register_views(spark, sf_dir)
-    return spark.sql(
-        _bm25_sql(
-            "lj_documents",
-            "split(text, ' ')",
-            "size",
-            "size(filter(words, x -> x = '{term}'))",
-            "COUNT(IF(tf{i} > 0, 1, NULL))",
-        )
-    )
+    return spark.sql(_bm25_sql("spark"))
 
 
 # ---------------------------------------------------------------------------
@@ -559,69 +579,23 @@ _RRF_QUERY_VEC = 0  # query = embedding of doc 0 (ids align 1:1 with docs)
 
 
 def _hybrid_sql(dialect: str) -> str:
-    """Shared query text for the hybrid pipeline; `dialect` in {spark,duck}.
+    """Hybrid pipeline query text, built ON the shared BM25 scaffold
+    (`_bm25_core`) plus a dense cosine leg and RRF fusion.
 
-    Lexical leg: the BM25 scorer (same corpus-stats shape as bm25_topk).
+    Lexical leg: the BM25 scorer (identical CTE block to bm25_topk).
     Dense leg: cosine of every embedding against the fixed query vector.
     Fusion: RRF = sum over legs of 1/(k + rank) — rank-based, so the two
     legs' incomparable score scales never touch; every score is
     floor-quantized before ranking and ids break ties, making both ranks
     and the fused ordering deterministic across engines.
     """
-    if dialect == "spark":
-        docs, emb = "lj_documents", "lj_embeddings"
-        split, length = "split(text, ' ')", "size"
-        contains = "size(filter(words, x -> x = '{term}'))"
-        cond = "COUNT(IF(tf{i} > 0, 1, NULL))"
-        cos = (
-            "aggregate(zip_with(e.embedding, q.qv, (x, y) ->"
-            " CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (p, s) -> p + s)"
-            " / (sqrt(aggregate(e.embedding, 0D,"
-            "          (p, x) -> p + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
-            " * sqrt(aggregate(q.qv, 0D,"
-            "          (p, x) -> p + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
-        )
-        qvec = f"SELECT embedding AS qv FROM {emb} WHERE vec_id = {_RRF_QUERY_VEC}"
-    else:
-        docs, emb = "documents", "embeddings"
-        split, length = "string_split(text, ' ')", "len"
-        contains = "len(list_filter(words, x -> x = '{term}'))"
-        cond = "COUNT(CASE WHEN tf{i} > 0 THEN 1 END)"
-        cos = (
-            "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),"
-            " CAST(q.qv AS DOUBLE[]))"
-        )
-        qvec = f"SELECT embedding AS qv FROM {emb} WHERE vec_id = {_RRF_QUERY_VEC}"
-
-    k1, b = _BM25_K1, _BM25_B
-    tf_cols = ", ".join(
-        f"{contains.format(term=t)} AS tf{i}"
-        for i, t in enumerate(_BM25_TERMS, 1)
-    )
-    df_cols = ", ".join(
-        f"{cond.format(i=i)} AS df{i}" for i in range(1, len(_BM25_TERMS) + 1)
-    )
-    idf_cols = ", ".join(
-        f"floor(ln((n - df{i} + 0.5) / (df{i} + 0.5) + 1) * 1000000000 + 0.5)"
-        f" / 1000000000 AS idf{i}"
-        for i in range(1, len(_BM25_TERMS) + 1)
-    )
-    score_terms = " + ".join(
-        f"idf{i} * tf{i} * {k1 + 1} / (tf{i} + {k1} * ({1 - b} + {b} * dl / avgdl))"
-        for i in range(1, len(_BM25_TERMS) + 1)
-    )
+    d = _DIALECTS[dialect]
+    ctes, score = _bm25_core(dialect)
+    qvec = f"SELECT embedding AS qv FROM {d['emb']} WHERE vec_id = {_RRF_QUERY_VEC}"
     return f"""
-WITH d AS (
-  SELECT doc_id, {split} AS words, {length}({split}) AS dl FROM {docs}
-), t AS (
-  SELECT doc_id, dl, {tf_cols} FROM d
-), s AS (
-  SELECT COUNT(*) AS n, SUM(dl) AS sumdl, {df_cols} FROM t
-), i AS (
-  SELECT n, CAST(sumdl AS DOUBLE) / n AS avgdl, {idf_cols} FROM s
-), lex_scored AS (
+WITH {ctes}, lex_scored AS (
   SELECT t.doc_id,
-         floor(({score_terms}) * 1000000 + 0.5) / 1000000 AS lex_score
+         floor(({score}) * 1000000 + 0.5) / 1000000 AS lex_score
   FROM t CROSS JOIN i
 ), lex AS (
   SELECT doc_id, lex_rank FROM (
@@ -631,8 +605,8 @@ WITH d AS (
   WHERE lex_rank <= {_RRF_DEPTH}
 ), q AS ({qvec}), dense_scored AS (
   SELECT e.vec_id AS doc_id,
-         floor(({cos}) * 1000000 + 0.5) / 1000000 AS sim
-  FROM {emb} e CROSS JOIN q
+         floor(({d["cos"]}) * 1000000 + 0.5) / 1000000 AS sim
+  FROM {d["emb"]} e CROSS JOIN q
   WHERE e.vec_id <> {_RRF_QUERY_VEC}
 ), dense AS (
   SELECT doc_id, dense_rank FROM (

@@ -124,6 +124,10 @@ INGEST_ROOT = os.environ.get(
 # distributed branch on small fixtures.
 LOCAL_INGEST_MAX_BYTES = 256 * 1024 * 1024
 
+# Dimension views at or above this on-disk size skip the buffer-pool cache
+# (register_views) and rely on broadcast joins instead.
+DIM_CACHE_MAX_BYTES = 256 * 1024 * 1024
+
 # (cluster_key, target_rows_per_file) per fact table: facts split for
 # parallel scan and range-clustered on their dominant filter/locality column
 # so parquet row-group min/max stats prune at the scan (q1/q3/q5/q14/q19
@@ -221,12 +225,14 @@ def merge_keydicts(tables):
     import pyarrow as pa
 
     merged = pa.concat_tables(tables)
-    return (
-        merged.group_by(["col", "key"])
-        .aggregate([("cnt", "sum")])
-        .rename_columns(["col", "key", "cnt"])
-        .sort_by([("col", "ascending"), ("key", "ascending")])
+    agg = merged.group_by(["col", "key"]).aggregate([("cnt", "sum")])
+    # select by NAME: the key/aggregate column order of group_by output is
+    # an implementation detail that has differed across pyarrow releases —
+    # a positional rename would silently mislabel cnt sums as keys there
+    out = pa.table(
+        {"col": agg["col"], "key": agg["key"], "cnt": agg["cnt_sum"]}
     )
+    return out.sort_by([("col", "ascending"), ("key", "ascending")])
 
 
 def _build_keydict_spark(
@@ -633,26 +639,38 @@ def register_views(
     The single-round-trip ``spark.sql`` query path (used by the headline
     bench queries) reads these views instead of rebuilding DataFrames: one
     py4j call per query instead of dozens. Registration is memoized on the
-    session keyed by ``sf_dir`` — switching scale factors mid-session
-    re-registers, so the views always point at the requested directory.
-    The ``lj_`` prefix keeps them from colliding with caller-owned views.
+    session keyed by (``sf_dir``, dimension fingerprints) — switching scale
+    factors mid-session re-registers, and so does an in-place rewrite of a
+    cached dimension file (the CacheManager would otherwise serve the old
+    rows from memory for the session's lifetime; the fingerprint check
+    costs a handful of stat() calls per query build). The ``lj_`` prefix
+    keeps the views from colliding with caller-owned views.
     """
-    if getattr(spark, "_lianjia_views_dir", None) == sf_dir:
-        return
     redirect = getattr(spark, "_lianjia_ingest_map", None) or {}
     data_dir = redirect.get(os.path.normpath(sf_dir), sf_dir)
+    dim_fp = ";".join(
+        f"{n}={table_fingerprint(spark, sf_dir, n)}" for n in sorted(DIM_TABLES)
+    )
+    memo_key = f"{sf_dir}::{dim_fp}"
+    if getattr(spark, "_lianjia_views_dir", None) == memo_key:
+        return
     cached: set[str] = getattr(spark, "_lianjia_cached_views", set())
+    cache_map: dict[str, DataFrame] = getattr(spark, "_lianjia_table_cache", {})
     for name, df in load_tables(spark, sf_dir).items():
         view = prefix + name
         if view in cached:
-            # Re-registration (new dir / re-ingest): drop the old view's
-            # cache entry first or the CacheManager keeps the superseded
-            # plan's data pinned forever.
+            # Re-registration (new dir / re-ingest / rewritten dim): drop
+            # the old view's cache entry first or the CacheManager keeps
+            # the superseded plan's data pinned forever.
             try:
                 spark.catalog.uncacheTable(view)
             except Exception:
                 pass
             cached.discard(view)
+            # the memoized DataFrame handle may carry a stale file listing
+            # for the rewritten path — rebuild it on next load
+            cache_map.pop(table_path(data_dir, name), None)
+            df = load_tables(spark, sf_dir, names=(name,))[name]
         df.createOrReplaceTempView(view)
         # Dimension buffer pool: small dims are every star join's build
         # side and every engine keeps them hot (DuckDB's buffer manager
@@ -665,11 +683,11 @@ def register_views(
                 size, _ = path_stat_fingerprint(table_path(data_dir, name))
             except OSError:
                 continue
-            if size < 256 * 1024 * 1024:
+            if size < DIM_CACHE_MAX_BYTES:
                 spark.catalog.cacheTable(view)
                 cached.add(view)
     spark._lianjia_cached_views = cached
-    spark._lianjia_views_dir = sf_dir
+    spark._lianjia_views_dir = memo_key
 
 
 def read_events(spark: SparkSession, path: str) -> DataFrame:

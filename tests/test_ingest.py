@@ -24,14 +24,25 @@ def restore_catalog(spark):
     saved = (
         dict(getattr(spark, "_lianjia_ingest_map", {}) or {}),
         dict(getattr(spark, "_lianjia_table_cache", {}) or {}),
-        getattr(spark, "_lianjia_views_dir", None),
+        set(getattr(spark, "_lianjia_cached_views", set()) or set()),
         dict(getattr(spark, "_lianjia_keydict_views", {}) or {}),
     )
     yield
+    # drop cache entries materialized over the test's tmp copies — the
+    # CacheManager would otherwise keep serving them for the session
+    for view in set(getattr(spark, "_lianjia_cached_views", set())) - saved[2]:
+        try:
+            spark.catalog.uncacheTable(view)
+        except Exception:
+            pass
     spark._lianjia_ingest_map = saved[0]
     spark._lianjia_table_cache = saved[1]
-    spark._lianjia_views_dir = saved[2]
+    spark._lianjia_cached_views = set()
     spark._lianjia_keydict_views = saved[3]
+    # force re-registration: the lj_* views still point at the test's tmp
+    # managed copies; a stale memo here would silently re-route every later
+    # SQL-path test (incl. the raw-file oracle sweep) through them
+    spark._lianjia_views_dir = None
 
 
 def _run(spark, sf_dir, name):
@@ -259,8 +270,52 @@ def test_distributed_ingest_branch_matches_local(
     monkeypatch.setattr(sess, "INGEST_ROOT", str(tmp_path / "dist"))
     monkeypatch.setattr(sess, "LOCAL_INGEST_MAX_BYTES", 0)
     out_dir = sess.ingest_tables(spark, sf_dir)
-    # the distributed branch really ran: keydict written by the Spark writer
+    # the distributed branch really ran: Spark's writer emits uuid-suffixed
+    # part names (part-00000-<uuid>...parquet), while the local pyarrow
+    # branch writes literal part-%05d.parquet — the marker alone could not
+    # tell the branches apart
     kd = os.path.join(out_dir, "lineitem.keydict.parquet")
     assert os.path.exists(os.path.join(kd, "_SUCCESS"))
+    kd_parts = [f for f in os.listdir(kd) if f.endswith(".parquet")]
+    assert kd_parts and all(len(f) > len("part-00000.parquet") for f in kd_parts), (
+        f"keydict not written by the Spark branch: {kd_parts}"
+    )
+    li_parts = [
+        f
+        for f in os.listdir(os.path.join(out_dir, "lineitem.parquet"))
+        if f.endswith(".parquet")
+    ]
+    assert li_parts and all(len(f) > len("part-00000.parquet") for f in li_parts)
     assert _run(spark, sf_dir, "distinct_count") == local_dc
     assert _run(spark, sf_dir, "json_events") == local_je
+
+
+def test_dim_cache_invalidates_on_source_rewrite(
+    spark, tmp_path, restore_catalog
+):
+    """The dimension buffer pool must never serve stale rows: register_views
+    folds dim fingerprints into its memo key, so an in-place rewrite of a
+    cached dim parquet re-registers and re-caches on the next query build."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    sf = tmp_path / "sfdim"
+    sf.mkdir()
+    shutil.copy("/root/testdata/sf0.001/nation.parquet", str(sf / "nation.parquet"))
+
+    spark._lianjia_ingest_map = {}
+    spark._lianjia_table_cache = {}
+    spark._lianjia_views_dir = None
+    sess.register_views(spark, str(sf))
+    before = spark.sql("SELECT COUNT(*) AS c FROM lj_nation").collect()[0].c
+    assert "lj_nation" in getattr(spark, "_lianjia_cached_views", set())
+
+    tab = pq.read_table(str(sf / "nation.parquet"))
+    pq.write_table(tab.slice(0, tab.num_rows - 5), str(sf / "nation.parquet"))
+
+    sess.register_views(spark, str(sf))
+    after = spark.sql("SELECT COUNT(*) AS c FROM lj_nation").collect()[0].c
+    assert after == before - 5, (
+        f"cached dim served stale rows after rewrite ({before} -> {after})"
+    )
