@@ -240,23 +240,23 @@ register(
     bench=True,
     doc="TPC-H Q5 shape: 6-table star join (dims broadcast), agg by nation",
 )(
-    # Flat 5-broadcast form, kept after interleaved A/Bs (tools/
-    # profile_q5_regex.py + r3 follow-ups, sf0.1 medians in one session):
-    # pushing the ASIA filter into customer/supplier dim CTEs 294 ms,
-    # pre-merging nation x region into one broadcast 243 ms, scalar-
-    # subquery region 234 ms, this form 220-224 ms — deeper broadcast
-    # build chains serialize into extra sub-jobs and lose more than the
-    # smaller build sides save at this scale.
+    # Two-broadcast form over the session-materialized flattened dim
+    # lj_supplier_geo (session._FLAT_DIMS). Interleaved A/B history at
+    # sf0.1: flat 5-broadcast 220-224 ms; per-QUERY dim pre-merges all
+    # LOSE (ASIA filter pushed into dim CTEs 294 ms, nation x region
+    # merged per query 243 ms, scalar-subquery region 234 ms — the merge
+    # serializes as sub-jobs inside every broadcast build); materializing
+    # the supplier->nation->region chain ONCE per session moves that join
+    # out of the query path: 2 broadcast builds/run instead of 5, ~13%
+    # faster (tools/ab_q5_flatdim.py), identical values.
     _sql_query(f"""
-SELECT /*+ BROADCAST(c), BROADCAST(s), BROADCAST(n), BROADCAST(r) */
+SELECT /*+ BROADCAST(c), BROADCAST(s) */
        n_name,
        {spark_dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
 FROM lj_lineitem l
 JOIN lj_orders o   ON l_orderkey = o_orderkey
 JOIN lj_customer c ON c_custkey  = o_custkey
-JOIN lj_supplier s ON l_suppkey  = s_suppkey AND c_nationkey = s_nationkey
-JOIN lj_nation n   ON s_nationkey = n_nationkey
-JOIN lj_region r   ON n_regionkey = r_regionkey
+JOIN lj_supplier_geo s ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
 WHERE r_name = 'ASIA'
   AND o_orderdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00'
   AND o_orderdate <  TIMESTAMP_NTZ '1998-01-01 00:00:00'

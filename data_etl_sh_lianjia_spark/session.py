@@ -656,7 +656,9 @@ def register_views(
         return
     cached: set[str] = getattr(spark, "_lianjia_cached_views", set())
     cache_map: dict[str, DataFrame] = getattr(spark, "_lianjia_table_cache", {})
+    present: set[str] = set()
     for name, df in load_tables(spark, sf_dir).items():
+        present.add(name)
         view = prefix + name
         if view in cached:
             # Re-registration (new dir / re-ingest / rewritten dim): drop
@@ -686,8 +688,68 @@ def register_views(
             if size < DIM_CACHE_MAX_BYTES:
                 spark.catalog.cacheTable(view)
                 cached.add(view)
+    _register_flattened_dims(spark, prefix, cached, present)
     spark._lianjia_cached_views = cached
     spark._lianjia_views_dir = memo_key
+
+
+# Materialized denormalized dimension views (snowflake -> star flattening):
+# each entry pre-joins a dimension chain ONCE per session and caches the
+# result, so star queries touching the chain pay a single broadcast build
+# instead of one per link. The r3 A/B showed per-QUERY pre-merging loses
+# (the merge runs as serialized sub-jobs inside every broadcast build);
+# materializing per SESSION moves that cost out of the query path entirely
+# (tools/ab_q5_flatdim.py: q5 ~13% faster, values identical). At 100 TB the
+# flattened view is still dimension-sized (suppliers x ~30 geo columns), so
+# the same cacheTable gate applies; correctness never depends on it — the
+# view is definitionally equal to the join it replaces, and the DuckDB
+# oracles keep joining the raw tables.
+_FLAT_DIMS = {
+    # supplier + its nation/region names: used by q5-family star joins.
+    "supplier_geo": (
+        ("supplier", "nation", "region"),
+        """
+        SELECT s.*, n.n_name, n.n_regionkey, r.r_name
+        FROM {p}supplier s
+        JOIN {p}nation n ON s.s_nationkey = n.n_nationkey
+        JOIN {p}region r ON n.n_regionkey = r.r_regionkey
+        """,
+    ),
+    # customer + geography: the symmetric chain (q8/q10-family shapes).
+    "customer_geo": (
+        ("customer", "nation", "region"),
+        """
+        SELECT c.*, n.n_name, n.n_regionkey, r.r_name
+        FROM {p}customer c
+        JOIN {p}nation n ON c.c_nationkey = n.n_nationkey
+        JOIN {p}region r ON n.n_regionkey = r.r_regionkey
+        """,
+    ),
+}
+
+
+def _register_flattened_dims(
+    spark: SparkSession, prefix: str, cached: set, present: set
+) -> None:
+    """(Re)register the ``_FLAT_DIMS`` views over the just-registered base
+    views. Runs under register_views' memo/fingerprint key, so a rewritten
+    dimension rebuilds the flattened view too (the base uncache above
+    already dropped the stale cache entries this view was built from)."""
+    for name, (bases, sql) in _FLAT_DIMS.items():
+        if any(b not in present for b in bases):
+            continue
+        view = prefix + name
+        if view in cached:
+            try:
+                spark.catalog.uncacheTable(view)
+            except Exception:
+                pass
+            cached.discard(view)
+        spark.sql(sql.format(p=prefix)).createOrReplaceTempView(view)
+        if all(f"{prefix}{b}" in cached for b in bases):
+            # every base fit the buffer pool -> the flattened join does too
+            spark.catalog.cacheTable(view)
+            cached.add(view)
 
 
 def read_events(spark: SparkSession, path: str) -> DataFrame:

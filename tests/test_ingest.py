@@ -319,3 +319,56 @@ def test_dim_cache_invalidates_on_source_rewrite(
     assert after == before - 5, (
         f"cached dim served stale rows after rewrite ({before} -> {after})"
     )
+
+
+def test_flattened_dim_views_match_their_join(spark, sf_dir, restore_catalog):
+    """The materialized snowflake-flattening views (session._FLAT_DIMS) are
+    definitionally equal to the join they replace — a query switching to
+    lj_supplier_geo must see exactly the rows of supplier JOIN nation JOIN
+    region."""
+    spark._lianjia_views_dir = None
+    sess.register_views(spark, sf_dir)
+    for name, (_bases, sql) in sess._FLAT_DIMS.items():
+        flat = spark.table("lj_" + name)
+        direct = spark.sql(sql.format(p="lj_"))
+        assert sorted(flat.columns) == sorted(direct.columns), name
+        cols = flat.columns
+        got = canon_rows([tuple(r) for r in flat.collect()], cols)
+        want = canon_rows(
+            [tuple(r) for r in direct.select(*cols).collect()], cols
+        )
+        assert got == want, f"{name}: flattened view diverges from its join"
+
+
+def test_flattened_dim_rebuilds_on_base_rewrite(spark, tmp_path, restore_catalog):
+    """Rewriting a base dimension must rebuild the flattened views too —
+    a stale cached supplier_geo would silently serve dropped nations."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    sf = tmp_path / "sfflat"
+    sf.mkdir()
+    for t in ("supplier", "nation", "region", "customer", "part"):
+        shutil.copy(f"/root/testdata/sf0.001/{t}.parquet", str(sf / f"{t}.parquet"))
+
+    spark._lianjia_ingest_map = {}
+    spark._lianjia_table_cache = {}
+    spark._lianjia_views_dir = None
+    sess.register_views(spark, str(sf))
+    before = spark.sql("SELECT COUNT(*) AS c FROM lj_supplier_geo").collect()[0].c
+    assert before > 0
+
+    nat = pq.read_table(str(sf / "nation.parquet"))
+    pq.write_table(nat.slice(0, 1), str(sf / "nation.parquet"))
+
+    sess.register_views(spark, str(sf))
+    after = spark.sql("SELECT COUNT(*) AS c FROM lj_supplier_geo").collect()[0].c
+    lone = spark.sql(
+        "SELECT COUNT(*) AS c FROM lj_supplier s JOIN lj_nation n"
+        " ON s_nationkey = n_nationkey JOIN lj_region r"
+        " ON n_regionkey = r_regionkey"
+    ).collect()[0].c
+    assert after == lone and after < before, (
+        f"flattened dim served stale rows after base rewrite ({before} -> {after})"
+    )
