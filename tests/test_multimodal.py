@@ -170,3 +170,93 @@ def test_png_decoder_rejects_unsupported_variants():
     )
     with pytest.raises(ValueError, match="unsupported PNG variant"):
         _decode_png(b"\x89PNG\r\n\x1a\n" + chunk)
+
+
+def test_jpeg_flat_block_roundtrip_is_bit_exact():
+    """With all-ones quant tables, flat 8x8 blocks survive the full T.81
+    pipeline exactly: decode == YCbCr round trip of the source. This is the
+    contract the hash-gated fixtures rely on."""
+    import numpy as np
+
+    from data_etl_sh_lianjia_spark.operators.multimodal import (
+        _decode_jpeg,
+        _encode_jpeg,
+        _rgb_to_ycbcr,
+        _ycbcr_to_rgb,
+    )
+
+    rng = np.random.RandomState(42)
+    ones = np.ones((8, 8), dtype=np.int64)
+    saw_stuffing = False
+    for _ in range(6):
+        bh, bw = rng.randint(2, 7), rng.randint(2, 7)
+        h, w = bh * 8 - rng.randint(0, 8), bw * 8 - rng.randint(0, 8)
+        blocks = rng.randint(0, 256, size=(bh, bw, 3)).astype(np.uint8)
+        rgb = np.kron(blocks, np.ones((8, 8, 1), dtype=np.uint8))[:h, :w]
+        buf = _encode_jpeg(rgb, ones, ones)
+        saw_stuffing = saw_stuffing or b"\xff\x00" in buf
+        out = _decode_jpeg(buf)
+        want = _ycbcr_to_rgb(_rgb_to_ycbcr(rgb))
+        assert out.shape == want.shape
+        assert (out == want).all(), "flat-block decode not bit-exact"
+    assert saw_stuffing, (
+        "no encoded stream exercised 0xFF byte stuffing — weak coverage"
+    )
+
+
+def test_jpeg_lossy_roundtrip_bounded_on_smooth_content():
+    """Real Annex K quant tables on smooth gradients: decode must stay
+    within normal JPEG loss (PSNR > 30 dB) — pins the DCT/quant path on
+    multi-coefficient content the exactness contract doesn't cover."""
+    import numpy as np
+
+    from data_etl_sh_lianjia_spark.operators.multimodal import (
+        _decode_jpeg,
+        _encode_jpeg,
+    )
+
+    rng = np.random.RandomState(7)
+    for _ in range(3):
+        h, w = rng.randint(17, 49), rng.randint(17, 49)
+        x = np.linspace(0, 200, w)[None, :]
+        y = np.linspace(0, 180, h)[:, None]
+        rgb = np.clip(
+            np.stack(
+                [x + y * 0.3, 30 + x * 0.5 + y * 0.5, 200 - x * 0.7 + y * 0.1],
+                axis=2,
+            ),
+            0,
+            255,
+        ).astype(np.uint8)
+        out = _decode_jpeg(_encode_jpeg(rgb))
+        assert out.shape == rgb.shape
+        err = (out.astype(np.float64) - rgb.astype(np.float64)) ** 2
+        psnr = 10 * np.log10(255.0**2 / max(err.mean(), 1e-12))
+        assert psnr > 30.0, f"JPEG round trip degraded: PSNR {psnr:.1f} dB"
+
+
+def test_jpeg_decoder_rejects_unsupported_variants():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from data_etl_sh_lianjia_spark.operators.multimodal import (
+        _decode_jpeg,
+        _encode_jpeg,
+    )
+
+    rgb = np.full((8, 8, 3), 100, dtype=np.uint8)
+    buf = bytearray(_encode_jpeg(rgb))
+    with pytest.raises(ValueError, match="SOI"):
+        _decode_jpeg(b"\x00\x01" + bytes(buf[2:]))
+    # flip SOF0 -> SOF2 (progressive)
+    sof = bytes(buf).find(b"\xff\xc0")
+    prog = bytes(buf[:sof]) + b"\xff\xc2" + bytes(buf[sof + 2:])
+    with pytest.raises(ValueError, match="non-baseline"):
+        _decode_jpeg(prog)
+    # declare 2x2 luma subsampling in SOF
+    sub = bytearray(buf)
+    sub[sof + 11] = 0x22  # component 1 sampling byte
+    with pytest.raises(ValueError, match="subsampling"):
+        _decode_jpeg(bytes(sub))
