@@ -592,3 +592,118 @@ def chunk_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .drop("rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer-training statistics: BPE pair counts + vocabulary coverage.
+# Both run over the word-frequency DICTIONARY, not the corpus: the first
+# aggregation collapses 100 TB of text to vocabulary-sized state (the same
+# move the keydict projection makes for distinct counts), and every later
+# step — pair explode, coverage window — costs O(vocab), not O(corpus).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bpe_pair_stats",
+    oracle="""
+WITH words AS (
+  SELECT w, COUNT(*) AS cnt
+  FROM documents, unnest(regexp_extract_all(text, '[a-z]+')) AS t(w)
+  GROUP BY w
+)
+SELECT substring(w, i, 2) AS pair, CAST(SUM(cnt) AS BIGINT) AS n
+FROM words, unnest(range(1, length(w))) AS r(i)
+WHERE length(w) >= 2
+GROUP BY pair
+ORDER BY n DESC, pair
+LIMIT 20
+""",
+    survey_ref="L4",
+    doc="BPE tokenizer training, step one: top adjacent-symbol pair frequencies",
+)
+def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first merge-selection step of BPE tokenizer training: adjacent
+    character-pair frequencies, weighted by word count. Corpus -> word
+    dictionary (one shuffle on the word, map-side combined), then the pair
+    Generate explodes the DICTIONARY — len(word)-1 rows per distinct word,
+    independent of corpus size — and a second vocab-sized aggregation
+    ranks pairs. The length >= 2 guard matters cross-engine: Spark's
+    sequence(1, 0) is DESCENDING ([1, 0]), not empty, so an unguarded
+    single-letter word would emit two phantom pairs (same class of edge as
+    the chunk_embed_topk empty-text guard).
+    """
+    docs = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    words = (
+        docs.select(
+            F.explode(F.expr("regexp_extract_all(text, '[a-z]+', 0)")).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pairs = (
+        words.filter(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+            ).alias("pair"),
+            "cnt",
+        )
+        .groupBy("pair")
+        .agg(F.sum("cnt").alias("n"))
+    )
+    return pairs.orderBy(F.desc("n"), "pair").limit(20)
+
+
+@register(
+    "vocab_coverage",
+    oracle="""
+WITH words AS (
+  SELECT w, COUNT(*) AS cnt
+  FROM documents, unnest(regexp_extract_all(text, '[a-z]+')) AS t(w)
+  GROUP BY w
+), ranked AS (
+  SELECT cnt,
+         row_number() OVER (ORDER BY cnt DESC, w) AS rnk,
+         SUM(cnt) OVER (ORDER BY cnt DESC, w
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(cnt) OVER () AS total
+  FROM words
+)
+SELECT rnk AS vocab_size,
+       floor(cum * 1000000.0 / total + 0.5) / 1000000 AS coverage
+FROM ranked
+WHERE rnk IN (10, 100, 1000)
+""",
+    survey_ref="L4,W3",
+    doc="tokenizer vocabulary-size diagnostic: corpus token coverage at top-K vocab cuts",
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What fraction of corpus tokens a top-K vocabulary covers — the
+    standard diagnostic for choosing tokenizer vocab size. One corpus
+    shuffle builds the word dictionary; the ranking window then runs over
+    vocab-sized input. The global ORDER BY window is single-partition by
+    construction — acceptable because its input is the dictionary (at most
+    a few million rows at web scale), never the corpus; (cnt DESC, w)
+    ordering makes rank and cumulative sum deterministic under ties.
+    Coverage is quantized floor(x*1e6+0.5)/1e6 identically in both engines
+    (the engine's standard cross-engine float rounding recipe)."""
+    from pyspark.sql.window import Window
+
+    docs = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    words = (
+        docs.select(
+            F.explode(F.expr("regexp_extract_all(text, '[a-z]+', 0)")).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    order = Window.orderBy(F.desc("cnt"), "w")
+    ranked = words.select(
+        F.row_number().over(order).alias("vocab_size"),
+        F.sum("cnt").over(order.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy()).alias("total"),
+    )
+    return ranked.filter(F.col("vocab_size").isin(10, 100, 1000)).select(
+        F.col("vocab_size").cast("bigint"),
+        F.expr("floor(cum * 1000000.0 / total + 0.5) / 1000000").alias("coverage"),
+    )
