@@ -372,3 +372,74 @@ def test_flattened_dim_rebuilds_on_base_rewrite(spark, tmp_path, restore_catalog
     assert after == lone and after < before, (
         f"flattened dim served stale rows after base rewrite ({before} -> {after})"
     )
+
+
+def test_append_only_delta_ingest(spark, tmp_path, monkeypatch, restore_catalog):
+    """A directory source that only GAINS part files takes the delta path:
+    existing managed parts stay byte-untouched, only the new batch is laid
+    out, the keydict projection merges instead of rebuilding — and every
+    result matches what a from-scratch ingest of the full table produces."""
+    import glob
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    full = pq.read_table("/root/testdata/sf0.001/lineitem.parquet")
+    half = full.num_rows // 2
+    sf = tmp_path / "sfdelta"
+    (sf / "lineitem.parquet").mkdir(parents=True)
+    pq.write_table(
+        full.slice(0, half), str(sf / "lineitem.parquet" / "batch-0.parquet")
+    )
+    monkeypatch.setattr(sess, "INGEST_ROOT", str(tmp_path / "ingest"))
+    out = sess.ingest_tables(spark, str(sf))
+    assert spark._lianjia_ingest_appended == 0
+
+    managed = sorted(glob.glob(os.path.join(out, "lineitem.parquet", "*.parquet")))
+    mtimes = {p: os.stat(p).st_mtime_ns for p in managed}
+
+    pq.write_table(
+        full.slice(half), str(sf / "lineitem.parquet" / "batch-1.parquet")
+    )
+    sess.ingest_tables(spark, str(sf))
+    assert spark._lianjia_ingest_appended == 1, "append did not take the delta path"
+    assert spark._lianjia_ingest_rebuilt == 0
+    for p, m in mtimes.items():
+        assert os.stat(p).st_mtime_ns == m, f"delta ingest rewrote history: {p}"
+    new_parts = set(
+        glob.glob(os.path.join(out, "lineitem.parquet", "*.parquet"))
+    ) - set(managed)
+    assert new_parts, "no new managed part written for the appended batch"
+
+    # served values == the full table
+    row = all_queries()["distinct_count"].spark_fn(spark, str(sf)).collect()[0]
+    assert row.n_rows == full.num_rows
+    assert row.distinct_parts == len(pc.unique(full.column("l_partkey")))
+    assert row.distinct_supps == len(pc.unique(full.column("l_suppkey")))
+
+    # merged keydict == from-scratch dictionary of the full table
+    kd = pq.read_table(
+        glob.glob(os.path.join(out, "lineitem.keydict.parquet", "*.parquet"))[0]
+    )
+    for col in ("l_partkey", "l_suppkey"):
+        got = {
+            r["key"]: r["cnt"]
+            for r in kd.to_pylist()
+            if r["col"] == col
+        }
+        vc = pc.value_counts(full.column(col).combine_chunks())
+        want = {
+            v.as_py(): c.as_py()
+            for v, c in zip(vc.field("values"), vc.field("counts"))
+        }
+        assert got == want, f"merged keydict diverges from rebuild on {col}"
+
+    # non-additive change (rewrite an old batch) -> full rebuild, still correct
+    pq.write_table(
+        full.slice(0, half - 7), str(sf / "lineitem.parquet" / "batch-0.parquet")
+    )
+    sess.ingest_tables(spark, str(sf))
+    assert spark._lianjia_ingest_appended == 0
+    assert spark._lianjia_ingest_rebuilt == 1
+    row = all_queries()["distinct_count"].spark_fn(spark, str(sf)).collect()[0]
+    assert row.n_rows == full.num_rows - 7
