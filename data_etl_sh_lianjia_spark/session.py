@@ -174,6 +174,95 @@ _DICT_LAYOUT = {
 }
 
 
+# Aggregate projections (ClickHouse projections / Pinot star-tree, the
+# keydict generalized): per declared fact table, the managed copy carries a
+# sibling rollup ``<table>.aggproj.parquet`` grouped on low-cardinality
+# keys, with every measure a SUM-mergeable BIGINT — COUNTs and the engine's
+# scaled-long deterministic sums (functions/deterministic.py: per-row
+# FLOOR(x*10^s + 0.5) longs whose integer partial sums re-aggregate
+# EXACTLY, so a query served from the projection is bit-identical to the
+# full scan). Group keys use the exact column values (l_shipdate has
+# ~2,500 distinct dates at ANY TPC-H scale), so the projection's size
+# tracks key cardinality while the fact table grows — the q1 family reads
+# rollup rows instead of re-scanning 100 TB, and append batches MERGE
+# (UNION ALL + re-SUM) in O(batch + projection).
+_AGG_PROJECTIONS = {
+    "lineitem": {
+        "keys": ("l_returnflag", "l_linestatus", "l_shipdate"),
+        # Every measure must re-aggregate by SUM (merge = UNION ALL +
+        # GROUP BY keys + SUM(*)); the s_* scaled-long sums mirror
+        # spark_dsum's per-row transform exactly, n_* are the per-measure
+        # non-null counts davg divides by.
+        "measures": {
+            "cnt": "COUNT(*)",
+            "s_qty": "SUM(CAST(FLOOR(l_quantity * 10000 + 0.5) AS BIGINT))",
+            "n_qty": "COUNT(l_quantity)",
+            "s_price": "SUM(CAST(FLOOR(l_extendedprice * 10000 + 0.5) AS BIGINT))",
+            "n_price": "COUNT(l_extendedprice)",
+            "s_disc_price": (
+                "SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 10000"
+                " + 0.5) AS BIGINT))"
+            ),
+            "s_charge": (
+                "SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount) *"
+                " (1 + l_tax)) * 1000000 + 0.5) AS BIGINT))"
+            ),
+            "s_disc": "SUM(CAST(FLOOR(l_discount * 1000000 + 0.5) AS BIGINT))",
+            "n_disc": "COUNT(l_discount)",
+        },
+    },
+}
+
+
+def _aggproj_sql(spec: dict, src: str) -> str:
+    keys = ", ".join(spec["keys"])
+    measures = ", ".join(f"{sql} AS {name}" for name, sql in spec["measures"].items())
+    return f"SELECT {keys}, {measures} FROM {src} GROUP BY {keys}"
+
+
+def _build_aggproj(
+    spark: SparkSession,
+    spec: dict,
+    src_paths,
+    ap_dst: str,
+    fingerprint: str,
+    meta: dict | None,
+    merge_with: str | None = None,
+) -> None:
+    """Build (or delta-merge) an aggregate projection with Spark itself, so
+    the per-row scaled-long transform is the IDENTICAL expression the
+    full-scan query path runs — bit-for-bit parity by construction, not by
+    re-implementation. ``merge_with`` points at the existing projection for
+    the append path: UNION ALL + re-SUM on the group keys (every measure is
+    SUM-mergeable by contract)."""
+    df = spark.read.parquet(*src_paths)
+    df.createOrReplaceTempView("_lj_aggproj_src")
+    built = spark.sql(_aggproj_sql(spec, "_lj_aggproj_src"))
+    if merge_with is not None:
+        built.createOrReplaceTempView("_lj_aggproj_batch")
+        spark.read.parquet(merge_with).createOrReplaceTempView("_lj_aggproj_old")
+        keys = ", ".join(spec["keys"])
+        sums = ", ".join(
+            f"SUM({name}) AS {name}" for name in spec["measures"]
+        )
+        built = spark.sql(
+            f"SELECT {keys}, {sums} FROM (SELECT * FROM _lj_aggproj_old"
+            f" UNION ALL SELECT * FROM _lj_aggproj_batch) GROUP BY {keys}"
+        )
+    # materialize BEFORE touching ap_dst: the merge reads the old files
+    tmp = ap_dst + f".tmp-{os.getpid()}"
+    built.coalesce(1).write.mode("overwrite").parquet(tmp)
+    _write_marker(os.path.join(tmp, "_SUCCESS"), fingerprint, meta)
+    import shutil
+
+    trash = ap_dst + f".old-{os.getpid()}"
+    shutil.rmtree(trash, ignore_errors=True)
+    if os.path.exists(ap_dst):
+        os.replace(ap_dst, trash)
+    os.replace(tmp, ap_dst)
+    shutil.rmtree(trash, ignore_errors=True)
+
+
 def _build_keydict_local(
     dst: str, kd_dst: str, cols, fingerprint: str, meta: dict | None = None
 ) -> None:
@@ -317,6 +406,31 @@ def keydict_view(spark: SparkSession, sf_dir: str, name: str) -> str | None:
     if registered.get(view) != kd:
         spark.read.parquet(kd).createOrReplaceTempView(view)
         registered[view] = kd
+    return view
+
+
+def aggproj_view(spark: SparkSession, sf_dir: str, name: str) -> str | None:
+    """Register (memoized) and return the ``lj_<name>_aggproj`` view, or
+    None when this session has no fresh managed aggregate projection for
+    ``sf_dir`` — callers fall back to the full-scan plan, so the rollup is
+    purely an optimization, never a correctness dependency (the driver
+    correctness gate runs on raw files and always exercises the fallback).
+    """
+    redirect = getattr(spark, "_lianjia_ingest_map", None) or {}
+    out_dir = redirect.get(os.path.normpath(sf_dir))
+    if out_dir is None:
+        return None
+    ap = os.path.join(out_dir, f"{name}.aggproj.parquet")
+    if not os.path.exists(os.path.join(ap, "_SUCCESS")):
+        return None
+    view = f"lj_{name}_aggproj"
+    registered = getattr(spark, "_lianjia_keydict_views", None)
+    if registered is None:
+        registered = {}
+        spark._lianjia_keydict_views = registered
+    if registered.get(view) != ap:
+        spark.read.parquet(ap).createOrReplaceTempView(view)
+        registered[view] = ap
     return view
 
 
@@ -676,12 +790,17 @@ def ingest_tables(
         )
         kd_cols = _DICT_LAYOUT.get(name)
         kd_dst = os.path.join(out_dir, f"{name}.keydict.parquet")
+        ap_spec = _AGG_PROJECTIONS.get(name)
+        ap_dst = os.path.join(out_dir, f"{name}.aggproj.parquet")
         table_marker = os.path.join(dst, "_SUCCESS")
         table_fresh = _marker_fresh(table_marker, fingerprint)
         kd_fresh = not kd_cols or _marker_fresh(
             os.path.join(kd_dst, "_SUCCESS"), fingerprint
         )
-        if table_fresh and kd_fresh:
+        ap_fresh = not ap_spec or _marker_fresh(
+            os.path.join(ap_dst, "_SUCCESS"), fingerprint
+        )
+        if table_fresh and kd_fresh and ap_fresh:
             continue
         key, target_rows = _INGEST_LAYOUT.get(name, (None, 150_000))
         local = src_bytes < LOCAL_INGEST_MAX_BYTES
@@ -693,16 +812,27 @@ def ingest_tables(
             # (same prior fingerprint), else a merge would compound onto a
             # dictionary from a different table state.
             delta = _delta_files(table_marker, layout, manifest) if local else None
-            if delta is not None and kd_cols:
+            if delta is not None and (kd_cols or ap_spec):
+                # projections only merge when every sibling is in lockstep
+                # with the table (same prior fingerprint) — merging onto a
+                # projection from a different table state would compound
                 old_table_fp, _ = _read_marker(table_marker)
-                old_kd_fp, _ = _read_marker(os.path.join(kd_dst, "_SUCCESS"))
-                if old_table_fp != old_kd_fp:
-                    delta = None
+                for sibling, enabled in ((kd_dst, kd_cols), (ap_dst, ap_spec)):
+                    if enabled:
+                        fp, _m = _read_marker(os.path.join(sibling, "_SUCCESS"))
+                        if fp != old_table_fp:
+                            delta = None
             if delta is not None:
                 _ingest_local_append(
                     src, dst, kd_dst, delta, key, kd_cols,
                     target_rows, fingerprint, meta,
                 )
+                if ap_spec:
+                    _build_aggproj(
+                        spark, ap_spec,
+                        [os.path.join(src, f) for f in delta],
+                        ap_dst, fingerprint, meta, merge_with=ap_dst,
+                    )
                 appended += 1
                 continue
             if local:
@@ -727,10 +857,12 @@ def ingest_tables(
                 df.write.mode("overwrite").parquet(dst)
                 _write_marker(table_marker, fingerprint, meta)
             rebuilt += 1
-        if kd_cols:
+        if kd_cols and (not kd_fresh or not table_fresh):
             build = _build_keydict_local if local else _build_keydict_spark
             args = (dst, kd_dst, kd_cols, fingerprint, meta)
             build(*args) if local else build(spark, *args)
+        if ap_spec and (not ap_fresh or not table_fresh):
+            _build_aggproj(spark, ap_spec, [dst], ap_dst, fingerprint, meta)
     redirect = getattr(spark, "_lianjia_ingest_map", None) or {}
     redirect[os.path.normpath(sf_dir)] = out_dir
     spark._lianjia_ingest_map = redirect

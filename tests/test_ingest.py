@@ -434,6 +434,17 @@ def test_append_only_delta_ingest(spark, tmp_path, monkeypatch, restore_catalog)
         }
         assert got == want, f"merged keydict diverges from rebuild on {col}"
 
+    # aggregate projection merged too: the projection-served q1 must stay
+    # bit-identical to a full DataFrame scan over the appended table
+    q1p = all_queries()["q1_scan_agg"].spark_fn(spark, str(sf))
+    assert "aggproj" in q1p._jdf.queryExecution().toString(), (
+        "q1 did not take the projection path after delta ingest"
+    )
+    q1f = all_queries()["q1_scan_agg_df"].spark_fn(spark, str(sf))
+    got = canon_rows([tuple(r) for r in q1p.collect()], q1p.columns)
+    want = canon_rows([tuple(r) for r in q1f.collect()], q1f.columns)
+    assert got == want, "merged aggregate projection diverges from full scan"
+
     # non-additive change (rewrite an old batch) -> full rebuild, still correct
     pq.write_table(
         full.slice(0, half - 7), str(sf / "lineitem.parquet" / "batch-0.parquet")

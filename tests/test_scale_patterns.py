@@ -34,8 +34,12 @@ def test_q1_partial_aggregation_before_shuffle(spark, sf_dir):
 
 def test_q5_star_join_all_broadcast(spark, sf_dir):
     plan = _plan(all_queries()["q5_join5"].spark_fn(spark, sf_dir))
-    assert plan.count("BroadcastHashJoin") >= 5
+    assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
+    # the supplier->nation->region chain is served from the session's
+    # materialized flattened dim, not re-joined per query: the only
+    # nation/region work left is inside the cached relation's build plan
+    assert "lj_supplier_geo" in plan
 
 
 def test_topk_uses_take_ordered(spark, sf_dir):
