@@ -290,16 +290,77 @@ def _build_keydict_local(
                 }
             )
         )
+    built = pa.concat_tables(frames)
+    _publish_colstats(
+        _colstats_from_keydict(built, cols),
+        kd_dst.replace(".keydict.parquet", ".colstats.parquet"),
+        fingerprint, meta,
+    )
     tmp = kd_dst + f".tmp-{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp, exist_ok=True)
-    pq.write_table(pa.concat_tables(frames), os.path.join(tmp, "part-00000.parquet"))
+    pq.write_table(built, os.path.join(tmp, "part-00000.parquet"))
     _write_marker(os.path.join(tmp, "_SUCCESS"), fingerprint, meta)
     trash = kd_dst + f".old-{os.getpid()}"
     shutil.rmtree(trash, ignore_errors=True)
     if os.path.exists(kd_dst):
         os.replace(kd_dst, trash)
     os.replace(tmp, kd_dst)
+    shutil.rmtree(trash, ignore_errors=True)
+
+
+def _colstats_from_keydict(kd_table, cols) -> dict[str, tuple[int, int, int]]:
+    """{col: (ndv, n_nonnull, n_rows)} computed from a keydict pa.Table."""
+    import pyarrow.compute as pc
+
+    out = {}
+    for c in cols:
+        sl = kd_table.filter(pc.equal(kd_table.column("col"), c))
+        nonnull = sl.filter(pc.is_valid(sl.column("key")))
+        out[c] = (
+            nonnull.num_rows,
+            int(pc.sum(nonnull.column("cnt")).as_py() or 0),
+            int(pc.sum(sl.column("cnt")).as_py() or 0),
+        )
+    return out
+
+
+def _publish_colstats(
+    stats: dict[str, tuple[int, int, int]], cs_dst: str, fingerprint: str, meta
+) -> None:
+    """Exact per-column table statistics (NDV, non-null count, row count) as
+    ONE wide metadata row, derived from the key dictionary at publish time.
+
+    This is the catalog-statistics answer to exact COUNT(DISTINCT): the
+    stats are definitionally exact (counted from the dictionary, which is
+    itself exact), re-derivable after every append merge in O(dictionary),
+    and serving a count-distinct query from them is a single-stage scan of
+    one row — below even the two-stage aggregation floor the keydict-slice
+    plan pays. Stored wide (``<col>__ndv`` / ``<col>__nnonnull`` +
+    ``n_rows``) so the serving query is a pure projection, no aggregate.
+    """
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    row: dict[str, list[int]] = {}
+    n_rows = 0
+    for c, (ndv, nnonnull, nrows) in stats.items():
+        row[f"{c}__ndv"] = [ndv]
+        row[f"{c}__nnonnull"] = [nnonnull]
+        n_rows = nrows
+    row["n_rows"] = [n_rows]
+    tmp = cs_dst + f".tmp-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    pq.write_table(pa.table(row), os.path.join(tmp, "part-00000.parquet"))
+    _write_marker(os.path.join(tmp, "_SUCCESS"), fingerprint, meta)
+    trash = cs_dst + f".old-{os.getpid()}"
+    shutil.rmtree(trash, ignore_errors=True)
+    if os.path.exists(cs_dst):
+        os.replace(cs_dst, trash)
+    os.replace(tmp, cs_dst)
     shutil.rmtree(trash, ignore_errors=True)
 
 
@@ -345,6 +406,24 @@ def _build_keydict_spark(
         "overwrite"
     ).parquet(kd_dst)
     _write_marker(os.path.join(kd_dst, "_SUCCESS"), fingerprint, meta)
+    # Column stats derive from the dictionary with a distributed agg (the
+    # dictionary can hold billions of keys at 100 TB — never read it back
+    # driver-side); only the #cols stat rows ever reach the driver.
+    stat_rows = (
+        spark.read.parquet(kd_dst)
+        .groupBy("col")
+        .agg(
+            F.count("key").alias("ndv"),
+            F.sum(F.when(F.col("key").isNotNull(), F.col("cnt"))).alias("nn"),
+            F.sum("cnt").alias("nr"),
+        )
+        .collect()
+    )
+    _publish_colstats(
+        {r["col"]: (r["ndv"], int(r["nn"] or 0), int(r["nr"] or 0)) for r in stat_rows},
+        kd_dst.replace(".keydict.parquet", ".colstats.parquet"),
+        fingerprint, meta,
+    )
 
 
 def path_stat_fingerprint(path: str) -> tuple[int, int]:
@@ -406,6 +485,29 @@ def keydict_view(spark: SparkSession, sf_dir: str, name: str) -> str | None:
     if registered.get(view) != kd:
         spark.read.parquet(kd).createOrReplaceTempView(view)
         registered[view] = kd
+    return view
+
+
+def colstats_view(spark: SparkSession, sf_dir: str, name: str) -> str | None:
+    """Register (memoized) and return the ``lj_<name>_colstats`` view (one
+    wide row of exact per-column statistics), or None when this session has
+    no fresh managed stats for ``sf_dir`` — callers fall back, so the stats
+    are purely an optimization, never a correctness dependency."""
+    redirect = getattr(spark, "_lianjia_ingest_map", None) or {}
+    out_dir = redirect.get(os.path.normpath(sf_dir))
+    if out_dir is None:
+        return None
+    cs = os.path.join(out_dir, f"{name}.colstats.parquet")
+    if not os.path.exists(os.path.join(cs, "_SUCCESS")):
+        return None
+    view = f"lj_{name}_colstats"
+    registered = getattr(spark, "_lianjia_keydict_views", None)
+    if registered is None:
+        registered = {}
+        spark._lianjia_keydict_views = registered
+    if registered.get(view) != cs:
+        spark.read.parquet(cs).createOrReplaceTempView(view)
+        registered[view] = cs
     return view
 
 
@@ -709,6 +811,11 @@ def _ingest_local_append(
                 )
             )
         merged = merge_keydicts(frames)
+        _publish_colstats(
+            _colstats_from_keydict(merged, kd_cols),
+            kd_dst.replace(".keydict.parquet", ".colstats.parquet"),
+            fingerprint, meta,
+        )
         tmp = kd_dst + f".tmp-{os.getpid()}"
         shutil.rmtree(tmp, ignore_errors=True)
         os.makedirs(tmp)
@@ -790,12 +897,15 @@ def ingest_tables(
         )
         kd_cols = _DICT_LAYOUT.get(name)
         kd_dst = os.path.join(out_dir, f"{name}.keydict.parquet")
+        cs_dst = os.path.join(out_dir, f"{name}.colstats.parquet")
         ap_spec = _AGG_PROJECTIONS.get(name)
         ap_dst = os.path.join(out_dir, f"{name}.aggproj.parquet")
         table_marker = os.path.join(dst, "_SUCCESS")
         table_fresh = _marker_fresh(table_marker, fingerprint)
-        kd_fresh = not kd_cols or _marker_fresh(
-            os.path.join(kd_dst, "_SUCCESS"), fingerprint
+        # colstats publish in lockstep with the keydict they derive from
+        kd_fresh = not kd_cols or (
+            _marker_fresh(os.path.join(kd_dst, "_SUCCESS"), fingerprint)
+            and _marker_fresh(os.path.join(cs_dst, "_SUCCESS"), fingerprint)
         )
         ap_fresh = not ap_spec or _marker_fresh(
             os.path.join(ap_dst, "_SUCCESS"), fingerprint
@@ -817,7 +927,11 @@ def ingest_tables(
                 # with the table (same prior fingerprint) — merging onto a
                 # projection from a different table state would compound
                 old_table_fp, _ = _read_marker(table_marker)
-                for sibling, enabled in ((kd_dst, kd_cols), (ap_dst, ap_spec)):
+                for sibling, enabled in (
+                    (kd_dst, kd_cols),
+                    (cs_dst, kd_cols),
+                    (ap_dst, ap_spec),
+                ):
                     if enabled:
                         fp, _m = _read_marker(os.path.join(sibling, "_SUCCESS"))
                         if fp != old_table_fp:

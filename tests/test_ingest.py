@@ -434,6 +434,14 @@ def test_append_only_delta_ingest(spark, tmp_path, monkeypatch, restore_catalog)
         }
         assert got == want, f"merged keydict diverges from rebuild on {col}"
 
+    # catalog column stats re-derived from the merged dictionary
+    cs = pq.read_table(
+        glob.glob(os.path.join(out, "lineitem.colstats.parquet", "*.parquet"))[0]
+    ).to_pylist()[0]
+    assert cs["l_partkey__ndv"] == len(pc.unique(full.column("l_partkey")))
+    assert cs["l_suppkey__ndv"] == len(pc.unique(full.column("l_suppkey")))
+    assert cs["n_rows"] == full.num_rows
+
     # aggregate projection merged too: the projection-served q1 must stay
     # bit-identical to a full DataFrame scan over the appended table
     q1p = all_queries()["q1_scan_agg"].spark_fn(spark, str(sf))
