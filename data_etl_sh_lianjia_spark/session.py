@@ -214,6 +214,117 @@ _AGG_PROJECTIONS = {
 }
 
 
+# Materialized star rollups (join projections with insert-only incremental
+# view maintenance): a declared star join pre-aggregated on low-cardinality
+# keys, every measure a SUM-mergeable scaled-long. Cardinality arithmetic:
+# (r_name, n_name, o_orderdate) is 5 x 25 x ~2,400 exact key values at ANY
+# TPC-H scale, so the rollup stays ~KB while the joined fact grows to
+# 100 TB. Maintenance:
+#   - any change to a dimension/orders source -> full rebuild (dims are
+#     orders of magnitude smaller than the fact; rebuild cost is one run
+#     of the join at ingest time);
+#   - an append-only change to the FACT alone -> classic insert-only IVM:
+#     join ONLY the new fact rows against the (unchanged) other sources,
+#     then UNION ALL + re-SUM with the existing rollup — exactly correct
+#     because each fact row contributes its joined rows additively and
+#     independently (the join is key-preserving on the fact side), and
+#     O(batch), never O(history).
+# The serving query keeps its full join plan as the fallback (the driver
+# correctness gate runs on raw files and always exercises it).
+_JOIN_PROJECTIONS = {
+    "sales_geo_date": {
+        "fact": "lineitem",
+        "sources": (
+            "lineitem", "orders", "customer", "supplier", "nation", "region",
+        ),
+        "keys": ("r_name", "n_name", "o_orderdate"),
+        "measures": {
+            "s_rev": (
+                "SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 10000"
+                " + 0.5) AS BIGINT))"
+            ),
+        },
+        "build_sql": """
+SELECT r_name, n_name, o_orderdate,
+       SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 10000
+           + 0.5) AS BIGINT)) AS s_rev
+FROM _jp_lineitem l
+JOIN _jp_orders o   ON l.l_orderkey = o.o_orderkey
+JOIN _jp_customer c ON c.c_custkey  = o.o_custkey
+JOIN _jp_supplier s ON l.l_suppkey  = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+JOIN _jp_nation n   ON s.s_nationkey = n.n_nationkey
+JOIN _jp_region r   ON n.n_regionkey = r.r_regionkey
+GROUP BY r_name, n_name, o_orderdate
+""",
+    },
+}
+
+
+def _build_joinproj(
+    spark: SparkSession,
+    spec: dict,
+    source_paths: dict[str, str],
+    jp_dst: str,
+    fingerprint: str,
+    meta: dict | None,
+    merge_with: str | None = None,
+) -> None:
+    """Build (or IVM-merge) a materialized star rollup. ``source_paths``
+    maps each source table to the storage to read it from — for the IVM
+    path the fact maps to ONLY its new part files. Spark runs the identical
+    scaled-long expressions the full-scan query uses, so the rollup-served
+    result is bit-identical by construction."""
+    import shutil
+
+    for t in spec["sources"]:
+        p = source_paths[t]
+        df = spark.read.parquet(*p) if isinstance(p, list) else spark.read.parquet(p)
+        df.createOrReplaceTempView(f"_jp_{t}")
+    built = spark.sql(spec["build_sql"])
+    if merge_with is not None:
+        built.createOrReplaceTempView("_jp_batch")
+        spark.read.parquet(merge_with).createOrReplaceTempView("_jp_old")
+        keys = ", ".join(spec["keys"])
+        sums = ", ".join(f"SUM({m}) AS {m}" for m in spec["measures"])
+        built = spark.sql(
+            f"SELECT {keys}, {sums} FROM (SELECT * FROM _jp_old"
+            f" UNION ALL SELECT * FROM _jp_batch) GROUP BY {keys}"
+        )
+    tmp = jp_dst + f".tmp-{os.getpid()}"
+    built.coalesce(1).write.mode("overwrite").parquet(tmp)
+    _write_marker(os.path.join(tmp, "_SUCCESS"), fingerprint, meta)
+    trash = jp_dst + f".old-{os.getpid()}"
+    shutil.rmtree(trash, ignore_errors=True)
+    if os.path.exists(jp_dst):
+        os.replace(jp_dst, trash)
+    os.replace(tmp, jp_dst)
+    shutil.rmtree(trash, ignore_errors=True)
+
+
+def joinproj_view(spark: SparkSession, sf_dir: str, name: str) -> str | None:
+    """Register (memoized) and return the ``lj_<name>`` materialized-rollup
+    view, or None when this session has no fresh rollup for ``sf_dir`` —
+    callers fall back to the full join plan, so the rollup is purely an
+    optimization, never a correctness dependency."""
+    redirect = getattr(spark, "_lianjia_ingest_map", None) or {}
+    out_dir = redirect.get(os.path.normpath(sf_dir))
+    if out_dir is None:
+        return None
+    jp = os.path.join(out_dir, f"{name}.joinproj.parquet")
+    if not os.path.exists(os.path.join(jp, "_SUCCESS")):
+        return None
+    view = f"lj_{name}"
+    registered = getattr(spark, "_lianjia_keydict_views", None)
+    if registered is None:
+        registered = {}
+        spark._lianjia_keydict_views = registered
+    if registered.get(view) != jp:
+        spark.read.parquet(jp).createOrReplaceTempView(view)
+        registered[view] = jp
+    return view
+
+
 def _aggproj_sql(spec: dict, src: str) -> str:
     keys = ", ".join(spec["keys"])
     measures = ", ".join(f"{sql} AS {name}" for name, sql in spec["measures"].items())
@@ -867,6 +978,9 @@ def ingest_tables(
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     rebuilt = 0
     appended = 0
+    # per-table outcome of THIS call, consumed by the join-projection pass
+    # below: fingerprint + whether the table took the append-only path
+    tbl_state: dict[str, dict] = {}
     for name in TABLES:
         src = table_path(sf_dir, name)
         if not os.path.exists(src):
@@ -895,6 +1009,7 @@ def ingest_tables(
             if manifest is not None
             else None
         )
+        tbl_state[name] = {"fp": fingerprint, "src": src, "delta": None}
         kd_cols = _DICT_LAYOUT.get(name)
         kd_dst = os.path.join(out_dir, f"{name}.keydict.parquet")
         cs_dst = os.path.join(out_dir, f"{name}.colstats.parquet")
@@ -947,6 +1062,7 @@ def ingest_tables(
                         [os.path.join(src, f) for f in delta],
                         ap_dst, fingerprint, meta, merge_with=ap_dst,
                     )
+                tbl_state[name]["delta"] = delta
                 appended += 1
                 continue
             if local:
@@ -977,6 +1093,46 @@ def ingest_tables(
             build(*args) if local else build(spark, *args)
         if ap_spec and (not ap_fresh or not table_fresh):
             _build_aggproj(spark, ap_spec, [dst], ap_dst, fingerprint, meta)
+    # Materialized star rollups (see _JOIN_PROJECTIONS): rebuilt when any
+    # source changed; insert-only IVM when ONLY the fact gained files.
+    jp_ivm = 0
+    for jp_name, spec in _JOIN_PROJECTIONS.items():
+        if any(t not in tbl_state for t in spec["sources"]):
+            continue
+        comp = {t: tbl_state[t]["fp"] for t in spec["sources"]}
+        jp_fp = ";".join(f"{t}={comp[t]}" for t in sorted(comp)) + ":jp1"
+        jp_dst = os.path.join(out_dir, f"{jp_name}.joinproj.parquet")
+        jp_marker = os.path.join(jp_dst, "_SUCCESS")
+        if _marker_fresh(jp_marker, jp_fp):
+            continue
+        jp_meta = {"components": comp}
+        fact = spec["fact"]
+        fact_delta = tbl_state[fact]["delta"]
+        _old_fp, old_meta = _read_marker(jp_marker)
+        oldc = old_meta.get("components") or {}
+        ivm = bool(
+            fact_delta
+            and oldc.get(fact)
+            and all(oldc.get(t) == comp[t] for t in spec["sources"] if t != fact)
+        )
+        src_paths = {
+            t: os.path.join(out_dir, f"{t}.parquet") for t in spec["sources"]
+        }
+        if ivm:
+            # the delta joins the RAW new fact files (values identical to
+            # the managed layout) against the unchanged managed sources
+            src_paths[fact] = [
+                os.path.join(tbl_state[fact]["src"], f) for f in fact_delta
+            ]
+            _build_joinproj(
+                spark, spec, src_paths, jp_dst, jp_fp, jp_meta,
+                merge_with=jp_dst,
+            )
+            jp_ivm += 1
+        else:
+            _build_joinproj(spark, spec, src_paths, jp_dst, jp_fp, jp_meta)
+    # rollups maintained incrementally (vs fully rebuilt) by THIS call
+    spark._lianjia_joinproj_ivm = jp_ivm
     redirect = getattr(spark, "_lianjia_ingest_map", None) or {}
     redirect[os.path.normpath(sf_dir)] = out_dir
     spark._lianjia_ingest_map = redirect

@@ -462,3 +462,54 @@ def test_append_only_delta_ingest(spark, tmp_path, monkeypatch, restore_catalog)
     assert spark._lianjia_ingest_rebuilt == 1
     row = all_queries()["distinct_count"].spark_fn(spark, str(sf)).collect()[0]
     assert row.n_rows == full.num_rows - 7
+
+
+def test_star_rollup_ivm_on_fact_append(spark, tmp_path, monkeypatch, restore_catalog):
+    """Insert-only incremental view maintenance of the materialized star
+    rollup: appending part files to the FACT alone must delta-join + merge
+    (not rebuild), and the rollup-served q5 must stay bit-identical to the
+    full broadcast-star plan over the appended table. A dimension change
+    must force the full rebuild path instead."""
+    import glob
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    sf = tmp_path / "sfivm"
+    sf.mkdir()
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "events", "documents", "embeddings"):
+        src = f"/root/testdata/sf0.001/{t}.parquet"
+        if os.path.exists(src):
+            shutil.copy(src, str(sf / f"{t}.parquet"))
+    full = pq.read_table("/root/testdata/sf0.001/lineitem.parquet")
+    half = full.num_rows // 2
+    (sf / "lineitem.parquet").mkdir()
+    pq.write_table(full.slice(0, half), str(sf / "lineitem.parquet" / "b0.parquet"))
+
+    monkeypatch.setattr(sess, "INGEST_ROOT", str(tmp_path / "ingest"))
+    out = sess.ingest_tables(spark, str(sf))
+    assert os.path.exists(
+        os.path.join(out, "sales_geo_date.joinproj.parquet", "_SUCCESS")
+    )
+    assert spark._lianjia_joinproj_ivm == 0
+
+    pq.write_table(full.slice(half), str(sf / "lineitem.parquet" / "b1.parquet"))
+    sess.ingest_tables(spark, str(sf))
+    assert spark._lianjia_ingest_appended == 1
+    assert spark._lianjia_joinproj_ivm == 1, "fact append did not IVM-merge"
+
+    q5p = all_queries()["q5_join5"].spark_fn(spark, str(sf))
+    assert "sales_geo_date" in q5p._jdf.queryExecution().toString()
+    q5f = all_queries()["q5_join5_df"].spark_fn(spark, str(sf))
+    got = canon_rows([tuple(r) for r in q5p.collect()], q5p.columns)
+    want = canon_rows([tuple(r) for r in q5f.collect()], q5f.columns)
+    assert got == want, "IVM-merged rollup diverges from the full join"
+
+    # dimension rewrite -> composite changes in a non-fact component -> rebuild
+    nat = pq.read_table(str(sf / "nation.parquet"))
+    pq.write_table(nat, str(sf / "nation.parquet"))  # same bytes, new mtime
+    sess.ingest_tables(spark, str(sf))
+    assert spark._lianjia_joinproj_ivm == 0
+    files = glob.glob(os.path.join(out, "sales_geo_date.joinproj.parquet", "*.parquet"))
+    assert files, "rollup missing after dimension-change rebuild"
