@@ -577,29 +577,50 @@ FROM events
 GROUP BY event_type
 """
 
-register(
-    "json_events",
-    oracle=_JSON_EVENTS_ORACLE,
-    survey_ref="F7,A3",
-    bench=True,
-    doc="JSON props extraction + groupBy agg, served from the shredded column",
-)(
-    # `props_k` is the ingest-shredded twin of
-    # TRY_CAST(get_json_object(props, '$.k') AS BIGINT) (session.py
-    # _SHRED_COLUMNS): managed storage serves it as a stored parquet column
-    # (no JSON parse in the scan — the r3 scale curve showed per-row string
-    # re-parsing diverging 27× at the 100×-replica point), while raw landed
-    # files derive it on the fly with the exact same expression, so the
-    # DuckDB oracle over the raw string stays value-identical either way.
-    _sql_query(f"""
+# `props_k` is the ingest-shredded twin of
+# TRY_CAST(get_json_object(props, '$.k') AS BIGINT) (session.py
+# _SHRED_COLUMNS): managed storage serves it as a stored parquet column
+# (no JSON parse in the scan — the r3 scale curve showed per-row string
+# re-parsing diverging 27× at the 100×-replica point), while raw landed
+# files derive it on the fly with the exact same expression, so the
+# DuckDB oracle over the raw string stays value-identical either way.
+_JSON_EVENTS_FULL_SQL = f"""
 SELECT event_type,
        COUNT(*) AS n,
        CAST(SUM(props_k) AS BIGINT) AS sum_k,
        {spark_dsum('value', 'sum_value')}
 FROM lj_events
 GROUP BY event_type
-""")
+"""
+
+# Rollup-served form: the events aggregate projection (event_type x day,
+# session._AGG_PROJECTIONS) carries COUNTs, SUM(props_k) partials (NULL
+# iff a slice is all-NULL — SUM-of-partials skips NULLs exactly like the
+# row-level SUM skips NULL rows) and scaled-long value sums; re-SUM over
+# ~4 x #days rows is bit-identical to the full scan.
+_JSON_EVENTS_PROJ_SQL = """
+SELECT event_type,
+       SUM(cnt) AS n,
+       CAST(SUM(s_k) AS BIGINT) AS sum_k,
+       CAST(SUM(s_value) AS DOUBLE) / 10000.0D AS sum_value
+FROM {ap}
+GROUP BY event_type
+"""
+
+
+@register(
+    "json_events",
+    oracle=_JSON_EVENTS_ORACLE,
+    survey_ref="F7,A3",
+    bench=True,
+    doc="JSON props extraction + groupBy agg, served from the events rollup",
 )
+def json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    ap = aggproj_view(spark, sf_dir, "events")
+    if ap is None:
+        return spark.sql(_JSON_EVENTS_FULL_SQL)
+    return spark.sql(_JSON_EVENTS_PROJ_SQL.format(ap=ap))
 
 
 @register(

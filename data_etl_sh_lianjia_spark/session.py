@@ -211,6 +211,22 @@ _AGG_PROJECTIONS = {
             "n_disc": "COUNT(l_discount)",
         },
     },
+    # Events rollup for the JSON-extraction family: event_type x day is
+    # 4 x ~#days keys at any volume; the shredded props_k and the
+    # scaled-long value sums make every measure SUM-mergeable. reader=
+    # "events" routes the build through read_events so both managed
+    # storage forms (nanos-as-long and ts_ns+NTZ) normalize identically.
+    "events": {
+        "reader": "events",
+        "keys": ("event_type", "ts_day"),
+        "key_exprs": {"ts_day": "ts_ns DIV 86400000000000"},
+        "measures": {
+            "cnt": "COUNT(*)",
+            "s_k": "SUM(props_k)",
+            "s_value": "SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT))",
+            "n_value": "COUNT(value)",
+        },
+    },
 }
 
 
@@ -326,9 +342,11 @@ def joinproj_view(spark: SparkSession, sf_dir: str, name: str) -> str | None:
 
 
 def _aggproj_sql(spec: dict, src: str) -> str:
-    keys = ", ".join(spec["keys"])
+    exprs = spec.get("key_exprs", {})
+    select_keys = ", ".join(f"{exprs.get(k, k)} AS {k}" for k in spec["keys"])
+    group_keys = ", ".join(exprs.get(k, k) for k in spec["keys"])
     measures = ", ".join(f"{sql} AS {name}" for name, sql in spec["measures"].items())
-    return f"SELECT {keys}, {measures} FROM {src} GROUP BY {keys}"
+    return f"SELECT {select_keys}, {measures} FROM {src} GROUP BY {group_keys}"
 
 
 def _build_aggproj(
@@ -346,7 +364,17 @@ def _build_aggproj(
     re-implementation. ``merge_with`` points at the existing projection for
     the append path: UNION ALL + re-SUM on the group keys (every measure is
     SUM-mergeable by contract)."""
-    df = spark.read.parquet(*src_paths)
+    if spec.get("reader") == "events":
+        # normalize both managed storage forms (nanos-as-long / ts_ns+NTZ)
+        # and derive props_k for raw delta batches
+        from functools import reduce
+
+        df = reduce(
+            lambda a, b: a.unionByName(b),
+            [read_events(spark, p) for p in src_paths],
+        )
+    else:
+        df = spark.read.parquet(*src_paths)
     df.createOrReplaceTempView("_lj_aggproj_src")
     built = spark.sql(_aggproj_sql(spec, "_lj_aggproj_src"))
     if merge_with is not None:

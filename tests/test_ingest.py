@@ -513,3 +513,35 @@ def test_star_rollup_ivm_on_fact_append(spark, tmp_path, monkeypatch, restore_ca
     assert spark._lianjia_joinproj_ivm == 0
     files = glob.glob(os.path.join(out, "sales_geo_date.joinproj.parquet", "*.parquet"))
     assert files, "rollup missing after dimension-change rebuild"
+
+
+def test_events_rollup_merges_on_append(spark, tmp_path, monkeypatch, restore_catalog):
+    """The events aggregate projection (event_type x day) must merge on an
+    append-only events landing and keep json_events bit-identical to the
+    full scan over the appended table."""
+    import pyarrow.parquet as pq
+
+    full = pq.read_table("/root/testdata/sf0.001/events.parquet")
+    half = full.num_rows // 2
+    sf = tmp_path / "sfev"
+    (sf / "events.parquet").mkdir(parents=True)
+    pq.write_table(full.slice(0, half), str(sf / "events.parquet" / "b0.parquet"))
+
+    monkeypatch.setattr(sess, "INGEST_ROOT", str(tmp_path / "ingest"))
+    out = sess.ingest_tables(spark, str(sf))
+    assert os.path.exists(
+        os.path.join(out, "events.aggproj.parquet", "_SUCCESS")
+    )
+
+    pq.write_table(full.slice(half), str(sf / "events.parquet" / "b1.parquet"))
+    sess.ingest_tables(spark, str(sf))
+    assert spark._lianjia_ingest_appended == 1
+
+    jp = all_queries()["json_events"].spark_fn(spark, str(sf))
+    assert "aggproj" in jp._jdf.queryExecution().toString(), (
+        "json_events did not take the rollup path"
+    )
+    jf = all_queries()["json_events_df"].spark_fn(spark, str(sf))
+    got = canon_rows([tuple(r) for r in jp.collect()], jp.columns)
+    want = canon_rows([tuple(r) for r in jf.collect()], jf.columns)
+    assert got == want, "merged events rollup diverges from full scan"
