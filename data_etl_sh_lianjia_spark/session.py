@@ -1080,6 +1080,9 @@ def ingest_tables(
                         if fp != old_table_fp:
                             delta = None
             if delta is not None:
+                # pre-append fingerprint: the join-projection IVM pass must
+                # only merge onto a rollup built from exactly this state
+                tbl_state[name]["prev_fp"], _ = _read_marker(table_marker)
                 _ingest_local_append(
                     src, dst, kd_dst, delta, key, kd_cols,
                     target_rows, fingerprint, meta,
@@ -1138,9 +1141,14 @@ def ingest_tables(
         fact_delta = tbl_state[fact]["delta"]
         _old_fp, old_meta = _read_marker(jp_marker)
         oldc = old_meta.get("components") or {}
+        # IVM only when the existing rollup was built from EXACTLY the
+        # pre-append fact state (a crash between a previous append and its
+        # rollup merge would otherwise lose the missed batch forever) and
+        # every non-fact source is unchanged.
         ivm = bool(
             fact_delta
             and oldc.get(fact)
+            and oldc.get(fact) == tbl_state[fact].get("prev_fp")
             and all(oldc.get(t) == comp[t] for t in spec["sources"] if t != fact)
         )
         src_paths = {
