@@ -1273,47 +1273,60 @@ def register_views(
     """
     redirect = getattr(spark, "_lianjia_ingest_map", None) or {}
     data_dir = redirect.get(os.path.normpath(sf_dir), sf_dir)
-    dim_fp = ";".join(
-        f"{n}={table_fingerprint(spark, sf_dir, n)}" for n in sorted(DIM_TABLES)
-    )
+    dim_fps = {n: table_fingerprint(spark, sf_dir, n) for n in sorted(DIM_TABLES)}
+    dim_fp = ";".join(f"{n}={fp}" for n, fp in dim_fps.items())
     memo_key = f"{sf_dir}::{dim_fp}"
     if getattr(spark, "_lianjia_views_dir", None) == memo_key:
         return
     cached: set[str] = getattr(spark, "_lianjia_cached_views", set())
     cache_map: dict[str, DataFrame] = getattr(spark, "_lianjia_table_cache", {})
+    # Dimension buffer pool, PATH-keyed: each small dim's DataFrame handle
+    # is persisted once per (path, fingerprint) and kept across dir
+    # switches — a multi-catalog session (the scale-curve tool queries four
+    # scale factors round-robin) re-points the lj_* view names without
+    # dropping the other dirs' hot caches or re-reading parquet footers
+    # (the old view-name-keyed cacheTable churned ~650 ms per switch:
+    # uncache + handle rebuild + re-materialization on next use). Only an
+    # in-place FINGERPRINT CHANGE of the same path unpersists and rebuilds;
+    # persisted blocks are MEMORY_AND_DISK, so rarely-revisited dirs evict
+    # under pressure instead of pinning memory.
+    pool: dict[str, tuple[str, DataFrame]] = getattr(
+        spark, "_lianjia_dim_pool", {}
+    )
     present: set[str] = set()
     for name, df in load_tables(spark, sf_dir).items():
         present.add(name)
         view = prefix + name
-        if view in cached:
-            # Re-registration (new dir / re-ingest / rewritten dim): drop
-            # the old view's cache entry first or the CacheManager keeps
-            # the superseded plan's data pinned forever.
-            try:
-                spark.catalog.uncacheTable(view)
-            except Exception:
-                pass
-            cached.discard(view)
-            # the memoized DataFrame handle may carry a stale file listing
-            # for the rewritten path — rebuild it on next load
-            cache_map.pop(table_path(data_dir, name), None)
-            df = load_tables(spark, sf_dir, names=(name,))[name]
-        df.createOrReplaceTempView(view)
-        # Dimension buffer pool: small dims are every star join's build
-        # side and every engine keeps them hot (DuckDB's buffer manager
-        # does the equivalent for the baseline). Cache is lazy
-        # (materializes on first use), value-identical, and gated on
-        # on-disk size so a genuinely large dimension never pins cluster
-        # memory — broadcast-join still handles those.
         if name in DIM_TABLES:
-            try:
-                size, _ = path_stat_fingerprint(table_path(data_dir, name))
-            except OSError:
-                continue
-            if size < DIM_CACHE_MAX_BYTES:
-                spark.catalog.cacheTable(view)
+            path = table_path(data_dir, name)
+            fp = dim_fps.get(name, "missing")
+            held = pool.get(path)
+            if held is not None and held[0] != fp:
+                # in-place rewrite: drop the stale cached data AND the
+                # memoized handle (it carries a stale file listing)
+                try:
+                    held[1].unpersist()
+                except Exception:
+                    pass
+                pool.pop(path, None)
+                cache_map.pop(path, None)
+                df = load_tables(spark, sf_dir, names=(name,))[name]
+                held = None
+            if held is None:
+                try:
+                    size, _ = path_stat_fingerprint(path)
+                except OSError:
+                    size = DIM_CACHE_MAX_BYTES
+                if size < DIM_CACHE_MAX_BYTES:
+                    df.persist()  # lazy: materializes on first use
+                    pool[path] = (fp, df)
+                    cached.add(view)
+            else:
+                df = held[1]
                 cached.add(view)
-    _register_flattened_dims(spark, prefix, cached, present)
+        df.createOrReplaceTempView(view)
+    spark._lianjia_dim_pool = pool
+    _register_flattened_dims(spark, prefix, cached, present, data_dir, dim_fp)
     spark._lianjia_cached_views = cached
     spark._lianjia_views_dir = memo_key
 
@@ -1354,27 +1367,45 @@ _FLAT_DIMS = {
 
 
 def _register_flattened_dims(
-    spark: SparkSession, prefix: str, cached: set, present: set
+    spark: SparkSession,
+    prefix: str,
+    cached: set,
+    present: set,
+    data_dir: str,
+    dim_fp: str,
 ) -> None:
     """(Re)register the ``_FLAT_DIMS`` views over the just-registered base
-    views. Runs under register_views' memo/fingerprint key, so a rewritten
-    dimension rebuilds the flattened view too (the base uncache above
-    already dropped the stale cache entries this view was built from)."""
+    views. Like the base-dim pool, flattened DataFrames are memoized per
+    (data_dir) and invalidated by the combined dimension fingerprint, so a
+    dir SWITCH re-points the view to the already-built (and still-cached)
+    join while a rewritten base dimension rebuilds it. The handle's plan is
+    bound to the base views at ANALYSIS time (spark.sql below), so later
+    re-pointing of the base view names cannot silently retarget it."""
+    pool: dict[str, tuple[str, DataFrame]] = getattr(
+        spark, "_lianjia_flat_pool", {}
+    )
     for name, (bases, sql) in _FLAT_DIMS.items():
         if any(b not in present for b in bases):
             continue
         view = prefix + name
-        if view in cached:
+        pkey = f"{data_dir}::{name}"
+        held = pool.get(pkey)
+        if held is not None and held[0] != dim_fp:
             try:
-                spark.catalog.uncacheTable(view)
+                held[1].unpersist()
             except Exception:
                 pass
-            cached.discard(view)
-        spark.sql(sql.format(p=prefix)).createOrReplaceTempView(view)
-        if all(f"{prefix}{b}" in cached for b in bases):
-            # every base fit the buffer pool -> the flattened join does too
-            spark.catalog.cacheTable(view)
-            cached.add(view)
+            held = None
+        if held is None:
+            df = spark.sql(sql.format(p=prefix))
+            if all(f"{prefix}{b}" in cached for b in bases):
+                # every base fit the buffer pool -> the flattened join does too
+                df.persist()
+            held = (dim_fp, df)
+            pool[pkey] = held
+        held[1].createOrReplaceTempView(view)
+        cached.add(view)
+    spark._lianjia_flat_pool = pool
 
 
 def read_events(spark: SparkSession, path: str) -> DataFrame:

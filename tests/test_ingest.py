@@ -26,18 +26,27 @@ def restore_catalog(spark):
         dict(getattr(spark, "_lianjia_table_cache", {}) or {}),
         set(getattr(spark, "_lianjia_cached_views", set()) or set()),
         dict(getattr(spark, "_lianjia_keydict_views", {}) or {}),
+        set(getattr(spark, "_lianjia_dim_pool", {}) or {}),
+        set(getattr(spark, "_lianjia_flat_pool", {}) or {}),
     )
     yield
-    # drop cache entries materialized over the test's tmp copies — the
+    # drop pool entries persisted over the test's tmp copies — the
     # CacheManager would otherwise keep serving them for the session
-    for view in set(getattr(spark, "_lianjia_cached_views", set())) - saved[2]:
+    dim_pool = getattr(spark, "_lianjia_dim_pool", {})
+    for key in set(dim_pool) - saved[4]:
         try:
-            spark.catalog.uncacheTable(view)
+            dim_pool.pop(key)[1].unpersist()
+        except Exception:
+            pass
+    flat_pool = getattr(spark, "_lianjia_flat_pool", {})
+    for key in set(flat_pool) - saved[5]:
+        try:
+            flat_pool.pop(key)[1].unpersist()
         except Exception:
             pass
     spark._lianjia_ingest_map = saved[0]
     spark._lianjia_table_cache = saved[1]
-    spark._lianjia_cached_views = set()
+    spark._lianjia_cached_views = saved[2]
     spark._lianjia_keydict_views = saved[3]
     # force re-registration: the lj_* views still point at the test's tmp
     # managed copies; a stale memo here would silently re-route every later

@@ -37,9 +37,10 @@ def test_q5_star_join_all_broadcast(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
     # the supplier->nation->region chain is served from the session's
-    # materialized flattened dim, not re-joined per query: the only
-    # nation/region work left is inside the cached relation's build plan
-    assert "lj_supplier_geo" in plan
+    # materialized flattened dim (a persisted, path-pooled join), not
+    # re-joined per query: the only nation/region work left is inside the
+    # cached relation's displayed build plan
+    assert "InMemoryTableScan" in plan
 
 
 def test_topk_uses_take_ordered(spark, sf_dir):
