@@ -230,6 +230,93 @@ _AGG_PROJECTIONS = {
 }
 
 
+# Ordered (top-k) projections: the exact top-N of a declared total order,
+# maintained at ingest and MERGED on appends (union existing top-N with the
+# batch's top-N, re-take N) — exact for any query LIMIT <= N because every
+# row ever in the global top-N is in some batch's top-N. The order must
+# include unique tiebreakers so the projection is deterministic. This is
+# the materialized-top-k structure real OLAP stores keep for "top sellers"
+# surfaces: at 100 TB the query reads N rows instead of heap-scanning the
+# fact table (TakeOrderedAndProject is shuffle-free but still scans
+# everything).
+_TOPK_PROJECTIONS = {
+    "lineitem": {
+        "name": "price_topk",
+        "cols": (
+            "l_orderkey", "l_linenumber", "l_partkey",
+            "l_extendedprice", "l_shipdate",
+        ),
+        "order_sql": "l_extendedprice DESC, l_orderkey, l_linenumber, l_partkey",
+        "n": 1000,
+    },
+}
+
+
+def _build_topkproj(
+    spark: SparkSession,
+    spec: dict,
+    src_paths,
+    tp_dst: str,
+    fingerprint: str,
+    meta: dict | None,
+    merge_with: str | None = None,
+) -> None:
+    """Build (or merge) an ordered projection: ORDER BY <total order> LIMIT
+    N over the source (Catalyst plans it as TakeOrderedAndProject), union
+    with the existing projection on the append path, re-take N."""
+    import shutil
+
+    cols = ", ".join(spec["cols"])
+    df = spark.read.parquet(*src_paths)
+    df.createOrReplaceTempView("_lj_topk_src")
+    built = spark.sql(
+        f"SELECT {cols} FROM _lj_topk_src"
+        f" ORDER BY {spec['order_sql']} LIMIT {spec['n']}"
+    )
+    if merge_with is not None:
+        built.createOrReplaceTempView("_lj_topk_batch")
+        spark.read.parquet(merge_with).createOrReplaceTempView("_lj_topk_old")
+        built = spark.sql(
+            f"SELECT {cols} FROM (SELECT * FROM _lj_topk_old"
+            f" UNION ALL SELECT * FROM _lj_topk_batch)"
+            f" ORDER BY {spec['order_sql']} LIMIT {spec['n']}"
+        )
+    tmp = tp_dst + f".tmp-{os.getpid()}"
+    built.coalesce(1).write.mode("overwrite").parquet(tmp)
+    _write_marker(os.path.join(tmp, "_SUCCESS"), fingerprint, meta)
+    trash = tp_dst + f".old-{os.getpid()}"
+    shutil.rmtree(trash, ignore_errors=True)
+    if os.path.exists(tp_dst):
+        os.replace(tp_dst, trash)
+    os.replace(tp_dst + f".tmp-{os.getpid()}", tp_dst)
+    shutil.rmtree(trash, ignore_errors=True)
+
+
+def topkproj_view(spark: SparkSession, sf_dir: str, name: str) -> str | None:
+    """Register (memoized) and return the ``lj_<table>_<projname>`` ordered-
+    projection view, or None when this session has no fresh projection for
+    ``sf_dir`` — callers fall back to the full TakeOrderedAndProject plan."""
+    spec = _TOPK_PROJECTIONS.get(name)
+    if spec is None:
+        return None
+    redirect = getattr(spark, "_lianjia_ingest_map", None) or {}
+    out_dir = redirect.get(os.path.normpath(sf_dir))
+    if out_dir is None:
+        return None
+    tp = os.path.join(out_dir, f"{name}.{spec['name']}.topkproj.parquet")
+    if not os.path.exists(os.path.join(tp, "_SUCCESS")):
+        return None
+    view = f"lj_{name}_{spec['name']}"
+    registered = getattr(spark, "_lianjia_keydict_views", None)
+    if registered is None:
+        registered = {}
+        spark._lianjia_keydict_views = registered
+    if registered.get(view) != tp:
+        spark.read.parquet(tp).createOrReplaceTempView(view)
+        registered[view] = tp
+    return view
+
+
 # Materialized star rollups (join projections with insert-only incremental
 # view maintenance): a declared star join pre-aggregated on low-cardinality
 # keys, every measure a SUM-mergeable scaled-long. Cardinality arithmetic:
@@ -1043,6 +1130,10 @@ def ingest_tables(
         cs_dst = os.path.join(out_dir, f"{name}.colstats.parquet")
         ap_spec = _AGG_PROJECTIONS.get(name)
         ap_dst = os.path.join(out_dir, f"{name}.aggproj.parquet")
+        tp_spec = _TOPK_PROJECTIONS.get(name)
+        tp_dst = os.path.join(
+            out_dir, f"{name}.{tp_spec['name']}.topkproj.parquet"
+        ) if tp_spec else ""
         table_marker = os.path.join(dst, "_SUCCESS")
         table_fresh = _marker_fresh(table_marker, fingerprint)
         # colstats publish in lockstep with the keydict they derive from
@@ -1053,7 +1144,10 @@ def ingest_tables(
         ap_fresh = not ap_spec or _marker_fresh(
             os.path.join(ap_dst, "_SUCCESS"), fingerprint
         )
-        if table_fresh and kd_fresh and ap_fresh:
+        tp_fresh = not tp_spec or _marker_fresh(
+            os.path.join(tp_dst, "_SUCCESS"), fingerprint
+        )
+        if table_fresh and kd_fresh and ap_fresh and tp_fresh:
             continue
         key, target_rows = _INGEST_LAYOUT.get(name, (None, 150_000))
         local = src_bytes < LOCAL_INGEST_MAX_BYTES
@@ -1065,7 +1159,7 @@ def ingest_tables(
             # (same prior fingerprint), else a merge would compound onto a
             # dictionary from a different table state.
             delta = _delta_files(table_marker, layout, manifest) if local else None
-            if delta is not None and (kd_cols or ap_spec):
+            if delta is not None and (kd_cols or ap_spec or tp_spec):
                 # projections only merge when every sibling is in lockstep
                 # with the table (same prior fingerprint) — merging onto a
                 # projection from a different table state would compound
@@ -1074,6 +1168,7 @@ def ingest_tables(
                     (kd_dst, kd_cols),
                     (cs_dst, kd_cols),
                     (ap_dst, ap_spec),
+                    (tp_dst, tp_spec),
                 ):
                     if enabled:
                         fp, _m = _read_marker(os.path.join(sibling, "_SUCCESS"))
@@ -1092,6 +1187,12 @@ def ingest_tables(
                         spark, ap_spec,
                         [os.path.join(src, f) for f in delta],
                         ap_dst, fingerprint, meta, merge_with=ap_dst,
+                    )
+                if tp_spec:
+                    _build_topkproj(
+                        spark, tp_spec,
+                        [os.path.join(src, f) for f in delta],
+                        tp_dst, fingerprint, meta, merge_with=tp_dst,
                     )
                 tbl_state[name]["delta"] = delta
                 appended += 1
@@ -1124,6 +1225,8 @@ def ingest_tables(
             build(*args) if local else build(spark, *args)
         if ap_spec and (not ap_fresh or not table_fresh):
             _build_aggproj(spark, ap_spec, [dst], ap_dst, fingerprint, meta)
+        if tp_spec and (not tp_fresh or not table_fresh):
+            _build_topkproj(spark, tp_spec, [dst], tp_dst, fingerprint, meta)
     # Materialized star rollups (see _JOIN_PROJECTIONS): rebuilt when any
     # source changed; insert-only IVM when ONLY the fact gained files.
     jp_ivm = 0

@@ -554,3 +554,40 @@ def test_events_rollup_merges_on_append(spark, tmp_path, monkeypatch, restore_ca
     got = canon_rows([tuple(r) for r in jp.collect()], jp.columns)
     want = canon_rows([tuple(r) for r in jf.collect()], jf.columns)
     assert got == want, "merged events rollup diverges from full scan"
+
+
+def test_ordered_projection_serves_topk_and_merges(
+    spark, tmp_path, monkeypatch, restore_catalog
+):
+    """The ordered (top-k) projection must serve topk_sort bit-identically
+    to the full TakeOrderedAndProject plan, and stay exact after an
+    append-only landing (union existing top-N with the batch's top-N)."""
+    import pyarrow.parquet as pq
+
+    full = pq.read_table("/root/testdata/sf0.001/lineitem.parquet")
+    half = full.num_rows // 2
+    sf = tmp_path / "sftp"
+    (sf / "lineitem.parquet").mkdir(parents=True)
+    pq.write_table(full.slice(0, half), str(sf / "lineitem.parquet" / "b0.parquet"))
+
+    monkeypatch.setattr(sess, "INGEST_ROOT", str(tmp_path / "ingest"))
+    out = sess.ingest_tables(spark, str(sf))
+    assert os.path.exists(
+        os.path.join(out, "lineitem.price_topk.topkproj.parquet", "_SUCCESS")
+    )
+    q = all_queries()["topk_sort"]
+    df = q.spark_fn(spark, str(sf))
+    assert any("topkproj" in f for f in df.inputFiles()), (
+        "topk_sort did not read from the ordered projection"
+    )
+
+    pq.write_table(full.slice(half), str(sf / "lineitem.parquet" / "b1.parquet"))
+    sess.ingest_tables(spark, str(sf))
+    assert spark._lianjia_ingest_appended == 1
+    got = canon_rows(
+        [tuple(r) for r in q.spark_fn(spark, str(sf)).collect()],
+        q.spark_fn(spark, str(sf)).columns,
+    )
+    ref = all_queries()["topk_sort_df"].spark_fn(spark, str(sf))
+    want = canon_rows([tuple(r) for r in ref.collect()], ref.columns)
+    assert got == want, "merged ordered projection diverges from full top-k"
