@@ -174,6 +174,55 @@ _DICT_LAYOUT = {
 }
 
 
+def _publish_dir(dst: str, fingerprint: str, meta: dict | None, write) -> None:
+    """Atomic directory publish shared by every managed artifact (tables,
+    keydicts, colstats, agg/join/top-k projections): ``write(tmp)`` fills a
+    per-PID staging dir, the fingerprint marker is stamped LAST inside it,
+    and the swap goes through rename-aside — a concurrent reader never sees
+    a half-deleted directory, a crash leaves the previous copy intact
+    (stale marker -> clean rebuild), and two processes publishing the same
+    artifact race to a last-writer-wins COMPLETE copy."""
+    import shutil
+
+    tmp = dst + f".tmp-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    write(tmp)
+    _write_marker(os.path.join(tmp, "_SUCCESS"), fingerprint, meta)
+    trash = dst + f".old-{os.getpid()}"
+    shutil.rmtree(trash, ignore_errors=True)
+    if os.path.exists(dst):
+        os.replace(dst, trash)
+    os.replace(tmp, dst)
+    shutil.rmtree(trash, ignore_errors=True)
+
+
+def _projection_view(
+    spark: SparkSession, sf_dir: str, artifact: str, view: str
+) -> str | None:
+    """Shared register-or-None helper for every managed-projection view
+    (keydict, colstats, aggproj, star rollups, ordered projections):
+    returns the registered view name when this session ingested ``sf_dir``
+    and the artifact has a _SUCCESS marker, else None — callers fall back
+    to their full-scan plan, so no projection is ever a correctness
+    dependency. Memoized per (view, path) on the session."""
+    redirect = getattr(spark, "_lianjia_ingest_map", None) or {}
+    out_dir = redirect.get(os.path.normpath(sf_dir))
+    if out_dir is None:
+        return None
+    path = os.path.join(out_dir, artifact)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        return None
+    registered = getattr(spark, "_lianjia_keydict_views", None)
+    if registered is None:
+        registered = {}
+        spark._lianjia_keydict_views = registered
+    if registered.get(view) != path:
+        spark.read.parquet(path).createOrReplaceTempView(view)
+        registered[view] = path
+    return view
+
+
 # Aggregate projections (ClickHouse projections / Pinot star-tree, the
 # keydict generalized): per declared fact table, the managed copy carries a
 # sibling rollup ``<table>.aggproj.parquet`` grouped on low-cardinality
@@ -264,8 +313,6 @@ def _build_topkproj(
     """Build (or merge) an ordered projection: ORDER BY <total order> LIMIT
     N over the source (Catalyst plans it as TakeOrderedAndProject), union
     with the existing projection on the append path, re-take N."""
-    import shutil
-
     cols = ", ".join(spec["cols"])
     df = spark.read.parquet(*src_paths)
     df.createOrReplaceTempView("_lj_topk_src")
@@ -281,15 +328,11 @@ def _build_topkproj(
             f" UNION ALL SELECT * FROM _lj_topk_batch)"
             f" ORDER BY {spec['order_sql']} LIMIT {spec['n']}"
         )
-    tmp = tp_dst + f".tmp-{os.getpid()}"
-    built.coalesce(1).write.mode("overwrite").parquet(tmp)
-    _write_marker(os.path.join(tmp, "_SUCCESS"), fingerprint, meta)
-    trash = tp_dst + f".old-{os.getpid()}"
-    shutil.rmtree(trash, ignore_errors=True)
-    if os.path.exists(tp_dst):
-        os.replace(tp_dst, trash)
-    os.replace(tp_dst + f".tmp-{os.getpid()}", tp_dst)
-    shutil.rmtree(trash, ignore_errors=True)
+    # write(tmp) materializes the merge BEFORE _publish_dir swaps merge_with
+    _publish_dir(
+        tp_dst, fingerprint, meta,
+        lambda tmp: built.coalesce(1).write.mode("overwrite").parquet(tmp),
+    )
 
 
 def topkproj_view(spark: SparkSession, sf_dir: str, name: str) -> str | None:
@@ -299,22 +342,11 @@ def topkproj_view(spark: SparkSession, sf_dir: str, name: str) -> str | None:
     spec = _TOPK_PROJECTIONS.get(name)
     if spec is None:
         return None
-    redirect = getattr(spark, "_lianjia_ingest_map", None) or {}
-    out_dir = redirect.get(os.path.normpath(sf_dir))
-    if out_dir is None:
-        return None
-    tp = os.path.join(out_dir, f"{name}.{spec['name']}.topkproj.parquet")
-    if not os.path.exists(os.path.join(tp, "_SUCCESS")):
-        return None
-    view = f"lj_{name}_{spec['name']}"
-    registered = getattr(spark, "_lianjia_keydict_views", None)
-    if registered is None:
-        registered = {}
-        spark._lianjia_keydict_views = registered
-    if registered.get(view) != tp:
-        spark.read.parquet(tp).createOrReplaceTempView(view)
-        registered[view] = tp
-    return view
+    return _projection_view(
+        spark, sf_dir,
+        f"{name}.{spec['name']}.topkproj.parquet",
+        f"lj_{name}_{spec['name']}",
+    )
 
 
 # Materialized star rollups (join projections with insert-only incremental
@@ -378,8 +410,6 @@ def _build_joinproj(
     path the fact maps to ONLY its new part files. Spark runs the identical
     scaled-long expressions the full-scan query uses, so the rollup-served
     result is bit-identical by construction."""
-    import shutil
-
     for t in spec["sources"]:
         p = source_paths[t]
         df = spark.read.parquet(*p) if isinstance(p, list) else spark.read.parquet(p)
@@ -394,15 +424,11 @@ def _build_joinproj(
             f"SELECT {keys}, {sums} FROM (SELECT * FROM _jp_old"
             f" UNION ALL SELECT * FROM _jp_batch) GROUP BY {keys}"
         )
-    tmp = jp_dst + f".tmp-{os.getpid()}"
-    built.coalesce(1).write.mode("overwrite").parquet(tmp)
-    _write_marker(os.path.join(tmp, "_SUCCESS"), fingerprint, meta)
-    trash = jp_dst + f".old-{os.getpid()}"
-    shutil.rmtree(trash, ignore_errors=True)
-    if os.path.exists(jp_dst):
-        os.replace(jp_dst, trash)
-    os.replace(tmp, jp_dst)
-    shutil.rmtree(trash, ignore_errors=True)
+    # write(tmp) materializes the merge BEFORE _publish_dir swaps merge_with
+    _publish_dir(
+        jp_dst, fingerprint, meta,
+        lambda tmp: built.coalesce(1).write.mode("overwrite").parquet(tmp),
+    )
 
 
 def joinproj_view(spark: SparkSession, sf_dir: str, name: str) -> str | None:
@@ -410,22 +436,9 @@ def joinproj_view(spark: SparkSession, sf_dir: str, name: str) -> str | None:
     view, or None when this session has no fresh rollup for ``sf_dir`` —
     callers fall back to the full join plan, so the rollup is purely an
     optimization, never a correctness dependency."""
-    redirect = getattr(spark, "_lianjia_ingest_map", None) or {}
-    out_dir = redirect.get(os.path.normpath(sf_dir))
-    if out_dir is None:
-        return None
-    jp = os.path.join(out_dir, f"{name}.joinproj.parquet")
-    if not os.path.exists(os.path.join(jp, "_SUCCESS")):
-        return None
-    view = f"lj_{name}"
-    registered = getattr(spark, "_lianjia_keydict_views", None)
-    if registered is None:
-        registered = {}
-        spark._lianjia_keydict_views = registered
-    if registered.get(view) != jp:
-        spark.read.parquet(jp).createOrReplaceTempView(view)
-        registered[view] = jp
-    return view
+    return _projection_view(
+        spark, sf_dir, f"{name}.joinproj.parquet", f"lj_{name}"
+    )
 
 
 def _aggproj_sql(spec: dict, src: str) -> str:
@@ -475,18 +488,11 @@ def _build_aggproj(
             f"SELECT {keys}, {sums} FROM (SELECT * FROM _lj_aggproj_old"
             f" UNION ALL SELECT * FROM _lj_aggproj_batch) GROUP BY {keys}"
         )
-    # materialize BEFORE touching ap_dst: the merge reads the old files
-    tmp = ap_dst + f".tmp-{os.getpid()}"
-    built.coalesce(1).write.mode("overwrite").parquet(tmp)
-    _write_marker(os.path.join(tmp, "_SUCCESS"), fingerprint, meta)
-    import shutil
-
-    trash = ap_dst + f".old-{os.getpid()}"
-    shutil.rmtree(trash, ignore_errors=True)
-    if os.path.exists(ap_dst):
-        os.replace(ap_dst, trash)
-    os.replace(tmp, ap_dst)
-    shutil.rmtree(trash, ignore_errors=True)
+    # write(tmp) materializes the merge BEFORE _publish_dir swaps merge_with
+    _publish_dir(
+        ap_dst, fingerprint, meta,
+        lambda tmp: built.coalesce(1).write.mode("overwrite").parquet(tmp),
+    )
 
 
 def _build_keydict_local(
@@ -494,7 +500,6 @@ def _build_keydict_local(
 ) -> None:
     """Driver-side keydict build over a small managed table dir (pyarrow)."""
     import glob
-    import shutil
 
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -522,17 +527,10 @@ def _build_keydict_local(
         kd_dst.replace(".keydict.parquet", ".colstats.parquet"),
         fingerprint, meta,
     )
-    tmp = kd_dst + f".tmp-{os.getpid()}"
-    shutil.rmtree(tmp, ignore_errors=True)
-    os.makedirs(tmp, exist_ok=True)
-    pq.write_table(built, os.path.join(tmp, "part-00000.parquet"))
-    _write_marker(os.path.join(tmp, "_SUCCESS"), fingerprint, meta)
-    trash = kd_dst + f".old-{os.getpid()}"
-    shutil.rmtree(trash, ignore_errors=True)
-    if os.path.exists(kd_dst):
-        os.replace(kd_dst, trash)
-    os.replace(tmp, kd_dst)
-    shutil.rmtree(trash, ignore_errors=True)
+    _publish_dir(
+        kd_dst, fingerprint, meta,
+        lambda tmp: pq.write_table(built, os.path.join(tmp, "part-00000.parquet")),
+    )
 
 
 def _colstats_from_keydict(kd_table, cols) -> dict[str, tuple[int, int, int]]:
@@ -565,8 +563,6 @@ def _publish_colstats(
     plan pays. Stored wide (``<col>__ndv`` / ``<col>__nnonnull`` +
     ``n_rows``) so the serving query is a pure projection, no aggregate.
     """
-    import shutil
-
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -577,17 +573,12 @@ def _publish_colstats(
         row[f"{c}__nnonnull"] = [nnonnull]
         n_rows = nrows
     row["n_rows"] = [n_rows]
-    tmp = cs_dst + f".tmp-{os.getpid()}"
-    shutil.rmtree(tmp, ignore_errors=True)
-    os.makedirs(tmp)
-    pq.write_table(pa.table(row), os.path.join(tmp, "part-00000.parquet"))
-    _write_marker(os.path.join(tmp, "_SUCCESS"), fingerprint, meta)
-    trash = cs_dst + f".old-{os.getpid()}"
-    shutil.rmtree(trash, ignore_errors=True)
-    if os.path.exists(cs_dst):
-        os.replace(cs_dst, trash)
-    os.replace(tmp, cs_dst)
-    shutil.rmtree(trash, ignore_errors=True)
+    _publish_dir(
+        cs_dst, fingerprint, meta,
+        lambda tmp: pq.write_table(
+            pa.table(row), os.path.join(tmp, "part-00000.parquet")
+        ),
+    )
 
 
 def merge_keydicts(tables):
@@ -628,10 +619,11 @@ def _build_keydict_spark(
         .select(F.lit(c).alias("col"), "key", "cnt")
         for c in cols
     ]
-    reduce(lambda a, b: a.unionByName(b), slices).write.mode(
-        "overwrite"
-    ).parquet(kd_dst)
-    _write_marker(os.path.join(kd_dst, "_SUCCESS"), fingerprint, meta)
+    built = reduce(lambda a, b: a.unionByName(b), slices)
+    _publish_dir(
+        kd_dst, fingerprint, meta,
+        lambda tmp: built.write.mode("overwrite").parquet(tmp),
+    )
     # Column stats derive from the dictionary with a distributed agg (the
     # dictionary can hold billions of keys at 100 TB — never read it back
     # driver-side); only the #cols stat rows ever reach the driver.
@@ -696,22 +688,9 @@ def keydict_view(spark: SparkSession, sf_dir: str, name: str) -> str | None:
     None when this session has no fresh managed keydict for ``sf_dir`` —
     callers fall back to the full-scan plan, so the projection is purely an
     optimization and never a correctness dependency."""
-    redirect = getattr(spark, "_lianjia_ingest_map", None) or {}
-    out_dir = redirect.get(os.path.normpath(sf_dir))
-    if out_dir is None:
-        return None
-    kd = os.path.join(out_dir, f"{name}.keydict.parquet")
-    if not os.path.exists(os.path.join(kd, "_SUCCESS")):
-        return None
-    view = f"lj_{name}_keydict"
-    registered = getattr(spark, "_lianjia_keydict_views", None)
-    if registered is None:
-        registered = {}
-        spark._lianjia_keydict_views = registered
-    if registered.get(view) != kd:
-        spark.read.parquet(kd).createOrReplaceTempView(view)
-        registered[view] = kd
-    return view
+    return _projection_view(
+        spark, sf_dir, f"{name}.keydict.parquet", f"lj_{name}_keydict"
+    )
 
 
 def colstats_view(spark: SparkSession, sf_dir: str, name: str) -> str | None:
@@ -719,22 +698,9 @@ def colstats_view(spark: SparkSession, sf_dir: str, name: str) -> str | None:
     wide row of exact per-column statistics), or None when this session has
     no fresh managed stats for ``sf_dir`` — callers fall back, so the stats
     are purely an optimization, never a correctness dependency."""
-    redirect = getattr(spark, "_lianjia_ingest_map", None) or {}
-    out_dir = redirect.get(os.path.normpath(sf_dir))
-    if out_dir is None:
-        return None
-    cs = os.path.join(out_dir, f"{name}.colstats.parquet")
-    if not os.path.exists(os.path.join(cs, "_SUCCESS")):
-        return None
-    view = f"lj_{name}_colstats"
-    registered = getattr(spark, "_lianjia_keydict_views", None)
-    if registered is None:
-        registered = {}
-        spark._lianjia_keydict_views = registered
-    if registered.get(view) != cs:
-        spark.read.parquet(cs).createOrReplaceTempView(view)
-        registered[view] = cs
-    return view
+    return _projection_view(
+        spark, sf_dir, f"{name}.colstats.parquet", f"lj_{name}_colstats"
+    )
 
 
 def aggproj_view(spark: SparkSession, sf_dir: str, name: str) -> str | None:
@@ -744,22 +710,9 @@ def aggproj_view(spark: SparkSession, sf_dir: str, name: str) -> str | None:
     purely an optimization, never a correctness dependency (the driver
     correctness gate runs on raw files and always exercises the fallback).
     """
-    redirect = getattr(spark, "_lianjia_ingest_map", None) or {}
-    out_dir = redirect.get(os.path.normpath(sf_dir))
-    if out_dir is None:
-        return None
-    ap = os.path.join(out_dir, f"{name}.aggproj.parquet")
-    if not os.path.exists(os.path.join(ap, "_SUCCESS")):
-        return None
-    view = f"lj_{name}_aggproj"
-    registered = getattr(spark, "_lianjia_keydict_views", None)
-    if registered is None:
-        registered = {}
-        spark._lianjia_keydict_views = registered
-    if registered.get(view) != ap:
-        spark.read.parquet(ap).createOrReplaceTempView(view)
-        registered[view] = ap
-    return view
+    return _projection_view(
+        spark, sf_dir, f"{name}.aggproj.parquet", f"lj_{name}_aggproj"
+    )
 
 
 # Semi-structured shredding at ingest (SCALE.md §1 "parse JSON once"):
@@ -850,8 +803,6 @@ def _ingest_local(
     meta: dict | None = None,
 ) -> None:
     """Driver-side ingest of one small landed file (see ingest_tables)."""
-    import shutil
-
     import pyarrow.compute  # noqa: F401  (registers kernels for sort)
     import pyarrow.parquet as pq
 
@@ -859,40 +810,30 @@ def _ingest_local(
     if key is not None and key not in table.column_names:
         key = "ts" if "ts" in table.column_names else None  # raw events: nanos ts
     table = _shred_json_columns(table)
-    # Unique-per-process staging dir: two processes ingesting the same sf_dir
-    # concurrently (e.g. two bench shells sharing INGEST_ROOT) must not
-    # interleave rmtree/write on the same .tmp path and publish a partial
-    # copy. Each process builds in its own dir; the final os.replace is
-    # atomic, so last-writer-wins with a complete copy either way.
-    tmp = dst + f".tmp-{os.getpid()}"
-    shutil.rmtree(tmp, ignore_errors=True)
-    os.makedirs(tmp, exist_ok=True)
-    # Split when the table clears the global floor OR 4× its own per-table
-    # target (lets small-target tables like embeddings split below the
-    # global floor once they have ≥ 4 files' worth of rows).
     if key and table.num_rows >= min(min_rows_to_split, 4 * target_rows):
         table = table.sort_by(key)
-        # Per-table target rows per file (see _INGEST_LAYOUT): enough files
-        # that every scan parallelizes, few enough that per-task scheduling
-        # overhead (measured ~1.5 ms/task serialized on the driver) stays
-        # negligible in the sub-second query regime.
-        n_parts = parts or max(2, min(cpus, table.num_rows // target_rows))
-        step = -(-table.num_rows // n_parts)
-        for i in range(n_parts):
-            chunk = table.slice(i * step, step)
-            if chunk.num_rows:
-                pq.write_table(chunk, os.path.join(tmp, f"part-{i:05d}.parquet"))
-    else:
-        pq.write_table(table, os.path.join(tmp, "part-00000.parquet"))
-    _write_marker(os.path.join(tmp, "_SUCCESS"), fingerprint, meta)
-    # Swap via rename-aside so a concurrent reader of dst never sees a
-    # half-deleted directory (rmtree-then-replace would leave that window).
-    trash = dst + f".old-{os.getpid()}"
-    shutil.rmtree(trash, ignore_errors=True)
-    if os.path.exists(dst):
-        os.replace(dst, trash)
-    os.replace(tmp, dst)
-    shutil.rmtree(trash, ignore_errors=True)
+
+    def write(tmp: str) -> None:
+        # Split when the table clears the global floor OR 4× its own
+        # per-table target (lets small-target tables like embeddings split
+        # below the global floor once they have ≥ 4 files' worth of rows).
+        if key and table.num_rows >= min(min_rows_to_split, 4 * target_rows):
+            # Per-table target rows per file (see _INGEST_LAYOUT): enough
+            # files that every scan parallelizes, few enough that per-task
+            # scheduling overhead (measured ~1.5 ms/task serialized on the
+            # driver) stays negligible in the sub-second query regime.
+            n_parts = parts or max(2, min(cpus, table.num_rows // target_rows))
+            step = -(-table.num_rows // n_parts)
+            for i in range(n_parts):
+                chunk = table.slice(i * step, step)
+                if chunk.num_rows:
+                    pq.write_table(
+                        chunk, os.path.join(tmp, f"part-{i:05d}.parquet")
+                    )
+        else:
+            pq.write_table(table, os.path.join(tmp, "part-00000.parquet"))
+
+    _publish_dir(dst, fingerprint, meta, write)
 
 
 def _marker_fresh(marker: str, fingerprint: str) -> bool:
@@ -1019,7 +960,6 @@ def _ingest_local_append(
         os.replace(tmp, part)
     if kd_cols:
         import glob
-        import shutil
 
         frames = [
             pq.read_table(p)
@@ -1042,17 +982,12 @@ def _ingest_local_append(
             kd_dst.replace(".keydict.parquet", ".colstats.parquet"),
             fingerprint, meta,
         )
-        tmp = kd_dst + f".tmp-{os.getpid()}"
-        shutil.rmtree(tmp, ignore_errors=True)
-        os.makedirs(tmp)
-        pq.write_table(merged, os.path.join(tmp, "part-00000.parquet"))
-        _write_marker(os.path.join(tmp, "_SUCCESS"), fingerprint, meta)
-        trash = kd_dst + f".old-{os.getpid()}"
-        shutil.rmtree(trash, ignore_errors=True)
-        if os.path.exists(kd_dst):
-            os.replace(kd_dst, trash)
-        os.replace(tmp, kd_dst)
-        shutil.rmtree(trash, ignore_errors=True)
+        _publish_dir(
+            kd_dst, fingerprint, meta,
+            lambda tmp: pq.write_table(
+                merged, os.path.join(tmp, "part-00000.parquet")
+            ),
+        )
     _write_marker(os.path.join(dst, "_SUCCESS"), fingerprint, meta)
 
 
@@ -1115,8 +1050,10 @@ def ingest_tables(
         # "v7" = layout formula version (v6: JSON shredding + key-dictionary
         # projections; v7: manifest-carrying markers for append-only delta
         # ingest); bumping the version invalidates managed copies built
-        # under older formulas.
-        layout = f"parts={parts or cpus}:v7"
+        # under older formulas. Every knob that shapes the layout belongs
+        # in the string — parts AND the split threshold — so re-ingesting
+        # with different knobs rebuilds instead of silently no-oping.
+        layout = f"parts={parts or cpus}:split={min_rows_to_split}:v7"
         fingerprint = f"{src_bytes}:{src_mtime}:{layout}"
         manifest = _source_manifest(src)
         meta = (
@@ -1159,41 +1096,51 @@ def ingest_tables(
             # (same prior fingerprint), else a merge would compound onto a
             # dictionary from a different table state.
             delta = _delta_files(table_marker, layout, manifest) if local else None
-            if delta is not None and (kd_cols or ap_spec or tp_spec):
-                # projections only merge when every sibling is in lockstep
-                # with the table (same prior fingerprint) — merging onto a
-                # projection from a different table state would compound
-                old_table_fp, _ = _read_marker(table_marker)
-                for sibling, enabled in (
-                    (kd_dst, kd_cols),
-                    (cs_dst, kd_cols),
-                    (ap_dst, ap_spec),
-                    (tp_dst, tp_spec),
-                ):
-                    if enabled:
-                        fp, _m = _read_marker(os.path.join(sibling, "_SUCCESS"))
-                        if fp != old_table_fp:
-                            delta = None
             if delta is not None:
-                # pre-append fingerprint: the join-projection IVM pass must
-                # only merge onto a rollup built from exactly this state
-                tbl_state[name]["prev_fp"], _ = _read_marker(table_marker)
+                # pre-append fingerprint: a projection merges ONLY when it
+                # was built from exactly this table state — merging onto a
+                # sibling from a different state would compound. Siblings
+                # out of lockstep (e.g. a projection type declared after
+                # the copy was built, or a crash between an earlier append
+                # and its merge) do NOT cancel the O(batch) table append;
+                # they are rebuilt from the appended managed copy instead.
+                old_table_fp, _ = _read_marker(table_marker)
+                tbl_state[name]["prev_fp"] = old_table_fp
+
+                def _lockstep(sib: str) -> bool:
+                    fp, _m = _read_marker(os.path.join(sib, "_SUCCESS"))
+                    return fp == old_table_fp
+
+                kd_merge = bool(kd_cols) and _lockstep(kd_dst) and _lockstep(cs_dst)
                 _ingest_local_append(
-                    src, dst, kd_dst, delta, key, kd_cols,
+                    src, dst, kd_dst, delta, key,
+                    kd_cols if kd_merge else None,
                     target_rows, fingerprint, meta,
                 )
+                if kd_cols and not kd_merge:
+                    _build_keydict_local(dst, kd_dst, kd_cols, fingerprint, meta)
                 if ap_spec:
-                    _build_aggproj(
-                        spark, ap_spec,
-                        [os.path.join(src, f) for f in delta],
-                        ap_dst, fingerprint, meta, merge_with=ap_dst,
-                    )
+                    if _lockstep(ap_dst):
+                        _build_aggproj(
+                            spark, ap_spec,
+                            [os.path.join(src, f) for f in delta],
+                            ap_dst, fingerprint, meta, merge_with=ap_dst,
+                        )
+                    else:
+                        _build_aggproj(
+                            spark, ap_spec, [dst], ap_dst, fingerprint, meta
+                        )
                 if tp_spec:
-                    _build_topkproj(
-                        spark, tp_spec,
-                        [os.path.join(src, f) for f in delta],
-                        tp_dst, fingerprint, meta, merge_with=tp_dst,
-                    )
+                    if _lockstep(tp_dst):
+                        _build_topkproj(
+                            spark, tp_spec,
+                            [os.path.join(src, f) for f in delta],
+                            tp_dst, fingerprint, meta, merge_with=tp_dst,
+                        )
+                    else:
+                        _build_topkproj(
+                            spark, tp_spec, [dst], tp_dst, fingerprint, meta
+                        )
                 tbl_state[name]["delta"] = delta
                 appended += 1
                 continue
@@ -1216,8 +1163,13 @@ def ingest_tables(
                 if key:
                     n_parts = parts or max(2, cpus // 2)
                     df = df.repartitionByRange(n_parts, key)
-                df.write.mode("overwrite").parquet(dst)
-                _write_marker(table_marker, fingerprint, meta)
+                # same atomic rename-aside publish as every local builder:
+                # an in-place mode("overwrite") would delete dst first,
+                # breaking concurrent readers and crash recovery
+                _publish_dir(
+                    dst, fingerprint, meta,
+                    lambda tmp: df.write.mode("overwrite").parquet(tmp),
+                )
             rebuilt += 1
         if kd_cols and (not kd_fresh or not table_fresh):
             build = _build_keydict_local if local else _build_keydict_spark
@@ -1317,10 +1269,15 @@ def tune_for_sf(spark: SparkSession, sf_dir: str) -> None:
             current = int(spark.conf.get("spark.sql.shuffle.partitions"))
         except Exception:
             current = 200
-        # Cap, never raise: a caller that sized the session deliberately
-        # (bench.py uses 8 at sf0.1) keeps its tighter setting.
-        parts = min(parts, current)
+        # Cap, never raise a CALLER's setting: a session sized deliberately
+        # (bench.py uses 8 at sf0.1) keeps its tighter value. But a value
+        # THIS function set for a smaller sf earlier in the session is not
+        # a caller decision — without the check below, visiting sf0.001
+        # first would ratchet every later sf1 query down to 8-way shuffles.
+        if current != getattr(spark, "_lianjia_tuned_parts", None):
+            parts = min(parts, current)
         spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        spark._lianjia_tuned_parts = parts
     spark._lianjia_tuned_dir = sf_dir
 
 
@@ -1413,7 +1370,10 @@ def register_views(
                     pass
                 pool.pop(path, None)
                 cache_map.pop(path, None)
-                df = load_tables(spark, sf_dir, names=(name,))[name]
+                # .get, not [name]: the file can vanish between the outer
+                # listing and this reload (fp == "missing") — fall back to
+                # the already-held handle rather than KeyError the query
+                df = load_tables(spark, sf_dir, names=(name,)).get(name, df)
                 held = None
             if held is None:
                 try:
@@ -1501,13 +1461,17 @@ def _register_flattened_dims(
             held = None
         if held is None:
             df = spark.sql(sql.format(p=prefix))
-            if all(f"{prefix}{b}" in cached for b in bases):
+            # gate on the PATH-keyed dim pool, not view names: view names
+            # are shared across dirs, so a previous dir's small dims must
+            # not qualify a later dir's oversized flattened join
+            dim_pool = getattr(spark, "_lianjia_dim_pool", {})
+            if all(table_path(data_dir, b) in dim_pool for b in bases):
                 # every base fit the buffer pool -> the flattened join does too
                 df.persist()
+                cached.add(view)
             held = (dim_fp, df)
             pool[pkey] = held
         held[1].createOrReplaceTempView(view)
-        cached.add(view)
     spark._lianjia_flat_pool = pool
 
 
@@ -1594,11 +1558,14 @@ def load_tables(
     Reads are plain ``spark.read.parquet`` so Catalyst gets predicate pushdown
     and column pruning for free (SURVEY.md §4.2).
 
-    DataFrame handles are memoized per (session, path): building one costs a
-    parquet-footer schema read plus py4j round-trips (~135 ms measured), which
-    dominates plan-build time for multi-table queries at small scale factors.
-    DataFrames are immutable, so reuse across queries is safe; the cache lives
-    on the SparkSession object and dies with it.
+    DataFrame handles are memoized per (session, path) and validated against
+    the path's stat fingerprint on every reuse: a handle's file LISTING is
+    frozen at analysis time, so a raw directory-form table that gains (or
+    rewrites) part files mid-session would otherwise be served stale for
+    the session's lifetime. The validation is a stat()/scandir() per table
+    per build — microseconds against the ~135 ms a parquet-footer schema
+    read costs when the handle must actually rebuild. The cache lives on
+    the SparkSession object and dies with it.
     """
     tune_for_sf(spark, sf_dir)
     # Serve from engine-managed storage when this session ingested this dir
@@ -1612,19 +1579,28 @@ def load_tables(
     if cache is None:
         cache = {}
         spark._lianjia_table_cache = cache
+    fps: dict[str, str] = getattr(spark, "_lianjia_table_fps", None)
+    if fps is None:
+        fps = {}
+        spark._lianjia_table_fps = fps
     out: dict[str, DataFrame] = {}
     for name in names:
         path = table_path(data_dir, name)
+        try:
+            cur_fp = "%d:%d" % path_stat_fingerprint(path)
+        except OSError:
+            continue
         df = cache.get(path)
+        if df is not None and fps.get(path) != cur_fp:
+            df = None  # stale file listing (dir gained/changed parts)
         if df is None:
-            if not os.path.exists(path):
-                continue
             df = (
                 read_events(spark, path)
                 if name == "events"
                 else spark.read.parquet(path)
             )
             cache[path] = df
+            fps[path] = cur_fp
         out[name] = df
         if register:
             df.createOrReplaceTempView(name)

@@ -591,3 +591,25 @@ def test_ordered_projection_serves_topk_and_merges(
     ref = all_queries()["topk_sort_df"].spark_fn(spark, str(sf))
     want = canon_rows([tuple(r) for r in ref.collect()], ref.columns)
     assert got == want, "merged ordered projection diverges from full top-k"
+
+
+def test_raw_directory_table_refreshes_mid_session(spark, tmp_path, restore_catalog):
+    """A raw (un-ingested) directory-form table that gains part files
+    mid-session must serve the new rows: the memoized DataFrame handle's
+    frozen file listing is fingerprint-validated on every reuse."""
+    import pyarrow.parquet as pq
+
+    full = pq.read_table("/root/testdata/sf0.001/lineitem.parquet")
+    half = full.num_rows // 2
+    sf = tmp_path / "sfraw"
+    (sf / "lineitem.parquet").mkdir(parents=True)
+    pq.write_table(full.slice(0, half), str(sf / "lineitem.parquet" / "b0.parquet"))
+
+    n1 = sess.load_tables(spark, str(sf), names=("lineitem",))["lineitem"].count()
+    assert n1 == half
+
+    pq.write_table(full.slice(half), str(sf / "lineitem.parquet" / "b1.parquet"))
+    n2 = sess.load_tables(spark, str(sf), names=("lineitem",))["lineitem"].count()
+    assert n2 == full.num_rows, (
+        f"stale memoized handle served {n2} rows after the landing grew"
+    )
