@@ -617,13 +617,13 @@ WITH {ctes}, lex_scored AS (
 ), fused AS (
   SELECT COALESCE(lex.doc_id, dense.doc_id) AS doc_id,
          lex.lex_rank, dense.dense_rank,
-         floor((COALESCE(1.0 / ({_RRF_K} + lex.lex_rank), 0)
-              + COALESCE(1.0 / ({_RRF_K} + dense.dense_rank), 0))
+         floor((COALESCE(CAST(1 AS DOUBLE) / ({_RRF_K} + lex.lex_rank), 0)
+              + COALESCE(CAST(1 AS DOUBLE) / ({_RRF_K} + dense.dense_rank), 0))
                * 1000000000 + 0.5) / 1000000000 AS rrf
   FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id
 )
 SELECT doc_id, CAST(lex_rank AS BIGINT) AS lex_rank,
-       CAST(dense_rank AS BIGINT) AS dense_rank, rrf
+       CAST(dense_rank AS BIGINT) AS dense_rank, CAST(rrf AS DOUBLE) AS rrf
 FROM fused
 ORDER BY rrf DESC, doc_id
 LIMIT 10

@@ -703,7 +703,14 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cnt").over(order.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
         F.sum("cnt").over(Window.partitionBy()).alias("total"),
     )
+    # CAST cum to DOUBLE before the arithmetic: Spark would otherwise run
+    # the whole chain in DECIMAL (bigint * decimal-literal) and emit a
+    # DECIMAL column where the DuckDB oracle emits DOUBLE — identical
+    # values, driver-hash mismatch (the hybrid_search_rrf round-4 failure
+    # class). With the cast, both engines run the same double-op sequence.
     return ranked.filter(F.col("vocab_size").isin(10, 100, 1000)).select(
         F.col("vocab_size").cast("bigint"),
-        F.expr("floor(cum * 1000000.0 / total + 0.5) / 1000000").alias("coverage"),
+        F.expr(
+            "floor(CAST(cum AS DOUBLE) * 1000000.0 / total + 0.5) / 1000000"
+        ).alias("coverage"),
     )
