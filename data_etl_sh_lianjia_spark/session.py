@@ -203,23 +203,38 @@ def _projection_view(
     """Shared register-or-None helper for every managed-projection view
     (keydict, colstats, aggproj, star rollups, ordered projections):
     returns the registered view name when this session ingested ``sf_dir``
-    and the artifact has a _SUCCESS marker, else None — callers fall back
-    to their full-scan plan, so no projection is ever a correctness
-    dependency. Memoized per (view, path) on the session."""
+    and the artifact's _SUCCESS fingerprint matches the CURRENT state of
+    every table it derives from, else None — callers fall back to their
+    full-scan plan, so no projection is ever a correctness dependency.
+
+    The fingerprint check (not mere marker existence) closes a crash
+    window: a re-ingest that rebuilt the table but died before rebuilding
+    a projection must not keep serving the old projection against the new
+    table. Single-table artifacts carry the table's own fingerprint; star
+    rollups carry a ``components`` map (one fingerprint per source table)
+    in their marker meta. Memoized per (view, path, fingerprint) — a
+    rebuilt projection re-registers, since a DataFrame's file listing is
+    frozen at analysis time."""
     redirect = getattr(spark, "_lianjia_ingest_map", None) or {}
     out_dir = redirect.get(os.path.normpath(sf_dir))
     if out_dir is None:
         return None
     path = os.path.join(out_dir, artifact)
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    art_fp, meta = _read_marker(os.path.join(path, "_SUCCESS"))
+    if not art_fp:
         return None
+    components = meta.get("components") or {artifact.split(".", 1)[0]: art_fp}
+    for tbl, want in components.items():
+        have, _m = _read_marker(os.path.join(out_dir, f"{tbl}.parquet", "_SUCCESS"))
+        if have != want:
+            return None
     registered = getattr(spark, "_lianjia_keydict_views", None)
     if registered is None:
         registered = {}
         spark._lianjia_keydict_views = registered
-    if registered.get(view) != path:
+    if registered.get(view) != (path, art_fp):
         spark.read.parquet(path).createOrReplaceTempView(view)
-        registered[view] = path
+        registered[view] = (path, art_fp)
     return view
 
 
@@ -926,12 +941,21 @@ def _ingest_local_append(
       standard lakehouse trade, restored by compaction, and row-group
       min/max pruning still works because each file stays internally
       clustered).
+    - The appended table publishes as a NEW GENERATION through the same
+      atomic rename-aside as every other managed artifact: the staging dir
+      HARDLINKS the existing part files (O(1) per file, parquet parts are
+      immutable once published) and adds the batch's parts, so a concurrent
+      reader sees either the pre-append or the post-append table — never a
+      partially appended batch — and a mid-append crash leaves the previous
+      complete copy with its old marker (the next ingest just re-runs the
+      delta).
     - The key-dictionary projection MERGES (union keys, sum cnt) instead of
       rebuilding — the exact contract merge_keydicts pins: per-key counts
       add across batches, so the projection update costs O(batch + dict),
-      never O(history).
-    - The _SUCCESS markers are rewritten LAST: a crash mid-append leaves a
-      stale-fingerprint copy that the next ingest rebuilds in full.
+      never O(history). It publishes AFTER the table: a crash in between
+      leaves the keydict's fingerprint behind the table's, which fails the
+      lockstep check and triggers a full keydict rebuild from the (already
+      appended) managed copy.
     """
     import hashlib
 
@@ -950,14 +974,20 @@ def _ingest_local_append(
         batch = batch.sort_by(key)
     n_parts = max(1, batch.num_rows // max(target_rows, 1))
     step = -(-batch.num_rows // n_parts)
-    for i in range(n_parts):
-        chunk = batch.slice(i * step, step)
-        if not chunk.num_rows:
-            continue
-        part = os.path.join(dst, f"part-a{tag}-{i:05d}.parquet")
-        tmp = part + f".tmp-{os.getpid()}"
-        pq.write_table(chunk, tmp)
-        os.replace(tmp, part)
+
+    def _write_generation(tmp: str) -> None:
+        for entry in os.scandir(dst):
+            if entry.is_file() and entry.name.endswith(".parquet"):
+                os.link(entry.path, os.path.join(tmp, entry.name))
+        for i in range(n_parts):
+            chunk = batch.slice(i * step, step)
+            if not chunk.num_rows:
+                continue
+            pq.write_table(
+                chunk, os.path.join(tmp, f"part-a{tag}-{i:05d}.parquet")
+            )
+
+    _publish_dir(dst, fingerprint, meta, _write_generation)
     if kd_cols:
         import glob
 
@@ -988,7 +1018,6 @@ def _ingest_local_append(
                 merged, os.path.join(tmp, "part-00000.parquet")
             ),
         )
-    _write_marker(os.path.join(dst, "_SUCCESS"), fingerprint, meta)
 
 
 def ingest_tables(
@@ -1272,10 +1301,21 @@ def tune_for_sf(spark: SparkSession, sf_dir: str) -> None:
         # Cap, never raise a CALLER's setting: a session sized deliberately
         # (bench.py uses 8 at sf0.1) keeps its tighter value. But a value
         # THIS function set for a smaller sf earlier in the session is not
-        # a caller decision — without the check below, visiting sf0.001
+        # a caller decision — without the ownership check, visiting sf0.001
         # first would ratchet every later sf1 query down to 8-way shuffles.
+        # The caller's value is captured ONCE (whenever the live conf
+        # differs from the last value this function wrote — i.e. the caller
+        # touched it) and the cap is applied against THAT, not the live
+        # conf: min()-ing against our own earlier output would otherwise
+        # launder a self-set value into a "caller" cap on the second dir
+        # switch. Residual ambiguity: a caller deliberately setting exactly
+        # the value this function last wrote is indistinguishable from
+        # no-op; they can always re-set after tune_for_sf runs.
         if current != getattr(spark, "_lianjia_tuned_parts", None):
-            parts = min(parts, current)
+            spark._lianjia_caller_parts = current
+        caller_cap = getattr(spark, "_lianjia_caller_parts", None)
+        if caller_cap is not None:
+            parts = min(parts, caller_cap)
         spark.conf.set("spark.sql.shuffle.partitions", str(parts))
         spark._lianjia_tuned_parts = parts
     spark._lianjia_tuned_dir = sf_dir
@@ -1324,18 +1364,24 @@ def register_views(
     The single-round-trip ``spark.sql`` query path (used by the headline
     bench queries) reads these views instead of rebuilding DataFrames: one
     py4j call per query instead of dozens. Registration is memoized on the
-    session keyed by (``sf_dir``, dimension fingerprints) — switching scale
-    factors mid-session re-registers, and so does an in-place rewrite of a
-    cached dimension file (the CacheManager would otherwise serve the old
-    rows from memory for the session's lifetime; the fingerprint check
-    costs a handful of stat() calls per query build). The ``lj_`` prefix
-    keeps the views from colliding with caller-owned views.
+    session keyed by (``sf_dir``, EVERY table's fingerprint) — switching
+    scale factors mid-session re-registers, and so does an in-place rewrite
+    of ANY table file: dims because the buffer pool would serve stale
+    cached rows, facts because a temp view binds its DataFrame's file
+    listing at analysis time (a raw directory-form fact that gains or
+    rewrites part files mid-session must re-bind, mirroring load_tables'
+    per-call revalidation — without fact fingerprints in the key, the
+    early return below would keep SQL-path queries on the frozen listing).
+    The fingerprint check costs a handful of stat() calls per query build.
+    The ``lj_`` prefix keeps the views from colliding with caller-owned
+    views.
     """
     redirect = getattr(spark, "_lianjia_ingest_map", None) or {}
     data_dir = redirect.get(os.path.normpath(sf_dir), sf_dir)
-    dim_fps = {n: table_fingerprint(spark, sf_dir, n) for n in sorted(DIM_TABLES)}
+    all_fps = {n: table_fingerprint(spark, sf_dir, n) for n in sorted(TABLES)}
+    dim_fps = {n: all_fps[n] for n in sorted(DIM_TABLES)}
     dim_fp = ";".join(f"{n}={fp}" for n, fp in dim_fps.items())
-    memo_key = f"{sf_dir}::{dim_fp}"
+    memo_key = f"{sf_dir}::" + ";".join(f"{n}={fp}" for n, fp in all_fps.items())
     if getattr(spark, "_lianjia_views_dir", None) == memo_key:
         return
     cached: set[str] = getattr(spark, "_lianjia_cached_views", set())

@@ -613,3 +613,162 @@ def test_raw_directory_table_refreshes_mid_session(spark, tmp_path, restore_cata
     assert n2 == full.num_rows, (
         f"stale memoized handle served {n2} rows after the landing grew"
     )
+
+def test_sql_view_path_refreshes_on_fact_append(spark, tmp_path, restore_catalog):
+    """register_views' memo must fold FACT fingerprints in: a raw
+    directory-form fact that gains part files mid-session re-binds the
+    lj_* temp view (a temp view freezes its DataFrame's file listing at
+    analysis time), so SQL-path queries see the new rows — the twin of
+    test_raw_directory_table_refreshes_mid_session for the view path."""
+    import pyarrow.parquet as pq
+
+    full = pq.read_table("/root/testdata/sf0.001/lineitem.parquet")
+    half = full.num_rows // 2
+    sf = tmp_path / "sfsqlraw"
+    (sf / "lineitem.parquet").mkdir(parents=True)
+    pq.write_table(full.slice(0, half), str(sf / "lineitem.parquet" / "b0.parquet"))
+
+    sess.register_views(spark, str(sf))
+    n1 = spark.sql("SELECT COUNT(*) AS n FROM lj_lineitem").collect()[0].n
+    assert n1 == half
+
+    pq.write_table(full.slice(half), str(sf / "lineitem.parquet" / "b1.parquet"))
+    sess.register_views(spark, str(sf))
+    n2 = spark.sql("SELECT COUNT(*) AS n FROM lj_lineitem").collect()[0].n
+    assert n2 == full.num_rows, (
+        f"stale lj_lineitem view served {n2} rows after the landing grew"
+    )
+
+
+def test_append_publish_is_atomic(spark, tmp_path, monkeypatch, restore_catalog):
+    """A crash mid-append must leave the managed table byte-identical to its
+    pre-append generation (old marker, old parts, no half-visible batch) —
+    the append path publishes a new generation through the same rename-aside
+    as every other artifact — and the next ingest must heal by re-running
+    the delta."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    full = pq.read_table("/root/testdata/sf0.001/lineitem.parquet")
+    half = full.num_rows // 2
+    sf = tmp_path / "sfatomic"
+    (sf / "lineitem.parquet").mkdir(parents=True)
+    pq.write_table(full.slice(0, half), str(sf / "lineitem.parquet" / "b0.parquet"))
+    monkeypatch.setattr(sess, "INGEST_ROOT", str(tmp_path / "ingest"))
+    out = sess.ingest_tables(spark, str(sf))
+    dst = os.path.join(out, "lineitem.parquet")
+    before_parts = sorted(os.listdir(dst))
+    with open(os.path.join(dst, "_SUCCESS")) as fh:
+        before_marker = fh.read()
+
+    # land a new batch, then crash inside the staging write
+    pq.write_table(full.slice(half), str(sf / "lineitem.parquet" / "b1.parquet"))
+    real_write = pq.write_table
+
+    def exploding_write(table, where, *a, **kw):
+        if "part-a" in str(where):
+            raise OSError("simulated crash mid-append")
+        return real_write(table, where, *a, **kw)
+
+    monkeypatch.setattr(pq, "write_table", exploding_write)
+    with pytest.raises(OSError, match="simulated crash"):
+        sess.ingest_tables(spark, str(sf))
+    monkeypatch.setattr(pq, "write_table", real_write)
+
+    # live dir is the untouched pre-append generation
+    assert sorted(p for p in os.listdir(dst) if not p.startswith(".")) == before_parts
+    with open(os.path.join(dst, "_SUCCESS")) as fh:
+        assert fh.read() == before_marker
+    # the half-written staging dir must not be visible as table data
+    assert not glob.glob(os.path.join(dst, "*tmp*"))
+
+    # retry heals via the delta path and serves complete values
+    sess.ingest_tables(spark, str(sf))
+    assert spark._lianjia_ingest_appended == 1
+    row = all_queries()["distinct_count"].spark_fn(spark, str(sf)).collect()[0]
+    assert row.n_rows == full.num_rows
+
+
+def test_projection_view_requires_fingerprint_lockstep(
+    spark, tmp_path, monkeypatch, restore_catalog
+):
+    """A projection whose marker fingerprint trails the table's (the
+    crash-between-table-and-projection-rebuild window) must NOT be served:
+    _projection_view returns None and callers fall back to the full scan,
+    which stays correct."""
+    import shutil
+
+    sf = tmp_path / "sflock"
+    sf.mkdir()
+    for t in ("lineitem", "orders"):
+        shutil.copy(f"/root/testdata/sf0.001/{t}.parquet", str(sf / f"{t}.parquet"))
+    monkeypatch.setattr(sess, "INGEST_ROOT", str(tmp_path / "ingest"))
+    out = sess.ingest_tables(spark, str(sf))
+    assert sess.aggproj_view(spark, str(sf), "lineitem") is not None
+    assert sess.keydict_view(spark, str(sf), "lineitem") is not None
+
+    # simulate: table re-ingested to a NEW fingerprint, projections stale
+    marker = os.path.join(out, "lineitem.parquet", "_SUCCESS")
+    with open(marker) as fh:
+        old = fh.read()
+    with open(marker, "w") as fh:
+        fh.write("9999:9999:rebuilt-elsewhere")
+    spark._lianjia_keydict_views = {}
+    assert sess.aggproj_view(spark, str(sf), "lineitem") is None
+    assert sess.keydict_view(spark, str(sf), "lineitem") is None
+    assert sess.colstats_view(spark, str(sf), "lineitem") is None
+    # fallback plan still answers correctly
+    row = all_queries()["distinct_count"].spark_fn(spark, str(sf)).collect()[0]
+    import pyarrow.parquet as pqt
+
+    full = pqt.read_table("/root/testdata/sf0.001/lineitem.parquet")
+    assert row.n_rows == full.num_rows
+
+    with open(marker, "w") as fh:
+        fh.write(old)
+    assert sess.aggproj_view(spark, str(sf), "lineitem") is not None
+
+
+def test_tune_for_sf_caller_cap_survives_dir_switches(spark):
+    """The 'cap, never raise a CALLER's setting' contract must hold across
+    REPEATED dir switches: the caller's value is captured once, not
+    re-inferred from the live conf (which this function itself wrote)."""
+    saved_conf = spark.conf.get("spark.sql.shuffle.partitions")
+    saved = {
+        a: getattr(spark, a, None)
+        for a in ("_lianjia_tuned_dir", "_lianjia_tuned_parts", "_lianjia_caller_parts")
+    }
+    try:
+        for a in saved:
+            if hasattr(spark, a):
+                delattr(spark, a)
+        # caller deliberately caps at 8 (the bench.py regime)
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        sess.tune_for_sf(spark, "/x/sf0.1")
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "8"
+        sess.tune_for_sf(spark, "/x/sf0.001")
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "8"
+        sess.tune_for_sf(spark, "/x/sf1")  # second+ switch: cap must hold
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "8", (
+            "caller's cap was raised after a dir switch"
+        )
+        # but a SELF-set small value must not ratchet a default session down
+        for a in list(saved):
+            if hasattr(spark, a):
+                delattr(spark, a)
+        spark.conf.set("spark.sql.shuffle.partitions", "200")
+        sess.tune_for_sf(spark, "/x/sf0.001")
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "8"
+        sess.tune_for_sf(spark, "/x/sf1")
+        assert int(spark.conf.get("spark.sql.shuffle.partitions")) > 8, (
+            "self-set small-sf value ratcheted a larger sf down"
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved_conf)
+        for a, v in saved.items():
+            if v is None:
+                if hasattr(spark, a):
+                    delattr(spark, a)
+            else:
+                setattr(spark, a, v)
