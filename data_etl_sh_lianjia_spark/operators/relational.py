@@ -32,6 +32,7 @@ from data_etl_sh_lianjia_spark.functions.deterministic import (
 )
 from data_etl_sh_lianjia_spark.plans.registry import register
 from data_etl_sh_lianjia_spark.session import (
+    aggproj_coarse_view,
     aggproj_view,
     colstats_view,
     joinproj_view,
@@ -621,6 +622,18 @@ FROM {ap}
 GROUP BY event_type
 """
 
+# Coarse-rollup-served form: the event_type-grain projection carries the
+# already-merged partials (exact: integer re-SUM is associative), so the
+# serving query is a pure scan of #event-types rows — no GROUP BY, no
+# exchange, one stage.
+_JSON_EVENTS_COARSE_SQL = """
+SELECT event_type,
+       cnt AS n,
+       CAST(s_k AS BIGINT) AS sum_k,
+       CAST(s_value AS DOUBLE) / 10000.0D AS sum_value
+FROM {ap}
+"""
+
 
 @register(
     "json_events",
@@ -631,6 +644,9 @@ GROUP BY event_type
 )
 def json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
+    ap2 = aggproj_coarse_view(spark, sf_dir, "events")
+    if ap2 is not None:
+        return spark.sql(_JSON_EVENTS_COARSE_SQL.format(ap=ap2))
     ap = aggproj_view(spark, sf_dir, "events")
     if ap is None:
         return spark.sql(_JSON_EVENTS_FULL_SQL)

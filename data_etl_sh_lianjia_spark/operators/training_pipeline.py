@@ -714,3 +714,48 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "floor(CAST(cum AS DOUBLE) * 1000000.0 / total + 0.5) / 1000000"
         ).alias("coverage"),
     )
+
+
+# Per-source document cap: at most K docs kept per source, by a
+# deterministic priority. The standard anti-domination pass of crawl
+# curation (per-domain quotas in CCNet/Gopher-style pipelines): without
+# it, one boilerplate-heavy domain can swamp a mixture bucket.
+_SOURCE_CAP_K = 3
+
+
+@register(
+    "source_cap",
+    oracle=f"""
+SELECT doc_id, source, n_chars, CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (
+           PARTITION BY source ORDER BY n_chars DESC, doc_id
+         ) AS rnk
+  FROM documents
+)
+WHERE rnk <= {_SOURCE_CAP_K}
+""",
+    survey_ref="L6,W4",
+    doc=f"per-source document cap: keep top-{_SOURCE_CAP_K} docs per source by length",
+)
+def source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep at most K documents per source, ranked by a deterministic
+    priority (n_chars DESC, doc_id) — per-domain caps, the anti-domination
+    step of corpus assembly.
+
+    Scale shape: one shuffle on the source key, and Spark plans the rank
+    filter as WindowGroupLimit — each map task keeps only its local top-K
+    per source before the exchange, so shuffle volume is bounded by
+    K x #sources per task, not the corpus. Priority is a total order
+    (doc_id tiebreak), so the kept set is engine-independent."""
+    from pyspark.sql.window import Window
+
+    docs = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), "doc_id")
+    return (
+        docs.select("doc_id", "source", "n_chars")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _SOURCE_CAP_K)
+        .select("doc_id", "source", "n_chars", F.col("rnk").cast("bigint"))
+    )

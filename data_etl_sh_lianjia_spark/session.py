@@ -280,6 +280,13 @@ _AGG_PROJECTIONS = {
     # scaled-long value sums make every measure SUM-mergeable. reader=
     # "events" routes the build through read_events so both managed
     # storage forms (nanos-as-long and ts_ns+NTZ) normalize identically.
+    # The ``coarse`` sub-spec derives a second, coarser rollup FROM the
+    # fine one (re-SUM over its rows — associativity makes it exact):
+    # event_type alone is #event-types rows at any volume, so the
+    # json_events shape reads it as a pure bounded scan with no exchange
+    # at all. This is the multi-projection pattern (ClickHouse lets a
+    # table declare several projections; the optimizer picks the one
+    # matching the query's grouping) at maintenance cost O(fine rollup).
     "events": {
         "reader": "events",
         "keys": ("event_type", "ts_day"),
@@ -290,6 +297,36 @@ _AGG_PROJECTIONS = {
             "s_value": "SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT))",
             "n_value": "COUNT(value)",
         },
+        "coarse": {"suffix": "bytype", "keys": ("event_type",)},
+    },
+}
+
+
+# Ingest-maintained VECTOR projections (the index artifacts a vector store
+# keeps next to its collection): each is a BOUNDED result relation — the
+# global top-64 cosine pairs (a materialized similarity join; any serving
+# LIMIT <= 64 reads a strict prefix) and the per-query top-5 k-NN graph of
+# the mod-100 query subset (queries x 5 rows). Both are built AT INGEST by
+# the exact kernels the full-scan queries run (operators/similarity.py
+# VECTOR_PROJECTION_BUILDERS), so a projection-served result is
+# bit-identical by construction, and both carry the source table's
+# fingerprint in their marker — _projection_view refuses to serve them the
+# moment the collection changes, and the serving queries fall back to the
+# full kernel (the driver correctness gate runs on raw files and always
+# exercises that path). Maintenance posture at 100 TB: an append batch
+# must score batch x collection (pairs) / batch x queries (k-NN) — the
+# same work the query-time kernel pays, moved to ingest where it amortizes
+# across every read; any non-append change rebuilds (fingerprint miss).
+_VECTOR_PROJECTIONS = {
+    "cospairs": {
+        "table": "embeddings",
+        "builder": "cosine_pairs",
+        "artifact": "embeddings.cospairs.vecproj.parquet",
+    },
+    "knn_mod100": {
+        "table": "embeddings",
+        "builder": "knn_mod100",
+        "artifact": "embeddings.knn_mod100.vecproj.parquet",
     },
 }
 
@@ -506,6 +543,38 @@ def _build_aggproj(
     # write(tmp) materializes the merge BEFORE _publish_dir swaps merge_with
     _publish_dir(
         ap_dst, fingerprint, meta,
+        lambda tmp: built.coalesce(1).write.mode("overwrite").parquet(tmp),
+    )
+
+
+def _coarse_dst(out_dir: str, name: str, spec: dict) -> str:
+    return os.path.join(
+        out_dir, f"{name}.aggproj.{spec['coarse']['suffix']}.parquet"
+    )
+
+
+def _build_coarse_aggproj(
+    spark: SparkSession,
+    spec: dict,
+    ap_dst: str,
+    coarse_dst: str,
+    fingerprint: str,
+    meta: dict | None,
+) -> None:
+    """Derive the coarse rollup FROM the fine aggregate projection: re-SUM
+    the fine rows over the coarse keys — exact for SUM-mergeable measures
+    by associativity, and O(fine rollup) work per (re)build, never a fact
+    scan. Rebuilt whenever the fine projection is (the fine build/merge is
+    the expensive step; this one reads its output)."""
+    c = spec["coarse"]
+    keys = ", ".join(c["keys"])
+    sums = ", ".join(f"SUM({m}) AS {m}" for m in spec["measures"])
+    spark.read.parquet(ap_dst).createOrReplaceTempView("_lj_aggproj_fine")
+    built = spark.sql(
+        f"SELECT {keys}, {sums} FROM _lj_aggproj_fine GROUP BY {keys}"
+    )
+    _publish_dir(
+        coarse_dst, fingerprint, meta,
         lambda tmp: built.coalesce(1).write.mode("overwrite").parquet(tmp),
     )
 
@@ -727,6 +796,23 @@ def aggproj_view(spark: SparkSession, sf_dir: str, name: str) -> str | None:
     """
     return _projection_view(
         spark, sf_dir, f"{name}.aggproj.parquet", f"lj_{name}_aggproj"
+    )
+
+
+def aggproj_coarse_view(
+    spark: SparkSession, sf_dir: str, name: str
+) -> str | None:
+    """The coarse sibling of :func:`aggproj_view` (see _AGG_PROJECTIONS
+    ``coarse``): a rollup at exactly the serving query's grouping, so the
+    query is a pure bounded scan with no exchange. None when the table
+    declares no coarse spec or the artifact isn't fingerprint-fresh."""
+    spec = _AGG_PROJECTIONS.get(name)
+    if not spec or "coarse" not in spec:
+        return None
+    suffix = spec["coarse"]["suffix"]
+    return _projection_view(
+        spark, sf_dir, f"{name}.aggproj.{suffix}.parquet",
+        f"lj_{name}_aggproj_{suffix}",
     )
 
 
@@ -1107,8 +1193,17 @@ def ingest_tables(
             _marker_fresh(os.path.join(kd_dst, "_SUCCESS"), fingerprint)
             and _marker_fresh(os.path.join(cs_dst, "_SUCCESS"), fingerprint)
         )
-        ap_fresh = not ap_spec or _marker_fresh(
-            os.path.join(ap_dst, "_SUCCESS"), fingerprint
+        ap2_dst = (
+            _coarse_dst(out_dir, name, ap_spec)
+            if ap_spec and "coarse" in ap_spec
+            else ""
+        )
+        ap_fresh = not ap_spec or (
+            _marker_fresh(os.path.join(ap_dst, "_SUCCESS"), fingerprint)
+            and (
+                not ap2_dst
+                or _marker_fresh(os.path.join(ap2_dst, "_SUCCESS"), fingerprint)
+            )
         )
         tp_fresh = not tp_spec or _marker_fresh(
             os.path.join(tp_dst, "_SUCCESS"), fingerprint
@@ -1159,6 +1254,10 @@ def ingest_tables(
                         _build_aggproj(
                             spark, ap_spec, [dst], ap_dst, fingerprint, meta
                         )
+                    if ap2_dst:
+                        _build_coarse_aggproj(
+                            spark, ap_spec, ap_dst, ap2_dst, fingerprint, meta
+                        )
                 if tp_spec:
                     if _lockstep(tp_dst):
                         _build_topkproj(
@@ -1206,6 +1305,10 @@ def ingest_tables(
             build(*args) if local else build(spark, *args)
         if ap_spec and (not ap_fresh or not table_fresh):
             _build_aggproj(spark, ap_spec, [dst], ap_dst, fingerprint, meta)
+            if ap2_dst:
+                _build_coarse_aggproj(
+                    spark, ap_spec, ap_dst, ap2_dst, fingerprint, meta
+                )
         if tp_spec and (not tp_fresh or not table_fresh):
             _build_topkproj(spark, tp_spec, [dst], tp_dst, fingerprint, meta)
     # Materialized star rollups (see _JOIN_PROJECTIONS): rebuilt when any
@@ -1253,6 +1356,37 @@ def ingest_tables(
             _build_joinproj(spark, spec, src_paths, jp_dst, jp_fp, jp_meta)
     # rollups maintained incrementally (vs fully rebuilt) by THIS call
     spark._lianjia_joinproj_ivm = jp_ivm
+    # Vector projections (see _VECTOR_PROJECTIONS): bounded index artifacts
+    # built by the serving kernels themselves over the managed copy.
+    for _vp_name, vp_spec in _VECTOR_PROJECTIONS.items():
+        t = vp_spec["table"]
+        if t not in tbl_state:
+            continue
+        vp_fp = tbl_state[t]["fp"] + ":vp1"
+        vp_dst = os.path.join(out_dir, vp_spec["artifact"])
+        if _marker_fresh(os.path.join(vp_dst, "_SUCCESS"), vp_fp):
+            continue
+        from data_etl_sh_lianjia_spark.operators.similarity import (
+            VECTOR_PROJECTION_BUILDERS,
+        )
+
+        src_df = spark.read.parquet(os.path.join(out_dir, f"{t}.parquet"))
+        built = VECTOR_PROJECTION_BUILDERS[vp_spec["builder"]](
+            spark, src_df, f"vpbuild|{vp_fp}"
+        )
+        _publish_dir(
+            vp_dst, vp_fp, {"components": {t: tbl_state[t]["fp"]}},
+            lambda tmp, _b=built: _b.coalesce(1)
+            .write.mode("overwrite")
+            .parquet(tmp),
+        )
+        # drop the build-scoped broadcast tiles: the artifact is published,
+        # queries read it (or rebuild their own session-keyed index)
+        vcache = getattr(spark, "_lianjia_vec_index", None) or {}
+        for k in [k for k in vcache if k.startswith("vpbuild|")]:
+            stale = vcache.pop(k)
+            if hasattr(stale, "unpersist"):
+                stale.unpersist()
     redirect = getattr(spark, "_lianjia_ingest_map", None) or {}
     redirect[os.path.normpath(sf_dir)] = out_dir
     spark._lianjia_ingest_map = redirect

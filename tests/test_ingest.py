@@ -772,3 +772,72 @@ def test_tune_for_sf_caller_cap_survives_dir_switches(spark):
                     delattr(spark, a)
             else:
                 setattr(spark, a, v)
+
+def test_vector_projections_serve_and_match(
+    spark, tmp_path, monkeypatch, restore_catalog
+):
+    """The ingest-maintained vector projections (top-64 cosine pairs, mod-100
+    k-NN graph) must serve cosine_topk / ann_brute_topk bit-identically to
+    the full kernels, without any Python stage in the served plan; a stale
+    table marker must force the fallback (fingerprint lockstep)."""
+    import shutil
+
+    sf = tmp_path / "sfvec"
+    sf.mkdir()
+    shutil.copy("/root/testdata/sf0.001/embeddings.parquet",
+                str(sf / "embeddings.parquet"))
+    names = ("cosine_topk", "ann_brute_topk")
+    raw = {n: _run(spark, str(sf), n) for n in names}
+
+    monkeypatch.setattr(sess, "INGEST_ROOT", str(tmp_path / "ingest"))
+    out = sess.ingest_tables(spark, str(sf))
+    for n, art in zip(names, ("cospairs", "knn_mod100")):
+        df = all_queries()[n].spark_fn(spark, str(sf))
+        qe = df._jdf.queryExecution()
+        assert art in qe.toString(), f"{n} did not take the projection path"
+        plan = qe.executedPlan().toString()
+        assert "MapInPandas" not in plan, f"{n} served plan still runs Python"
+        got = canon_rows([tuple(r) for r in df.collect()], df.columns)
+        assert got == raw[n], f"projection-served {n} diverges from kernel"
+
+    # stale table marker (table rebuilt elsewhere, projection trailing):
+    # serving must fall back to the full kernel and stay correct
+    marker = os.path.join(out, "embeddings.parquet", "_SUCCESS")
+    with open(marker) as fh:
+        saved = fh.read()
+    with open(marker, "w") as fh:
+        fh.write("0:0:stale")
+    spark._lianjia_keydict_views = {}
+    df = all_queries()["cosine_topk"].spark_fn(spark, str(sf))
+    qe = df._jdf.queryExecution()
+    assert "cospairs" not in qe.toString()
+    assert "MapInPandas" in qe.executedPlan().toString()
+    got = canon_rows([tuple(r) for r in df.collect()], df.columns)
+    assert got == raw["cosine_topk"]
+    with open(marker, "w") as fh:
+        fh.write(saved)
+
+
+def test_coarse_events_rollup_serves_json_events(
+    spark, tmp_path, monkeypatch, restore_catalog
+):
+    """The event_type-grain coarse rollup (derived from the fine aggproj by
+    exact re-SUM) must serve json_events as a pure scan — no exchange, no
+    aggregate in the served plan — and stay bit-identical to the full scan."""
+    import shutil
+
+    sf = tmp_path / "sfcoarse"
+    sf.mkdir()
+    shutil.copy("/root/testdata/sf0.001/events.parquet", str(sf / "events.parquet"))
+    raw = _run(spark, str(sf), "json_events")
+
+    monkeypatch.setattr(sess, "INGEST_ROOT", str(tmp_path / "ingest"))
+    sess.ingest_tables(spark, str(sf))
+    df = all_queries()["json_events"].spark_fn(spark, str(sf))
+    qe = df._jdf.queryExecution()
+    assert "bytype" in qe.toString(), "json_events did not take the coarse rollup"
+    plan = qe.executedPlan().toString()
+    assert "Exchange" not in plan, "coarse-served plan still shuffles"
+    assert "HashAggregate" not in plan, "coarse-served plan still aggregates"
+    got = canon_rows([tuple(r) for r in df.collect()], df.columns)
+    assert got == raw, "coarse-rollup-served json_events diverges from full scan"
