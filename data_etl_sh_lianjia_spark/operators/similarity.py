@@ -180,7 +180,7 @@ LIMIT 10
 def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Served from the ingest-maintained pair projection when fresh (a
     bounded 64-row artifact — the materialized similarity join every vector
-    store keeps next to its collection; session._VECTOR_PROJECTIONS), else
+    store keeps next to its collection; session._RESULT_PROJECTIONS), else
     the full tiled kernel. The projection is built by THIS kernel at ingest,
     so the served result is bit-identical; the driver correctness gate runs
     on raw files and always exercises the full-scan path."""
@@ -491,7 +491,7 @@ def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Served from the ingest-maintained k-NN graph projection when fresh (a
     queries×5-row artifact — the precomputed neighbor graph vector stores
-    maintain alongside the collection; session._VECTOR_PROJECTIONS), built
+    maintain alongside the collection; session._RESULT_PROJECTIONS), built
     by this same kernel at ingest so the served rows are bit-identical.
     The driver gate runs on raw files and always exercises the full scan."""
     from data_etl_sh_lianjia_spark.session import _projection_view
@@ -544,13 +544,13 @@ def _knn_mod100(spark: SparkSession, emb: DataFrame, key: str) -> DataFrame:
     )
 
 
-# Ingest-time vector projection builders (session._VECTOR_PROJECTIONS
+# Ingest-time vector projection builders (session._RESULT_PROJECTIONS
 # dispatches here): each returns the exact bounded artifact its serving
 # query reads — built by the SAME kernel the full-scan path runs, so
 # projection-served results are bit-identical by construction. The pair
 # projection stores top-64 (a strict prefix of the serving order, so any
 # LIMIT <= 64 is exact); the k-NN graph stores the full per-query top-5.
-VECTOR_PROJECTION_BUILDERS = {
+PROJECTION_BUILDERS = {
     "cosine_pairs": lambda spark, emb, key: _cosine_pairs_topk(
         spark, emb, key, limit=64
     ),

@@ -841,3 +841,42 @@ def test_coarse_events_rollup_serves_json_events(
     assert "HashAggregate" not in plan, "coarse-served plan still aggregates"
     got = canon_rows([tuple(r) for r in df.collect()], df.columns)
     assert got == raw, "coarse-rollup-served json_events diverges from full scan"
+
+def test_sessions_projection_serves_sessionize(
+    spark, tmp_path, monkeypatch, restore_catalog
+):
+    """The materialized sessions table (built at ingest by the sessionize
+    SQL itself) must serve sessionize as a plain scan, bit-identical to the
+    full window plan, and fall back when the events table moves on."""
+    import shutil
+
+    sf = tmp_path / "sfsess"
+    sf.mkdir()
+    shutil.copy("/root/testdata/sf0.001/events.parquet", str(sf / "events.parquet"))
+    raw = _run(spark, str(sf), "sessionize")
+
+    monkeypatch.setattr(sess, "INGEST_ROOT", str(tmp_path / "ingest"))
+    out = sess.ingest_tables(spark, str(sf))
+    df = all_queries()["sessionize"].spark_fn(spark, str(sf))
+    qe = df._jdf.queryExecution()
+    assert "lj_events_sessions" in qe.toString(), (
+        "sessionize did not take the sessions projection"
+    )
+    plan = qe.executedPlan().toString()
+    assert "Window" not in plan and "Exchange" not in plan
+    got = canon_rows([tuple(r) for r in df.collect()], df.columns)
+    assert got == raw, "projection-served sessionize diverges from full plan"
+
+    # table moved on, projection trailing -> fallback, still correct
+    marker = os.path.join(out, "events.parquet", "_SUCCESS")
+    with open(marker) as fh:
+        saved = fh.read()
+    with open(marker, "w") as fh:
+        fh.write("0:0:stale")
+    spark._lianjia_keydict_views = {}
+    df = all_queries()["sessionize"].spark_fn(spark, str(sf))
+    assert "lj_events_sessions" not in df._jdf.queryExecution().toString()
+    got = canon_rows([tuple(r) for r in df.collect()], df.columns)
+    assert got == raw
+    with open(marker, "w") as fh:
+        fh.write(saved)
