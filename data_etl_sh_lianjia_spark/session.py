@@ -345,6 +345,11 @@ _RESULT_PROJECTIONS = {
         "builder": "sessions",
         "artifact": "events.sessions.resultproj.parquet",
         "reader": "events",
+        # O(sessions) rows — unlike the bounded vector artifacts, this one
+        # must stay scan-parallel: write as many parts as the source table
+        # (single_file=False), or a 100x-replica serve pays a one-task scan
+        # (measured 42.7 s vs 18.7 s full plan before this flag existed).
+        "single_file": False,
     },
 }
 
@@ -1380,7 +1385,7 @@ def ingest_tables(
         t = vp_spec["table"]
         if t not in tbl_state:
             continue
-        vp_fp = tbl_state[t]["fp"] + ":vp1"
+        vp_fp = tbl_state[t]["fp"] + ":vp2"  # vp2: sessions multi-part layout
         vp_dst = os.path.join(out_dir, vp_spec["artifact"])
         if _marker_fresh(os.path.join(vp_dst, "_SUCCESS"), vp_fp):
             continue
@@ -1394,11 +1399,24 @@ def ingest_tables(
             else spark.read.parquet(managed)
         )
         built = builders[vp_spec["builder"]](spark, src_df, f"vpbuild|{vp_fp}")
+        if vp_spec.get("single_file", True):
+            built = built.coalesce(1)
+        else:
+            # match the source table's scan parallelism: one artifact part
+            # per source part (coalesce merges the build's shuffle output;
+            # it never adds a shuffle)
+            n_parts = max(
+                1,
+                sum(
+                    1
+                    for f in os.listdir(managed)
+                    if f.endswith(".parquet")
+                ),
+            )
+            built = built.coalesce(n_parts)
         _publish_dir(
             vp_dst, vp_fp, {"components": {t: tbl_state[t]["fp"]}},
-            lambda tmp, _b=built: _b.coalesce(1)
-            .write.mode("overwrite")
-            .parquet(tmp),
+            lambda tmp, _b=built: _b.write.mode("overwrite").parquet(tmp),
         )
         # drop the build-scoped broadcast tiles: the artifact is published,
         # queries read it (or rebuild their own session-keyed index)
