@@ -768,6 +768,37 @@ def _build_sessions(spark: SparkSession, ev: DataFrame, key: str) -> DataFrame:
 PROJECTION_BUILDERS = {"sessions": _build_sessions}
 
 
+def _merge_sessions(
+    spark: SparkSession,
+    ev_full: DataFrame,
+    old_df: DataFrame,
+    delta_df: DataFrame,
+    key: str,
+) -> DataFrame:
+    """Append-path maintenance of the materialized sessions table: new
+    events can extend, split-join, or create sessions ONLY for users
+    present in the batch (sessionization is per-user; other users' event
+    sets are untouched), so the merge keeps every other user's rows as-is
+    and re-sessionizes exactly the affected users from their full event
+    history — O(sessions scan + affected users' events), never a full
+    re-window of the corpus. The affected-user set broadcasts (bounded by
+    the batch), and the recompute is the serving SQL itself, so
+    merge == rebuild bit-for-bit (pinned by
+    test_sessions_projection_merges_on_append). At 100 TB the artifact
+    would additionally be bucketed by user so the kept rows rewrite only
+    affected buckets — a layout refinement, not a semantics change."""
+    users = delta_df.select("user_id").distinct()
+    kept = old_df.join(F.broadcast(users), "user_id", "left_anti")
+    ev_full.join(F.broadcast(users), "user_id", "left_semi").createOrReplaceTempView(
+        "_rp_events_affected"
+    )
+    redone = spark.sql(_SESSIONIZE_SQL.format(src="_rp_events_affected"))
+    return kept.unionByName(redone)
+
+
+PROJECTION_MERGERS = {"sessions": _merge_sessions}
+
+
 @register(
     "sessionize_df",
     oracle=_SESSIONIZE_ORACLE,

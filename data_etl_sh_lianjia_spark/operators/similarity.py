@@ -210,7 +210,9 @@ _TOPK_F32_CELL = 16_000_000
 _TOPK_CHUNK_ENTRIES = 32_000_000
 
 
-def _topk_tile_scan(emb: DataFrame, bc, keep: int) -> DataFrame:
+def _topk_tile_scan(
+    emb: DataFrame, bc, keep: int, ordered_pairs: bool = True
+) -> DataFrame:
     """One candidate scan of the collection against one broadcast tile:
     per Arrow batch, one BLAS matmul + local top-``keep`` entries — any
     global top-10 pair ranks ≤ 10 within its (batch, tile) cell, so
@@ -282,7 +284,15 @@ def _topk_tile_scan(emb: DataFrame, bc, keep: int) -> DataFrame:
                     if use_f32
                     else sims[ai, bi]
                 )
-                valid = a_ids[ai] < b_ids_c[bi]
+                # ordered_pairs keeps the canonical a<b half (the build
+                # path); the append-merge scan needs BOTH orientations (a
+                # new vector may carry the smaller or the larger id), so it
+                # keeps every non-self pair and canonicalizes downstream
+                valid = (
+                    a_ids[ai] < b_ids_c[bi]
+                    if ordered_pairs
+                    else a_ids[ai] != b_ids_c[bi]
+                )
                 cand_ai.append(ai[valid])
                 cand_bi.append(c0 + bi[valid])
                 cand_vals.append(vals[valid])
@@ -556,6 +566,49 @@ PROJECTION_BUILDERS = {
     ),
     "knn_mod100": _knn_mod100,
 }
+
+
+def _merge_cosine_pairs(
+    spark: SparkSession,
+    emb_full: DataFrame,
+    old_df: DataFrame,
+    delta_df: DataFrame,
+    key: str,
+) -> DataFrame:
+    """Append-path maintenance of the pair projection, O(batch × collection)
+    instead of O(collection²): any pair in the post-append global top-64
+    either (a) contains no new vector — then it competed in the old top-64
+    and is in ``old_df`` (new pairs only ADD competition), or (b) involves
+    a new vector — then it appears in a scan of the FULL collection against
+    the broadcast BATCH. The scan keeps both orientations (a new vector may
+    carry the smaller or larger id; ``ordered_pairs=False``) and
+    canonicalizes to (lo, hi); new×new pairs appear once per orientation,
+    so per-cell keep doubles to 128 to still guarantee 64 distinct
+    survivors, and the exact duplicates (the dot product is bitwise
+    symmetric) collapse with ``dropDuplicates``. Final order/limit is the
+    build kernel's own, so merge == rebuild bit-for-bit (pinned by
+    test_pair_projection_merges_on_append)."""
+    from functools import reduce
+
+    ensure_package_shipped(spark)
+    tiles = _tiled_vector_index(spark, delta_df, key)
+    cand = reduce(
+        DataFrame.unionByName,
+        [_topk_tile_scan(emb_full, bc, 128, ordered_pairs=False) for bc in tiles],
+    )
+    cand = cand.select(
+        F.least("vec_id_a", "vec_id_b").alias("vec_id_a"),
+        F.greatest("vec_id_a", "vec_id_b").alias("vec_id_b"),
+        F.round("sim", 4).alias("sim"),
+    ).dropDuplicates(["vec_id_a", "vec_id_b"])
+    return (
+        old_df.unionByName(cand)
+        .orderBy(F.desc("sim"), "vec_id_a", "vec_id_b")
+        .limit(64)
+    )
+
+
+PROJECTION_MERGERS = {"cosine_pairs": _merge_cosine_pairs}
 
 
 # ---------------------------------------------------------------------------

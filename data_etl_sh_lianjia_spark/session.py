@@ -1381,6 +1381,13 @@ def ingest_tables(
     spark._lianjia_joinproj_ivm = jp_ivm
     # Result projections (see _RESULT_PROJECTIONS): materialized relations
     # built by the serving kernels/SQL themselves over the managed copy.
+    # On the append-only delta path, artifacts whose module declares a
+    # merger update incrementally (pairs: O(batch × collection) scan;
+    # sessions: re-sessionize only affected users) — requires the old
+    # artifact to be in fingerprint lockstep with the PRE-append table
+    # state, else a crash between a previous append and its merge would
+    # compound; out-of-lockstep artifacts rebuild in full.
+    vp_merged = 0
     for _vp_name, vp_spec in _RESULT_PROJECTIONS.items():
         t = vp_spec["table"]
         if t not in tbl_state:
@@ -1391,14 +1398,39 @@ def ingest_tables(
             continue
         import importlib
 
-        builders = importlib.import_module(vp_spec["module"]).PROJECTION_BUILDERS
+        mod = importlib.import_module(vp_spec["module"])
+        builders = mod.PROJECTION_BUILDERS
+        merge_fn = getattr(mod, "PROJECTION_MERGERS", {}).get(vp_spec["builder"])
         managed = os.path.join(out_dir, f"{t}.parquet")
         src_df = (
             read_events(spark, managed)
             if vp_spec.get("reader") == "events"
             else spark.read.parquet(managed)
         )
-        built = builders[vp_spec["builder"]](spark, src_df, f"vpbuild|{vp_fp}")
+        delta = tbl_state[t].get("delta")
+        prev_fp = tbl_state[t].get("prev_fp")
+        old_fp, _vm = _read_marker(os.path.join(vp_dst, "_SUCCESS"))
+        if delta and merge_fn and prev_fp and old_fp == prev_fp + ":vp2":
+            from functools import reduce
+
+            delta_paths = [os.path.join(tbl_state[t]["src"], f) for f in delta]
+            delta_df = (
+                reduce(
+                    lambda a, b: a.unionByName(b),
+                    [read_events(spark, p) for p in delta_paths],
+                )
+                if vp_spec.get("reader") == "events"
+                else spark.read.parquet(*delta_paths)
+            )
+            built = merge_fn(
+                spark, src_df, spark.read.parquet(vp_dst), delta_df,
+                f"vpbuild|{vp_fp}",
+            )
+            vp_merged += 1
+        else:
+            built = builders[vp_spec["builder"]](
+                spark, src_df, f"vpbuild|{vp_fp}"
+            )
         if vp_spec.get("single_file", True):
             built = built.coalesce(1)
         else:
@@ -1435,6 +1467,8 @@ def ingest_tables(
     # Tables served by the append-only delta path this call (new source
     # part files ingested + keydict merged, history untouched).
     spark._lianjia_ingest_appended = appended
+    # Result projections maintained incrementally (vs rebuilt) by THIS call.
+    spark._lianjia_resultproj_merged = vp_merged
     # Invalidate memoized DataFrames/views built over the raw paths.
     spark._lianjia_table_cache = {}
     spark._lianjia_views_dir = None

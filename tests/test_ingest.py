@@ -880,3 +880,69 @@ def test_sessions_projection_serves_sessionize(
     assert got == raw
     with open(marker, "w") as fh:
         fh.write(saved)
+
+def test_sessions_projection_merges_on_append(
+    spark, tmp_path, monkeypatch, restore_catalog
+):
+    """Appending event part files must MERGE the sessions artifact
+    (re-sessionize only affected users, keep the rest) and stay
+    bit-identical to a from-scratch sessionize over the full table."""
+    import pyarrow.parquet as pq
+
+    full = pq.read_table("/root/testdata/sf0.001/events.parquet")
+    half = full.num_rows // 2
+    sf = tmp_path / "sfsessm"
+    (sf / "events.parquet").mkdir(parents=True)
+    pq.write_table(full.slice(0, half), str(sf / "events.parquet" / "b0.parquet"))
+    monkeypatch.setattr(sess, "INGEST_ROOT", str(tmp_path / "ingest"))
+    sess.ingest_tables(spark, str(sf))
+    assert spark._lianjia_resultproj_merged == 0
+
+    pq.write_table(full.slice(half), str(sf / "events.parquet" / "b1.parquet"))
+    sess.ingest_tables(spark, str(sf))
+    assert spark._lianjia_ingest_appended == 1
+    assert spark._lianjia_resultproj_merged == 1, (
+        "sessions artifact rebuilt instead of merging on the append path"
+    )
+    df = all_queries()["sessionize"].spark_fn(spark, str(sf))
+    assert "lj_events_sessions" in df._jdf.queryExecution().toString()
+    got = canon_rows([tuple(r) for r in df.collect()], df.columns)
+    want_df = all_queries()["sessionize_df"].spark_fn(spark, str(sf))
+    want = canon_rows(
+        [tuple(r) for r in want_df.collect()], want_df.columns
+    )
+    assert got == want, "merged sessions artifact diverges from full rebuild"
+
+
+def test_pair_projection_merges_on_append(
+    spark, tmp_path, monkeypatch, restore_catalog
+):
+    """Appending embedding part files must MERGE the pair projection
+    (scan full collection against the broadcast batch, union with the old
+    top-64, re-take 64) and serve cosine_topk bit-identically to the full
+    kernel over the appended table."""
+    import pyarrow.parquet as pq
+
+    full = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    half = full.num_rows // 2
+    sf = tmp_path / "sfpairm"
+    (sf / "embeddings.parquet").mkdir(parents=True)
+    pq.write_table(full.slice(0, half), str(sf / "embeddings.parquet" / "b0.parquet"))
+    monkeypatch.setattr(sess, "INGEST_ROOT", str(tmp_path / "ingest"))
+    sess.ingest_tables(spark, str(sf))
+
+    pq.write_table(full.slice(half), str(sf / "embeddings.parquet" / "b1.parquet"))
+    sess.ingest_tables(spark, str(sf))
+    assert spark._lianjia_ingest_appended == 1
+    assert spark._lianjia_resultproj_merged >= 1, (
+        "pair artifact rebuilt instead of merging on the append path"
+    )
+    df = all_queries()["cosine_topk"].spark_fn(spark, str(sf))
+    assert "cospairs" in df._jdf.queryExecution().toString()
+    got = canon_rows([tuple(r) for r in df.collect()], df.columns)
+    # ground truth: the full kernel over the appended table (raw dir form)
+    from data_etl_sh_lianjia_spark.operators.similarity import _cosine_topk_impl
+
+    want_df = _cosine_topk_impl(spark, str(sf))
+    want = canon_rows([tuple(r) for r in want_df.collect()], want_df.columns)
+    assert got == want, "merged pair artifact diverges from the full kernel"
