@@ -612,6 +612,133 @@ PROJECTION_MERGERS = {"cosine_pairs": _merge_cosine_pairs}
 
 
 # ---------------------------------------------------------------------------
+# Embedding-quality evaluation (SURVEY.md §2.9 L3/L6 extensions)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_norm_qa",
+    oracle="""
+SELECT label,
+       COUNT(*) AS n,
+       CAST(SUM(CASE WHEN nrm < 0.000001 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_degenerate,
+       floor(MIN(nrm) * 1000000 + 0.5) / 1000000 AS min_norm,
+       floor(MAX(nrm) * 1000000 + 0.5) / 1000000 AS max_norm
+FROM (
+  SELECT label,
+         sqrt(list_aggregate(
+           list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum'
+         )) AS nrm
+  FROM embeddings
+)
+GROUP BY label
+""",
+    survey_ref="L3,L6,F13",
+    doc="vector-QA gate: per-label embedding-norm stats + degenerate-vector counts",
+)
+def embedding_norm_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-QA gate every embedding pipeline runs before indexing:
+    per-label vector counts, degenerate (near-zero-norm) vectors — which
+    poison cosine similarity — and norm min/max (a collapsed or exploded
+    norm range flags a broken encoder checkpoint).
+
+    Scale shape: the norm is a row-local fold inside the scan (JVM
+    higher-order functions, no Python) and the aggregate carries only
+    MIN/MAX/COUNT — order-independent, so exact cross-engine; one
+    #labels-row shuffle. Both engines fold the 64-dim array sequentially
+    in index order, so even the pre-quantization doubles agree bitwise."""
+    emb = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+    nrm = F.expr(
+        "sqrt(aggregate(embedding, 0D,"
+        " (p, x) -> p + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    )
+    return (
+        emb.select("label", nrm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("nrm") < 1e-6, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_degenerate"),
+            F.expr("floor(MIN(nrm) * 1000000 + 0.5) / 1000000").alias("min_norm"),
+            F.expr("floor(MAX(nrm) * 1000000 + 0.5) / 1000000").alias("max_norm"),
+        )
+    )
+
+
+@register(
+    "knn_label_agreement",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+), q AS (
+  SELECT vec_id AS q_id, vec AS q_vec FROM v WHERE vec_id % 100 = 0
+), scored AS (
+  SELECT q_id, vec_id AS neighbor_id,
+         round(list_cosine_similarity(q_vec, vec), 4) AS sim
+  FROM q JOIN v ON q_id <> vec_id
+), knn AS (
+  SELECT q_id, neighbor_id
+  FROM scored
+  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) <= 5
+)
+SELECT ql.label,
+       COUNT(*) AS n_pairs,
+       CAST(SUM(CASE WHEN ql.label = nl.label THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_same,
+       floor(SUM(CASE WHEN ql.label = nl.label THEN 1.0 ELSE 0 END)
+             * 1000000 / COUNT(*) + 0.5) / 1000000 AS agreement
+FROM knn
+JOIN v ql ON knn.q_id = ql.vec_id
+JOIN v nl ON knn.neighbor_id = nl.vec_id
+GROUP BY ql.label
+""",
+    survey_ref="L3,J1,A3",
+    doc="kNN label-agreement probe: do exact top-5 neighbors share the query's label",
+)
+def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standard kNN probe for embedding quality: for every query
+    vector, what fraction of its exact top-5 neighbors carries the same
+    label — aggregated per label. High agreement = the embedding space
+    separates the classes; a drop after re-embedding flags a regression.
+
+    Composition story: the neighbor set IS ann_brute_topk's result, so
+    when this session ingested the dir the probe reads the maintained
+    k-NN graph artifact (~queries×5 rows) and the whole query is two
+    broadcast label joins + a #labels-row aggregate — the downstream-eval
+    pattern a maintained index exists for. On raw dirs it runs the full
+    exact-kNN kernel first (the driver gate path)."""
+    knn = ann_brute_topk(spark, sf_dir)
+    emb = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+    labels = emb.select("vec_id", "label")
+    joined = (
+        knn.join(
+            F.broadcast(labels.withColumnRenamed("label", "q_label")),
+            knn.q_id == labels.vec_id,
+        )
+        .drop("vec_id")
+        .join(
+            F.broadcast(labels.withColumnRenamed("label", "n_label")),
+            knn.neighbor_id == labels.vec_id,
+        )
+    )
+    same = F.when(F.col("q_label") == F.col("n_label"), 1).otherwise(0)
+    return (
+        joined.select(F.col("q_label").alias("label"), same.alias("same"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("same").cast("bigint").alias("n_same"),
+            F.expr(
+                "floor(SUM(CAST(same AS DOUBLE)) * 1000000 / COUNT(*) + 0.5)"
+                " / 1000000"
+            ).alias("agreement"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Approximate ANN — the 100 TB serving path (SURVEY.md §2.9 L3 "scale path")
 # ---------------------------------------------------------------------------
 
