@@ -201,7 +201,7 @@ register(
     doc="TPC-H Q3 shape: 3-way join, agg, deterministic top-10 by revenue",
 )(
     _sql_query(f"""
-SELECT /*+ SHUFFLE_HASH(o), BROADCAST(c) */ l_orderkey,
+SELECT l_orderkey,
        {spark_dsum('l_extendedprice * (1 - l_discount)', 'revenue')},
        CAST(o_orderdate AS DATE) AS orderdate,
        o_orderpriority
@@ -285,9 +285,13 @@ GROUP BY n_name
 # the supplier->nation->region chain ONCE per session moves that join
 # out of the query path: 2 broadcast builds/run instead of 5, ~13%
 # faster (tools/ab_q5_flatdim.py), identical values.
+# No join hints: below get_spark's 64 MB broadcast threshold the optimizer
+# broadcasts customer and the flattened supplier chain by SIZE (the same
+# plan the old BROADCAST(c)/BROADCAST(s) hints forced at bench scale);
+# beyond it — customer/supplier grow with SF — selection degrades to a
+# shuffle join instead of OOMing a forced build side.
 _Q5_FULL_SQL = f"""
-SELECT /*+ BROADCAST(c), BROADCAST(s) */
-       n_name,
+SELECT n_name,
        {spark_dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
 FROM lj_lineitem l
 JOIN lj_orders o   ON l_orderkey = o_orderkey

@@ -77,6 +77,17 @@ def get_spark(
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Size-based join selection end-to-end: below the broadcast
+        # threshold the optimizer broadcasts; beyond it, prefer the
+        # shuffled HASH join WHEN the build side qualifies for a local
+        # map (canBuildLocalHashMap: size < threshold × partitions, and
+        # 3× smaller than the stream side) — no sort of the streamed
+        # fact; Spark's spill-safe sort-merge stands everywhere else.
+        # This replaces per-query SHUFFLE_HASH hints: a hint pins one
+        # strategy at EVERY size, which either blocks a legitimate
+        # broadcast at small scale or forces an OOM at large — the conf
+        # lets Catalyst pick per actual size.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.warehouse.dir", "/tmp/spark-graft-warehouse")
         # The driver testdata stores events.ts as parquet TIMESTAMP(NANOS),
         # which the vectorized reader rejects; reading nanos as BIGINT up
@@ -1720,6 +1731,17 @@ def _register_flattened_dims(
             if all(table_path(data_dir, b) in dim_pool for b in bases):
                 # every base fit the buffer pool -> the flattened join does too
                 df.persist()
+                # materialize NOW, not lazily: an unmaterialized cached join
+                # carries Catalyst's size-only estimate (bytes PRODUCT of the
+                # join inputs — wildly inflated), so star queries would plan
+                # sort-merge against a dimension-sized relation; once
+                # materialized the InMemoryRelation reports its real byte
+                # size and the 64 MB threshold picks broadcast on its own.
+                # This is the stats answer to what per-query BROADCAST hints
+                # used to force (and at 100x, where the flattened chain
+                # genuinely outgrows the threshold, the same stats honestly
+                # degrade the plan to a shuffle join instead of OOMing).
+                df.count()
                 cached.add(view)
             held = (dim_fp, df)
             pool[pkey] = held

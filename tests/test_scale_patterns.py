@@ -194,14 +194,28 @@ def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
 
 
 def test_q3_sql_path_join_strategies(spark, sf_dir):
-    """The SQL-text path must produce the scale-correct physical shape:
-    customer (dim) broadcasts, the orders fact side is a shuffled hash
-    join build (orders cannot broadcast at 100 TB), lineitem streams —
-    and no sort-merge fallback."""
+    """q3 carries NO join hints: selection is size-based end-to-end. At
+    test scale every side sits under the 64 MB broadcast threshold, so
+    the whole star broadcasts (the right plan at THIS size); emulating
+    the at-scale regime (threshold -1 = nothing broadcastable) must
+    degrade to a shuffle-partitioned join (hash when the build side
+    qualifies for a local map, Spark's spill-safe sort-merge otherwise;
+    both AQE-optimizable) and never a cartesian. A hint would instead
+    pin one strategy at every size — the old SHUFFLE_HASH(o) hint was
+    blocking a 2.7 MB orders side from broadcasting at bench scale."""
     plan = _plan(all_queries()["q3_join3"].spark_fn(spark, sf_dir))
-    assert plan.count("BroadcastHashJoin") >= 1
-    assert "ShuffledHashJoin" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _plan(all_queries()["q3_join3"].spark_fn(spark, sf_dir))
+        assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+        assert "BroadcastHashJoin" not in plan
+        assert "CartesianProduct" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
 def test_q21_exists_shapes_are_semi_and_anti(spark, sf_dir):
