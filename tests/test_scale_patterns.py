@@ -384,3 +384,15 @@ def test_gapfill_scans_events_once(spark, sf_dir):
     scans = plan.count("Scan parquet")
     assert scans == 0, f"expected no fact re-scan, plan has {scans}"
     assert "ExistingRDD" in plan
+
+
+def test_source_cap_pushes_window_group_limit(spark, sf_dir):
+    """The per-source document cap must plan with WindowGroupLimit pushed
+    below the exchange: each map task keeps only its local top-K per
+    source, so shuffle volume is bounded by K x #sources per task, not
+    the corpus."""
+    plan = _plan(all_queries()["source_cap"].spark_fn(spark, sf_dir))
+    assert "WindowGroupLimit" in plan, f"no WindowGroupLimit pushdown:\n{plan}"
+    assert plan.count("WindowGroupLimit") >= 2, (
+        "WindowGroupLimit not pushed to the map side (partial+final expected)"
+    )
