@@ -516,18 +516,17 @@ def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _knn_mod100(spark, emb, _index_key(spark, sf_dir, "mod100"))
 
 
-def _knn_mod100(spark: SparkSession, emb: DataFrame, key: str) -> DataFrame:
-    """Shared exact-kNN kernel (query side = every 100th vector): used by
-    the ann_brute_topk query and the ingest-time k-NN graph projection
-    build — one kernel, bit-identical served rows by construction."""
-    ensure_package_shipped(spark)
-    q_df = emb.filter(F.col("vec_id") % 100 == 0)
-    bc = _vector_index(spark, q_df, key)
-    keep = 16  # per-query per-batch candidates: k=5 + rounding-margin
+def _knn_scan(stream: DataFrame, bc, keep: int = 16) -> DataFrame:
+    """One exact-kNN candidate scan: the broadcast QUERY matrix against
+    the streamed collection, one BLAS matmul per Arrow batch, local
+    top-``keep`` per query per batch (k=5 + rounding-margin). Shared by
+    the full build and the append-merge scans."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ids, mat = bc.value
         for pdf in batches:
+            if not len(ids):
+                continue
             n_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             a = np.stack(pdf["embedding"].map(lambda v: np.asarray(v, dtype=np.float64)))
             an = np.sqrt((a * a).sum(axis=1))
@@ -544,14 +543,31 @@ def _knn_mod100(spark: SparkSession, emb: DataFrame, key: str) -> DataFrame:
                 {"q_id": ids[qi[fin]], "neighbor_id": n_ids[ni[fin]], "sim": s[fin]}
             )
 
-    cand = emb.select("vec_id", "embedding").mapInPandas(fn, _KNN_SCHEMA)
+    return stream.select("vec_id", "embedding").mapInPandas(fn, _KNN_SCHEMA)
+
+
+def _knn_rank(cand: DataFrame, rounded: bool = False) -> DataFrame:
+    """Round + per-query top-5 (the ranking half of the kernel). With
+    ``rounded=True`` the input sims are already quantized (the stored
+    artifact on the merge path) and pass through unchanged."""
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), "neighbor_id")
+    sim = F.col("sim") if rounded else F.round("sim", 4)
     return (
-        cand.select("q_id", "neighbor_id", F.round("sim", 4).alias("sim"))
+        cand.select("q_id", "neighbor_id", sim.alias("sim"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
         .drop("rn")
     )
+
+
+def _knn_mod100(spark: SparkSession, emb: DataFrame, key: str) -> DataFrame:
+    """Shared exact-kNN kernel (query side = every 100th vector): used by
+    the ann_brute_topk query and the ingest-time k-NN graph projection
+    build — one kernel, bit-identical served rows by construction."""
+    ensure_package_shipped(spark)
+    q_df = emb.filter(F.col("vec_id") % 100 == 0)
+    bc = _vector_index(spark, q_df, key)
+    return _knn_rank(_knn_scan(emb, bc))
 
 
 # Ingest-time vector projection builders (session._RESULT_PROJECTIONS
@@ -608,7 +624,45 @@ def _merge_cosine_pairs(
     )
 
 
-PROJECTION_MERGERS = {"cosine_pairs": _merge_cosine_pairs}
+def _merge_knn_mod100(
+    spark: SparkSession,
+    emb_full: DataFrame,
+    old_df: DataFrame,
+    delta_df: DataFrame,
+    key: str,
+) -> DataFrame:
+    """Append-path maintenance of the k-NN graph, O(batch × queries +
+    new-queries × collection) instead of O(collection × queries):
+
+    - OLD queries: new vectors only ADD competition, so any neighbor in
+      an old query's post-append top-5 is either already in its stored
+      top-5 or comes from the batch — one scan of the BATCH against the
+      broadcast old-query matrix, union, re-rank per query.
+    - NEW queries (batch vectors with vec_id % 100 == 0): their rows
+      don't exist yet — one scan of the full collection against the
+      (batch-sized) new-query matrix, exactly the build kernel.
+
+    Rounding/tiebreak identical to the build, so merge == rebuild
+    bit-for-bit (pinned by test_knn_projection_merges_on_append)."""
+    ensure_package_shipped(spark)
+    delta_ids = delta_df.select("vec_id")
+    old_q = emb_full.filter(F.col("vec_id") % 100 == 0).join(
+        F.broadcast(delta_ids), "vec_id", "left_anti"
+    )
+    bc_old = _vector_index(spark, old_q, f"{key}|oldq")
+    cand_old = _knn_rank(_knn_scan(delta_df, bc_old)).unionByName(old_df)
+    merged = _knn_rank(cand_old, rounded=True)
+    new_q = delta_df.filter(F.col("vec_id") % 100 == 0)
+    if new_q.limit(1).count():
+        bc_new = _vector_index(spark, new_q, f"{key}|newq")
+        merged = merged.unionByName(_knn_rank(_knn_scan(emb_full, bc_new)))
+    return merged
+
+
+PROJECTION_MERGERS = {
+    "cosine_pairs": _merge_cosine_pairs,
+    "knn_mod100": _merge_knn_mod100,
+}
 
 
 # ---------------------------------------------------------------------------

@@ -946,3 +946,39 @@ def test_pair_projection_merges_on_append(
     want_df = _cosine_topk_impl(spark, str(sf))
     want = canon_rows([tuple(r) for r in want_df.collect()], want_df.columns)
     assert got == want, "merged pair artifact diverges from the full kernel"
+
+def test_knn_projection_merges_on_append(
+    spark, tmp_path, monkeypatch, restore_catalog
+):
+    """Appending embedding part files must MERGE the k-NN graph (old
+    queries re-ranked against batch candidates only; new mod-100 queries
+    scanned against the full collection) and serve ann_brute_topk
+    bit-identically to the full kernel over the appended table."""
+    import pyarrow.parquet as pq
+
+    full = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    half = full.num_rows // 2  # both halves contain mod-100 query ids
+    sf = tmp_path / "sfknnm"
+    (sf / "embeddings.parquet").mkdir(parents=True)
+    pq.write_table(full.slice(0, half), str(sf / "embeddings.parquet" / "b0.parquet"))
+    monkeypatch.setattr(sess, "INGEST_ROOT", str(tmp_path / "ingest"))
+    sess.ingest_tables(spark, str(sf))
+
+    pq.write_table(full.slice(half), str(sf / "embeddings.parquet" / "b1.parquet"))
+    sess.ingest_tables(spark, str(sf))
+    assert spark._lianjia_ingest_appended == 1
+    assert spark._lianjia_resultproj_merged >= 2, (
+        "knn artifact rebuilt instead of merging on the append path"
+    )
+    df = all_queries()["ann_brute_topk"].spark_fn(spark, str(sf))
+    assert "knn_mod100" in df._jdf.queryExecution().toString()
+    got = canon_rows([tuple(r) for r in df.collect()], df.columns)
+    from data_etl_sh_lianjia_spark.operators.similarity import (
+        _index_key, _knn_mod100,
+    )
+    from data_etl_sh_lianjia_spark.session import load_tables
+
+    emb = load_tables(spark, str(sf), names=("embeddings",))["embeddings"]
+    want_df = _knn_mod100(spark, emb, _index_key(spark, str(sf), "mod100"))
+    want = canon_rows([tuple(r) for r in want_df.collect()], want_df.columns)
+    assert got == want, "merged knn artifact diverges from the full kernel"
