@@ -504,6 +504,70 @@ def dedup_connected_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(F.col("u").alias("doc_id"), F.col("label").alias("group_rep"))
 
 
+@register(
+    "dedup_canonical_docs",
+    oracle=f"""
+WITH RECURSIVE pairs AS ({_DUCK_NGRAM_EDGES}),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(u, v) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+groups AS (
+  SELECT u AS doc_id, MIN(v) AS group_rep FROM reach GROUP BY u
+),
+sized AS (
+  SELECT g.group_rep, g.doc_id, d.n_chars,
+         row_number() OVER (
+           PARTITION BY g.group_rep ORDER BY d.n_chars DESC, g.doc_id
+         ) AS rn,
+         COUNT(*) OVER (PARTITION BY g.group_rep) AS group_size
+  FROM groups g JOIN documents d USING (doc_id)
+)
+SELECT group_rep, doc_id AS canonical_doc,
+       CAST(group_size AS BIGINT) AS group_size, n_chars AS kept_chars
+FROM sized WHERE rn = 1
+""",
+    survey_ref="L2,W4,J1",
+    doc="near-dup cluster resolution: keep ONE canonical doc per connected group",
+)
+def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The resolution step after transitive near-dup grouping: each
+    connected group keeps exactly one CANONICAL document — the longest
+    (n_chars DESC), doc_id as the total-order tiebreak — the standard
+    survivor rule of crawl dedup (prefer the fullest capture of a page).
+
+    Scale shape: composes the already-scale-vetted component labels
+    (hash-min + pointer jumping) with one broadcast metadata join and a
+    per-group WindowGroupLimit — group sizes are near-dup cluster sizes
+    (tiny by construction), so the window state is bounded. The DuckDB
+    oracle recomputes the groups by recursive-CTE reachability and picks
+    the same survivors — two different algorithms agreeing end-to-end."""
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir)
+    groups = dedup_connected_groups(spark, sf_dir)
+    sized = groups.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("group_rep").orderBy(F.desc("n_chars"), "doc_id")
+    wc = Window.partitionBy("group_rep")
+    return (
+        sized.withColumn("rn", F.row_number().over(w))
+        .withColumn("group_size", F.count(F.lit(1)).over(wc).cast("bigint"))
+        .filter(F.col("rn") == 1)
+        .select(
+            "group_rep",
+            F.col("doc_id").alias("canonical_doc"),
+            "group_size",
+            F.col("n_chars").alias("kept_chars"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # L2 — SemDeDup-style semantic dedup: centroid clusters + within-cluster drop
 # ---------------------------------------------------------------------------
