@@ -543,28 +543,37 @@ def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivor rule of crawl dedup (prefer the fullest capture of a page).
 
     Scale shape: composes the already-scale-vetted component labels
-    (hash-min + pointer jumping) with one broadcast metadata join and a
-    per-group WindowGroupLimit — group sizes are near-dup cluster sizes
-    (tiny by construction), so the window state is bounded. The DuckDB
-    oracle recomputes the groups by recursive-CTE reachability and picks
-    the same survivors — two different algorithms agreeing end-to-end."""
+    (hash-min + pointer jumping) with one metadata join and a per-group
+    top-1 window. group_size is computed by a separate groupBy aggregate
+    joined back onto the one-row-per-group survivors — NOT as a
+    COUNT(*) OVER the same partition, which would sit between the
+    row_number window and the rn=1 filter and block Catalyst's
+    WindowGroupLimit pushdown (the map-side rank-limit that keeps window
+    state bounded instead of shuffling every group member). Both the
+    aggregate and the survivor join key on group_rep, so the join reuses
+    the window's hash partitioning and both sides are one-row-per-group.
+    The DuckDB oracle recomputes the groups by recursive-CTE reachability
+    and picks the same survivors — two different algorithms agreeing
+    end-to-end."""
     from pyspark.sql.window import Window
 
     docs = _docs(spark, sf_dir)
     groups = dedup_connected_groups(spark, sf_dir)
     sized = groups.join(docs.select("doc_id", "n_chars"), "doc_id")
     w = Window.partitionBy("group_rep").orderBy(F.desc("n_chars"), "doc_id")
-    wc = Window.partitionBy("group_rep")
-    return (
+    sizes = groups.groupBy("group_rep").agg(
+        F.count(F.lit(1)).cast("bigint").alias("group_size")
+    )
+    survivors = (
         sized.withColumn("rn", F.row_number().over(w))
-        .withColumn("group_size", F.count(F.lit(1)).over(wc).cast("bigint"))
         .filter(F.col("rn") == 1)
-        .select(
-            "group_rep",
-            F.col("doc_id").alias("canonical_doc"),
-            "group_size",
-            F.col("n_chars").alias("kept_chars"),
-        )
+        .drop("rn")
+    )
+    return survivors.join(sizes, "group_rep").select(
+        "group_rep",
+        F.col("doc_id").alias("canonical_doc"),
+        "group_size",
+        F.col("n_chars").alias("kept_chars"),
     )
 
 

@@ -684,7 +684,7 @@ _SESSIONIZE_ORACLE = f"""
 WITH ts_events AS (
   SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events
 ), flagged AS (
-  SELECT user_id, ts_us, value,
+  SELECT user_id, event_id, ts_us, value,
          CASE WHEN ts_us - lag(ts_us) OVER w > {_GAP_US}
                 OR lag(ts_us) OVER w IS NULL
               THEN 1 ELSE 0 END AS new_session
@@ -692,7 +692,8 @@ WITH ts_events AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
 ), sessions AS (
   SELECT user_id, ts_us, value,
-         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+         CAST(SUM(new_session) OVER (PARTITION BY user_id
+                                ORDER BY ts_us, event_id
                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM flagged
 )
@@ -712,7 +713,7 @@ _SESSIONIZE_SQL = f"""
 WITH ts_events AS (
   SELECT user_id, event_id, ts_ns div 1000 AS ts_us, value FROM {{src}}
 ), flagged AS (
-  SELECT user_id, ts_us, value,
+  SELECT user_id, event_id, ts_us, value,
          CASE WHEN ts_us - lag(ts_us) OVER w > {_GAP_US}
                 OR lag(ts_us) OVER w IS NULL
               THEN 1 ELSE 0 END AS new_session
@@ -720,7 +721,8 @@ WITH ts_events AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
 ), sessions AS (
   SELECT user_id, ts_us, value,
-         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+         CAST(SUM(new_session) OVER (PARTITION BY user_id
+                                ORDER BY ts_us, event_id
                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM flagged
 )
@@ -790,12 +792,23 @@ def _merge_sessions(
     merge == rebuild bit-for-bit (pinned by
     test_sessions_projection_merges_on_append). At 100 TB the artifact
     would additionally be bucketed by user so the kept rows rewrite only
-    affected buckets — a layout refinement, not a semantics change."""
+    affected buckets — a layout refinement, not a semantics change.
+
+    Both membership joins are null-safe (eqNullSafe): PARTITION BY and
+    GROUP BY treat NULL user_id as one group, so a batch containing NULL
+    users must evict and re-sessionize the NULL group too — plain equi-join
+    anti/semi semantics would silently keep stale NULL-user sessions."""
     users = delta_df.select("user_id").distinct()
-    kept = old_df.join(F.broadcast(users), "user_id", "left_anti")
-    ev_full.join(F.broadcast(users), "user_id", "left_semi").createOrReplaceTempView(
-        "_rp_events_affected"
+    kept = old_df.join(
+        F.broadcast(users),
+        old_df["user_id"].eqNullSafe(users["user_id"]),
+        "left_anti",
     )
+    ev_full.join(
+        F.broadcast(users),
+        ev_full["user_id"].eqNullSafe(users["user_id"]),
+        "left_semi",
+    ).createOrReplaceTempView("_rp_events_affected")
     redone = spark.sql(_SESSIONIZE_SQL.format(src="_rp_events_affected"))
     return kept.unionByName(redone)
 

@@ -600,10 +600,13 @@ def _merge_cosine_pairs(
     carry the smaller or larger id; ``ordered_pairs=False``) and
     canonicalizes to (lo, hi); new×new pairs appear once per orientation,
     so per-cell keep doubles to 128 to still guarantee 64 distinct
-    survivors, and the exact duplicates (the dot product is bitwise
-    symmetric) collapse with ``dropDuplicates``. Final order/limit is the
-    build kernel's own, so merge == rebuild bit-for-bit (pinned by
-    test_pair_projection_merges_on_append)."""
+    survivors, and the orientation duplicates collapse with a
+    groupBy(pair).max(sim) — deterministic regardless of which duplicate
+    row arrives first, so the merged artifact never depends on BLAS dot
+    products being bitwise symmetric across operand order (the two
+    orientations agree to the stored 4-decimal rounding in any case).
+    Final order/limit is the build kernel's own, so merge == rebuild
+    bit-for-bit (pinned by test_pair_projection_merges_on_append)."""
     from functools import reduce
 
     ensure_package_shipped(spark)
@@ -612,11 +615,15 @@ def _merge_cosine_pairs(
         DataFrame.unionByName,
         [_topk_tile_scan(emb_full, bc, 128, ordered_pairs=False) for bc in tiles],
     )
-    cand = cand.select(
-        F.least("vec_id_a", "vec_id_b").alias("vec_id_a"),
-        F.greatest("vec_id_a", "vec_id_b").alias("vec_id_b"),
-        F.round("sim", 4).alias("sim"),
-    ).dropDuplicates(["vec_id_a", "vec_id_b"])
+    cand = (
+        cand.select(
+            F.least("vec_id_a", "vec_id_b").alias("vec_id_a"),
+            F.greatest("vec_id_a", "vec_id_b").alias("vec_id_b"),
+            F.round("sim", 4).alias("sim"),
+        )
+        .groupBy("vec_id_a", "vec_id_b")
+        .agg(F.max("sim").alias("sim"))
+    )
     return (
         old_df.unionByName(cand)
         .orderBy(F.desc("sim"), "vec_id_a", "vec_id_b")

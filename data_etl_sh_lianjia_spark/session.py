@@ -1512,23 +1512,32 @@ def tune_for_sf(spark: SparkSession, sf_dir: str) -> None:
         # sf0.001/sf0.01 -> 8, sf0.1 -> 32 (bench regime), sf1+ -> cores.
         parts = max(8, min(int(sf * 320), cpus))
         try:
-            current = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            # get(key, None) returns None when the conf was never EXPLICITLY
+            # set (builder configs count as set; the registered 200 default
+            # does not) — so an untouched session contributes no caller cap,
+            # and on a >200-core host sf1+ tuning is not silently pinned to
+            # the 200 default the caller never chose.
+            raw = spark.conf.get("spark.sql.shuffle.partitions", None)
+            current = int(raw) if raw is not None else None
         except Exception:
-            current = 200
+            current = None
         # Cap, never raise a CALLER's setting: a session sized deliberately
         # (bench.py uses 8 at sf0.1) keeps its tighter value. But a value
         # THIS function set for a smaller sf earlier in the session is not
         # a caller decision — without the ownership check, visiting sf0.001
         # first would ratchet every later sf1 query down to 8-way shuffles.
-        # The caller's value is captured ONCE (whenever the live conf
-        # differs from the last value this function wrote — i.e. the caller
-        # touched it) and the cap is applied against THAT, not the live
-        # conf: min()-ing against our own earlier output would otherwise
-        # launder a self-set value into a "caller" cap on the second dir
-        # switch. Residual ambiguity: a caller deliberately setting exactly
-        # the value this function last wrote is indistinguishable from
-        # no-op; they can always re-set after tune_for_sf runs.
-        if current != getattr(spark, "_lianjia_tuned_parts", None):
+        # The caller's value is captured ONCE (whenever the live conf is
+        # explicitly set AND differs from the last value this function
+        # wrote — i.e. the caller touched it) and the cap is applied
+        # against THAT, not the live conf: min()-ing against our own
+        # earlier output would otherwise launder a self-set value into a
+        # "caller" cap on the second dir switch. Residual ambiguity: a
+        # caller deliberately setting exactly the value this function last
+        # wrote is indistinguishable from no-op; they can always re-set
+        # after tune_for_sf runs.
+        if current is not None and current != getattr(
+            spark, "_lianjia_tuned_parts", None
+        ):
             spark._lianjia_caller_parts = current
         caller_cap = getattr(spark, "_lianjia_caller_parts", None)
         if caller_cap is not None:
