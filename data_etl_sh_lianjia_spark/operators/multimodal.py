@@ -17,9 +17,11 @@ Decode comes in three tiers:
 - ``decode="fake"`` produces a deterministic feature vector from the raw
   bytes (full Spark plumbing — schema, batching, partitioning, UDF
   signature — exercised without any codec).
-- ``decode="real"`` in :func:`extract_features` raises NotImplementedError
-  at the exact seam where an audio/video codec (ffmpeg for MP3/MP4) would
-  plug in — the genuinely-unimplementable remainder in this container.
+- ``decode="real"`` in :func:`extract_features` magic-sniffs the container
+  and dispatches to the in-repo BMP/PNG/JPEG/WAV decoders
+  (`multimodal_features_real` oracles it against generation-time ground
+  truth); only containers that genuinely need an external codec (ffmpeg
+  for MP3/MP4/H.264) still raise NotImplementedError at that seam.
 
 Scale: blobs ride the columnar path (Parquet BINARY + Arrow); the decode
 stage is an embarrassingly parallel mapInPandas over row batches, so
@@ -124,21 +126,85 @@ def extract_features(
 ) -> DataFrame:
     """Decode + feature-extract over mapInPandas (Arrow batches).
 
-    ``decode="real"`` is the seam where an actual codec goes — it raises
-    NotImplementedError per the no-codec container contract. ``"fake"``
-    derives a deterministic unit vector from the first ``dim`` bytes so the
-    batch shapes, schema, and downstream consumers are fully exercised.
+    ``decode="real"`` sniffs each blob's container magic and dispatches to
+    the repo's own first-principles codecs — BMP/PNG/baseline-JPEG images
+    decode to pixels (feature = [width, height, mean_r, mean_g, mean_b]),
+    RIFF/WAVE PCM16 audio decodes to samples (feature = [rate, n_samples,
+    rms, peak, 0]); vectors are zero-padded to ``dim`` and emitted with a
+    ``modality`` tag. Containers that genuinely need an external codec
+    (MP3/MP4/H.264 — ffmpeg is not in this container) keep the
+    NotImplementedError seam. ``"fake"`` derives a deterministic unit
+    vector from the first ``dim`` bytes so the batch shapes, schema, and
+    downstream consumers are exercised without any codec.
     """
     if decode not in ("fake", "real"):
         raise ValueError(f"unknown decode mode {decode!r}")
 
+    if decode == "real":
+        ensure_package_shipped(media.sparkSession)
+
+        def fn_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            # Resolved on the worker via the shipped package zip.
+            from data_etl_sh_lianjia_spark.operators.multimodal import (
+                _decode_bmp,
+                _decode_jpeg,
+                _decode_png,
+                _decode_wav,
+            )
+
+            def image_feature(rgb: np.ndarray) -> list[float]:
+                h, w, _ = rgb.shape
+                ch = rgb.astype(np.float64)
+                return [
+                    float(w),
+                    float(h),
+                    float(np.round(ch[:, :, 0].mean(), 6)),
+                    float(np.round(ch[:, :, 1].mean(), 6)),
+                    float(np.round(ch[:, :, 2].mean(), 6)),
+                ]
+
+            for pdf in batches:
+                modality, feats = [], []
+                for blob in pdf["media"]:
+                    buf = bytes(blob)
+                    if buf[:2] == b"BM":
+                        v, m = image_feature(_decode_bmp(buf)), "image"
+                    elif buf[:8] == b"\x89PNG\r\n\x1a\n":
+                        v, m = image_feature(_decode_png(buf)), "image"
+                    elif buf[:2] == b"\xff\xd8":
+                        v, m = image_feature(_decode_jpeg(buf)), "image"
+                    elif buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
+                        s, rate = _decode_wav(buf)
+                        sf = s.astype(np.float64)
+                        v, m = [
+                            float(rate),
+                            float(sf.size),
+                            float(np.round(np.sqrt(np.mean(sf * sf)), 6)),
+                            float(np.max(np.abs(sf))),
+                            0.0,
+                        ], "audio"
+                    else:
+                        raise NotImplementedError(
+                            "no in-container codec for this media container "
+                            "(compressed audio/video such as MP3/MP4/H.264 "
+                            "needs ffmpeg); plug the external decoder in here"
+                        )
+                    modality.append(m)
+                    feats.append((v + [0.0] * dim)[:dim])
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "modality": modality,
+                        "feature": feats,
+                    }
+                )
+
+        return media.mapInPandas(
+            fn_real, "media_id long, modality string, feature array<double>"
+        )
+
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if decode == "real":
-                raise NotImplementedError(
-                    "media codecs (PIL/ffmpeg) are not available in this "
-                    "container; plug the real decoder in here"
-                )
             feats = []
             for blob in pdf["media"]:
                 raw = np.frombuffer(bytes(blob)[:dim], dtype=np.uint8)
@@ -1573,4 +1639,41 @@ def multimodal_jpeg_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return media.mapInPandas(
         fn, "media_id long, width long, height long, resized_md5 string"
+    )
+
+
+@register(
+    "multimodal_features_real",
+    # The one entry point a multimodal training pipeline actually calls:
+    # extract_features(decode="real") magic-sniffs each blob and dispatches
+    # to the repo's own BMP/PNG/JPEG/WAV decoders (the NotImplementedError
+    # seam now covers only genuinely codec-needing containers: MP3/MP4).
+    # The oracle reads the generation-time ground truth per modality, so
+    # the driver hash gate verifies decode -> feature end-to-end across
+    # all four container formats in one query.
+    oracle=f"""
+SELECT media_id,
+       CASE WHEN kind = 'wav' THEN 'audio' ELSE 'image' END AS modality,
+       CAST(COALESCE(t_width, t_rate) AS DOUBLE) AS f1,
+       CAST(COALESCE(t_height, t_n_samples) AS DOUBLE) AS f2,
+       COALESCE(t_mean_r, t_rms) AS f3,
+       COALESCE(t_mean_g, t_peak) AS f4,
+       COALESCE(t_mean_b, 0.0) AS f5
+FROM read_parquet('{_MEDIA_FIXTURE_PATH}')
+""",
+    survey_ref="L5",
+    doc="REAL feature extraction: magic-sniffed BMP/PNG/JPEG/WAV decode -> typed feature vector",
+)
+def multimodal_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over the real-format corpus via the production
+    entry point (extract_features, decode="real"): images yield
+    [width, height, mean_r, mean_g, mean_b], audio yields
+    [rate, n_samples, rms, peak, 0]. Same mapInPandas shape as the fake
+    path — swapping the codec changes no plumbing."""
+    media = spark.read.parquet(_MEDIA_FIXTURE_PATH).select("media_id", "media")
+    feats = extract_features(media, decode="real")
+    return feats.select(
+        "media_id",
+        "modality",
+        *[F.element_at("feature", i).alias(f"f{i}") for i in range(1, 6)],
     )

@@ -33,13 +33,50 @@ def test_fake_decode_features_are_deterministic_unit_vectors(spark, sf_dir):
     assert all(again[r["media_id"]] == r["feature"] for r in rows)  # deterministic
 
 
-def test_real_decode_raises_at_the_codec_seam(spark, sf_dir):
-    media = M.media_table(spark, sf_dir).select("media_id", "media").limit(2)
+def test_real_decode_raises_only_for_codec_needing_containers(spark, sf_dir):
+    """The seam is now per-container: an MP4 blob (no in-repo codec) raises;
+    decodable containers are covered by test_real_decode_features below."""
+    mp4_magic = b"\x00\x00\x00\x18ftypmp42" + b"\x00" * 64
+    media = spark.createDataFrame(
+        [(1, bytearray(mp4_magic))], "media_id long, media binary"
+    )
     with pytest.raises(Exception) as exc:
         M.extract_features(media, decode="real").collect()
     assert "NotImplementedError" in str(exc.value) or isinstance(
         exc.value, NotImplementedError
     )
+
+
+def test_real_decode_features_match_ground_truth(spark, sf_dir):
+    """extract_features(decode='real') must reproduce the fixture's
+    generation-time truth for every container format it owns a codec for."""
+    fixture = spark.read.parquet(M._MEDIA_FIXTURE_PATH)
+    media = fixture.select("media_id", "media")
+    feats = {
+        r["media_id"]: (r["modality"], r["feature"])
+        for r in M.extract_features(media, decode="real").collect()
+    }
+    assert len(feats) == fixture.count()
+    for t in fixture.collect():
+        modality, v = feats[t["media_id"]]
+        assert len(v) == M._FEATURE_DIM
+        if t["kind"] == "wav":
+            assert modality == "audio"
+            assert v[:4] == [
+                float(t["t_rate"]),
+                float(t["t_n_samples"]),
+                t["t_rms"],
+                t["t_peak"],
+            ]
+        else:
+            assert modality == "image"
+            assert v[:5] == [
+                float(t["t_width"]),
+                float(t["t_height"]),
+                t["t_mean_r"],
+                t["t_mean_g"],
+                t["t_mean_b"],
+            ]
 
 
 def test_feature_vector_matches_manual_computation(spark, sf_dir):
