@@ -193,20 +193,13 @@ ORDER BY revenue DESC, l_orderkey
 LIMIT 10
 """
 
-register(
-    "q3_join3",
-    oracle=_Q3_ORACLE,
-    survey_ref="J1,J3,A3,O3",
-    bench=True,
-    doc="TPC-H Q3 shape: 3-way join, agg, deterministic top-10 by revenue",
-)(
-    _sql_query(f"""
-SELECT l_orderkey,
+_Q3_BODY = f"""
+SELECT {{hint}}l_orderkey,
        {spark_dsum('l_extendedprice * (1 - l_discount)', 'revenue')},
        CAST(o_orderdate AS DATE) AS orderdate,
        o_orderpriority
-FROM lj_lineitem l
-JOIN lj_orders o   ON l_orderkey = o_orderkey
+FROM {{li}} l
+JOIN {{od}} o      ON l_orderkey = o_orderkey
 JOIN lj_customer c ON c_custkey = o_custkey
 WHERE c_mktsegment = 'BUILDING'
   AND o_orderdate < TIMESTAMP_NTZ '1998-03-15 00:00:00'
@@ -214,8 +207,42 @@ WHERE c_mktsegment = 'BUILDING'
 GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
 ORDER BY revenue DESC, l_orderkey
 LIMIT 10
-""")
+"""
+
+_Q3_FULL_SQL = _Q3_BODY.format(hint="", li="lj_lineitem", od="lj_orders")
+
+
+@register(
+    "q3_join3",
+    oracle=_Q3_ORACLE,
+    survey_ref="J1,J3,A3,O3",
+    bench=True,
+    doc="TPC-H Q3 shape: 3-way join, agg, deterministic top-10 by revenue",
 )
+def q3_join3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """When this session ingested ``sf_dir``, lineitem⋈orders joins the
+    co-bucketed fact copies (session._BUCKET_LAYOUT): both sides arrive
+    hash-bucketed on orderkey, so the fact join AND the orderkey-keyed
+    aggregation above it plan with zero shuffle Exchange — the layout paid
+    the partitioning once at ingest, which is the only q3 shape that stays
+    flat at 100 TB (no projection can absorb a group-by on the join key
+    itself). The MERGE hint pins the bucket-aware SortMergeJoin (a
+    size-based broadcast of filtered orders would re-pay a build per query
+    and stops being possible at scale); customer stays a broadcast dim.
+    Raw landed dirs — the driver correctness gate — take the full-scan
+    plan, so the bucketed copy is never a correctness dependency."""
+    register_views(spark, sf_dir)
+    from data_etl_sh_lianjia_spark.session import bucketed_table
+
+    bl = bucketed_table(spark, sf_dir, "lineitem")
+    bo = bucketed_table(spark, sf_dir, "orders")
+    if bl is not None and bo is not None:
+        return spark.sql(
+            _Q3_BODY.format(
+                hint="/*+ BROADCAST(c), MERGE(l, o) */ ", li=bl, od=bo
+            )
+        )
+    return spark.sql(_Q3_FULL_SQL)
 
 
 @register(

