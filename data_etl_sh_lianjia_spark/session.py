@@ -494,11 +494,13 @@ _JOIN_PROJECTIONS = {
                 "SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 10000"
                 " + 0.5) AS BIGINT))"
             ),
+            "cnt": "COUNT(*)",
         },
         "build_sql": """
 SELECT r_name, n_name, o_orderdate,
        SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 10000
-           + 0.5) AS BIGINT)) AS s_rev
+           + 0.5) AS BIGINT)) AS s_rev,
+       COUNT(*) AS cnt
 FROM _jp_lineitem l
 JOIN _jp_orders o   ON l.l_orderkey = o.o_orderkey
 JOIN _jp_customer c ON c.c_custkey  = o.o_custkey
@@ -508,6 +510,10 @@ JOIN _jp_nation n   ON s.s_nationkey = n.n_nationkey
 JOIN _jp_region r   ON n.n_regionkey = r.r_regionkey
 GROUP BY r_name, n_name, o_orderdate
 """,
+        # cnt rides along for delete-delta maintenance: after a negative
+        # merge, groups whose joined-row count reaches zero are dropped —
+        # s_rev alone cannot distinguish "empty group" from a zero-sum
+        # one. Serving reads s_rev only.
     },
 }
 
@@ -520,12 +526,17 @@ def _build_joinproj(
     fingerprint: str,
     meta: dict | None,
     merge_with: str | None = None,
+    negate: bool = False,
 ) -> None:
     """Build (or IVM-merge) a materialized star rollup. ``source_paths``
     maps each source table to the storage to read it from — for the IVM
     path the fact maps to ONLY its new part files. Spark runs the identical
     scaled-long expressions the full-scan query uses, so the rollup-served
-    result is bit-identical by construction."""
+    result is bit-identical by construction. ``negate=True`` is delete-IVM:
+    the removed fact batch joins the unchanged dimensions, merges with
+    negated measures, and zero-count groups drop (key-preserving join on
+    the fact side makes each fact row's contribution independently
+    subtractable — the same property that makes insert-IVM exact)."""
     for t in spec["sources"]:
         p = source_paths[t]
         df = spark.read.parquet(*p) if isinstance(p, list) else spark.read.parquet(p)
@@ -536,9 +547,14 @@ def _build_joinproj(
         spark.read.parquet(merge_with).createOrReplaceTempView("_jp_old")
         keys = ", ".join(spec["keys"])
         sums = ", ".join(f"SUM({m}) AS {m}" for m in spec["measures"])
+        batch_cols = ", ".join(
+            (f"-{m} AS {m}" if negate else m) for m in spec["measures"]
+        )
+        having = " HAVING SUM(cnt) > 0" if negate else ""
         built = spark.sql(
             f"SELECT {keys}, {sums} FROM (SELECT * FROM _jp_old"
-            f" UNION ALL SELECT * FROM _jp_batch) GROUP BY {keys}"
+            f" UNION ALL SELECT {keys}, {batch_cols} FROM _jp_batch)"
+            f" GROUP BY {keys}{having}"
         )
     # write(tmp) materializes the merge BEFORE _publish_dir swaps merge_with
     _publish_dir(
@@ -696,13 +712,17 @@ def _build_aggproj(
     fingerprint: str,
     meta: dict | None,
     merge_with: str | None = None,
+    negate: bool = False,
 ) -> None:
     """Build (or delta-merge) an aggregate projection with Spark itself, so
     the per-row scaled-long transform is the IDENTICAL expression the
     full-scan query path runs — bit-for-bit parity by construction, not by
     re-implementation. ``merge_with`` points at the existing projection for
     the append path: UNION ALL + re-SUM on the group keys (every measure is
-    SUM-mergeable by contract)."""
+    SUM-mergeable by contract). ``negate=True`` is the DELETE path: the
+    batch (the removed rows) merges with every measure negated, and groups
+    whose row count reaches zero drop out — exact because integer partial
+    sums subtract as exactly as they add."""
     if spec.get("reader") == "events":
         # normalize both managed storage forms (nanos-as-long / ts_ns+NTZ)
         # and derive props_k for raw delta batches
@@ -723,9 +743,15 @@ def _build_aggproj(
         sums = ", ".join(
             f"SUM({name}) AS {name}" for name in spec["measures"]
         )
+        batch_cols = ", ".join(
+            (f"-{name} AS {name}" if negate else name)
+            for name in spec["measures"]
+        )
+        having = " HAVING SUM(cnt) > 0" if negate else ""
         built = spark.sql(
             f"SELECT {keys}, {sums} FROM (SELECT * FROM _lj_aggproj_old"
-            f" UNION ALL SELECT * FROM _lj_aggproj_batch) GROUP BY {keys}"
+            f" UNION ALL SELECT {keys}, {batch_cols} FROM _lj_aggproj_batch)"
+            f" GROUP BY {keys}{having}"
         )
     # write(tmp) materializes the merge BEFORE _publish_dir swaps merge_with
     _publish_dir(
@@ -1193,6 +1219,45 @@ def _delta_files(
     return new or None
 
 
+def _removed_batches(
+    marker: str, layout: str, manifest: dict[str, str] | None
+) -> list[str] | None:
+    """The source part files REMOVED since the manifest recorded in
+    ``marker``, when — and only when — the change is a pure whole-batch
+    delete the engine can absorb in O(batch): every removed file was
+    ingested as an append batch (its managed rows live in tagged part
+    files; see ``meta['batches']``), nothing was added, and every surviving
+    file is byte-identical. Anything else (a base-layout file removed, a
+    surviving file rewritten, mixed add+remove, layout change) returns None
+    and the caller full-rebuilds — the honest O(history) fallback that
+    compaction and arbitrary rewrites always were."""
+    if manifest is None:
+        return None
+    _fp, meta = _read_marker(marker)
+    old = meta.get("parts")
+    batches = meta.get("batches") or {}
+    if not old or meta.get("layout") != layout:
+        return None
+    if set(manifest) - set(old):
+        return None
+    removed = sorted(set(old) - set(manifest))
+    if not removed:
+        return None
+    if any(old[name] != fp for name, fp in manifest.items()):
+        return None
+    if any(name not in batches for name in removed):
+        return None
+    # whole batches only: one append's files share one managed tag, so a
+    # PARTIAL removal of a batch cannot drop tagged files (they also hold
+    # the batch's surviving rows) — full rebuild instead
+    tags = {batches[name] for name in removed}
+    if any(
+        t in tags and name not in removed for name, t in batches.items()
+    ):
+        return None
+    return removed
+
+
 def _ingest_local_append(
     src: str,
     dst: str,
@@ -1243,6 +1308,17 @@ def _ingest_local_append(
         key = "ts" if "ts" in batch.column_names else None
     batch = _shred_json_columns(batch)
     tag = hashlib.md5("|".join(new_files).encode()).hexdigest()[:8]
+    # Record which source files each append batch's managed rows came from:
+    # the delete path (_removed_batches) can then absorb a whole-batch
+    # removal in O(batch) by dropping exactly the tagged part files.
+    _old_fp, old_meta = _read_marker(os.path.join(dst, "_SUCCESS"))
+    meta = {
+        **(meta or {}),
+        "batches": {
+            **(old_meta.get("batches") or {}),
+            **{f: tag for f in new_files},
+        },
+    }
     if key:
         batch = batch.sort_by(key)
     n_parts = max(1, batch.num_rows // max(target_rows, 1))
@@ -1293,6 +1369,98 @@ def _ingest_local_append(
         )
 
 
+def _ingest_local_delete(
+    dst: str,
+    kd_dst: str,
+    tags: list[str],
+    kd_cols,
+    fingerprint: str,
+    meta: dict,
+) -> str:
+    """Whole-batch DELETE maintenance of a managed table, O(batch) not
+    O(history): the removed batches' managed rows live in their tagged
+    ``part-a<tag>-*`` files, so the post-delete table is a new generation
+    hardlinking every OTHER part file (same atomic rename-aside as append).
+    The dropped files are first hardlinked into a holding dir and returned
+    — the caller feeds them to the projections' NEGATIVE merges (keydict
+    counts subtract; aggregate/star rollups merge negated measures and
+    drop zero-count groups) and removes the dir when done. Integer partial
+    sums subtract as exactly as they add, so every negative-merged
+    projection is bit-identical to a from-scratch rebuild — pinned by the
+    delete-path test suite."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    drop = tuple(f"part-a{t}-" for t in tags)
+    hold = dst + f".dropped-{os.getpid()}"
+    shutil.rmtree(hold, ignore_errors=True)
+    os.makedirs(hold)
+    for entry in os.scandir(dst):
+        if (
+            entry.is_file()
+            and entry.name.endswith(".parquet")
+            and entry.name.startswith(drop)
+        ):
+            os.link(entry.path, os.path.join(hold, entry.name))
+
+    def _write_generation(tmp: str) -> None:
+        for entry in os.scandir(dst):
+            if (
+                entry.is_file()
+                and entry.name.endswith(".parquet")
+                and not entry.name.startswith(drop)
+            ):
+                os.link(entry.path, os.path.join(tmp, entry.name))
+
+    _publish_dir(dst, fingerprint, meta, _write_generation)
+    if kd_cols:
+        import glob
+
+        batch = pa.concat_tables(
+            pq.read_table(p)
+            for p in sorted(glob.glob(os.path.join(hold, "*.parquet")))
+        )
+        frames = [
+            pq.read_table(p)
+            for p in sorted(glob.glob(os.path.join(kd_dst, "*.parquet")))
+        ]
+        for c in kd_cols:
+            vc = pc.value_counts(batch.column(c).combine_chunks())
+            frames.append(
+                pa.table(
+                    {
+                        "col": pa.array([c] * len(vc)),
+                        "key": pc.cast(vc.field("values"), pa.int64()),
+                        "cnt": pc.negate(
+                            pc.cast(vc.field("counts"), pa.int64())
+                        ),
+                    }
+                )
+            )
+        merged = merge_keydicts(frames)
+        if len(merged) and pc.min(merged["cnt"]).as_py() < 0:
+            raise RuntimeError(
+                "keydict negative merge went below zero — removed batch "
+                "does not match the dictionary state"
+            )
+        merged = merged.filter(pc.greater(merged["cnt"], 0))
+        _publish_colstats(
+            _colstats_from_keydict(merged, kd_cols),
+            kd_dst.replace(".keydict.parquet", ".colstats.parquet"),
+            fingerprint, meta,
+        )
+        _publish_dir(
+            kd_dst, fingerprint, meta,
+            lambda tmp: pq.write_table(
+                merged, os.path.join(tmp, "part-00000.parquet")
+            ),
+        )
+    return hold
+
+
 def ingest_tables(
     spark: SparkSession,
     sf_dir: str,
@@ -1330,6 +1498,8 @@ def ingest_tables(
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     rebuilt = 0
     appended = 0
+    deleted = 0
+    hold_dirs: list[str] = []  # dropped-batch holding dirs, removed at end
     # per-table outcome of THIS call, consumed by the join-projection pass
     # below: fingerprint + whether the table took the append-only path
     tbl_state: dict[str, dict] = {}
@@ -1482,6 +1652,88 @@ def ingest_tables(
                 tbl_state[name]["delta"] = delta
                 appended += 1
                 continue
+            # Whole-batch DELETE path: the source lost exactly some
+            # previously-appended batches (nothing added/rewritten). The
+            # managed copy drops the tagged part files in a new hardlinked
+            # generation; SUM-mergeable projections (keydict/colstats/
+            # aggproj) absorb the removed rows as NEGATIVE deltas —
+            # O(batch + projection), never O(history). Ordered/vector/
+            # bucketed artifacts cannot subtract (a removed top row
+            # invalidates them) and rebuild from the post-delete managed
+            # copy — the documented rebuild-on-delete half of the
+            # contract. Everything else (base-file removal, rewrites,
+            # compaction) stays a full rebuild via fingerprint miss.
+            removed = (
+                _removed_batches(table_marker, layout, manifest)
+                if local
+                else None
+            )
+            if removed is not None:
+                old_table_fp, old_tmeta = _read_marker(table_marker)
+                tbl_state[name]["prev_fp"] = old_table_fp
+                old_batches = old_tmeta.get("batches") or {}
+                tags = sorted({old_batches[f] for f in removed})
+                meta_del = {
+                    **(meta or {}),
+                    "batches": {
+                        k: v
+                        for k, v in old_batches.items()
+                        if k not in removed
+                    },
+                }
+
+                def _lockstep_del(sib: str) -> bool:
+                    fp, _m = _read_marker(os.path.join(sib, "_SUCCESS"))
+                    return fp == old_table_fp
+
+                kd_merge = (
+                    bool(kd_cols)
+                    and _lockstep_del(kd_dst)
+                    and _lockstep_del(cs_dst)
+                )
+                hold = _ingest_local_delete(
+                    dst, kd_dst, tags,
+                    kd_cols if kd_merge else None,
+                    fingerprint, meta_del,
+                )
+                held_paths = sorted(
+                    os.path.join(hold, f)
+                    for f in os.listdir(hold)
+                    if f.endswith(".parquet")
+                )
+                if kd_cols and not kd_merge:
+                    _build_keydict_local(
+                        dst, kd_dst, kd_cols, fingerprint, meta_del
+                    )
+                if ap_spec:
+                    if _lockstep_del(ap_dst) and held_paths:
+                        _build_aggproj(
+                            spark, ap_spec, held_paths, ap_dst,
+                            fingerprint, meta_del,
+                            merge_with=ap_dst, negate=True,
+                        )
+                    else:
+                        _build_aggproj(
+                            spark, ap_spec, [dst], ap_dst,
+                            fingerprint, meta_del,
+                        )
+                    if ap2_dst:
+                        _build_coarse_aggproj(
+                            spark, ap_spec, ap_dst, ap2_dst,
+                            fingerprint, meta_del,
+                        )
+                if tp_spec:
+                    _build_topkproj(
+                        spark, tp_spec, [dst], tp_dst, fingerprint, meta_del
+                    )
+                if bk_col:
+                    _build_bucketed(
+                        spark, dst, bk_dst, bk_col, nb, bk_fp, bk_meta
+                    )
+                tbl_state[name]["removed_paths"] = held_paths
+                hold_dirs.append(hold)
+                deleted += 1
+                continue
             if local:
                 # Local fast path: at landed-file sizes below a task's worth
                 # of data, a driver-side pyarrow sort+split (deterministic,
@@ -1530,7 +1782,8 @@ def ingest_tables(
         if any(t not in tbl_state for t in spec["sources"]):
             continue
         comp = {t: tbl_state[t]["fp"] for t in spec["sources"]}
-        jp_fp = ";".join(f"{t}={comp[t]}" for t in sorted(comp)) + ":jp1"
+        # jp2: rollup schema carries cnt for delete-delta maintenance
+        jp_fp = ";".join(f"{t}={comp[t]}" for t in sorted(comp)) + ":jp2"
         jp_dst = os.path.join(out_dir, f"{jp_name}.joinproj.parquet")
         jp_marker = os.path.join(jp_dst, "_SUCCESS")
         if _marker_fresh(jp_marker, jp_fp):
@@ -1538,22 +1791,22 @@ def ingest_tables(
         jp_meta = {"components": comp}
         fact = spec["fact"]
         fact_delta = tbl_state[fact]["delta"]
+        fact_removed = tbl_state[fact].get("removed_paths")
         _old_fp, old_meta = _read_marker(jp_marker)
         oldc = old_meta.get("components") or {}
         # IVM only when the existing rollup was built from EXACTLY the
-        # pre-append fact state (a crash between a previous append and its
-        # rollup merge would otherwise lose the missed batch forever) and
-        # every non-fact source is unchanged.
-        ivm = bool(
-            fact_delta
-            and oldc.get(fact)
+        # pre-append/-delete fact state (a crash between a previous
+        # append and its rollup merge would otherwise lose the missed
+        # batch forever) and every non-fact source is unchanged.
+        lockstep = bool(
+            oldc.get(fact)
             and oldc.get(fact) == tbl_state[fact].get("prev_fp")
             and all(oldc.get(t) == comp[t] for t in spec["sources"] if t != fact)
         )
         src_paths = {
             t: os.path.join(out_dir, f"{t}.parquet") for t in spec["sources"]
         }
-        if ivm:
+        if fact_delta and lockstep:
             # the delta joins the RAW new fact files (values identical to
             # the managed layout) against the unchanged managed sources
             src_paths[fact] = [
@@ -1562,6 +1815,15 @@ def ingest_tables(
             _build_joinproj(
                 spark, spec, src_paths, jp_dst, jp_fp, jp_meta,
                 merge_with=jp_dst,
+            )
+            jp_ivm += 1
+        elif fact_removed and lockstep:
+            # delete-IVM: the REMOVED batch (held managed part files)
+            # joins the unchanged sources with negated measures
+            src_paths[fact] = fact_removed
+            _build_joinproj(
+                spark, spec, src_paths, jp_dst, jp_fp, jp_meta,
+                merge_with=jp_dst, negate=True,
             )
             jp_ivm += 1
         else:
@@ -1714,6 +1976,13 @@ def ingest_tables(
     # Tables served by the append-only delta path this call (new source
     # part files ingested + keydict merged, history untouched).
     spark._lianjia_ingest_appended = appended
+    # Tables served by the whole-batch delete path this call (tagged part
+    # files dropped + SUM-mergeable projections negative-merged).
+    spark._lianjia_ingest_deleted = deleted
+    import shutil as _shutil
+
+    for hold in hold_dirs:
+        _shutil.rmtree(hold, ignore_errors=True)
     # Result projections maintained incrementally (vs rebuilt) by THIS call.
     spark._lianjia_resultproj_merged = vp_merged
     # Invalidate memoized DataFrames/views built over the raw paths.

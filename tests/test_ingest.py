@@ -1183,3 +1183,167 @@ def test_bucketed_sessions_merge_rewrites_only_affected_buckets(
     want_df = all_queries()["sessionize_df"].spark_fn(spark, str(sf))
     want = canon_rows([tuple(r) for r in want_df.collect()], want_df.columns)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Delete/compaction contract (round-6): whole-batch deletes absorb as
+# negative deltas into the SUM-mergeable projections; anything else is a
+# fingerprint-invalidating full rebuild; stale projections are never served.
+# ---------------------------------------------------------------------------
+
+
+def test_whole_batch_delete_negative_merges_projections(
+    spark, tmp_path, monkeypatch, restore_catalog
+):
+    """Removing a previously-appended batch takes the O(batch) delete path:
+    untouched managed part files survive byte-identical (hardlinked
+    generation), the keydict/colstats/aggproj absorb the batch as negative
+    deltas, the star rollup delete-IVMs, ordered/bucketed artifacts rebuild
+    — and every projection equals a from-scratch rebuild of the post-delete
+    table."""
+    import glob
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    li = pq.read_table("/root/testdata/sf0.001/lineitem.parquet")
+    cut = li.num_rows * 2 // 3
+    sf = tmp_path / "sfdel"
+    (sf / "lineitem.parquet").mkdir(parents=True)
+    pq.write_table(li.slice(0, cut), str(sf / "lineitem.parquet" / "b0.parquet"))
+    for t in ("orders", "customer", "supplier", "nation", "region"):
+        pq.write_table(
+            pq.read_table(f"/root/testdata/sf0.001/{t}.parquet"),
+            str(sf / f"{t}.parquet"),
+        )
+    monkeypatch.setattr(sess, "INGEST_ROOT", str(tmp_path / "ingest"))
+    out = sess.ingest_tables(spark, str(sf))
+
+    # append a batch, then delete it again
+    pq.write_table(li.slice(cut), str(sf / "lineitem.parquet" / "b1.parquet"))
+    sess.ingest_tables(spark, str(sf))
+    assert spark._lianjia_ingest_appended == 1
+
+    base_parts = {
+        p: os.stat(p).st_ino
+        for p in glob.glob(os.path.join(out, "lineitem.parquet", "*.parquet"))
+        if "-a" not in os.path.basename(p)
+    }
+    os.remove(str(sf / "lineitem.parquet" / "b1.parquet"))
+    sess.ingest_tables(spark, str(sf))
+    assert spark._lianjia_ingest_deleted == 1, "delete did not take the batch path"
+    assert spark._lianjia_ingest_rebuilt == 0
+    assert spark._lianjia_joinproj_ivm == 1, "star rollup did not delete-IVM"
+
+    # history untouched: base files hardlinked into the new generation
+    for p, ino in base_parts.items():
+        assert os.stat(p).st_ino == ino, f"delete rewrote history: {p}"
+    # the appended batch's tagged files are gone
+    assert not [
+        p
+        for p in glob.glob(os.path.join(out, "lineitem.parquet", "*.parquet"))
+        if "-a" in os.path.basename(p)
+    ]
+
+    # managed table == the truncated source
+    managed = spark.read.parquet(os.path.join(out, "lineitem.parquet"))
+    assert managed.count() == cut
+
+    # negative-merged keydict == from-scratch dictionary of the remainder
+    kd = pq.read_table(
+        glob.glob(os.path.join(out, "lineitem.keydict.parquet", "*.parquet"))[0]
+    )
+    remainder = li.slice(0, cut)
+    for col in ("l_partkey", "l_suppkey"):
+        got = {r["key"]: r["cnt"] for r in kd.to_pylist() if r["col"] == col}
+        vc = pc.value_counts(remainder.column(col).combine_chunks())
+        want = {
+            v.as_py(): c.as_py()
+            for v, c in zip(vc.field("values"), vc.field("counts"))
+        }
+        assert got == want, f"negative keydict merge diverges on {col}"
+
+    # projection-served queries == full-scan over the post-delete table
+    for proj, full in (
+        ("q1_scan_agg", "q1_scan_agg_df"),
+        ("distinct_count", "distinct_count_df"),
+        ("q5_join5", "q5_join5_df"),
+    ):
+        got = _run(spark, str(sf), proj)
+        want = _run(spark, str(sf), full)
+        assert got == want, f"{proj} diverged after batch delete"
+
+    # q3 still served from a fresh bucketed copy
+    df = all_queries()["q3_join3"].spark_fn(spark, str(sf))
+    assert "lj_bkt_lineitem" in df._jdf.queryExecution().toString()
+
+
+def test_base_file_delete_falls_back_to_full_rebuild(
+    spark, tmp_path, monkeypatch, restore_catalog
+):
+    """Removing a BASE-layout file (not an appended batch) cannot negative-
+    merge — the table and every projection fully rebuild, and no stale
+    projection is ever served."""
+    import pyarrow.parquet as pq
+
+    li = pq.read_table("/root/testdata/sf0.001/lineitem.parquet")
+    third = li.num_rows // 3
+    sf = tmp_path / "sfdel2"
+    (sf / "lineitem.parquet").mkdir(parents=True)
+    pq.write_table(li.slice(0, third), str(sf / "lineitem.parquet" / "b0.parquet"))
+    pq.write_table(li.slice(third, third), str(sf / "lineitem.parquet" / "b1.parquet"))
+    monkeypatch.setattr(sess, "INGEST_ROOT", str(tmp_path / "ingest"))
+    sess.ingest_tables(spark, str(sf))
+
+    os.remove(str(sf / "lineitem.parquet" / "b1.parquet"))
+    sess.ingest_tables(spark, str(sf))
+    assert spark._lianjia_ingest_deleted == 0
+    assert spark._lianjia_ingest_rebuilt == 1, "base-file delete must rebuild"
+    row = all_queries()["distinct_count"].spark_fn(spark, str(sf)).collect()[0]
+    assert row.n_rows == third
+
+
+def test_delete_then_crash_never_serves_stale_projection(
+    spark, tmp_path, monkeypatch, restore_catalog
+):
+    """Fingerprint lockstep across the delete path: if the table publishes
+    its post-delete generation but a projection's marker is left behind
+    (simulated crash), the projection view/bucketed table refuse to serve
+    and queries fall back — extending
+    test_projection_view_requires_fingerprint_lockstep to deletes."""
+    import pyarrow.parquet as pq
+
+    li = pq.read_table("/root/testdata/sf0.001/lineitem.parquet")
+    cut = li.num_rows // 2
+    sf = tmp_path / "sfdel3"
+    (sf / "lineitem.parquet").mkdir(parents=True)
+    pq.write_table(li.slice(0, cut), str(sf / "lineitem.parquet" / "b0.parquet"))
+    for t in ("orders", "customer"):
+        pq.write_table(
+            pq.read_table(f"/root/testdata/sf0.001/{t}.parquet"),
+            str(sf / f"{t}.parquet"),
+        )
+    monkeypatch.setattr(sess, "INGEST_ROOT", str(tmp_path / "ingest"))
+    out = sess.ingest_tables(spark, str(sf))
+
+    pq.write_table(li.slice(cut), str(sf / "lineitem.parquet" / "b1.parquet"))
+    sess.ingest_tables(spark, str(sf))
+    os.remove(str(sf / "lineitem.parquet" / "b1.parquet"))
+    sess.ingest_tables(spark, str(sf))
+    assert spark._lianjia_ingest_deleted == 1
+
+    # simulate the crash: regress the keydict + bucketed markers to a stale
+    # fingerprint while the table marker stays current
+    for art in ("lineitem.keydict.parquet", "lineitem.bucketed.parquet"):
+        marker = os.path.join(out, art, "_SUCCESS")
+        with open(marker, "w") as fh:
+            fh.write("stale:0:x")
+    spark._lianjia_keydict_views = {}
+    spark._lianjia_bucket_tables = {}
+    assert sess.keydict_view(spark, str(sf), "lineitem") is None
+    assert sess.bucketed_table(spark, str(sf), "lineitem") is None
+    # queries fall back to full plans and stay correct
+    row = all_queries()["distinct_count"].spark_fn(spark, str(sf)).collect()[0]
+    assert row.n_rows == cut
+    df = all_queries()["q3_join3"].spark_fn(spark, str(sf))
+    assert "lj_bkt_lineitem" not in df._jdf.queryExecution().toString()
