@@ -88,6 +88,15 @@ def get_spark(
         # broadcast at small scale or forces an OOM at large — the conf
         # lets Catalyst pick per actual size.
         .config("spark.sql.join.preferSortMergeJoin", "false")
+        # Bucket-sorted scans report their sort order, eliding the
+        # per-bucket Sort under the co-bucketed fact join (q3 at the
+        # 100x-replica point: 3.07 s -> 2.22 s). Spark claims the ordering
+        # ONLY when every bucket has at most one file (that per-plan file
+        # listing is why the conf is off by default upstream — cheap at
+        # this deployment's file counts), so append batches that stack a
+        # second file per bucket automatically bring the Sort back rather
+        # than mis-claiming order.
+        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         .config("spark.sql.warehouse.dir", "/tmp/spark-graft-warehouse")
         # The driver testdata stores events.ts as parquet TIMESTAMP(NANOS),
         # which the vectorized reader rejects; reading nanos as BIGINT up

@@ -1041,6 +1041,10 @@ def test_bucketed_fact_copies_serve_q3_shuffle_free(
         f"bucketed q3 still shuffles:\n{plan}"
     )
     assert "Bucketed: true" in plan
+    # one file per bucket + SORTED BY metadata: the scan reports its order
+    # and the per-bucket Sort elides (legacy.bucketedTableScan conf in
+    # get_spark) — 'Sort ' with a space never matches 'SortMergeJoin'
+    assert "Sort " not in plan, f"per-bucket Sort not elided:\n{plan}"
     assert [tuple(r) for r in df.collect()] == raw1
 
     bkt_dir = os.path.join(out, "lineitem.bucketed.parquet")
