@@ -688,3 +688,72 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.groupBy("cluster_id").applyInPandas(
         drop_near_dups, "vec_id long, cluster_id long, is_dropped boolean"
     )
+
+
+# ---------------------------------------------------------------------------
+# L2 — exact repeated-passage detection (substring-level dedup)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_repeated_passages",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), wins AS (
+  SELECT doc_id, md5(array_to_string(t[i:i+15], ' ')) AS w
+  FROM toks, LATERAL unnest(generate_series(1, greatest(len(t) - 15, 0))) AS g(i)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(DISTINCT a.w) AS BIGINT) AS shared_windows
+FROM wins a JOIN wins b ON a.w = b.w AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+""",
+    survey_ref="L2,J5,A4",
+    doc="substring-level dedup: doc pairs sharing exact 16-token windows",
+)
+def dedup_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-passage detection, the substring-level complement of
+    document-level near-dup (the public Lee et al. 2022 'Deduplicating
+    Training Data' shape, re-expressed relationally): slide a 16-token
+    window over every document, hash each window, and report document
+    pairs sharing at least one exact window with their shared-window
+    count — the candidates a passage-level deduplicator would trim.
+
+    Scale shape: the window explode is O(tokens) row-local work inside the
+    scan (one md5 per window via a transform lambda — no Python); the
+    self-join is an inverted index on the window hash (equi-join, shuffle
+    keyed by w), so pair work is confined to documents that actually
+    share a window — never |corpus|². At 100 TB add the standard
+    boilerplate guard: drop windows whose document frequency exceeds a
+    cap (headers/licenses shared by millions of docs would otherwise
+    create quadratic hot keys) — semantically a stop-passage list, kept
+    out of the declared query so the oracle stays exact. Spark
+    ``sequence(1, n)`` DESCENDS for n < 1, so short documents are guarded
+    to an empty window array rather than relying on DuckDB's
+    empty-generate_series semantics."""
+    docs = _docs(spark, sf_dir)
+    wins = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(split(text, ' ')) >= 16 THEN"
+                " transform(sequence(1, size(split(text, ' ')) - 15),"
+                "   i -> md5(concat_ws(' ', slice(split(text, ' '), i, 16))))"
+                " ELSE array() END"
+            )
+        ).alias("w"),
+    )
+    a, b = wins.alias("a"), wins.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.countDistinct("a.w").alias("shared_windows"))
+    )
