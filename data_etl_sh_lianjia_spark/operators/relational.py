@@ -272,6 +272,49 @@ def q3_join3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q3_FULL_SQL)
 
 
+_POINT_KEY = 7
+
+_POINT_LOOKUP_ORACLE = f"""
+SELECT o_orderkey, CAST(o_orderdate AS DATE) AS orderdate, o_totalprice,
+       l_linenumber, l_quantity, l_extendedprice
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+WHERE o_orderkey = {_POINT_KEY}
+"""
+
+_POINT_LOOKUP_BODY = f"""
+SELECT o_orderkey, CAST(o_orderdate AS DATE) AS orderdate, o_totalprice,
+       l_linenumber, l_quantity, l_extendedprice
+FROM {{od}} o JOIN {{li}} l ON l_orderkey = o_orderkey
+WHERE o_orderkey = {_POINT_KEY}
+"""
+
+
+@register(
+    "point_lookup_order",
+    oracle=_POINT_LOOKUP_ORACLE,
+    survey_ref="J1,P5",
+    doc="point lookup: one order + its lineitems, bucket-pruned on the managed copies",
+)
+def point_lookup_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key lookup on the co-bucketed fact pair: with both copies bucketed
+    on orderkey, the literal predicate prunes each scan to ONE bucket
+    (``SelectedBucketsCount: 1 out of N`` — plan-tested), so a point
+    query touches 1/N of the data regardless of corpus size — the OLTP-ish
+    access path an analytics store still owes its users at 100 TB. Raw
+    landed dirs fall back to the full-scan plan (filter pushdown still
+    prunes row groups via min/max on the range-clustered primary copy)."""
+    register_views(spark, sf_dir)
+    from data_etl_sh_lianjia_spark.session import bucketed_table
+
+    bl = bucketed_table(spark, sf_dir, "lineitem")
+    bo = bucketed_table(spark, sf_dir, "orders")
+    if bl is not None and bo is not None:
+        return spark.sql(_POINT_LOOKUP_BODY.format(od=bo, li=bl))
+    return spark.sql(
+        _POINT_LOOKUP_BODY.format(od="lj_orders", li="lj_lineitem")
+    )
+
+
 @register(
     "q3_join3_df",
     oracle=_Q3_ORACLE,

@@ -97,6 +97,13 @@ def get_spark(
         # second file per bucket automatically bring the Sort back rather
         # than mis-claiming order.
         .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+        # autoBucketedScan only weighs join/agg interest, not FILTER
+        # pruning: with it on, a point lookup on a bucketed copy plans
+        # "Bucketed: false (disabled by query planner)" and scans every
+        # bucket instead of pruning to one (SelectedBucketsCount). The
+        # only bucketed relations here are the fact copies, whose readers
+        # always want either the co-located join or the pruned lookup.
+        .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
         .config("spark.sql.warehouse.dir", "/tmp/spark-graft-warehouse")
         # The driver testdata stores events.ts as parquet TIMESTAMP(NANOS),
         # which the vectorized reader rejects; reading nanos as BIGINT up

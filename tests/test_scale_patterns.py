@@ -396,3 +396,31 @@ def test_source_cap_pushes_window_group_limit(spark, sf_dir):
     assert plan.count("WindowGroupLimit") >= 2, (
         "WindowGroupLimit not pushed to the map side (partial+final expected)"
     )
+
+
+def test_point_lookup_prunes_to_one_bucket(spark, sf_dir, tmp_path, monkeypatch):
+    """A literal orderkey predicate on the co-bucketed copies must prune
+    each fact scan to a single bucket (SelectedBucketsCount: 1 out of N)."""
+    import re
+
+    from data_etl_sh_lianjia_spark import session as sess
+
+    saved = (
+        dict(getattr(spark, "_lianjia_ingest_map", {}) or {}),
+        dict(getattr(spark, "_lianjia_bucket_tables", {}) or {}),
+    )
+    monkeypatch.setattr(sess, "INGEST_ROOT", str(tmp_path))
+    try:
+        sess.ingest_tables(spark, sf_dir)
+        df = all_queries()["point_lookup_order"].spark_fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "lj_bkt_orders" in plan and "lj_bkt_lineitem" in plan
+        picks = re.findall(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+        assert len(picks) == 2, plan
+        assert all(sel == "1" for sel, _tot in picks), picks
+        assert df.count() >= 1
+    finally:
+        spark._lianjia_ingest_map = saved[0]
+        spark._lianjia_bucket_tables = saved[1]
+        spark._lianjia_table_cache = {}
+        spark._lianjia_views_dir = None
