@@ -660,15 +660,21 @@ def _append_bucketed(
     nb: int,
     fingerprint: str,
     bk_meta: dict,
+    tag: str,
 ) -> None:
     """Append-path maintenance of the bucketed copy, O(batch) not
     O(history): bucket ONLY the new rows (same murmur3-pmod placement, so
     every new file lands in the right bucket by file-name suffix), then
     publish a new generation that hardlinks the existing bucket files and
     adds the batch's — the same atomic rename-aside every managed artifact
-    uses. Buckets gain one file per append (Spark reads all files of a
-    bucket in one task; the join stays exchange-free), restored to one
-    file per bucket by the next full rebuild/compaction."""
+    uses. The batch's files carry the same ``a<tag>-`` prefix as the
+    managed table's (Spark parses the bucket id from the ``_NNNNN``
+    SUFFIX, so the prefix is inert to the scan), which is what lets a
+    later whole-batch DELETE drop exactly these files instead of
+    rebuilding the copy. Buckets gain one file per append (Spark reads
+    all files of a bucket in one task; the join stays exchange-free, the
+    sort-elision check sees >1 file and correctly reinstates the Sort),
+    restored to one file per bucket by the next full rebuild/compaction."""
     import shutil
 
     stage = bk_dst + f".batch-{os.getpid()}"
@@ -676,13 +682,38 @@ def _append_bucketed(
     _bucketed_write(spark, spark.read.parquet(*delta_paths), col, nb, stage)
 
     def write(tmp: str) -> None:
-        for src_dir in (bk_dst, stage):
-            for entry in os.scandir(src_dir):
-                if entry.is_file() and entry.name.endswith(".parquet"):
-                    os.link(entry.path, os.path.join(tmp, entry.name))
+        for entry in os.scandir(bk_dst):
+            if entry.is_file() and entry.name.endswith(".parquet"):
+                os.link(entry.path, os.path.join(tmp, entry.name))
+        for entry in os.scandir(stage):
+            if entry.is_file() and entry.name.endswith(".parquet"):
+                os.link(entry.path, os.path.join(tmp, f"a{tag}-{entry.name}"))
 
     _publish_dir(bk_dst, fingerprint, bk_meta, write)
     shutil.rmtree(stage, ignore_errors=True)
+
+
+def _delete_bucketed(
+    bk_dst: str, tags: list[str], fingerprint: str, bk_meta: dict
+) -> None:
+    """Whole-batch DELETE of the bucketed copy, O(batch): the removed
+    batches' rows live exactly in their ``a<tag>-``-prefixed bucket files
+    (written by _append_bucketed), so the post-delete copy is a new
+    generation hardlinking every other file. Only valid in fingerprint
+    lockstep (caller checks); anything else rebuilds from the managed
+    table."""
+    drop = tuple(f"a{t}-" for t in tags)
+
+    def write(tmp: str) -> None:
+        for entry in os.scandir(bk_dst):
+            if (
+                entry.is_file()
+                and entry.name.endswith(".parquet")
+                and not entry.name.startswith(drop)
+            ):
+                os.link(entry.path, os.path.join(tmp, entry.name))
+
+    _publish_dir(bk_dst, fingerprint, bk_meta, write)
 
 
 def bucketed_table(spark: SparkSession, sf_dir: str, name: str) -> str | None:
@@ -1682,6 +1713,7 @@ def ingest_tables(
                             spark,
                             [os.path.join(src, f) for f in delta],
                             bk_dst, bk_col, nb, bk_fp, bk_meta,
+                            hashlib.md5("|".join(delta).encode()).hexdigest()[:8],
                         )
                     else:
                         _build_bucketed(
@@ -1765,9 +1797,26 @@ def ingest_tables(
                         spark, tp_spec, [dst], tp_dst, fingerprint, meta_del
                     )
                 if bk_col:
-                    _build_bucketed(
-                        spark, dst, bk_dst, bk_col, nb, bk_fp, bk_meta
+                    # O(batch) when the copy is in lockstep AND every
+                    # removed batch's bucket files carry its tag (i.e. the
+                    # batch was appended after the copy existed); else
+                    # rebuild from the post-delete managed table
+                    bk_have, _bm = _read_marker(
+                        os.path.join(bk_dst, "_SUCCESS")
                     )
+                    tagged = {
+                        f.split("-", 1)[0][1:]
+                        for f in os.listdir(bk_dst)
+                        if f.startswith("a") and f.endswith(".parquet")
+                    }
+                    if bk_have == f"{old_table_fp}:bk{nb}" and all(
+                        t in tagged for t in tags
+                    ):
+                        _delete_bucketed(bk_dst, tags, bk_fp, bk_meta)
+                    else:
+                        _build_bucketed(
+                            spark, dst, bk_dst, bk_col, nb, bk_fp, bk_meta
+                        )
                 tbl_state[name]["removed_paths"] = held_paths
                 hold_dirs.append(hold)
                 deleted += 1

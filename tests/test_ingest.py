@@ -1233,6 +1233,17 @@ def test_whole_batch_delete_negative_merges_projections(
         for p in glob.glob(os.path.join(out, "lineitem.parquet", "*.parquet"))
         if "-a" not in os.path.basename(p)
     }
+    bkt_dir_li = os.path.join(out, "lineitem.bucketed.parquet")
+    bkt_base = {
+        os.path.basename(p): os.stat(p).st_ino
+        for p in glob.glob(os.path.join(bkt_dir_li, "*.parquet"))
+        if not os.path.basename(p).startswith("a")
+    }
+    assert bkt_base, "bucketed copy has no base files"
+    assert any(
+        os.path.basename(p).startswith("a")
+        for p in glob.glob(os.path.join(bkt_dir_li, "*.parquet"))
+    ), "append did not tag its bucketed files"
     os.remove(str(sf / "lineitem.parquet" / "b1.parquet"))
     sess.ingest_tables(spark, str(sf))
     assert spark._lianjia_ingest_deleted == 1, "delete did not take the batch path"
@@ -1277,7 +1288,23 @@ def test_whole_batch_delete_negative_merges_projections(
         want = _run(spark, str(sf), full)
         assert got == want, f"{proj} diverged after batch delete"
 
-    # q3 still served from a fresh bucketed copy
+    # bucketed copy maintained by O(batch) tagged-file drop, not rebuild:
+    # base bucket files survive byte-identical, the batch's tagged files
+    # are gone, and q3 still serves from the (fresh) copy with the right
+    # rows
+    bkt_after = {
+        os.path.basename(p): os.stat(p).st_ino
+        for p in glob.glob(os.path.join(bkt_dir_li, "*.parquet"))
+    }
+    assert {
+        n: i for n, i in bkt_after.items() if not n.startswith("a")
+    } == bkt_base, "delete rebuilt the bucketed base files"
+    assert not any(n.startswith("a") for n in bkt_after), (
+        "delete left tagged batch files in the bucketed copy"
+    )
+    assert (
+        spark.read.parquet(bkt_dir_li).count() == cut
+    ), "bucketed copy row count wrong after batch delete"
     df = all_queries()["q3_join3"].spark_fn(spark, str(sf))
     assert "lj_bkt_lineitem" in df._jdf.queryExecution().toString()
 
