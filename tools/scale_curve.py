@@ -81,6 +81,10 @@ _DUCK_SKIP_AT = {
     "cosine_topk": {"sf10x": _QUADRATIC},
     "ann_brute_topk": {"sf10x": _QUADRATIC},
     "repetition_stats": {"sf10x": "single"},
+    # ~190 s/run in DuckDB at 100x (the replicated corpus makes every
+    # duplicated doc pair across replicas; both engines pay the same
+    # blow-up — the engine crosses over to 0.5x there)
+    "dedup_repeated_passages": {"sf10x": "single"},
 }
 
 # LLM-pipeline operators, measured as their OWN curve (SCALE_CURVE_LLM=1
@@ -96,6 +100,7 @@ LLM_QUERIES = (
     "repetition_stats",
     "unigram_surprisal",
     "dedup_exact",
+    "dedup_repeated_passages",
     "quality_filter",
 )
 
