@@ -25,13 +25,31 @@ def entry(spark: SparkSession) -> DataFrame:
     return q.spark_fn(spark, "/root/testdata/sf0.001")
 
 
-# Names the round driver has already hash-checked (union of the r1-r5
+# Names the round driver has already hash-checked (union of the r1-r6
 # CORRECTNESS samples). The driver verifies the FIRST 50 entries of
 # ``queries()`` in order, so entries it has never seen are listed first —
-# all 185 stay registered and pytest-swept either way; this only converts
-# repo-verified queries into driver-verified ones round by round. Update
-# after each round from the new CORRECTNESS_r{N}.json.
+# the full registry stays registered and pytest-swept either way; this only
+# converts repo-verified queries into driver-verified ones round by round.
+# Update after each round from the new CORRECTNESS_r{N}.json.
 _DRIVER_SAMPLED = frozenset({
+    # --- round 6 sample (CORRECTNESS_r06.json, 50/50 green) ---
+    "compact_small_files", "dedup_repeated_passages", "deterministic_sample",
+    "distinct_count", "distinct_count_df", "fk_integrity_audit",
+    "fuzzy_match_levenshtein", "heavy_hitters_tokens",
+    "hierarchical_rollup_reuse", "histogram_value", "join_anti",
+    "join_asof_event", "join_cross", "join_full_outer", "join_left_outer",
+    "join_right_outer", "join_semi", "join_theta_band", "json_events",
+    "json_events_df", "lateral_join_topn", "merge_upsert_customers",
+    "multimodal_bmp_decode", "multimodal_bmp_resize", "multimodal_features",
+    "multimodal_features_real", "multimodal_jpeg_decode",
+    "multimodal_jpeg_resize", "multimodal_png_decode",
+    "multimodal_png_resize", "multimodal_resize", "multimodal_wav_decode",
+    "multimodal_waveform_stats", "observed_pipeline_metrics",
+    "point_lookup_order", "q1_scan_agg", "q1_scan_agg_df", "q3_join3",
+    "q3_join3_df", "q5_join5", "q5_join5_df", "scd2_order_history",
+    "sessionize", "sessionize_df", "stratified_sample", "topk_sort",
+    "topk_sort_df", "window_rank", "window_rank_df", "zorder_cluster",
+    # --- rounds 1-5 union ---
     "agg_extras_suite", "agg_skew_two_phase", "approx_distinct",
     "array_map_suite", "bm25_topk", "cohort_retention", "collect_ordered",
     "correlated_scalar_subquery", "count_min_heavy_hitters",
