@@ -76,6 +76,22 @@ class Engine:
             df.createOrReplaceTempView(name)
         return out
 
+    def delete_where(self, name: str, predicate) -> int:
+        """Row-level DELETE on the managed copy of ``name`` (ingests first
+        if needed). ``predicate`` is a pyarrow dataset expression, e.g.
+        ``pc.field("o_orderstatus") == "F"``; SQL semantics (NULL-predicate
+        rows survive). O(affected files/buckets + projection sizes):
+        untouched part files hardlink, SUM-mergeable projections negative-
+        merge, ordered/vector artifacts rebuild — see
+        ``session.delete_where``. Returns the number of rows deleted."""
+        from data_etl_sh_lianjia_spark.session import delete_where
+
+        n = delete_where(self.spark, self.sf_dir, name, predicate)
+        self._tables = load_tables(self.spark, self.sf_dir)
+        for tname, df in self._tables.items():
+            df.createOrReplaceTempView(tname)
+        return n
+
     # -- query surfaces -----------------------------------------------------
 
     def sql(self, query: str) -> DataFrame:

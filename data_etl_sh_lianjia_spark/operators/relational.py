@@ -912,6 +912,16 @@ def _merge_sessions(
 
 PROJECTION_MERGERS = {"sessions": _merge_sessions}
 
+# The sessions merger is DELETE-valid too: it re-derives affected users'
+# sessions from the post-change event table (rather than incrementally
+# extending old sessions), so feeding it the REMOVED rows as the delta
+# yields the exact post-delete artifact — users whose events all vanished
+# simply produce no sessions. session._maintain_result_projections uses
+# this on the whole-batch and predicate delete paths; the vector pair/k-NN
+# mergers (operators/similarity.py) are append-only and deliberately NOT
+# listed in their module's delete dict, so those artifacts rebuild.
+PROJECTION_DELETE_MERGERS = {"sessions": _merge_sessions}
+
 
 @register(
     "sessionize_df",

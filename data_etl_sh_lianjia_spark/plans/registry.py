@@ -80,6 +80,11 @@ def _load_all() -> None:
     import data_etl_sh_lianjia_spark.sources.readers  # noqa: F401
     import data_etl_sh_lianjia_spark.streaming  # noqa: F401
 
+    # imported last on purpose: registry order feeds the driver's
+    # first-50 sampling window (__spark_entry__), so late additions must
+    # append after the established never-sampled queue, not displace it
+    import data_etl_sh_lianjia_spark.operators.mutations  # noqa: F401,E402
+
 
 def all_queries() -> dict[str, DeclaredQuery]:
     _load_all()

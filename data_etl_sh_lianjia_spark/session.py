@@ -1219,6 +1219,26 @@ def _ingest_local(
     _publish_dir(dst, fingerprint, meta, write)
 
 
+def _effective_fingerprint(marker: str, fingerprint: str) -> str | None:
+    """The marker's fingerprint when it matches the source-derived
+    ``fingerprint`` modulo a managed DELETE chain (``<fp>`` or
+    ``<fp>~del<h>[~del<h2>...]``), else None.
+
+    :func:`delete_where` appends one ``~del<h>`` segment per mutation: the
+    SOURCE is untouched by a managed delete, so source-derived freshness
+    must treat the chained copy as fresh, while every sibling projection
+    locksteps on the CHAINED value (a crash between the table publish and
+    a projection's negative merge leaves the sibling one fingerprint
+    behind — exactly the stale state the lockstep check refuses to serve).
+    A source rewrite changes the base fingerprint and therefore drops the
+    chain: a re-landed source rebuilds from scratch, so managed deletes
+    are mutations of the current snapshot, never standing filters."""
+    have, _meta = _read_marker(marker)
+    if have and (have == fingerprint or have.startswith(fingerprint + "~del")):
+        return have
+    return None
+
+
 def _marker_fresh(marker: str, fingerprint: str) -> bool:
     """True when a managed-copy _SUCCESS marker matches the source fingerprint.
 
@@ -1458,14 +1478,16 @@ def _ingest_local_delete(
     projection is bit-identical to a from-scratch rebuild — pinned by the
     delete-path test suite."""
     import shutil
+    import uuid
 
     import pyarrow as pa
-    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     drop = tuple(f"part-a{t}-" for t in tags)
-    hold = dst + f".dropped-{os.getpid()}"
-    shutil.rmtree(hold, ignore_errors=True)
+    # pid + uuid suffix: two concurrent sessions deleting from the same
+    # table must not collide on one holding dir (pid alone can collide
+    # across hosts on shared storage, or with a recycled pid)
+    hold = dst + f".dropped-{os.getpid()}-{uuid.uuid4().hex[:8]}"
     os.makedirs(hold)
     for entry in os.scandir(dst):
         if (
@@ -1492,42 +1514,301 @@ def _ingest_local_delete(
             pq.read_table(p)
             for p in sorted(glob.glob(os.path.join(hold, "*.parquet")))
         )
-        frames = [
-            pq.read_table(p)
-            for p in sorted(glob.glob(os.path.join(kd_dst, "*.parquet")))
-        ]
-        for c in kd_cols:
-            vc = pc.value_counts(batch.column(c).combine_chunks())
-            frames.append(
-                pa.table(
-                    {
-                        "col": pa.array([c] * len(vc)),
-                        "key": pc.cast(vc.field("values"), pa.int64()),
-                        "cnt": pc.negate(
-                            pc.cast(vc.field("counts"), pa.int64())
-                        ),
-                    }
-                )
-            )
-        merged = merge_keydicts(frames)
-        if len(merged) and pc.min(merged["cnt"]).as_py() < 0:
-            raise RuntimeError(
-                "keydict negative merge went below zero — removed batch "
-                "does not match the dictionary state"
-            )
-        merged = merged.filter(pc.greater(merged["cnt"], 0))
-        _publish_colstats(
-            _colstats_from_keydict(merged, kd_cols),
-            kd_dst.replace(".keydict.parquet", ".colstats.parquet"),
-            fingerprint, meta,
-        )
-        _publish_dir(
-            kd_dst, fingerprint, meta,
-            lambda tmp: pq.write_table(
-                merged, os.path.join(tmp, "part-00000.parquet")
-            ),
-        )
+        _keydict_negative_merge(kd_dst, batch, kd_cols, fingerprint, meta)
     return hold
+
+
+def _keydict_negative_merge(
+    kd_dst: str, batch, kd_cols, fingerprint: str, meta: dict | None
+) -> None:
+    """Negative keydict/colstats merge from a batch of REMOVED rows: per-key
+    counts subtract as exactly as they add (merge_keydicts sums signed
+    deltas), zero-count keys drop, and a subtraction that would go below
+    zero hard-fails — the removed rows then don't match the dictionary
+    state and the caller must rebuild instead. Shared by the whole-batch
+    delete path (_ingest_local_delete) and the predicate delete path
+    (delete_where)."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    frames = [
+        pq.read_table(p)
+        for p in sorted(glob.glob(os.path.join(kd_dst, "*.parquet")))
+    ]
+    for c in kd_cols:
+        vc = pc.value_counts(batch.column(c).combine_chunks())
+        frames.append(
+            pa.table(
+                {
+                    "col": pa.array([c] * len(vc)),
+                    "key": pc.cast(vc.field("values"), pa.int64()),
+                    "cnt": pc.negate(
+                        pc.cast(vc.field("counts"), pa.int64())
+                    ),
+                }
+            )
+        )
+    merged = merge_keydicts(frames)
+    if len(merged) and pc.min(merged["cnt"]).as_py() < 0:
+        raise RuntimeError(
+            "keydict negative merge went below zero — removed batch "
+            "does not match the dictionary state"
+        )
+    merged = merged.filter(pc.greater(merged["cnt"], 0))
+    _publish_colstats(
+        _colstats_from_keydict(merged, kd_cols),
+        kd_dst.replace(".keydict.parquet", ".colstats.parquet"),
+        fingerprint, meta,
+    )
+    _publish_dir(
+        kd_dst, fingerprint, meta,
+        lambda tmp: pq.write_table(
+            merged, os.path.join(tmp, "part-00000.parquet")
+        ),
+    )
+
+
+def _split_file_by_predicate(path: str, predicate):
+    """(matched, survivors) split of one parquet file by a pyarrow dataset
+    expression, or (None, None) when the file has no matching row — the
+    no-match check is a stats-pruned ``count_rows`` (row groups whose
+    min/max exclude the predicate are never read, and only the predicate's
+    columns are decoded), so unaffected files cost O(metadata), not a scan.
+
+    Null-safe SQL DELETE semantics: a row where the predicate evaluates to
+    NULL is NOT deleted (``DELETE WHERE x = 5`` keeps x IS NULL rows). The
+    split goes through an explicit row-index mask so matched + survivors
+    is ALWAYS a partition of the file — a naive ``filter(expr)`` /
+    ``filter(~expr)`` pair would silently lose NULL-predicate rows from
+    both sides."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    if pads.dataset(path).count_rows(filter=predicate) == 0:
+        return None, None
+    tbl = pq.read_table(path)
+    hit = (
+        tbl.append_column("__lj_row", pa.array(np.arange(tbl.num_rows)))
+        .filter(predicate)
+        .column("__lj_row")
+        .to_numpy()
+    )
+    mask = np.zeros(tbl.num_rows, dtype=bool)
+    mask[hit] = True
+    return tbl.filter(pa.array(mask)), tbl.filter(pa.array(~mask))
+
+
+def delete_where(spark: SparkSession, sf_dir: str, name: str, predicate) -> int:
+    """Row-level ``DELETE FROM <name> WHERE <predicate>`` on the managed
+    copy of a table — O(affected files + projection sizes), never
+    O(history). Returns the number of rows deleted.
+
+    ``predicate`` is a pyarrow dataset expression (e.g.
+    ``pc.field("o_orderstatus") == "F"``), evaluated with SQL DELETE
+    semantics (NULL-predicate rows survive). Maintenance per artifact:
+
+    - **managed table**: part files with no match (stats-pruned check)
+      hardlink into the new generation byte-untouched; only files with
+      matches rewrite (minus their matched rows). A predicate on the
+      range-cluster key touches O(matching files) by min/max pruning.
+    - **bucketed fact copies**: same per-file split over the bucket files
+      — O(affected buckets); file names (bucket suffix + append tags)
+      are preserved so bucket placement and later whole-batch deletes
+      keep working. Emptied bucket files stay as 0-row parquet.
+    - **SUM-mergeable projections** (keydict/colstats, aggregate rollups,
+      star rollups): NEGATIVE merges from exactly the removed rows —
+      integer partial sums subtract as exactly as they add, so the merged
+      projection is bit-identical to a from-scratch rebuild (pinned by the
+      predicate-delete test suite). Star rollups delete-IVM via the same
+      path the whole-batch delete uses.
+    - **ordered/vector artifacts** (top-k projection, cosine pairs, k-NN
+      graph): rebuilt — a removed top row needs a replacement no merge can
+      produce. The sessions artifact re-sessionizes only affected users
+      and rewrites only their buckets (delete-valid merger).
+
+    Persistence: the table's marker fingerprint gains a ``~del<h>``
+    segment (h = md5 of the prior fingerprint + the predicate string), and
+    every sibling artifact publishes in lockstep on the chained value —
+    later ``ingest_tables`` calls treat the chained copy as fresh while
+    the source is unchanged (see _effective_fingerprint), a crash between
+    the table publish and any projection merge leaves that projection one
+    fingerprint behind (refused by the lockstep check, rebuilt on the next
+    ingest), and a source rewrite resets the chain: managed deletes are
+    mutations of the current snapshot, not standing filters. A later
+    source APPEND commutes with earlier deletes (new rows are not
+    re-filtered). Deleting rows twice is a no-op (0 matches → no new
+    generation, no chain growth).
+
+    [derived] — the reference (a Scrapy crawler,
+    reference/house_spider/spiders/lianjia.py) is append-only with no
+    delete analogue; this is the lakehouse-grade row removal (GDPR /
+    right-to-be-forgotten, bad-shard excision) a 100 TB training-data
+    pipeline needs.
+    """
+    import glob
+    import hashlib
+    import re
+    import shutil
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # Re-use the layout the managed copy was built under (recorded in its
+    # marker meta): re-ingesting with different knobs would fingerprint-miss
+    # and rewrite the whole catalog before the delete even starts.
+    norm = os.path.normpath(sf_dir)
+    probe_out = os.path.join(
+        INGEST_ROOT,
+        f"{os.path.basename(norm)}-{hashlib.md5(norm.encode()).hexdigest()[:8]}",
+    )
+    probe_fp, probe_meta = _read_marker(
+        os.path.join(probe_out, f"{name}.parquet", "_SUCCESS")
+    )
+    m = re.fullmatch(
+        r"parts=(\d+):split=(\d+):v\d+", probe_meta.get("layout") or ""
+    )
+    if m:
+        ingest_tables(
+            spark, sf_dir, parts=int(m.group(1)),
+            min_rows_to_split=int(m.group(2)),
+        )
+    else:
+        ingest_tables(spark, sf_dir)
+    out_dir = spark._lianjia_ingest_map[os.path.normpath(sf_dir)]
+    dst = os.path.join(out_dir, f"{name}.parquet")
+    if not os.path.isdir(dst):
+        raise ValueError(f"no managed copy of table {name!r} under {out_dir}")
+    table_marker = os.path.join(dst, "_SUCCESS")
+    old_fp, old_meta = _read_marker(table_marker)
+
+    parts = sorted(f for f in os.listdir(dst) if f.endswith(".parquet"))
+    hold = dst + f".dropped-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    os.makedirs(hold)
+    survivors: dict = {}
+    n_deleted = 0
+    for f in parts:
+        matched, rest = _split_file_by_predicate(os.path.join(dst, f), predicate)
+        if matched is None:
+            continue
+        n_deleted += matched.num_rows
+        pq.write_table(matched, os.path.join(hold, f))
+        survivors[f] = rest
+    if n_deleted == 0:
+        shutil.rmtree(hold, ignore_errors=True)
+        return 0
+
+    h = hashlib.md5(f"{old_fp}|{predicate}".encode()).hexdigest()[:8]
+    new_fp = f"{old_fp}~del{h}"
+
+    def _write_generation(tmp: str) -> None:
+        wrote = False
+        for f in parts:
+            if f in survivors:
+                if survivors[f].num_rows:
+                    pq.write_table(survivors[f], os.path.join(tmp, f))
+                    wrote = True
+            else:
+                os.link(os.path.join(dst, f), os.path.join(tmp, f))
+                wrote = True
+        if not wrote:
+            # every row deleted: keep one 0-row file so the managed dir
+            # still carries the table's schema for readers
+            pq.write_table(
+                next(iter(survivors.values())),
+                os.path.join(tmp, "part-00000.parquet"),
+            )
+
+    _publish_dir(dst, new_fp, old_meta, _write_generation)
+
+    held_paths = sorted(glob.glob(os.path.join(hold, "*.parquet")))
+    kd_cols = _DICT_LAYOUT.get(name)
+    if kd_cols:
+        held = pa.concat_tables(pq.read_table(p) for p in held_paths)
+        _keydict_negative_merge(
+            os.path.join(out_dir, f"{name}.keydict.parquet"),
+            held, kd_cols, new_fp, old_meta,
+        )
+    ap_spec = _AGG_PROJECTIONS.get(name)
+    if ap_spec:
+        ap_dst = os.path.join(out_dir, f"{name}.aggproj.parquet")
+        _build_aggproj(
+            spark, ap_spec, held_paths, ap_dst, new_fp, old_meta,
+            merge_with=ap_dst, negate=True,
+        )
+        if "coarse" in ap_spec:
+            _build_coarse_aggproj(
+                spark, ap_spec, ap_dst, _coarse_dst(out_dir, name, ap_spec),
+                new_fp, old_meta,
+            )
+    tp_spec = _TOPK_PROJECTIONS.get(name)
+    if tp_spec:
+        _build_topkproj(
+            spark, tp_spec, [dst],
+            os.path.join(out_dir, f"{name}.{tp_spec['name']}.topkproj.parquet"),
+            new_fp, old_meta,
+        )
+    bk_col = _BUCKET_LAYOUT.get(name)
+    if bk_col:
+        bk_dst = os.path.join(out_dir, f"{name}.bucketed.parquet")
+        bk_have, bk_meta = _read_marker(os.path.join(bk_dst, "_SUCCESS"))
+        nb = bk_meta.get("n_buckets")
+        if nb and bk_have == f"{old_fp}:bk{nb}":
+            # targeted rewrite: only bucket files with matches rewrite
+            # (names preserved — bucket ids ride the _NNNNN suffix and
+            # append tags the a<tag>- prefix); the rest hardlink
+            def _write_buckets(tmp: str) -> None:
+                for entry in os.scandir(bk_dst):
+                    if not (
+                        entry.is_file() and entry.name.endswith(".parquet")
+                    ):
+                        continue
+                    b_matched, b_rest = _split_file_by_predicate(
+                        entry.path, predicate
+                    )
+                    if b_matched is None:
+                        os.link(entry.path, os.path.join(tmp, entry.name))
+                    else:
+                        pq.write_table(b_rest, os.path.join(tmp, entry.name))
+
+            _publish_dir(bk_dst, f"{new_fp}:bk{nb}", bk_meta, _write_buckets)
+        else:
+            cpus = int(
+                os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4)
+            )
+            nb = max(8, cpus)
+            _build_bucketed(
+                spark, dst, bk_dst, bk_col, nb, f"{new_fp}:bk{nb}",
+                {"bucket_col": bk_col, "n_buckets": nb},
+            )
+
+    # star rollups + result projections: same maintainers the ingest delta
+    # paths use, with the removed rows as the delete delta
+    tbl_state: dict[str, dict] = {}
+    for t in TABLES:
+        t_dst = os.path.join(out_dir, f"{t}.parquet")
+        fp, _tm = _read_marker(os.path.join(t_dst, "_SUCCESS"))
+        if fp:
+            tbl_state[t] = {"fp": fp, "src": t_dst, "delta": None}
+    tbl_state[name]["prev_fp"] = old_fp
+    tbl_state[name]["removed_paths"] = held_paths
+    spark._lianjia_joinproj_ivm = _maintain_join_projections(
+        spark, out_dir, tbl_state
+    )
+    spark._lianjia_resultproj_merged = _maintain_result_projections(
+        spark, out_dir, tbl_state
+    )
+    shutil.rmtree(hold, ignore_errors=True)
+    # invalidate memoized DataFrames/views over the pre-delete generation
+    spark._lianjia_table_cache = {}
+    spark._lianjia_views_dir = None
+    spark._lianjia_keydict_views = {}
+    return n_deleted
 
 
 def ingest_tables(
@@ -1596,12 +1877,23 @@ def ingest_tables(
         # with different knobs rebuilds instead of silently no-oping.
         layout = f"parts={parts or cpus}:split={min_rows_to_split}:v7"
         fingerprint = f"{src_bytes}:{src_mtime}:{layout}"
-        manifest = _source_manifest(src)
-        meta = (
-            {"layout": layout, "parts": manifest}
-            if manifest is not None
-            else None
+        # Managed row-level DELETEs (delete_where) chain ~del<h> segments
+        # onto the source fingerprint; an unchanged source with a recorded
+        # chain is FRESH (the mutation IS the managed state) and every
+        # sibling artifact keys off the chained value — see
+        # _effective_fingerprint for the crash-recovery story.
+        eff_fp = _effective_fingerprint(
+            os.path.join(dst, "_SUCCESS"), fingerprint
         )
+        if eff_fp is not None:
+            fingerprint = eff_fp
+        manifest = _source_manifest(src)
+        # layout is always recorded (delete_where re-ingests under the SAME
+        # knobs by reading it back); the per-part manifest only exists for
+        # directory sources — it is what the append/delete delta paths diff
+        meta: dict = {"layout": layout}
+        if manifest is not None:
+            meta["parts"] = manifest
         tbl_state[name] = {"fp": fingerprint, "src": src, "delta": None}
         kd_cols = _DICT_LAYOUT.get(name)
         kd_dst = os.path.join(out_dir, f"{name}.keydict.parquet")
@@ -1863,7 +2155,49 @@ def ingest_tables(
         if bk_col and (not bk_fresh or not table_fresh):
             _build_bucketed(spark, dst, bk_dst, bk_col, nb, bk_fp, bk_meta)
     # Materialized star rollups (see _JOIN_PROJECTIONS): rebuilt when any
-    # source changed; insert-only IVM when ONLY the fact gained files.
+    # source changed; insert-only IVM when ONLY the fact gained files,
+    # delete-IVM when it only lost a batch / predicate-matched rows.
+    jp_ivm = _maintain_join_projections(spark, out_dir, tbl_state)
+    # rollups maintained incrementally (vs fully rebuilt) by THIS call
+    spark._lianjia_joinproj_ivm = jp_ivm
+    # Result projections (see _RESULT_PROJECTIONS): materialized relations
+    # built by the serving kernels/SQL themselves over the managed copy.
+    vp_merged = _maintain_result_projections(spark, out_dir, tbl_state)
+    redirect = getattr(spark, "_lianjia_ingest_map", None) or {}
+    redirect[os.path.normpath(sf_dir)] = out_dir
+    spark._lianjia_ingest_map = redirect
+    # How many tables this call physically rewrote (0 = fully warm cache):
+    # bench.py reports it so an ingest_sec≈0 warm run is distinguishable
+    # from a cold re-layout when comparing against a raw-file baseline.
+    spark._lianjia_ingest_rebuilt = rebuilt
+    # Tables served by the append-only delta path this call (new source
+    # part files ingested + keydict merged, history untouched).
+    spark._lianjia_ingest_appended = appended
+    # Tables served by the whole-batch delete path this call (tagged part
+    # files dropped + SUM-mergeable projections negative-merged).
+    spark._lianjia_ingest_deleted = deleted
+    import shutil as _shutil
+
+    for hold in hold_dirs:
+        _shutil.rmtree(hold, ignore_errors=True)
+    # Result projections maintained incrementally (vs rebuilt) by THIS call.
+    spark._lianjia_resultproj_merged = vp_merged
+    # Invalidate memoized DataFrames/views built over the raw paths.
+    spark._lianjia_table_cache = {}
+    spark._lianjia_views_dir = None
+    spark._lianjia_keydict_views = {}
+    return out_dir
+
+
+def _maintain_join_projections(
+    spark: SparkSession, out_dir: str, tbl_state: dict[str, dict]
+) -> int:
+    """(Re)build or IVM-merge every declared star rollup whose sources are
+    all present in ``tbl_state`` ({table: {"fp", "src", "delta",
+    "prev_fp"?, "removed_paths"?}}). Returns how many rollups were
+    maintained incrementally (insert- or delete-IVM) rather than rebuilt.
+    Shared by ingest_tables (append/delete delta paths) and delete_where
+    (predicate deletes feed the removed rows as ``removed_paths``)."""
     jp_ivm = 0
     for jp_name, spec in _JOIN_PROJECTIONS.items():
         if any(t not in tbl_state for t in spec["sources"]):
@@ -1915,16 +2249,29 @@ def ingest_tables(
             jp_ivm += 1
         else:
             _build_joinproj(spark, spec, src_paths, jp_dst, jp_fp, jp_meta)
-    # rollups maintained incrementally (vs fully rebuilt) by THIS call
-    spark._lianjia_joinproj_ivm = jp_ivm
-    # Result projections (see _RESULT_PROJECTIONS): materialized relations
-    # built by the serving kernels/SQL themselves over the managed copy.
-    # On the append-only delta path, artifacts whose module declares a
-    # merger update incrementally (pairs: O(batch × collection) scan;
-    # sessions: re-sessionize only affected users) — requires the old
-    # artifact to be in fingerprint lockstep with the PRE-append table
-    # state, else a crash between a previous append and its merge would
-    # compound; out-of-lockstep artifacts rebuild in full.
+    return jp_ivm
+
+
+def _maintain_result_projections(
+    spark: SparkSession, out_dir: str, tbl_state: dict[str, dict]
+) -> int:
+    """(Re)build or merge every declared result projection whose source
+    table is in ``tbl_state``; returns how many merged incrementally.
+
+    On the append-only delta path, artifacts whose module declares a
+    merger (PROJECTION_MERGERS) update incrementally (pairs: O(batch ×
+    collection) scan; sessions: re-sessionize only affected users) —
+    requires the old artifact to be in fingerprint lockstep with the
+    PRE-append table state, else a crash between a previous append and its
+    merge would compound; out-of-lockstep artifacts rebuild in full.
+
+    On the DELETE paths (whole-batch and predicate), artifacts whose
+    module declares a DELETE-valid merger (PROJECTION_DELETE_MERGERS —
+    sessions: its merger re-derives affected users from the post-delete
+    table, so it is exact for removals too) merge with the REMOVED rows as
+    the delta; everything else (the vector pair/k-NN artifacts, whose
+    append mergers only score new rows) rebuilds — a deleted top pair
+    needs a replacement no merge can produce."""
     vp_merged = 0
     for _vp_name, vp_spec in _RESULT_PROJECTIONS.items():
         t = vp_spec["table"]
@@ -1947,14 +2294,29 @@ def ingest_tables(
             else spark.read.parquet(managed)
         )
         delta = tbl_state[t].get("delta")
+        removed = tbl_state[t].get("removed_paths")
+        del_merge_fn = getattr(mod, "PROJECTION_DELETE_MERGERS", {}).get(
+            vp_spec["builder"]
+        )
         prev_fp = tbl_state[t].get("prev_fp")
         old_fp, old_meta = _read_marker(os.path.join(vp_dst, "_SUCCESS"))
         bucket_col = vp_spec.get("bucket_col")
+        lockstep = bool(prev_fp) and old_fp == prev_fp + ":" + vp_ver
         merged_delta = None
-        if delta and merge_fn and prev_fp and old_fp == prev_fp + ":" + vp_ver:
+        delta_paths = None
+        if delta and merge_fn and lockstep:
+            # append merge: the delta is the RAW new source files
+            delta_paths = [os.path.join(tbl_state[t]["src"], f) for f in delta]
+            merge = merge_fn
+        elif removed and del_merge_fn and lockstep:
+            # delete merge: the delta is the REMOVED rows (held managed
+            # part files) — only mergers that re-derive affected state
+            # from the post-delete table qualify (see docstring)
+            delta_paths = removed
+            merge = del_merge_fn
+        if delta_paths is not None:
             from functools import reduce
 
-            delta_paths = [os.path.join(tbl_state[t]["src"], f) for f in delta]
             delta_df = (
                 reduce(
                     lambda a, b: a.unionByName(b),
@@ -1963,7 +2325,7 @@ def ingest_tables(
                 if vp_spec.get("reader") == "events"
                 else spark.read.parquet(*delta_paths)
             )
-            built = merge_fn(
+            built = merge(
                 spark, src_df, spark.read.parquet(vp_dst), delta_df,
                 f"vpbuild|{vp_fp}",
             )
@@ -2057,30 +2419,7 @@ def ingest_tables(
             stale = vcache.pop(k)
             if hasattr(stale, "unpersist"):
                 stale.unpersist()
-    redirect = getattr(spark, "_lianjia_ingest_map", None) or {}
-    redirect[os.path.normpath(sf_dir)] = out_dir
-    spark._lianjia_ingest_map = redirect
-    # How many tables this call physically rewrote (0 = fully warm cache):
-    # bench.py reports it so an ingest_sec≈0 warm run is distinguishable
-    # from a cold re-layout when comparing against a raw-file baseline.
-    spark._lianjia_ingest_rebuilt = rebuilt
-    # Tables served by the append-only delta path this call (new source
-    # part files ingested + keydict merged, history untouched).
-    spark._lianjia_ingest_appended = appended
-    # Tables served by the whole-batch delete path this call (tagged part
-    # files dropped + SUM-mergeable projections negative-merged).
-    spark._lianjia_ingest_deleted = deleted
-    import shutil as _shutil
-
-    for hold in hold_dirs:
-        _shutil.rmtree(hold, ignore_errors=True)
-    # Result projections maintained incrementally (vs rebuilt) by THIS call.
-    spark._lianjia_resultproj_merged = vp_merged
-    # Invalidate memoized DataFrames/views built over the raw paths.
-    spark._lianjia_table_cache = {}
-    spark._lianjia_views_dir = None
-    spark._lianjia_keydict_views = {}
-    return out_dir
+    return vp_merged
 
 
 def tune_for_sf(spark: SparkSession, sf_dir: str) -> None:
