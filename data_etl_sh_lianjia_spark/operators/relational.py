@@ -238,6 +238,25 @@ LIMIT 10
 
 _Q3_FULL_SQL = _Q3_BODY.format(hint="", li="lj_lineitem", od="lj_orders")
 
+# Rollup-served form (session._JOIN_PROJECTIONS "q3_orderrev"): the
+# ingest-maintained order-grain revenue rollup pre-joins the star with
+# q3's date cutoffs baked in and groups on exactly the query's output
+# grain (+ c_mktsegment), with s_rev the same scaled-long integer sum the
+# full plan computes — so serving is ONE rollup scan + TakeOrderedAndProject
+# (no join, no aggregate, no exchange) and the final CAST/divide is the
+# identical IEEE op on the identical merged integer: bit-identical by
+# construction. Within the segment slice the grain is unique per
+# (orderkey, orderdate, priority), so no re-aggregation is needed.
+_Q3_PROJ_SQL = """
+SELECT l_orderkey,
+       CAST(s_rev AS DOUBLE) / 10000.0D AS revenue,
+       orderdate, o_orderpriority
+FROM {jp}
+WHERE c_mktsegment = 'BUILDING'
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
 
 @register(
     "q3_join3",
@@ -247,29 +266,45 @@ _Q3_FULL_SQL = _Q3_BODY.format(hint="", li="lj_lineitem", od="lj_orders")
     doc="TPC-H Q3 shape: 3-way join, agg, deterministic top-10 by revenue",
 )
 def q3_join3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """When this session ingested ``sf_dir``, lineitem⋈orders joins the
-    co-bucketed fact copies (session._BUCKET_LAYOUT): both sides arrive
-    hash-bucketed on orderkey, so the fact join AND the orderkey-keyed
-    aggregation above it plan with zero shuffle Exchange — the layout paid
-    the partitioning once at ingest, which is the only q3 shape that stays
-    flat at 100 TB (no projection can absorb a group-by on the join key
-    itself). The MERGE hint pins the bucket-aware SortMergeJoin (a
-    size-based broadcast of filtered orders would re-pay a build per query
-    and stops being possible at scale); customer stays a broadcast dim.
-    Raw landed dirs — the driver correctness gate — take the full-scan
-    plan, so the bucketed copy is never a correctness dependency."""
+    """Three serving tiers, fastest fresh one wins:
+
+    1. The ORDER-GRAIN revenue rollup (session._JOIN_PROJECTIONS
+       "q3_orderrev"): the star pre-joined at ingest with q3's date
+       cutoffs baked in, grouped on exactly the query's output grain — one
+       rollup scan + TakeOrderedAndProject, no join, no aggregate, no
+       exchange; insert-/delete-IVM keeps it O(batch) to maintain.
+    2. The co-bucketed fact copies (session._BUCKET_LAYOUT,
+       :func:`q3_join3_bucketed`): zero-Exchange SortMergeJoin — the scale
+       path for this join SHAPE when the rollup's baked constants don't
+       apply; customer stays a broadcast dim.
+    3. Raw landed dirs — the driver correctness gate — take the full-scan
+       plan, so neither artifact is ever a correctness dependency."""
     register_views(spark, sf_dir)
+    jp = joinproj_view(spark, sf_dir, "q3_orderrev")
+    if jp is not None:
+        return spark.sql(_Q3_PROJ_SQL.format(jp=jp))
+    bucketed = q3_join3_bucketed(spark, sf_dir)
+    if bucketed is not None:
+        return bucketed
+    return spark.sql(_Q3_FULL_SQL)
+
+
+def q3_join3_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame | None:
+    """The co-bucketed SortMergeJoin form of q3 (zero shuffle Exchange —
+    plan-pinned by tests/test_ingest.py), or None without fresh bucketed
+    copies. Second in q3's serving order (behind the order-grain rollup,
+    ahead of the raw full scan); also the scale path for ad-hoc
+    orderkey-join queries the rollup's baked constants can't serve."""
     from data_etl_sh_lianjia_spark.session import bucketed_table
 
+    register_views(spark, sf_dir)
     bl = bucketed_table(spark, sf_dir, "lineitem")
     bo = bucketed_table(spark, sf_dir, "orders")
-    if bl is not None and bo is not None:
-        return spark.sql(
-            _Q3_BODY.format(
-                hint="/*+ BROADCAST(c), MERGE(l, o) */ ", li=bl, od=bo
-            )
-        )
-    return spark.sql(_Q3_FULL_SQL)
+    if bl is None or bo is None:
+        return None
+    return spark.sql(
+        _Q3_BODY.format(hint="/*+ BROADCAST(c), MERGE(l, o) */ ", li=bl, od=bo)
+    )
 
 
 _POINT_KEY = 7

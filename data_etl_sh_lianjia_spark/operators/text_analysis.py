@@ -47,18 +47,33 @@ FROM documents
     doc="per-document length/token/char stats + metadata-drift quality signal",
 )
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every derived stat reduces to LENGTH arithmetic over literal
+    (non-regex) REPLACE — no split, no regexp: for a single-space
+    separator, size(split(text,' ')) == #spaces + 1 exactly (consecutive
+    and trailing separators both yield empty tokens in split AND count as
+    spaces, so the identity has no edge cases; '' -> 1 either way), and
+    the non-space character count is length - #spaces. Cuts the per-row
+    cost from two regex passes + a split-allocated array to three string
+    scans — the difference between parity and beating the baseline at the
+    100x curve point, where this operator is pure per-row CPU."""
     docs = _docs(spark, sf_dir)
-    toks = F.split(F.col("text"), " ")
+    n_spaces = F.length("text") - F.length(
+        F.replace(F.col("text"), F.lit(" "), F.lit(""))
+    )
+    n_tokens = (n_spaces + F.lit(1)).cast("bigint")
     return docs.select(
         "doc_id",
         "lang",
         F.length("text").cast("bigint").alias("text_len"),
-        F.size(toks).cast("bigint").alias("n_tokens"),
-        (F.length("text") - F.length(F.regexp_replace("text", "a", ""))).cast("bigint").alias("n_a"),
+        n_tokens.alias("n_tokens"),
+        (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit("a"), F.lit("")))
+        ).cast("bigint").alias("n_a"),
         F.abs(F.col("n_chars") - F.length("text")).alias("n_chars_drift"),
         F.round(
-            F.length(F.regexp_replace("text", " ", "")).cast("double")
-            / F.greatest(F.size(toks), F.lit(1)),
+            (F.length("text") - n_spaces).cast("double")
+            / F.greatest(n_tokens, F.lit(1)),
             6,
         ).alias("avg_token_len"),
     )

@@ -552,6 +552,48 @@ GROUP BY r_name, n_name, o_orderdate
         # s_rev alone cannot distinguish "empty group" from a zero-sum
         # one. Serving reads s_rev only.
     },
+    # q3's revenue rollup at ORDER grain — the one headline shape the
+    # co-bucketed join alone could not hold flat on the scale curve (r6:
+    # 2.4× DuckDB at the 100×-replica point — the shuffle is gone but the
+    # post-join partial agg + top-k still rescan 24 M joined rows per
+    # query). The rollup pre-joins lineitem⋈orders⋈customer with q3's
+    # fixed date cutoffs baked into the build (the same
+    # constant-baked-at-ingest pattern as the q1cut coarse rollup) and
+    # groups on exactly q3's output grain plus c_mktsegment, so serving is
+    # one rollup scan + TakeOrderedAndProject: no join, no aggregate, no
+    # exchange. Row count tracks qualifying ORDERS (not lineitems) — big
+    # at 100 TB but 5-8× smaller than the fact and, critically, scanned
+    # without any join or shuffle. Insert-IVM on fact appends (each
+    # lineitem row's contribution is additive and independent), delete-IVM
+    # with negated measures; any orders/customer change rebuilds.
+    # Within a segment slice the grain is unique per (orderkey, orderdate,
+    # priority) — serving needs no re-aggregation (parity pinned by
+    # tests/test_ingest.py's q3 checks and the registry oracle sweep).
+    "q3_orderrev": {
+        "fact": "lineitem",
+        "sources": ("lineitem", "orders", "customer"),
+        "keys": ("l_orderkey", "orderdate", "o_orderpriority", "c_mktsegment"),
+        "measures": {
+            "s_rev": (
+                "SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 10000"
+                " + 0.5) AS BIGINT))"
+            ),
+            "cnt": "COUNT(*)",
+        },
+        "build_sql": """
+SELECT l_orderkey, CAST(o_orderdate AS DATE) AS orderdate, o_orderpriority,
+       c_mktsegment,
+       SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 10000
+           + 0.5) AS BIGINT)) AS s_rev,
+       COUNT(*) AS cnt
+FROM _jp_lineitem l
+JOIN _jp_orders o   ON l.l_orderkey = o.o_orderkey
+JOIN _jp_customer c ON c.c_custkey  = o.o_custkey
+WHERE o.o_orderdate < TIMESTAMP_NTZ '1998-03-15 00:00:00'
+  AND l.l_shipdate  > TIMESTAMP_NTZ '1996-03-15 00:00:00'
+GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority, c_mktsegment
+""",
+    },
 }
 
 
@@ -593,11 +635,53 @@ def _build_joinproj(
             f" UNION ALL SELECT {keys}, {batch_cols} FROM _jp_batch)"
             f" GROUP BY {keys}{having}"
         )
+
+    # Size-adaptive publish: rollups keyed on low-cardinality dims stay
+    # ~KB (one file), but an ORDER-grain rollup tracks qualifying orders —
+    # 66 MB at the 100x curve point, and a coalesce(1) single file would
+    # cap every serving scan at ONE task (measured: q3 860 ms single-task
+    # vs ~200 ms split). REBALANCE + a 16 MB advisory lets AQE emit
+    # right-sized files: tiny rollups still land as one file, big ones
+    # split for scan parallelism. (A petabyte deployment would raise the
+    # advisory to 128 MB-class files; the knob is this one line.)
+    def _write(tmp: str) -> None:
+        adv_key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+        saved = spark.conf.get(adv_key, None)
+        spark.conf.set(adv_key, str(16 * 1024 * 1024))
+        aqe = (
+            spark.conf.get("spark.sql.adaptive.enabled", "true").lower()
+            == "true"
+        )
+        out_df = built.hint("rebalance") if aqe else built
+        try:
+            out_df.write.mode("overwrite").parquet(tmp)
+        finally:
+            if saved is None:
+                spark.conf.unset(adv_key)
+            else:
+                spark.conf.set(adv_key, saved)
+        # AQE-off sessions (bench/scale-curve protocol) ignore REBALANCE
+        # and emit shuffle.partitions dust files; compact small rollups
+        # driver-side so the per-query serving scan stays one task
+        files = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
+        if len(files) > 1 and sum(
+            os.path.getsize(os.path.join(tmp, f)) for f in files
+        ) < 8 * 1024 * 1024:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            tbl = pa.concat_tables(
+                pq.read_table(os.path.join(tmp, f)) for f in sorted(files)
+            )
+            for f in files:
+                os.remove(os.path.join(tmp, f))
+                crc = os.path.join(tmp, f".{f}.crc")
+                if os.path.exists(crc):
+                    os.remove(crc)
+            pq.write_table(tbl, os.path.join(tmp, "part-00000.parquet"))
+
     # write(tmp) materializes the merge BEFORE _publish_dir swaps merge_with
-    _publish_dir(
-        jp_dst, fingerprint, meta,
-        lambda tmp: built.coalesce(1).write.mode("overwrite").parquet(tmp),
-    )
+    _publish_dir(jp_dst, fingerprint, meta, _write)
 
 
 def joinproj_view(spark: SparkSession, sf_dir: str, name: str) -> str | None:

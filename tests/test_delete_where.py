@@ -188,9 +188,12 @@ def test_predicate_delete_bucketed_copy_rewrites_only_affected_buckets(
     assert len(rewritten) == 1, (
         "a single-orderkey delete must rewrite exactly one bucket file"
     )
-    # the join still serves from the (fresh, chained-fp) bucketed copy
-    df = all_queries()["q3_join3"].spark_fn(spark, sf)
+    # the bucketed tier still serves from the (fresh, chained-fp) copy and
+    # q3's rollup tier delete-IVM'd — both value-identical to the full plan
+    df = all_queries()["point_lookup_order"].spark_fn(spark, sf)
     assert "lj_bkt_lineitem" in df._jdf.queryExecution().toString()
+    q3 = all_queries()["q3_join3"].spark_fn(spark, sf)
+    assert "q3_orderrev" in q3._jdf.queryExecution().toString()
     assert _run(spark, sf, "q3_join3") == _run(spark, sf, "q3_join3_df")
 
 

@@ -508,7 +508,8 @@ def test_star_rollup_ivm_on_fact_append(spark, tmp_path, monkeypatch, restore_ca
     pq.write_table(full.slice(half), str(sf / "lineitem.parquet" / "b1.parquet"))
     sess.ingest_tables(spark, str(sf))
     assert spark._lianjia_ingest_appended == 1
-    assert spark._lianjia_joinproj_ivm == 1, "fact append did not IVM-merge"
+    # both declared rollups (sales_geo_date + q3_orderrev) insert-IVM
+    assert spark._lianjia_joinproj_ivm == 2, "fact append did not IVM-merge"
 
     q5p = all_queries()["q5_join5"].spark_fn(spark, str(sf))
     assert "sales_geo_date" in q5p._jdf.queryExecution().toString()
@@ -1033,7 +1034,20 @@ def test_bucketed_fact_copies_serve_q3_shuffle_free(
     monkeypatch.setattr(sess, "INGEST_ROOT", str(tmp_path / "ingest"))
     out = sess.ingest_tables(spark, str(sf))
 
-    df = q3(spark, str(sf))
+    # default q3 now prefers the order-grain rollup: no join, no exchange
+    from data_etl_sh_lianjia_spark.operators import relational
+
+    dfp = q3(spark, str(sf))
+    plan_p = dfp._jdf.queryExecution().executedPlan().toString()
+    assert "q3_orderrev" in dfp._jdf.queryExecution().toString()
+    assert "Join" not in plan_p, f"rollup-served q3 still joins:\n{plan_p}"
+    assert "Exchange" not in plan_p, f"rollup-served q3 shuffles:\n{plan_p}"
+    assert [tuple(r) for r in dfp.collect()] == raw1
+
+    # the bucketed tier (q3's fallback for non-baked constants) stays a
+    # zero-Exchange bucket-aware SortMergeJoin
+    df = relational.q3_join3_bucketed(spark, str(sf))
+    assert df is not None
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "lj_bkt_lineitem" in plan and "lj_bkt_orders" in plan
     assert "SortMergeJoin" in plan
@@ -1078,13 +1092,17 @@ def test_bucketed_fact_copies_serve_q3_shuffle_free(
         tuple(r) for r in bkt_rows.select(*key_cols).collect()
     ) == sorted(tuple(r) for r in managed_rows.select(*key_cols).collect())
 
-    # post-append serve: still bucketed, still identical to the fallback
+    # post-append serve: rollup insert-IVM'd AND the bucketed tier both
+    # stay identical to the fallback
     raw2 = fallback_rows()
     df2 = q3(spark, str(sf))
-    plan2 = df2._jdf.queryExecution().executedPlan().toString()
+    assert "q3_orderrev" in df2._jdf.queryExecution().toString()
+    assert [tuple(r) for r in df2.collect()] == raw2
+    df2b = relational.q3_join3_bucketed(spark, str(sf))
+    plan2 = df2b._jdf.queryExecution().executedPlan().toString()
     assert "lj_bkt_lineitem" in plan2
     assert plan2.count("Exchange") == plan2.count("BroadcastExchange")
-    assert [tuple(r) for r in df2.collect()] == raw2
+    assert [tuple(r) for r in df2b.collect()] == raw2
 
 
 def test_bucketed_sessions_merge_rewrites_only_affected_buckets(
@@ -1248,7 +1266,8 @@ def test_whole_batch_delete_negative_merges_projections(
     sess.ingest_tables(spark, str(sf))
     assert spark._lianjia_ingest_deleted == 1, "delete did not take the batch path"
     assert spark._lianjia_ingest_rebuilt == 0
-    assert spark._lianjia_joinproj_ivm == 1, "star rollup did not delete-IVM"
+    # both declared rollups (sales_geo_date + q3_orderrev) delete-IVM
+    assert spark._lianjia_joinproj_ivm == 2, "star rollup did not delete-IVM"
 
     # history untouched: base files hardlinked into the new generation
     for p, ino in base_parts.items():
@@ -1305,8 +1324,15 @@ def test_whole_batch_delete_negative_merges_projections(
     assert (
         spark.read.parquet(bkt_dir_li).count() == cut
     ), "bucketed copy row count wrong after batch delete"
+    # q3 serves from the delete-IVM'd order-grain rollup; the bucketed
+    # tier (its fallback) also survived the delete in lockstep
+    from data_etl_sh_lianjia_spark.operators import relational
+
     df = all_queries()["q3_join3"].spark_fn(spark, str(sf))
-    assert "lj_bkt_lineitem" in df._jdf.queryExecution().toString()
+    assert "q3_orderrev" in df._jdf.queryExecution().toString()
+    dfb = relational.q3_join3_bucketed(spark, str(sf))
+    assert dfb is not None
+    assert "lj_bkt_lineitem" in dfb._jdf.queryExecution().toString()
 
 
 def test_base_file_delete_falls_back_to_full_rebuild(
@@ -1376,5 +1402,10 @@ def test_delete_then_crash_never_serves_stale_projection(
     # queries fall back to full plans and stay correct
     row = all_queries()["distinct_count"].spark_fn(spark, str(sf)).collect()[0]
     assert row.n_rows == cut
+    from data_etl_sh_lianjia_spark.operators import relational
+
+    assert relational.q3_join3_bucketed(spark, str(sf)) is None, (
+        "stale bucketed copy must be refused"
+    )
     df = all_queries()["q3_join3"].spark_fn(spark, str(sf))
     assert "lj_bkt_lineitem" not in df._jdf.queryExecution().toString()
