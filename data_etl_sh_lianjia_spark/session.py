@@ -1792,8 +1792,25 @@ def delete_where(spark: SparkSession, sf_dir: str, name: str, predicate) -> int:
     os.makedirs(hold)
     survivors: dict = {}
     n_deleted = 0
-    for f in parts:
-        matched, rest = _split_file_by_predicate(os.path.join(dst, f), predicate)
+    # Per-file splits run on a thread pool: pyarrow's scan/filter kernels
+    # release the GIL, so the stats-pruned match checks and the affected-
+    # file rewrites overlap across files. (On a cluster this pass is a
+    # distributed job — one task per file, same per-file contract; the
+    # pool is the local-regime analogue, like _ingest_local vs the
+    # distributed ingest branch.)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(8, max(1, len(parts)))) as pool:
+        splits = list(
+            pool.map(
+                lambda f: (
+                    f,
+                    *_split_file_by_predicate(os.path.join(dst, f), predicate),
+                ),
+                parts,
+            )
+        )
+    for f, matched, rest in splits:
         if matched is None:
             continue
         n_deleted += matched.num_rows
@@ -1863,11 +1880,15 @@ def delete_where(spark: SparkSession, sf_dir: str, name: str, predicate) -> int:
             # (names preserved — bucket ids ride the _NNNNN suffix and
             # append tags the a<tag>- prefix); the rest hardlink
             def _write_buckets(tmp: str) -> None:
-                for entry in os.scandir(bk_dst):
-                    if not (
-                        entry.is_file() and entry.name.endswith(".parquet")
-                    ):
-                        continue
+                from concurrent.futures import ThreadPoolExecutor
+
+                entries = [
+                    e
+                    for e in os.scandir(bk_dst)
+                    if e.is_file() and e.name.endswith(".parquet")
+                ]
+
+                def _one(entry) -> None:
                     b_matched, b_rest = _split_file_by_predicate(
                         entry.path, predicate
                     )
@@ -1875,6 +1896,11 @@ def delete_where(spark: SparkSession, sf_dir: str, name: str, predicate) -> int:
                         os.link(entry.path, os.path.join(tmp, entry.name))
                     else:
                         pq.write_table(b_rest, os.path.join(tmp, entry.name))
+
+                with ThreadPoolExecutor(
+                    max_workers=min(8, max(1, len(entries)))
+                ) as bpool:
+                    list(bpool.map(_one, entries))
 
             _publish_dir(bk_dst, f"{new_fp}:bk{nb}", bk_meta, _write_buckets)
         else:
