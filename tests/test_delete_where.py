@@ -489,3 +489,27 @@ def test_regexmatch_projection_serves_merges_and_delete_merges(
     rows = _run(spark, str(sf), "string_regex")
     assert rows == _run(spark, str(sf), "string_regex_df")
     assert not [r for r in rows[1] if r[1] == "en"]
+
+
+def test_cli_delete_subcommand(spark, tmp_path, monkeypatch, restore_catalog):
+    """`python -m data_etl_sh_lianjia_spark delete <table> "<pred>"` routes
+    through Engine.delete_where; the CLI predicate parser covers the
+    documented comparison subset and rejects anything else."""
+    from data_etl_sh_lianjia_spark.__main__ import _parse_predicate, main
+
+    sf = _mk_sf(tmp_path, monkeypatch, tables=("orders",))
+    orders = pq.read_table(f"{SRC}/orders.parquet")
+    want = orders.filter(pc.field("o_orderstatus") == "F").num_rows
+
+    rc = main(["delete", "orders", "o_orderstatus == 'F'", "--sf-dir", sf])
+    assert rc == 0
+    out = spark._lianjia_ingest_map[os.path.normpath(sf)]
+    post = pq.read_table(
+        sorted(glob.glob(os.path.join(out, "orders.parquet", "*.parquet")))[0]
+    )
+    assert post.num_rows == orders.num_rows - want
+    # parser: numeric forms + rejection
+    expr = _parse_predicate("o_totalprice >= 1000.5")
+    assert "o_totalprice" in str(expr)
+    with pytest.raises(SystemExit):
+        _parse_predicate("o_totalprice >= 10 OR 1=1")
