@@ -42,8 +42,60 @@ def _build_parser() -> argparse.ArgumentParser:
     exp.add_argument("--sf-dir", default=None)
     exp.add_argument("--mode", default="formatted")
 
+    ing = sub.add_parser(
+        "ingest", help="re-layout the landed tables into managed storage"
+    )
+    ing.add_argument("--sf-dir", default=None)
+
+    dele = sub.add_parser(
+        "delete",
+        help="row-level DELETE on a managed table (delete_where)",
+        description=(
+            "DELETE FROM <table> WHERE <col OP literal> on the managed "
+            "copy. The CLI accepts the simple comparison subset "
+            "(== != < <= > >=, int/float/'string' literals); the Python "
+            "API (Engine.delete_where) accepts arbitrary pyarrow dataset "
+            "expressions."
+        ),
+    )
+    dele.add_argument("table")
+    dele.add_argument("predicate", help="e.g. \"o_orderstatus == 'F'\"")
+    dele.add_argument("--sf-dir", default=None)
+
     sub.add_parser("list", help="list declared queries")
     return p
+
+
+def _parse_predicate(text: str):
+    """``col OP literal`` → a pyarrow dataset expression (CLI subset)."""
+    import re
+
+    import pyarrow.compute as pc
+
+    m = re.fullmatch(
+        r"\s*([A-Za-z_][A-Za-z0-9_]*)\s*(==|!=|<=|>=|<|>)\s*"
+        r"('(?:[^'\\]|\\.)*'|-?\d+(?:\.\d+)?)\s*",
+        text,
+    )
+    if not m:
+        raise SystemExit(
+            f"unsupported predicate {text!r}: expected <col> <op> <literal>"
+        )
+    col, op, lit = m.groups()
+    value = (
+        lit[1:-1].replace("\\'", "'")
+        if lit.startswith("'")
+        else (float(lit) if "." in lit else int(lit))
+    )
+    field = pc.field(col)
+    return {
+        "==": field == value,
+        "!=": field != value,
+        "<": field < value,
+        "<=": field <= value,
+        ">": field > value,
+        ">=": field >= value,
+    }[op]
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -63,6 +115,16 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "explain":
         print(eng.explain(args.query, mode=args.mode))
+        return 0
+
+    if args.cmd == "ingest":
+        out = eng.ingest()
+        print(f"managed storage: {out}")
+        return 0
+
+    if args.cmd == "delete":
+        n = eng.delete_where(args.table, _parse_predicate(args.predicate))
+        print(f"deleted {n} rows from {args.table}")
         return 0
 
     if args.cmd == "run":

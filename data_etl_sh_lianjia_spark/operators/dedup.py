@@ -733,16 +733,28 @@ def dedup_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     to an empty window array rather than relying on DuckDB's
     empty-generate_series semantics."""
     docs = _docs(spark, sf_dir)
-    wins = docs.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "CASE WHEN size(split(text, ' ')) >= 16 THEN"
-                " transform(sequence(1, size(split(text, ' ')) - 15),"
-                "   i -> md5(concat_ws(' ', slice(split(text, ' '), i, 16))))"
-                " ELSE array() END"
-            )
-        ).alias("w"),
+    # split hoisted to ONE array column (the expression otherwise
+    # re-tokenizes per sub-expression), and the exploded (doc_id, window)
+    # stream is DISTINCT-ed BEFORE the self-join: a repetitive document
+    # holding the same window k times would otherwise contribute k² join
+    # rows per partner only for COUNT(DISTINCT) to collapse them — after
+    # the distinct, each (pair, window) exists once and the aggregate is a
+    # plain COUNT(*), which partial-aggregates map-side instead of hauling
+    # window hashes through the shuffle. Same result by construction.
+    wins = (
+        docs.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(t) >= 16 THEN"
+                    " transform(sequence(1, size(t) - 15),"
+                    "   i -> md5(concat_ws(' ', slice(t, i, 16))))"
+                    " ELSE array() END"
+                )
+            ).alias("w"),
+        )
+        .distinct()
     )
     a, b = wins.alias("a"), wins.alias("b")
     return (
@@ -755,5 +767,5 @@ def dedup_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
         )
-        .agg(F.countDistinct("a.w").alias("shared_windows"))
+        .agg(F.count(F.lit(1)).alias("shared_windows"))
     )

