@@ -1,22 +1,30 @@
-"""Managed-table mutation surface — predicate (row-level) DELETE.
+"""Managed-table mutation surface — row-level DELETE / UPDATE / MERGE.
 
 [derived] The reference (reference/house_spider/spiders/lianjia.py) is an
-append-only crawler with no delete analogue; a 100 TB training-data
-pipeline additionally needs lakehouse-grade row removal (GDPR /
-right-to-be-forgotten, bad-shard excision). The engine implements it as
-:func:`data_etl_sh_lianjia_spark.session.delete_where`: O(affected files +
-projection sizes) — unaffected part files hardlink into the new
-generation, SUM-mergeable projections absorb the removed rows as NEGATIVE
-deltas, ordered/vector artifacts rebuild, the bucketed fact copies rewrite
-only affected bucket files.
+append-only crawler with no DML analogue; a 100 TB training-data pipeline
+additionally needs the lakehouse-grade mutation trio (GDPR removal, label
+correction, re-crawl upsert). The engine implements them in
+:mod:`data_etl_sh_lianjia_spark.session`:
 
-The two declared queries below make the delete path driver-verifiable:
-each scratch-copies a table, ingests it, deletes by predicate, and returns
-an aggregate the DuckDB oracle reproduces with ``WHERE NOT(predicate)`` —
-``delete_where_q1_projection`` additionally serves its aggregate from the
-NEGATIVE-MERGED coarse rollup (the q1 projection family), so a driver
-hash-match proves the negative merge bit-identical, not just the table
-rewrite.
+- :func:`~.session.delete_where` — O(affected files + projection sizes):
+  unaffected part files hardlink into the new generation, SUM-mergeable
+  projections absorb the removed rows as NEGATIVE deltas, ordered/vector
+  artifacts rebuild, the bucketed fact copies rewrite only affected
+  bucket files.
+- :func:`~.session.update_where` — copy-on-write over the same per-file
+  split, with NEGATIVE+POSITIVE projection merges (old versions out, new
+  versions in — exact even across group-key moves).
+- :func:`~.session.merge_into` — upsert composed from the two pinned
+  primitives: matched keys delete, the batch lands as an append part file
+  (O(batch) delta ingest + positive merges).
+
+The declared queries below make each path driver-verifiable: each
+scratch-copies a table, ingests it, mutates it, and returns an aggregate
+the DuckDB oracle reproduces over the untouched source (``WHERE
+NOT(predicate)`` for deletes, ``CASE WHEN`` for updates, an anti-join +
+UNION for the merge) — the ``*_q1_projection`` variant additionally
+serves its aggregate from the delta-MERGED coarse rollup, so a driver
+hash-match proves the merge bit-identical, not just the table rewrite.
 """
 
 from __future__ import annotations
@@ -34,14 +42,19 @@ from data_etl_sh_lianjia_spark.functions.deterministic import (
 from data_etl_sh_lianjia_spark.plans.registry import register
 
 
-def _scratch_copy(sf_dir: str, table: str) -> str:
+def _scratch_copy(sf_dir: str, table: str, as_dir: bool = False) -> str:
     """Fresh scratch sf-dir containing a copy of one landed table (file or
-    directory form). Callers delete it (and its managed copy) when done."""
+    directory form). ``as_dir`` lands a single-file source as a directory
+    of one part (merge_into's append half needs somewhere to put the
+    batch). Callers delete it (and its managed copy) when done."""
     scratch = tempfile.mkdtemp(prefix="spark-graft-delmut-")
     src = os.path.join(sf_dir, f"{table}.parquet")
     dst = os.path.join(scratch, f"{table}.parquet")
     if os.path.isdir(src):
         shutil.copytree(src, dst)
+    elif as_dir:
+        os.makedirs(dst)
+        shutil.copy(src, os.path.join(dst, "part-00000.parquet"))
     else:
         shutil.copy(src, dst)
     return scratch
@@ -160,6 +173,212 @@ FROM _delmut_lineitem
 WHERE l_shipdate <= TIMESTAMP_NTZ '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
 """)
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        _drop_scratch(spark, scratch)
+
+
+@register(
+    "update_where_orders",
+    oracle=f"""
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       {oracle_dsum(
+           "CASE WHEN o_orderstatus = 'O' THEN o_totalprice + 1000.0"
+           " ELSE o_totalprice END",
+           'sum_total', scale=2,
+       )}
+FROM orders
+GROUP BY o_orderpriority
+""",
+    survey_ref="S9,A3",
+    doc="predicate UPDATE on the managed orders copy; post-update aggregate",
+    tags=("mutation",),
+)
+def update_where_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE orders SET o_totalprice = o_totalprice + 1000 WHERE
+    o_orderstatus = 'O' on a scratch managed copy, then aggregate the
+    post-update table — the oracle reproduces the SET with a CASE over the
+    untouched source, so a hash match proves the copy-on-write rewrite
+    updated exactly the matched rows (NULL-predicate rows untouched, per
+    SQL UPDATE semantics) and left every other value byte-identical."""
+    import pyarrow.compute as pc
+    from pyspark.sql import functions as F
+
+    from data_etl_sh_lianjia_spark.session import update_where
+
+    scratch = _scratch_copy(sf_dir, "orders")
+    try:
+        update_where(
+            spark, scratch, "orders",
+            pc.field("o_orderstatus") == "O",
+            {"o_totalprice": lambda t: pc.add(t["o_totalprice"], 1000.0)},
+        )
+        out_dir = spark._lianjia_ingest_map[os.path.normpath(scratch)]
+        post = spark.read.parquet(os.path.join(out_dir, "orders.parquet"))
+        result = post.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "sum_total", scale=2),
+        )
+        rows = result.collect()  # tiny summary; lets the scratch dir drop
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        _drop_scratch(spark, scratch)
+
+
+@register(
+    "update_where_q1_projection",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       {oracle_dsum(
+           "CASE WHEN l_quantity >= 45 THEN l_quantity + 5.0"
+           " ELSE l_quantity END",
+           'sum_qty',
+       )},
+       {oracle_dsum('l_extendedprice', 'sum_base_price')},
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+    survey_ref="A3,P5",
+    doc="predicate UPDATE delta-merges the q1 rollup; aggregate served from it",
+    tags=("mutation",),
+)
+def update_where_q1_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE lineitem SET l_quantity = l_quantity + 5 WHERE
+    l_quantity >= 45 on a scratch managed copy, then run the q1-family
+    aggregate SERVED FROM THE DELTA-MERGED COARSE ROLLUP (negative merge
+    of the old row versions + positive merge of the new — session
+    update_where) — the oracle recomputes over the untouched source with a
+    CASE, so a hash match proves the two-sided merge bit-identical to a
+    from-scratch rebuild. Falls back to the full scan over the post-update
+    managed copy if the projection is unexpectedly unavailable (same
+    values either way)."""
+    import pyarrow.compute as pc
+
+    from data_etl_sh_lianjia_spark.session import (
+        aggproj_coarse_view,
+        update_where,
+    )
+
+    scratch = _scratch_copy(sf_dir, "lineitem")
+    try:
+        update_where(
+            spark, scratch, "lineitem",
+            pc.field("l_quantity") >= 45,
+            {"l_quantity": lambda t: pc.add(t["l_quantity"], 5.0)},
+        )
+        ap2 = aggproj_coarse_view(spark, scratch, "lineitem")
+        if ap2 is not None:
+            result = spark.sql(f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(s_qty AS DOUBLE) / 10000.0D AS sum_qty,
+       CAST(s_price AS DOUBLE) / 10000.0D AS sum_base_price,
+       cnt AS count_order
+FROM {ap2}
+""")
+        else:
+            from data_etl_sh_lianjia_spark.functions.deterministic import (
+                spark_dsum,
+            )
+
+            out_dir = spark._lianjia_ingest_map[os.path.normpath(scratch)]
+            spark.read.parquet(
+                os.path.join(out_dir, "lineitem.parquet")
+            ).createOrReplaceTempView("_updmut_lineitem")
+            result = spark.sql(f"""
+SELECT l_returnflag, l_linestatus,
+       {spark_dsum('l_quantity', 'sum_qty')},
+       {spark_dsum('l_extendedprice', 'sum_base_price')},
+       COUNT(*) AS count_order
+FROM _updmut_lineitem
+WHERE l_shipdate <= TIMESTAMP_NTZ '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""")
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        _drop_scratch(spark, scratch)
+
+
+@register(
+    "merge_into_customers",
+    oracle=f"""
+WITH batch AS (
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 500.0 AS c_acctbal,
+         c_mktsegment
+  FROM customer WHERE c_custkey % 50 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal, 'LANDED'
+  FROM customer WHERE c_custkey % 77 = 3
+),
+merged AS (
+  SELECT * FROM customer
+  WHERE c_custkey NOT IN (SELECT c_custkey FROM batch)
+  UNION ALL
+  SELECT * FROM batch
+)
+SELECT c_mktsegment,
+       COUNT(*) AS n_customers,
+       {oracle_dsum('c_acctbal', 'sum_acctbal', scale=2)}
+FROM merged
+GROUP BY c_mktsegment
+""",
+    survey_ref="S9,J3,A3",
+    doc="storage-level MERGE INTO (upsert) on the managed customer copy",
+    tags=("mutation",),
+)
+def merge_into_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO customer USING batch ON c_custkey on a scratch managed
+    copy — the batch replaces every c_custkey % 50 == 0 row with a
+    +500-acctbal version and inserts re-keyed 'LANDED'-segment rows — then
+    aggregates the post-merge table. The oracle reproduces the upsert with
+    an anti-join + UNION over the untouched source, so a hash match proves
+    the delete-then-append composition landed exactly the upsert state
+    across the managed copy and its merged projections."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from data_etl_sh_lianjia_spark.session import merge_into
+
+    scratch = _scratch_copy(sf_dir, "customer", as_dir=True)
+    try:
+        src = pq.read_table(
+            os.path.join(scratch, "customer.parquet", "part-00000.parquet")
+        )
+        ck = src.column("c_custkey").to_numpy()
+        upd = src.filter(pa.array(ck % 50 == 0))
+        upd = upd.set_column(
+            upd.schema.get_field_index("c_acctbal"),
+            upd.schema.field("c_acctbal"),
+            pc.add(upd["c_acctbal"], 500.0).combine_chunks(),
+        )
+        ins = src.filter(pa.array(ck % 77 == 3))
+        ins = ins.set_column(
+            ins.schema.get_field_index("c_custkey"),
+            ins.schema.field("c_custkey"),
+            pc.add(ins["c_custkey"], 1000000).combine_chunks(),
+        )
+        ins = ins.set_column(
+            ins.schema.get_field_index("c_mktsegment"),
+            ins.schema.field("c_mktsegment"),
+            pa.array(["LANDED"] * ins.num_rows),
+        )
+        merge_into(
+            spark, scratch, "customer",
+            pa.concat_tables([upd, ins]), "c_custkey",
+        )
+        out_dir = spark._lianjia_ingest_map[os.path.normpath(scratch)]
+        post = spark.read.parquet(os.path.join(out_dir, "customer.parquet"))
+        result = post.groupBy("c_mktsegment").agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("c_acctbal", "sum_acctbal", scale=2),
+        )
         rows = result.collect()
         return spark.createDataFrame(rows, result.schema)
     finally:

@@ -1335,20 +1335,25 @@ def _ingest_local(
 
 def _effective_fingerprint(marker: str, fingerprint: str) -> str | None:
     """The marker's fingerprint when it matches the source-derived
-    ``fingerprint`` modulo a managed DELETE chain (``<fp>`` or
-    ``<fp>~del<h>[~del<h2>...]``), else None.
+    ``fingerprint`` modulo a managed MUTATION chain (``<fp>`` or
+    ``<fp>~del<h>[~upd<h2>...]`` — segments may interleave), else None.
 
-    :func:`delete_where` appends one ``~del<h>`` segment per mutation: the
-    SOURCE is untouched by a managed delete, so source-derived freshness
-    must treat the chained copy as fresh, while every sibling projection
+    :func:`delete_where` appends one ``~del<h>`` segment and
+    :func:`update_where` one ``~upd<h>`` segment per mutation: the SOURCE
+    is untouched by a managed mutation, so source-derived freshness must
+    treat the chained copy as fresh, while every sibling projection
     locksteps on the CHAINED value (a crash between the table publish and
-    a projection's negative merge leaves the sibling one fingerprint
-    behind — exactly the stale state the lockstep check refuses to serve).
-    A source rewrite changes the base fingerprint and therefore drops the
-    chain: a re-landed source rebuilds from scratch, so managed deletes
-    are mutations of the current snapshot, never standing filters."""
+    a projection's merge leaves the sibling one fingerprint behind —
+    exactly the stale state the lockstep check refuses to serve). A source
+    rewrite changes the base fingerprint and therefore drops the chain: a
+    re-landed source rebuilds from scratch, so managed mutations are
+    edits of the current snapshot, never standing transformations."""
     have, _meta = _read_marker(marker)
-    if have and (have == fingerprint or have.startswith(fingerprint + "~del")):
+    if have and (
+        have == fingerprint
+        or have.startswith(fingerprint + "~del")
+        or have.startswith(fingerprint + "~upd")
+    ):
         return have
     return None
 
@@ -1633,7 +1638,8 @@ def _ingest_local_delete(
 
 
 def _keydict_negative_merge(
-    kd_dst: str, batch, kd_cols, fingerprint: str, meta: dict | None
+    kd_dst: str, batch, kd_cols, fingerprint: str, meta: dict | None,
+    add_batch=None,
 ) -> None:
     """Negative keydict/colstats merge from a batch of REMOVED rows: per-key
     counts subtract as exactly as they add (merge_keydicts sums signed
@@ -1641,7 +1647,10 @@ def _keydict_negative_merge(
     zero hard-fails — the removed rows then don't match the dictionary
     state and the caller must rebuild instead. Shared by the whole-batch
     delete path (_ingest_local_delete) and the predicate delete path
-    (delete_where)."""
+    (delete_where). ``add_batch`` is the UPDATE path (update_where): the
+    rows' NEW versions merge positively in the same pass, so one publish
+    carries the remove+re-add and the dictionary can never be observed
+    mid-mutation."""
     import glob
 
     import pyarrow as pa
@@ -1665,6 +1674,17 @@ def _keydict_negative_merge(
                 }
             )
         )
+        if add_batch is not None:
+            va = pc.value_counts(add_batch.column(c).combine_chunks())
+            frames.append(
+                pa.table(
+                    {
+                        "col": pa.array([c] * len(va)),
+                        "key": pc.cast(va.field("values"), pa.int64()),
+                        "cnt": pc.cast(va.field("counts"), pa.int64()),
+                    }
+                )
+            )
     merged = merge_keydicts(frames)
     if len(merged) and pc.min(merged["cnt"]).as_py() < 0:
         raise RuntimeError(
@@ -1717,6 +1737,43 @@ def _split_file_by_predicate(path: str, predicate):
     return tbl.filter(pa.array(mask)), tbl.filter(pa.array(~mask))
 
 
+def _mutation_target(
+    spark: SparkSession, sf_dir: str, name: str
+) -> tuple[str, str]:
+    """(out_dir, managed table dir) for a row-level mutation, after
+    re-ingesting ``sf_dir`` under the layout the managed copy was built
+    with (recorded in its marker meta) — re-ingesting with different knobs
+    would fingerprint-miss and rewrite the whole catalog before the
+    mutation even starts. Shared by delete_where / update_where /
+    merge_into."""
+    import hashlib
+    import re
+
+    norm = os.path.normpath(sf_dir)
+    probe_out = os.path.join(
+        INGEST_ROOT,
+        f"{os.path.basename(norm)}-{hashlib.md5(norm.encode()).hexdigest()[:8]}",
+    )
+    _probe_fp, probe_meta = _read_marker(
+        os.path.join(probe_out, f"{name}.parquet", "_SUCCESS")
+    )
+    m = re.fullmatch(
+        r"parts=(\d+):split=(\d+):v\d+", probe_meta.get("layout") or ""
+    )
+    if m:
+        ingest_tables(
+            spark, sf_dir, parts=int(m.group(1)),
+            min_rows_to_split=int(m.group(2)),
+        )
+    else:
+        ingest_tables(spark, sf_dir)
+    out_dir = spark._lianjia_ingest_map[os.path.normpath(sf_dir)]
+    dst = os.path.join(out_dir, f"{name}.parquet")
+    if not os.path.isdir(dst):
+        raise ValueError(f"no managed copy of table {name!r} under {out_dir}")
+    return out_dir, dst
+
+
 def delete_where(spark: SparkSession, sf_dir: str, name: str, predicate) -> int:
     """Row-level ``DELETE FROM <name> WHERE <predicate>`` on the managed
     copy of a table — O(affected files + projection sizes), never
@@ -1766,38 +1823,13 @@ def delete_where(spark: SparkSession, sf_dir: str, name: str, predicate) -> int:
     """
     import glob
     import hashlib
-    import re
     import shutil
     import uuid
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    # Re-use the layout the managed copy was built under (recorded in its
-    # marker meta): re-ingesting with different knobs would fingerprint-miss
-    # and rewrite the whole catalog before the delete even starts.
-    norm = os.path.normpath(sf_dir)
-    probe_out = os.path.join(
-        INGEST_ROOT,
-        f"{os.path.basename(norm)}-{hashlib.md5(norm.encode()).hexdigest()[:8]}",
-    )
-    probe_fp, probe_meta = _read_marker(
-        os.path.join(probe_out, f"{name}.parquet", "_SUCCESS")
-    )
-    m = re.fullmatch(
-        r"parts=(\d+):split=(\d+):v\d+", probe_meta.get("layout") or ""
-    )
-    if m:
-        ingest_tables(
-            spark, sf_dir, parts=int(m.group(1)),
-            min_rows_to_split=int(m.group(2)),
-        )
-    else:
-        ingest_tables(spark, sf_dir)
-    out_dir = spark._lianjia_ingest_map[os.path.normpath(sf_dir)]
-    dst = os.path.join(out_dir, f"{name}.parquet")
-    if not os.path.isdir(dst):
-        raise ValueError(f"no managed copy of table {name!r} under {out_dir}")
+    out_dir, dst = _mutation_target(spark, sf_dir, name)
     table_marker = os.path.join(dst, "_SUCCESS")
     old_fp, old_meta = _read_marker(table_marker)
 
@@ -1949,6 +1981,337 @@ def delete_where(spark: SparkSession, sf_dir: str, name: str, predicate) -> int:
     spark._lianjia_views_dir = None
     spark._lianjia_keydict_views = {}
     return n_deleted
+
+
+def _apply_assignments(matched, assignments):
+    """Apply an UPDATE's SET clause to the matched rows of one file:
+    ``assignments`` maps column name -> constant (None = SET NULL) or
+    callable(pa.Table) -> Array (arbitrary per-row expressions over the
+    OLD row values, e.g. ``lambda t: pc.add(t["o_totalprice"], 1000.0)``).
+    The schema is preserved exactly — values cast to the column's declared
+    type, unknown columns rejected — so the rewritten file is
+    layout-compatible with its siblings."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    out = matched
+    for col, val in assignments.items():
+        idx = out.schema.get_field_index(col)
+        if idx < 0:
+            raise ValueError(f"UPDATE of unknown column {col!r}")
+        field = out.schema.field(idx)
+        if callable(val):
+            arr = val(out)
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            elif not isinstance(arr, pa.Array):
+                arr = pa.array(arr)
+        elif val is None:
+            arr = pa.nulls(out.num_rows, field.type)
+        else:
+            arr = pa.array([val] * out.num_rows)
+        if arr.type != field.type:
+            arr = pc.cast(arr, field.type)
+        out = out.set_column(idx, field, arr)
+    return out
+
+
+def update_where(
+    spark: SparkSession, sf_dir: str, name: str, predicate, assignments
+) -> int:
+    """Row-level ``UPDATE <name> SET ... WHERE <predicate>`` on the managed
+    copy of a table — copy-on-write over O(affected files + projection
+    sizes), never O(history). Returns the number of rows updated.
+
+    ``predicate`` is a pyarrow dataset expression with SQL UPDATE
+    semantics (NULL-predicate rows are untouched); ``assignments`` is the
+    SET clause (see :func:`_apply_assignments`), evaluated against the OLD
+    row values, so ``SET x = x + 1`` works. Maintenance per artifact:
+
+    - **managed table**: part files with no match (stats-pruned check)
+      hardlink into the new generation byte-untouched; files with matches
+      rewrite as survivors + updated rows (same file name, so append tags
+      and bucket placement survive). Range clustering within a rewritten
+      file loosens if the cluster key itself was updated — the standard
+      copy-on-write trade, restored by compaction.
+    - **SUM-mergeable projections** (keydict/colstats, aggregate rollups,
+      star rollups): one NEGATIVE merge of the old row versions plus one
+      POSITIVE merge of the new versions — integer partial sums subtract
+      and re-add exactly, so the merged projection is bit-identical to a
+      from-scratch rebuild even when the update moves rows across group
+      keys. The keydict absorbs both sides in a single publish; rollups
+      publish the intermediate negative merge under ``<fp>:neg`` (never
+      serveable — it matches no table state) so a crash between the two
+      merges is refused by lockstep and rebuilt on the next ingest.
+    - **bucketed fact copies**: per-file split+rewrite of only the bucket
+      files with matches — unless the UPDATE touches the bucket key
+      itself, which moves rows across buckets and rebuilds.
+    - **ordered/vector artifacts** (top-k projection, cosine pairs, k-NN
+      graph): rebuilt — an updated measure can promote a row no merge can
+      produce. Result projections whose merger re-derives affected state
+      from the post-change table (sessions, per-customer leaderboard)
+      update-merge with the union of old+new row versions; row-local
+      filter views (regex match) compose their delete-merge (old doc ids
+      out) with their append-merge (new versions filtered in).
+
+    Persistence mirrors delete_where: the marker fingerprint gains a
+    ``~upd<h>`` segment (h = md5 of prior fingerprint + predicate +
+    assignment columns + the updated rows' bytes) and every sibling
+    publishes in lockstep on the chained value; an unchanged source stays
+    fresh across ingest_tables calls, a source rewrite resets the chain.
+    Updating zero rows is a no-op (no new generation, no chain growth).
+    Re-running the same update applies it again — UPDATE is not
+    idempotent (``SET x = x + 1``), unlike DELETE.
+
+    [derived] — the reference (reference/house_spider/spiders/lianjia.py)
+    is an append-only crawler; this is the lakehouse-grade row correction
+    (label fixes, metadata backfill, price restatement) a 100 TB
+    training-data pipeline needs. On a cluster the per-file pass is one
+    task per file; the thread pool is the local-regime analogue.
+    """
+    import glob
+    import hashlib
+    import shutil
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out_dir, dst = _mutation_target(spark, sf_dir, name)
+    table_marker = os.path.join(dst, "_SUCCESS")
+    old_fp, old_meta = _read_marker(table_marker)
+
+    parts = sorted(f for f in os.listdir(dst) if f.endswith(".parquet"))
+    hold_old = dst + f".updold-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    hold_new = dst + f".updnew-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    os.makedirs(hold_old)
+    os.makedirs(hold_new)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(8, max(1, len(parts)))) as pool:
+        splits = list(
+            pool.map(
+                lambda f: (
+                    f,
+                    *_split_file_by_predicate(os.path.join(dst, f), predicate),
+                ),
+                parts,
+            )
+        )
+    rewritten: dict = {}
+    n_updated = 0
+    for f, matched, rest in splits:
+        if matched is None:
+            continue
+        updated = _apply_assignments(matched, assignments)
+        n_updated += matched.num_rows
+        pq.write_table(matched, os.path.join(hold_old, f))
+        pq.write_table(updated, os.path.join(hold_new, f))
+        rewritten[f] = pa.concat_tables([rest, updated])
+    if n_updated == 0:
+        shutil.rmtree(hold_old, ignore_errors=True)
+        shutil.rmtree(hold_new, ignore_errors=True)
+        return 0
+
+    new_digest = hashlib.md5(f"{old_fp}|{predicate}".encode())
+    for col in sorted(assignments):
+        new_digest.update(f"|set:{col}".encode())
+    for p in sorted(os.listdir(hold_new)):
+        with open(os.path.join(hold_new, p), "rb") as fh:
+            new_digest.update(fh.read())
+    new_fp = f"{old_fp}~upd{new_digest.hexdigest()[:8]}"
+
+    def _write_generation(tmp: str) -> None:
+        for f in parts:
+            if f in rewritten:
+                pq.write_table(rewritten[f], os.path.join(tmp, f))
+            else:
+                os.link(os.path.join(dst, f), os.path.join(tmp, f))
+
+    _publish_dir(dst, new_fp, old_meta, _write_generation)
+
+    held_old = sorted(glob.glob(os.path.join(hold_old, "*.parquet")))
+    held_new = sorted(glob.glob(os.path.join(hold_new, "*.parquet")))
+    kd_cols = _DICT_LAYOUT.get(name)
+    if kd_cols:
+        _keydict_negative_merge(
+            os.path.join(out_dir, f"{name}.keydict.parquet"),
+            pa.concat_tables(pq.read_table(p) for p in held_old),
+            kd_cols, new_fp, old_meta,
+            add_batch=pa.concat_tables(pq.read_table(p) for p in held_new),
+        )
+    ap_spec = _AGG_PROJECTIONS.get(name)
+    if ap_spec:
+        ap_dst = os.path.join(out_dir, f"{name}.aggproj.parquet")
+        # two-step IVM: negative merge publishes under an intermediate
+        # fingerprint no reader accepts, then the positive merge lands the
+        # final one — a crash in between leaves the rollup refused by
+        # lockstep and rebuilt on the next ingest, never served half-merged
+        _build_aggproj(
+            spark, ap_spec, held_old, ap_dst, f"{new_fp}:neg", old_meta,
+            merge_with=ap_dst, negate=True,
+        )
+        _build_aggproj(
+            spark, ap_spec, held_new, ap_dst, new_fp, old_meta,
+            merge_with=ap_dst,
+        )
+        if "coarse" in ap_spec:
+            _build_coarse_aggproj(
+                spark, ap_spec, ap_dst, _coarse_dst(out_dir, name, ap_spec),
+                new_fp, old_meta,
+            )
+    tp_spec = _TOPK_PROJECTIONS.get(name)
+    if tp_spec:
+        _build_topkproj(
+            spark, tp_spec, [dst],
+            os.path.join(out_dir, f"{name}.{tp_spec['name']}.topkproj.parquet"),
+            new_fp, old_meta,
+        )
+    bk_col = _BUCKET_LAYOUT.get(name)
+    if bk_col:
+        bk_dst = os.path.join(out_dir, f"{name}.bucketed.parquet")
+        bk_have, bk_meta = _read_marker(os.path.join(bk_dst, "_SUCCESS"))
+        nb = bk_meta.get("n_buckets")
+        if (
+            nb
+            and bk_have == f"{old_fp}:bk{nb}"
+            and bk_col not in assignments
+        ):
+            # targeted rewrite: the bucket key is untouched, so updated
+            # rows stay in their bucket — only files with matches rewrite
+            def _write_buckets(tmp: str) -> None:
+                entries = [
+                    e
+                    for e in os.scandir(bk_dst)
+                    if e.is_file() and e.name.endswith(".parquet")
+                ]
+
+                def _one(entry) -> None:
+                    b_matched, b_rest = _split_file_by_predicate(
+                        entry.path, predicate
+                    )
+                    if b_matched is None:
+                        os.link(entry.path, os.path.join(tmp, entry.name))
+                    else:
+                        pq.write_table(
+                            pa.concat_tables(
+                                [b_rest, _apply_assignments(b_matched, assignments)]
+                            ),
+                            os.path.join(tmp, entry.name),
+                        )
+
+                with ThreadPoolExecutor(
+                    max_workers=min(8, max(1, len(entries)))
+                ) as bpool:
+                    list(bpool.map(_one, entries))
+
+            _publish_dir(bk_dst, f"{new_fp}:bk{nb}", bk_meta, _write_buckets)
+        else:
+            # bucket-key update moves rows across buckets: rebuild
+            cpus = int(
+                os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4)
+            )
+            nb = max(8, cpus)
+            _build_bucketed(
+                spark, dst, bk_dst, bk_col, nb, f"{new_fp}:bk{nb}",
+                {"bucket_col": bk_col, "n_buckets": nb},
+            )
+
+    # star rollups + result projections: update deltas are (old rows,
+    # new rows) pairs — the maintainers negative+positive merge or
+    # delegate to update-capable mergers (see their docstrings)
+    tbl_state: dict[str, dict] = {}
+    for t in TABLES:
+        t_dst = os.path.join(out_dir, f"{t}.parquet")
+        fp, _tm = _read_marker(os.path.join(t_dst, "_SUCCESS"))
+        if fp:
+            tbl_state[t] = {"fp": fp, "src": t_dst, "delta": None}
+    tbl_state[name]["prev_fp"] = old_fp
+    tbl_state[name]["updated_old_paths"] = held_old
+    tbl_state[name]["updated_new_paths"] = held_new
+    spark._lianjia_joinproj_ivm = _maintain_join_projections(
+        spark, out_dir, tbl_state
+    )
+    spark._lianjia_resultproj_merged = _maintain_result_projections(
+        spark, out_dir, tbl_state
+    )
+    shutil.rmtree(hold_old, ignore_errors=True)
+    shutil.rmtree(hold_new, ignore_errors=True)
+    # invalidate memoized DataFrames/views over the pre-update generation
+    spark._lianjia_table_cache = {}
+    spark._lianjia_views_dir = None
+    spark._lianjia_keydict_views = {}
+    return n_updated
+
+
+def merge_into(
+    spark: SparkSession, sf_dir: str, name: str, batch, key: str
+) -> tuple[int, int]:
+    """Storage-level ``MERGE INTO <name> USING <batch> ON <key>`` — upsert:
+    rows whose ``key`` matches an existing row are REPLACED by the batch
+    version (``WHEN MATCHED THEN UPDATE SET *``), the rest INSERT
+    (``WHEN NOT MATCHED THEN INSERT *``). Returns (rows replaced, batch
+    rows landed).
+
+    Composed from the two primitives whose maintenance contracts are
+    already pinned: a predicate DELETE of the matched keys (O(affected
+    files), SUM-mergeable projections negative-merge) followed by landing
+    the batch as an append part file in the source directory (the
+    append-only delta ingest picks it up: O(batch) table append, positive
+    projection merges). The source APPEND commutes with the managed delete
+    by the delete chain's documented contract, so the net managed state is
+    exactly the upsert. At 100 TB the matched-key predicate is the
+    small-batch regime (an IN-list over the batch's keys); a bulk merge
+    would run the matched-key split as a shuffle join per file — same
+    per-file contract, different key-set transport.
+
+    ``batch`` is a pyarrow Table with the landed table's schema (columns
+    are name-matched and cast; the merge key must be non-null — NULL never
+    equals a key under SQL MERGE semantics, so a NULL-keyed batch row is
+    ambiguous and rejected). Requires a directory-form landed table (the
+    append half lands a new part file next to the existing ones).
+
+    [derived] — append-only reference; this is the lakehouse upsert
+    (Delta/Iceberg MERGE, Hudi upsert) a continuously-refreshed corpus
+    needs: re-crawled documents replace their stale versions in place.
+    """
+    import hashlib
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    src = table_path(sf_dir, name)
+    if not os.path.isdir(src):
+        raise ValueError(
+            "merge_into needs a directory-form landed table (the batch "
+            f"lands as a new part file); {src!r} is a single file — "
+            "re-land it as a directory of parts first"
+        )
+    if batch.num_rows == 0:
+        return 0, 0
+    src_schema = pq.read_schema(
+        os.path.join(
+            src,
+            sorted(
+                f for f in os.listdir(src) if f.endswith(".parquet")
+            )[0],
+        )
+    )
+    batch = batch.select(src_schema.names).cast(src_schema)
+    keys = batch.column(key).combine_chunks()
+    if keys.null_count:
+        raise ValueError("merge key must be non-null in the batch")
+    n_replaced = delete_where(
+        spark, sf_dir, name, pc.field(key).isin(keys)
+    )
+    tag = hashlib.md5(
+        b"|".join(str(k).encode() for k in keys.to_pylist())
+    ).hexdigest()[:8]
+    pq.write_table(batch, os.path.join(src, f"merge-{tag}.parquet"))
+    # re-ingest under the recorded layout: the append-only delta path
+    # lands the batch and positive-merges every projection
+    _mutation_target(spark, sf_dir, name)
+    return n_replaced, batch.num_rows
 
 
 def ingest_tables(
@@ -2353,6 +2716,8 @@ def _maintain_join_projections(
         fact = spec["fact"]
         fact_delta = tbl_state[fact]["delta"]
         fact_removed = tbl_state[fact].get("removed_paths")
+        fact_upd_old = tbl_state[fact].get("updated_old_paths")
+        fact_upd_new = tbl_state[fact].get("updated_new_paths")
         _old_fp, old_meta = _read_marker(jp_marker)
         oldc = old_meta.get("components") or {}
         # IVM only when the existing rollup was built from EXACTLY the
@@ -2385,6 +2750,25 @@ def _maintain_join_projections(
             _build_joinproj(
                 spark, spec, src_paths, jp_dst, jp_fp, jp_meta,
                 merge_with=jp_dst, negate=True,
+            )
+            jp_ivm += 1
+        elif fact_upd_old and fact_upd_new and lockstep:
+            # update-IVM: negative merge of the old row versions, then
+            # positive merge of the new ones — exact even when the update
+            # moves rows across group keys or join keys (each fact row's
+            # contribution is independently subtractable/re-addable). The
+            # intermediate publish carries a fingerprint no reader accepts
+            # (":neg"), so a crash between the merges is refused by
+            # lockstep and rebuilt on the next ingest.
+            src_paths[fact] = fact_upd_old
+            _build_joinproj(
+                spark, spec, src_paths, jp_dst, f"{jp_fp}:neg", jp_meta,
+                merge_with=jp_dst, negate=True,
+            )
+            src_paths[fact] = fact_upd_new
+            _build_joinproj(
+                spark, spec, src_paths, jp_dst, jp_fp, jp_meta,
+                merge_with=jp_dst,
             )
             jp_ivm += 1
         else:
@@ -2435,6 +2819,8 @@ def _maintain_result_projections(
         )
         delta = tbl_state[t].get("delta")
         removed = tbl_state[t].get("removed_paths")
+        upd_old = tbl_state[t].get("updated_old_paths")
+        upd_new = tbl_state[t].get("updated_new_paths")
         del_merge_fn = getattr(mod, "PROJECTION_DELETE_MERGERS", {}).get(
             vp_spec["builder"]
         )
@@ -2442,6 +2828,19 @@ def _maintain_result_projections(
         old_fp, old_meta = _read_marker(os.path.join(vp_dst, "_SUCCESS"))
         bucket_col = vp_spec.get("bucket_col")
         lockstep = bool(prev_fp) and old_fp == prev_fp + ":" + vp_ver
+
+        def _read_delta(paths):
+            from functools import reduce
+
+            return (
+                reduce(
+                    lambda a, b: a.unionByName(b),
+                    [read_events(spark, p) for p in paths],
+                )
+                if vp_spec.get("reader") == "events"
+                else spark.read.parquet(*paths)
+            )
+
         merged_delta = None
         delta_paths = None
         if delta and merge_fn and lockstep:
@@ -2455,21 +2854,38 @@ def _maintain_result_projections(
             delta_paths = removed
             merge = del_merge_fn
         if delta_paths is not None:
-            from functools import reduce
-
-            delta_df = (
-                reduce(
-                    lambda a, b: a.unionByName(b),
-                    [read_events(spark, p) for p in delta_paths],
-                )
-                if vp_spec.get("reader") == "events"
-                else spark.read.parquet(*delta_paths)
-            )
+            delta_df = _read_delta(delta_paths)
             built = merge(
                 spark, src_df, spark.read.parquet(vp_dst), delta_df,
                 f"vpbuild|{vp_fp}",
             )
             merged_delta = delta_df
+            vp_merged += 1
+        elif upd_old and upd_new and merge_fn and del_merge_fn and lockstep:
+            # update merge: the delta is the (old versions, new versions)
+            # pair. A state-rederiving merger (append- and delete-merge
+            # are the SAME function: sessions, leaderboard — it re-derives
+            # every key present in the delta from the post-change table)
+            # runs once with the union, exact for updates by the same
+            # argument as for deletes. Row-local artifacts with distinct
+            # mergers (regex match view) compose: delete-merge evicts the
+            # old versions' keys, append-merge filters the new versions in.
+            old_rows = _read_delta(upd_old)
+            new_rows = _read_delta(upd_new)
+            union_df = old_rows.unionByName(new_rows)
+            old_art = spark.read.parquet(vp_dst)
+            if merge_fn is del_merge_fn:
+                built = merge_fn(
+                    spark, src_df, old_art, union_df, f"vpbuild|{vp_fp}"
+                )
+            else:
+                mid = del_merge_fn(
+                    spark, src_df, old_art, old_rows, f"vpbuild|{vp_fp}"
+                )
+                built = merge_fn(
+                    spark, src_df, mid, new_rows, f"vpbuild|{vp_fp}"
+                )
+            merged_delta = union_df
             vp_merged += 1
         else:
             built = builders[vp_spec["builder"]](

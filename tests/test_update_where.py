@@ -1,0 +1,527 @@
+"""Row-level UPDATE (session.update_where) and MERGE (session.merge_into).
+
+Contract under test (the update/upsert half of the storage story; the
+delete half lives in tests/test_delete_where.py):
+
+- Copy-on-write over O(affected files): part files with no matching row
+  hardlink into the new generation byte-identical; only files with
+  matches rewrite (survivors + updated versions, same file name).
+- update == rebuild, value-identical on the managed table AND every
+  projection: SUM-mergeable artifacts (keydict/colstats/aggproj/coarse/
+  star rollups) NEGATIVE-merge the old row versions and POSITIVE-merge
+  the new ones — exact even when the update moves rows across group
+  keys; ordered/vector artifacts rebuild; the sessions artifact
+  update-merges only affected users' buckets.
+- Bucketed fact copies rewrite only affected bucket files, unless the
+  UPDATE touches the bucket key (rows move buckets -> rebuild).
+- SQL UPDATE semantics: NULL-predicate rows are untouched; updating
+  zero rows is a no-op (no new generation, no chain growth); re-running
+  the same update applies it again (UPDATE is not idempotent).
+- merge_into == upsert: matched keys replaced by the batch version,
+  unmatched batch rows inserted, all projections maintained.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from data_etl_sh_lianjia_spark import session as sess
+from data_etl_sh_lianjia_spark.canon import canon_rows
+from data_etl_sh_lianjia_spark.plans.registry import all_queries
+
+SRC = "/root/testdata/sf0.001"
+STAR = ("lineitem", "orders", "customer", "supplier", "nation", "region")
+
+
+@pytest.fixture()
+def restore_catalog(spark):
+    """Same contract as tests/test_delete_where.py: put the session catalog
+    back after routing it through this test's tmp managed copies."""
+    saved = (
+        dict(getattr(spark, "_lianjia_ingest_map", {}) or {}),
+        dict(getattr(spark, "_lianjia_table_cache", {}) or {}),
+        set(getattr(spark, "_lianjia_cached_views", set()) or set()),
+        dict(getattr(spark, "_lianjia_keydict_views", {}) or {}),
+        set(getattr(spark, "_lianjia_dim_pool", {}) or {}),
+        set(getattr(spark, "_lianjia_flat_pool", {}) or {}),
+        dict(getattr(spark, "_lianjia_bucket_tables", {}) or {}),
+    )
+    yield
+    dim_pool = getattr(spark, "_lianjia_dim_pool", {})
+    for key in set(dim_pool) - saved[4]:
+        try:
+            dim_pool.pop(key)[1].unpersist()
+        except Exception:
+            pass
+    flat_pool = getattr(spark, "_lianjia_flat_pool", {})
+    for key in set(flat_pool) - saved[5]:
+        try:
+            flat_pool.pop(key)[1].unpersist()
+        except Exception:
+            pass
+    spark._lianjia_ingest_map = saved[0]
+    spark._lianjia_table_cache = saved[1]
+    spark._lianjia_cached_views = saved[2]
+    spark._lianjia_keydict_views = saved[3]
+    spark._lianjia_bucket_tables = saved[6]
+    spark._lianjia_views_dir = None
+
+
+def _run(spark, sf_dir, name):
+    df = all_queries()[name].spark_fn(spark, sf_dir)
+    return canon_rows([tuple(r) for r in df.collect()], df.columns)
+
+
+def _mk_sf(tmp_path, monkeypatch, tables=STAR, sub="sfupd"):
+    sf = tmp_path / sub
+    sf.mkdir()
+    for t in tables:
+        shutil.copy(f"{SRC}/{t}.parquet", str(sf / f"{t}.parquet"))
+    monkeypatch.setattr(sess, "INGEST_ROOT", str(tmp_path / "ingest"))
+    return str(sf)
+
+
+def _inodes(pattern):
+    return {p: os.stat(p).st_ino for p in glob.glob(pattern)}
+
+
+def _bump_qty(t):
+    return pc.add(t["l_quantity"], 5.0)
+
+
+def test_predicate_update_rewrites_only_affected_files_and_matches_rebuild(
+    spark, tmp_path, monkeypatch, restore_catalog
+):
+    """A predicate on the range-cluster key touches only the files whose
+    min/max admit it (hardlink check), and EVERY artifact of the updated
+    table is value-identical to a from-scratch ingest of a pre-updated
+    source — update == rebuild, including the star rollups' two-sided
+    (negative+positive) merges."""
+    sf = _mk_sf(tmp_path, monkeypatch)
+    out = sess.ingest_tables(spark, sf, parts=4, min_rows_to_split=1000)
+
+    li = pq.read_table(f"{SRC}/lineitem.parquet")
+    dates = sorted(li.column("l_shipdate").to_pylist())
+    cutoff = dates[600]  # matches ~600 earliest rows — first file only
+    predicate = pc.field("l_shipdate") < cutoff
+    n_match = li.filter(predicate).num_rows
+    assert 0 < n_match <= 1500, "fixture: matches must fit the first file"
+
+    before = _inodes(os.path.join(out, "lineitem.parquet", "*.parquet"))
+    assert len(before) == 4, "fixture: lineitem must split into 4 files"
+    n = sess.update_where(
+        spark, sf, "lineitem", predicate, {"l_quantity": _bump_qty}
+    )
+    assert n == n_match
+
+    after = _inodes(os.path.join(out, "lineitem.parquet", "*.parquet"))
+    kept = [p for p, i in before.items() if after.get(p) == i]
+    assert len(kept) == 3, (
+        "range-pruned predicate must hardlink every unaffected file"
+    )
+    post = pa.concat_tables(
+        pq.read_table(p)
+        for p in sorted(glob.glob(os.path.join(out, "lineitem.parquet", "*.parquet")))
+    )
+    assert post.num_rows == li.num_rows, "UPDATE must not change row count"
+
+    # update == rebuild: a second catalog ingested from a PRE-UPDATED
+    # source must produce value-identical artifacts across the board
+    sf2 = tmp_path / "sfrebuild"
+    sf2.mkdir()
+    mask_hit = pc.fill_null(pc.less(li.column("l_shipdate"), cutoff), False)
+    qty = pc.if_else(
+        mask_hit, pc.add(li.column("l_quantity"), 5.0), li.column("l_quantity")
+    )
+    pre_updated = li.set_column(
+        li.schema.get_field_index("l_quantity"),
+        li.schema.field("l_quantity"),
+        qty.combine_chunks(),
+    )
+    pq.write_table(pre_updated, str(sf2 / "lineitem.parquet"))
+    for t in STAR[1:]:
+        shutil.copy(f"{SRC}/{t}.parquet", str(sf2 / f"{t}.parquet"))
+    out2 = sess.ingest_tables(spark, str(sf2), parts=4, min_rows_to_split=1000)
+
+    for artifact in (
+        "lineitem.parquet",
+        "lineitem.keydict.parquet",
+        "lineitem.colstats.parquet",
+        "lineitem.aggproj.parquet",
+        "lineitem.aggproj.q1cut.parquet",
+        "lineitem.price_topk.topkproj.parquet",
+        "lineitem.bucketed.parquet",
+        "sales_geo_date.joinproj.parquet",
+        "q3_orderrev.joinproj.parquet",
+    ):
+        got = spark.read.parquet(os.path.join(out, artifact))
+        want = spark.read.parquet(os.path.join(out2, artifact))
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        ), f"{artifact} diverged from a from-scratch rebuild"
+
+    # projection-served queries == full-scan plans over the mutated catalog
+    for proj, full in (
+        ("q1_scan_agg", "q1_scan_agg_df"),
+        ("distinct_count", "distinct_count_df"),
+        ("q3_join3", "q3_join3_df"),
+        ("topk_sort", "topk_sort_df"),
+    ):
+        assert _run(spark, sf, proj) == _run(spark, sf, full), (
+            f"{proj} diverged after predicate update"
+        )
+
+
+def test_update_moving_rows_across_group_keys_is_exact(
+    spark, tmp_path, monkeypatch, restore_catalog
+):
+    """Updating an aggregate-projection GROUP KEY migrates rows between
+    rollup groups — the negative+positive merge must land exactly the
+    rebuilt state (groups drained to zero drop, new groups appear)."""
+    sf = _mk_sf(tmp_path, monkeypatch, tables=("lineitem",))
+    out = sess.ingest_tables(spark, sf)
+    li = pq.read_table(f"{SRC}/lineitem.parquet")
+
+    predicate = pc.field("l_returnflag") == "R"
+    n = sess.update_where(
+        spark, sf, "lineitem", predicate, {"l_returnflag": "Z"}
+    )
+    assert n == li.filter(predicate).num_rows > 0
+
+    ap = spark.read.parquet(os.path.join(out, "lineitem.aggproj.parquet"))
+    assert ap.filter("l_returnflag = 'R'").count() == 0, (
+        "drained groups must drop from the rollup"
+    )
+    # exactness: rollup == direct recompute over the post-update table
+    sf2 = tmp_path / "sfgk"
+    sf2.mkdir()
+    mask = pc.fill_null(pc.equal(li.column("l_returnflag"), "R"), False)
+    flags = pc.if_else(mask, pa.scalar("Z"), li.column("l_returnflag"))
+    pq.write_table(
+        li.set_column(
+            li.schema.get_field_index("l_returnflag"),
+            li.schema.field("l_returnflag"),
+            flags.combine_chunks(),
+        ),
+        str(sf2 / "lineitem.parquet"),
+    )
+    out2 = sess.ingest_tables(spark, str(sf2))
+    want = spark.read.parquet(os.path.join(out2, "lineitem.aggproj.parquet"))
+    assert sorted(map(tuple, ap.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_update_bucketed_copy_targeted_unless_bucket_key_changes(
+    spark, tmp_path, monkeypatch, restore_catalog
+):
+    sf = _mk_sf(tmp_path, monkeypatch)
+    out = sess.ingest_tables(spark, sf)
+    li = pq.read_table(f"{SRC}/lineitem.parquet")
+    key = li.column("l_orderkey").to_pylist()[0]
+
+    bk_dir = os.path.join(out, "lineitem.bucketed.parquet")
+    before = _inodes(os.path.join(bk_dir, "*.parquet"))
+    assert len(before) >= 8
+    n = sess.update_where(
+        spark, sf, "lineitem", pc.field("l_orderkey") == key,
+        {"l_quantity": _bump_qty},
+    )
+    assert n == li.filter(pc.field("l_orderkey") == key).num_rows
+
+    after = _inodes(os.path.join(bk_dir, "*.parquet"))
+    rewritten = [p for p, i in before.items() if after.get(p) != i]
+    assert len(rewritten) == 1, (
+        "a single-orderkey update off the bucket key must rewrite exactly"
+        " one bucket file"
+    )
+    q3 = all_queries()["q3_join3"].spark_fn(spark, sf)
+    assert "q3_orderrev" in q3._jdf.queryExecution().toString()
+    assert _run(spark, sf, "q3_join3") == _run(spark, sf, "q3_join3_df")
+
+    # updating the BUCKET KEY moves rows across buckets -> rebuild
+    key2 = li.column("l_orderkey").to_pylist()[-1]
+    n2 = sess.update_where(
+        spark, sf, "lineitem", pc.field("l_orderkey") == key2,
+        {"l_orderkey": lambda t: pc.add(t["l_orderkey"], 1)},
+    )
+    assert n2 >= 1
+    post = spark.read.parquet(os.path.join(out, "lineitem.parquet"))
+    assert post.filter(f"l_orderkey = {key2}").count() == 0
+    assert _run(spark, sf, "point_lookup_order") == _run(
+        spark, sf, "point_lookup_order"
+    )  # smoke: bucketed serve still consistent after rebuild
+    assert _run(spark, sf, "q3_join3") == _run(spark, sf, "q3_join3_df")
+
+
+def test_update_null_predicate_rows_untouched_and_set_null(
+    spark, tmp_path, monkeypatch, restore_catalog
+):
+    """SQL UPDATE semantics: rows where the predicate is NULL are not
+    updated; a constant-None assignment SETs the column NULL."""
+    sf = tmp_path / "sfnull"
+    sf.mkdir()
+    orders = pq.read_table(f"{SRC}/orders.parquet")
+    status = orders.column("o_orderstatus").to_pylist()
+    n_null = 7
+    status[:n_null] = [None] * n_null
+    nulled = orders.set_column(
+        orders.schema.get_field_index("o_orderstatus"),
+        "o_orderstatus",
+        pa.array(status, pa.string()),
+    )
+    pq.write_table(nulled, str(sf / "orders.parquet"))
+    monkeypatch.setattr(sess, "INGEST_ROOT", str(tmp_path / "ingest"))
+    out = sess.ingest_tables(spark, str(sf))
+
+    want_hit = nulled.filter(pc.field("o_orderstatus") == "F").num_rows
+    n = sess.update_where(
+        spark, str(sf), "orders", pc.field("o_orderstatus") == "F",
+        {"o_totalprice": None},
+    )
+    assert n == want_hit
+    post = spark.read.parquet(os.path.join(out, "orders.parquet"))
+    assert post.filter("o_orderstatus IS NULL").count() == n_null
+    assert (
+        post.filter("o_orderstatus IS NULL AND o_totalprice IS NULL").count()
+        == 0
+    ), "NULL-predicate rows must keep their values"
+    assert post.filter("o_totalprice IS NULL").count() == want_hit
+    assert post.count() == nulled.num_rows
+
+
+def test_update_sessions_merge_and_vector_rebuild(
+    spark, tmp_path, monkeypatch, restore_catalog
+):
+    """Vector pair/k-NN artifacts REBUILD on update (append-only mergers);
+    the sessions artifact update-MERGES, rewriting only affected users'
+    buckets."""
+    sf = _mk_sf(tmp_path, monkeypatch, tables=("events", "embeddings"))
+    out = sess.ingest_tables(spark, sf)
+
+    # embeddings: update one vector -> rebuild (merged counter stays 0)
+    vec = pq.read_table(f"{SRC}/embeddings.parquet")
+    vid = vec.column("vec_id").to_pylist()[0]
+    assert sess.update_where(
+        spark, sf, "embeddings", pc.field("vec_id") == vid,
+        {"embedding": lambda t: pa.array([[0.0] * 64] * t.num_rows)},
+    ) == 1
+    assert spark._lianjia_resultproj_merged == 0
+    assert _run(spark, sf, "cosine_topk") == _run(spark, sf, "cosine_topk_grid")
+
+    # events: update one user's values -> sessions update-merge, targeted
+    ev = pq.read_table(f"{SRC}/events.parquet")
+    user = ev.column("user_id").to_pylist()[0]
+    sess_dir = os.path.join(out, "events.sessions.resultproj.parquet")
+    before = _inodes(os.path.join(sess_dir, "*.parquet"))
+    n = sess.update_where(
+        spark, sf, "events", pc.field("user_id") == user,
+        {"value": lambda t: pc.add(t["value"], 1.0)},
+    )
+    assert n == ev.filter(pc.field("user_id") == user).num_rows
+    assert spark._lianjia_resultproj_merged == 1, "sessions must update-merge"
+    after = _inodes(os.path.join(sess_dir, "*.parquet"))
+    kept = [p for p, i in before.items() if after.get(p) == i]
+    assert len(kept) >= len(before) - 2, (
+        "single-user update must hardlink unaffected session buckets"
+    )
+    assert _run(spark, sf, "sessionize") == _run(spark, sf, "sessionize_df")
+
+
+def test_update_regexmatch_view_composes_delete_and_append_merge(
+    spark, tmp_path, monkeypatch, restore_catalog
+):
+    """The regex match view has distinct append/delete mergers: an UPDATE
+    composes them (old doc ids evicted, new versions filtered in), so a
+    doc updated INTO or OUT OF the match set lands correctly."""
+    sf = _mk_sf(tmp_path, monkeypatch, tables=("documents",))
+    out = sess.ingest_tables(spark, sf)
+    art = os.path.join(out, "documents.regexmatch.resultproj.parquet")
+    # snapshot the pre-update match set driver-side: a lazy DataFrame's
+    # file listing freezes at analysis and would dangle across the publish
+    match_ids = sorted(
+        r["doc_id"] for r in spark.read.parquet(art).collect()
+    )
+    assert match_ids, "fixture: corpus must contain regex matches"
+    gone_id = match_ids[0]
+
+    n = sess.update_where(
+        spark, sf, "documents", pc.field("doc_id") == gone_id,
+        {"text": "nothing to see here"},
+    )
+    assert n == 1
+    assert spark._lianjia_resultproj_merged == 1, "regex view must merge"
+    post = spark.read.parquet(art)
+    assert post.filter(f"doc_id = {gone_id!r}").count() == 0, (
+        "doc updated out of the match set must leave the view"
+    )
+    # updated INTO the match set: rewrite a non-matching doc's text (its
+    # lang must already qualify — the view also filters lang IN (...))
+    docs = pq.read_table(f"{SRC}/documents.parquet")
+    new_id = next(
+        d
+        for d, lang in zip(
+            docs.column("doc_id").to_pylist(),
+            docs.column("lang").to_pylist(),
+        )
+        if d not in set(match_ids) and lang in ("en", "zh", "de")
+    )
+    sess.update_where(
+        spark, sf, "documents", pc.field("doc_id") == new_id,
+        {"text": "a join scan walks into a merge sort"},
+    )
+    post2 = spark.read.parquet(art)
+    assert post2.filter(f"doc_id = {new_id!r}").count() == 1, (
+        "doc updated into the match set must enter the view"
+    )
+    assert _run(spark, sf, "string_regex") == _run(spark, sf, "string_regex_df")
+
+
+def test_update_chain_persists_noop_and_reapplication(
+    spark, tmp_path, monkeypatch, restore_catalog
+):
+    sf = _mk_sf(tmp_path, monkeypatch, tables=("lineitem",))
+    out = sess.ingest_tables(spark, sf)
+    marker = os.path.join(out, "lineitem.parquet", "_SUCCESS")
+    li = pq.read_table(f"{SRC}/lineitem.parquet")
+    n_match = li.filter(pc.field("l_suppkey") == 5).num_rows
+    assert n_match > 0
+
+    n = sess.update_where(
+        spark, sf, "lineitem", pc.field("l_suppkey") == 5,
+        {"l_quantity": _bump_qty},
+    )
+    assert n == n_match
+    fp1, _ = sess._read_marker(marker)
+    assert "~upd" in fp1
+
+    # unchanged source: the chained copy is fresh, nothing rebuilds
+    sess.ingest_tables(spark, sf)
+    assert spark._lianjia_ingest_rebuilt == 0
+    assert sess._read_marker(marker)[0] == fp1
+
+    # zero matches: no-op — no new generation, no chain growth
+    assert sess.update_where(
+        spark, sf, "lineitem", pc.field("l_suppkey") == -1,
+        {"l_quantity": _bump_qty},
+    ) == 0
+    assert sess._read_marker(marker)[0] == fp1
+
+    # UPDATE is not idempotent: re-running applies again (+10 total)
+    assert sess.update_where(
+        spark, sf, "lineitem", pc.field("l_suppkey") == 5,
+        {"l_quantity": _bump_qty},
+    ) == n_match
+    fp2, _ = sess._read_marker(marker)
+    assert fp2 != fp1 and fp2.count("~upd") == 2
+    post = spark.read.parquet(os.path.join(out, "lineitem.parquet"))
+    want = li.filter(pc.field("l_suppkey") == 5)
+    got_sum = post.filter("l_suppkey = 5").groupBy().sum("l_quantity").first()[0]
+    want_sum = pc.sum(pc.add(want.column("l_quantity"), 10.0)).as_py()
+    assert got_sum == pytest.approx(want_sum)
+
+
+def test_update_unknown_column_rejected(
+    spark, tmp_path, monkeypatch, restore_catalog
+):
+    sf = _mk_sf(tmp_path, monkeypatch, tables=("orders",))
+    sess.ingest_tables(spark, sf)
+    with pytest.raises(ValueError, match="unknown column"):
+        sess.update_where(
+            spark, sf, "orders", pc.field("o_orderkey") > 0,
+            {"no_such_col": 1},
+        )
+
+
+def test_merge_into_upserts_and_maintains_projections(
+    spark, tmp_path, monkeypatch, restore_catalog
+):
+    """merge_into == anti-join + UNION upsert, across the managed table and
+    its merged projections; a batch of only-new keys is a pure insert."""
+    sf = tmp_path / "sfmerge"
+    sf.mkdir()
+    (sf / "orders.parquet").mkdir()
+    orders = pq.read_table(f"{SRC}/orders.parquet")
+    pq.write_table(orders, str(sf / "orders.parquet" / "part-00000.parquet"))
+    monkeypatch.setattr(sess, "INGEST_ROOT", str(tmp_path / "ingest"))
+    out = sess.ingest_tables(spark, str(sf))
+
+    keys = orders.column("o_orderkey").to_pylist()
+    hit = sorted(set(keys))[:5]
+    batch = orders.filter(pc.field("o_orderkey").isin(hit))
+    batch = batch.set_column(
+        batch.schema.get_field_index("o_totalprice"),
+        batch.schema.field("o_totalprice"),
+        pc.add(batch["o_totalprice"], 99.0).combine_chunks(),
+    )
+    new_rows = orders.slice(0, 3).set_column(
+        orders.schema.get_field_index("o_orderkey"),
+        orders.schema.field("o_orderkey"),
+        pa.array([10_000_001, 10_000_002, 10_000_003], pa.int64()),
+    )
+    n_dup = orders.filter(pc.field("o_orderkey").isin(hit)).num_rows
+    replaced, landed = sess.merge_into(
+        spark, str(sf), "orders",
+        pa.concat_tables([batch, new_rows]), "o_orderkey",
+    )
+    assert replaced == n_dup
+    assert landed == batch.num_rows + 3
+
+    post = spark.read.parquet(os.path.join(out, "orders.parquet"))
+    assert post.count() == orders.num_rows + 3
+    got = {
+        r["o_orderkey"]: r["o_totalprice"]
+        for r in post.filter(
+            post.o_orderkey.isin([int(k) for k in hit])
+        ).collect()
+    }
+    want = {
+        r["o_orderkey"]: r["o_totalprice"] for r in batch.to_pylist() or []
+    } or {
+        k: v
+        for k, v in zip(
+            batch.column("o_orderkey").to_pylist(),
+            batch.column("o_totalprice").to_pylist(),
+        )
+    }
+    for k in hit:
+        assert got[k] == pytest.approx(want[k]), "matched rows must be replaced"
+    assert post.filter("o_orderkey > 10000000").count() == 3
+
+    # keydict projection stayed consistent through delete+append merges
+    kd = os.path.join(out, "orders.keydict.parquet")
+    if os.path.isdir(kd):
+        kd_tbl = spark.read.parquet(kd)
+        total = (
+            kd_tbl.filter("col = 'o_orderkey'").groupBy().sum("cnt").first()[0]
+        )
+        assert total == orders.num_rows + 3
+
+    # pure insert: a second merge with only-new keys deletes nothing
+    ins_only = orders.slice(3, 2).set_column(
+        orders.schema.get_field_index("o_orderkey"),
+        orders.schema.field("o_orderkey"),
+        pa.array([10_000_004, 10_000_005], pa.int64()),
+    )
+    replaced2, landed2 = sess.merge_into(
+        spark, str(sf), "orders", ins_only, "o_orderkey"
+    )
+    assert (replaced2, landed2) == (0, 2)
+    assert (
+        spark.read.parquet(os.path.join(out, "orders.parquet")).count()
+        == orders.num_rows + 5
+    )
+
+    # NULL merge keys are ambiguous under SQL MERGE semantics: rejected
+    bad = orders.slice(0, 1).set_column(
+        orders.schema.get_field_index("o_orderkey"),
+        orders.schema.field("o_orderkey"),
+        pa.array([None], pa.int64()),
+    )
+    with pytest.raises(ValueError, match="non-null"):
+        sess.merge_into(spark, str(sf), "orders", bad, "o_orderkey")
