@@ -62,6 +62,39 @@ def _build_parser() -> argparse.ArgumentParser:
     dele.add_argument("predicate", help="e.g. \"o_orderstatus == 'F'\"")
     dele.add_argument("--sf-dir", default=None)
 
+    upd = sub.add_parser(
+        "update",
+        help="row-level UPDATE on a managed table (update_where)",
+        description=(
+            "UPDATE <table> SET <col = literal> [...] WHERE <col OP "
+            "literal> on the managed copy. The CLI accepts constant "
+            "assignments and the simple comparison predicate subset; the "
+            "Python API (Engine.update_where) accepts arbitrary pyarrow "
+            "expressions and per-row callables (SET x = x + 1)."
+        ),
+    )
+    upd.add_argument("table")
+    upd.add_argument("predicate", help="e.g. \"o_orderstatus == 'F'\"")
+    upd.add_argument(
+        "assignment", nargs="+", help="one or more \"col = literal\""
+    )
+    upd.add_argument("--sf-dir", default=None)
+
+    mrg = sub.add_parser(
+        "merge",
+        help="storage-level MERGE INTO / upsert from a parquet batch",
+        description=(
+            "MERGE INTO <table> USING <batch.parquet> ON <--key col>: "
+            "matched keys are replaced by the batch version, the rest "
+            "insert (Engine.merge_into). Requires a directory-form "
+            "landed table."
+        ),
+    )
+    mrg.add_argument("table")
+    mrg.add_argument("batch", help="parquet file holding the upsert batch")
+    mrg.add_argument("--key", required=True, help="merge key column")
+    mrg.add_argument("--sf-dir", default=None)
+
     sub.add_parser("list", help="list declared queries")
     return p
 
@@ -98,6 +131,29 @@ def _parse_predicate(text: str):
     }[op]
 
 
+def _parse_assignment(text: str) -> tuple[str, object]:
+    """``col = literal`` → (col, value) for the CLI's constant-SET subset
+    (int/float/'string'/null)."""
+    import re
+
+    m = re.fullmatch(
+        r"\s*([A-Za-z_][A-Za-z0-9_]*)\s*=\s*"
+        r"('(?:[^'\\]|\\.)*'|-?\d+(?:\.\d+)?|null)\s*",
+        text,
+        re.IGNORECASE,
+    )
+    if not m:
+        raise SystemExit(
+            f"unsupported assignment {text!r}: expected <col> = <literal>"
+        )
+    col, lit = m.groups()
+    if lit.lower() == "null":
+        return col, None
+    if lit.startswith("'"):
+        return col, lit[1:-1].replace("\\'", "'")
+    return col, (float(lit) if "." in lit else int(lit))
+
+
 def main(argv: list[str] | None = None) -> int:
     args = _build_parser().parse_args(argv)
 
@@ -125,6 +181,28 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "delete":
         n = eng.delete_where(args.table, _parse_predicate(args.predicate))
         print(f"deleted {n} rows from {args.table}")
+        return 0
+
+    if args.cmd == "update":
+        assignments = dict(
+            _parse_assignment(a) for a in args.assignment
+        )
+        n = eng.update_where(
+            args.table, _parse_predicate(args.predicate), assignments
+        )
+        print(f"updated {n} rows in {args.table}")
+        return 0
+
+    if args.cmd == "merge":
+        import pyarrow.parquet as pq
+
+        replaced, landed = eng.merge_into(
+            args.table, pq.read_table(args.batch), args.key
+        )
+        print(
+            f"merged into {args.table}: {replaced} rows replaced, "
+            f"{landed} batch rows landed"
+        )
         return 0
 
     if args.cmd == "run":

@@ -87,10 +87,42 @@ class Engine:
         from data_etl_sh_lianjia_spark.session import delete_where
 
         n = delete_where(self.spark, self.sf_dir, name, predicate)
+        self._rebind_catalog()
+        return n
+
+    def update_where(self, name: str, predicate, assignments) -> int:
+        """Row-level UPDATE on the managed copy of ``name`` (ingests first
+        if needed). ``predicate`` is a pyarrow dataset expression;
+        ``assignments`` maps column -> constant (None = SET NULL) or
+        callable(pa.Table) -> Array over the OLD row values (so
+        ``SET x = x + 1`` works). SQL semantics (NULL-predicate rows
+        untouched). Copy-on-write O(affected files/buckets + projection
+        sizes): untouched part files hardlink, SUM-mergeable projections
+        negative+positive-merge, ordered/vector artifacts rebuild — see
+        ``session.update_where``. Returns the number of rows updated."""
+        from data_etl_sh_lianjia_spark.session import update_where
+
+        n = update_where(self.spark, self.sf_dir, name, predicate, assignments)
+        self._rebind_catalog()
+        return n
+
+    def merge_into(self, name: str, batch, key: str) -> tuple[int, int]:
+        """Storage-level MERGE (upsert): batch rows whose ``key`` matches an
+        existing row replace it, the rest insert. ``batch`` is a pyarrow
+        Table with the landed table's schema; requires a directory-form
+        landed table. Returns (rows replaced, batch rows landed) — see
+        ``session.merge_into``."""
+        from data_etl_sh_lianjia_spark.session import merge_into
+
+        out = merge_into(self.spark, self.sf_dir, name, batch, key)
+        self._rebind_catalog()
+        return out
+
+    def _rebind_catalog(self) -> None:
+        """Re-point the unprefixed temp views at the post-mutation state."""
         self._tables = load_tables(self.spark, self.sf_dir)
         for tname, df in self._tables.items():
             df.createOrReplaceTempView(tname)
-        return n
 
     # -- query surfaces -----------------------------------------------------
 

@@ -525,3 +525,62 @@ def test_merge_into_upserts_and_maintains_projections(
     )
     with pytest.raises(ValueError, match="non-null"):
         sess.merge_into(spark, str(sf), "orders", bad, "o_orderkey")
+
+
+def test_cli_update_and_merge_subcommands(
+    spark, tmp_path, monkeypatch, restore_catalog
+):
+    """`python -m ... update <table> "<pred>" "col = lit"` routes through
+    Engine.update_where (constant-SET subset), and `merge <table> <batch>
+    --key col` through Engine.merge_into."""
+    from data_etl_sh_lianjia_spark.__main__ import _parse_assignment, main
+
+    sf = tmp_path / "sfcli"
+    sf.mkdir()
+    (sf / "orders.parquet").mkdir()
+    orders = pq.read_table(f"{SRC}/orders.parquet")
+    pq.write_table(orders, str(sf / "orders.parquet" / "part-00000.parquet"))
+    monkeypatch.setattr(sess, "INGEST_ROOT", str(tmp_path / "ingest"))
+
+    want = orders.filter(pc.field("o_orderstatus") == "F").num_rows
+    rc = main(
+        [
+            "update", "orders", "o_orderstatus == 'F'",
+            "o_orderpriority = '9-RECLASSIFIED'", "--sf-dir", str(sf),
+        ]
+    )
+    assert rc == 0
+    out = spark._lianjia_ingest_map[os.path.normpath(str(sf))]
+    post = pa.concat_tables(
+        pq.read_table(p)
+        for p in glob.glob(os.path.join(out, "orders.parquet", "*.parquet"))
+    )
+    got = post.filter(
+        pc.field("o_orderpriority") == "9-RECLASSIFIED"
+    ).num_rows
+    assert got == want
+
+    batch = orders.slice(0, 2).set_column(
+        orders.schema.get_field_index("o_orderkey"),
+        orders.schema.field("o_orderkey"),
+        pa.array([20_000_001, 20_000_002], pa.int64()),
+    )
+    bpath = str(tmp_path / "batch.parquet")
+    pq.write_table(batch, bpath)
+    rc = main(
+        ["merge", "orders", bpath, "--key", "o_orderkey", "--sf-dir", str(sf)]
+    )
+    assert rc == 0
+    post2 = pa.concat_tables(
+        pq.read_table(p)
+        for p in glob.glob(os.path.join(out, "orders.parquet", "*.parquet"))
+    )
+    assert post2.num_rows == orders.num_rows + 2
+
+    # assignment parser: literal forms + rejection
+    assert _parse_assignment("x = 3") == ("x", 3)
+    assert _parse_assignment("x = 3.5") == ("x", 3.5)
+    assert _parse_assignment("x = 'a b'") == ("x", "a b")
+    assert _parse_assignment("x = null") == ("x", None)
+    with pytest.raises(SystemExit):
+        _parse_assignment("x = y + 1")
