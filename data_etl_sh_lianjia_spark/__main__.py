@@ -95,6 +95,20 @@ def _build_parser() -> argparse.ArgumentParser:
     mrg.add_argument("--key", required=True, help="merge key column")
     mrg.add_argument("--sf-dir", default=None)
 
+    hist = sub.add_parser(
+        "history", help="list a managed table's retained snapshots"
+    )
+    hist.add_argument("table")
+    hist.add_argument("--sf-dir", default=None)
+
+    rest = sub.add_parser(
+        "restore",
+        help="roll a managed table back to a snapshot (time travel)",
+    )
+    rest.add_argument("table")
+    rest.add_argument("version", type=int)
+    rest.add_argument("--sf-dir", default=None)
+
     sub.add_parser("list", help="list declared queries")
     return p
 
@@ -203,6 +217,22 @@ def main(argv: list[str] | None = None) -> int:
             f"merged into {args.table}: {replaced} rows replaced, "
             f"{landed} batch rows landed"
         )
+        return 0
+
+    if args.cmd == "history":
+        for h in eng.history(args.table):
+            if h.get("current"):
+                print(f"current\t{h['fingerprint']}")
+            else:
+                print(
+                    f"v{h['version']}\tsuperseded_by={h['superseded_by']}"
+                    f"\tfiles={h['n_files']}\t{h['fingerprint']}"
+                )
+        return 0
+
+    if args.cmd == "restore":
+        eng.restore(args.table, args.version)
+        print(f"restored {args.table} to snapshot {args.version}")
         return 0
 
     if args.cmd == "run":

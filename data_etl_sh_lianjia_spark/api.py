@@ -124,6 +124,32 @@ class Engine:
         for tname, df in self._tables.items():
             df.createOrReplaceTempView(tname)
 
+    # -- time travel ----------------------------------------------------------
+
+    def history(self, name: str) -> list[dict]:
+        """Snapshot history of a managed table (one entry per retained
+        pre-mutation generation + the current state) — see
+        ``session.table_history``."""
+        from data_etl_sh_lianjia_spark.session import table_history
+
+        return table_history(self.spark, self.sf_dir, name)
+
+    def table_asof(self, name: str, version: int) -> DataFrame:
+        """``SELECT * FROM <name> VERSION AS OF <version>`` — read a
+        retained pre-mutation generation (``history()`` lists versions)."""
+        from data_etl_sh_lianjia_spark.session import read_table_version
+
+        return read_table_version(self.spark, self.sf_dir, name, version)
+
+    def restore(self, name: str, version: int) -> None:
+        """Roll the managed table back to a snapshot; projections rebuild
+        to the restored generation and the catalog re-points. The
+        pre-restore state is itself snapshotted (undoable)."""
+        from data_etl_sh_lianjia_spark.session import restore_table_version
+
+        restore_table_version(self.spark, self.sf_dir, name, version)
+        self._rebind_catalog()
+
     # -- query surfaces -----------------------------------------------------
 
     def sql(self, query: str) -> DataFrame:

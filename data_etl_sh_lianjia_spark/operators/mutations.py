@@ -383,3 +383,51 @@ def merge_into_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, result.schema)
     finally:
         _drop_scratch(spark, scratch)
+
+
+@register(
+    "time_travel_orders",
+    oracle=f"""
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       {oracle_dsum('o_totalprice', 'sum_total', scale=2)}
+FROM orders
+GROUP BY o_orderpriority
+""",
+    survey_ref="S9,A3",
+    doc="VERSION AS OF read of the pre-mutation snapshot after delete+update",
+    tags=("mutation",),
+)
+def time_travel_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutate a scratch managed orders copy twice (DELETE the 'F' rows,
+    then UPDATE the 'O' rows' totalprice), then read ``VERSION AS OF 1`` —
+    the snapshot retained before the first mutation — and aggregate it.
+    The oracle aggregates the UNTOUCHED source, so a hash match proves the
+    time-travel read returns exactly the pre-mutation generation,
+    bit-identical, after two intervening copy-on-write mutations."""
+    import pyarrow.compute as pc
+    from pyspark.sql import functions as F
+
+    from data_etl_sh_lianjia_spark.session import (
+        delete_where,
+        read_table_version,
+        update_where,
+    )
+
+    scratch = _scratch_copy(sf_dir, "orders")
+    try:
+        delete_where(spark, scratch, "orders", pc.field("o_orderstatus") == "F")
+        update_where(
+            spark, scratch, "orders",
+            pc.field("o_orderstatus") == "O",
+            {"o_totalprice": lambda t: pc.add(t["o_totalprice"], 1000.0)},
+        )
+        asof = read_table_version(spark, scratch, "orders", 1)
+        result = asof.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "sum_total", scale=2),
+        )
+        rows = result.collect()  # tiny summary; lets the scratch dir drop
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        _drop_scratch(spark, scratch)

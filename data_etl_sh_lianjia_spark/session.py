@@ -248,6 +248,155 @@ def _publish_dir(dst: str, fingerprint: str, meta: dict | None, write) -> None:
     shutil.rmtree(trash, ignore_errors=True)
 
 
+# Snapshot retention per managed table (time travel): how many pre-mutation
+# generations each table keeps next to its current one. Generations are
+# HARDLINK copies — a retained snapshot costs disk only for the part files
+# the mutation rewrote, exactly the Delta/Iceberg snapshot economics.
+SNAP_RETAIN = int(os.environ.get("SPARK_GRAFT_SNAPSHOT_RETAIN", "5"))
+
+
+def _snapshot_generation(dst: str, op: str) -> None:
+    """Retain the CURRENT generation of a managed table dir under
+    ``<dst>.snaps/<seq>/`` before a mutating publish replaces it — the
+    time-travel half of the storage story (Delta/Iceberg ``VERSION AS
+    OF``). Part files hardlink (immutable once published), the marker
+    copies verbatim, and a ``_SNAPINFO`` sidecar records the mutation that
+    superseded this generation. Oldest snapshots prune past SNAP_RETAIN.
+    Snapshots are per-table only: projections rebuild from any restored
+    generation, so retaining them would buy nothing."""
+    import json
+    import shutil
+    import time
+
+    marker = os.path.join(dst, "_SUCCESS")
+    fp, _meta = _read_marker(marker)
+    if not fp:
+        return
+    snaps = dst + ".snaps"
+    os.makedirs(snaps, exist_ok=True)
+    have = sorted(d for d in os.listdir(snaps) if d.isdigit())
+    seq = (int(have[-1]) + 1) if have else 1
+    tmp = os.path.join(snaps, f".tmp-{os.getpid()}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    for entry in os.scandir(dst):
+        if entry.is_file() and entry.name.endswith(".parquet"):
+            os.link(entry.path, os.path.join(tmp, entry.name))
+    shutil.copy(marker, os.path.join(tmp, "_SUCCESS"))
+    with open(os.path.join(tmp, "_SNAPINFO"), "w") as fh:
+        json.dump({"superseded_by": op, "ts": time.time()}, fh)
+    os.replace(tmp, os.path.join(snaps, f"{seq:05d}"))
+    for d in have[: max(0, len(have) + 1 - SNAP_RETAIN)]:
+        shutil.rmtree(os.path.join(snaps, d), ignore_errors=True)
+
+
+def _drop_snapshots(dst: str) -> None:
+    """Clear a table's snapshot history — called on FULL rebuilds (source
+    rewrite / layout change): the re-landed source is a different table
+    state lineage, so pre-rebuild generations must not be restorable."""
+    import shutil
+
+    shutil.rmtree(dst + ".snaps", ignore_errors=True)
+
+
+def table_history(spark: SparkSession, sf_dir: str, name: str) -> list[dict]:
+    """Snapshot history of a managed table, oldest first: one dict per
+    retained pre-mutation generation (``version`` feeds
+    :func:`read_table_version` / :func:`restore_table_version`)."""
+    import json
+
+    out_dir, dst = _mutation_target(spark, sf_dir, name)
+    snaps = dst + ".snaps"
+    out = []
+    if os.path.isdir(snaps):
+        for d in sorted(x for x in os.listdir(snaps) if x.isdigit()):
+            sdir = os.path.join(snaps, d)
+            fp, _m = _read_marker(os.path.join(sdir, "_SUCCESS"))
+            try:
+                with open(os.path.join(sdir, "_SNAPINFO")) as fh:
+                    info = json.load(fh)
+            except (OSError, ValueError):
+                info = {}
+            out.append(
+                {
+                    "version": int(d),
+                    "fingerprint": fp,
+                    "superseded_by": info.get("superseded_by"),
+                    "ts": info.get("ts"),
+                    "n_files": sum(
+                        1
+                        for f in os.listdir(sdir)
+                        if f.endswith(".parquet")
+                    ),
+                }
+            )
+    cur_fp, _m = _read_marker(os.path.join(dst, "_SUCCESS"))
+    out.append({"version": None, "fingerprint": cur_fp, "current": True})
+    return out
+
+
+def read_table_version(
+    spark: SparkSession, sf_dir: str, name: str, version: int
+) -> DataFrame:
+    """Read a retained pre-mutation generation of a managed table —
+    ``SELECT ... FROM <name> VERSION AS OF <version>``. ``version`` is a
+    ``table_history`` entry; the current state is just the managed table.
+
+    [derived] — append-only reference; this is lakehouse time travel
+    (audit a deleted cohort, reproduce a training run against the exact
+    corpus generation it saw)."""
+    _out_dir, dst = _mutation_target(spark, sf_dir, name)
+    sdir = os.path.join(dst + ".snaps", f"{version:05d}")
+    if not os.path.isdir(sdir):
+        have = [
+            h["version"]
+            for h in table_history(spark, sf_dir, name)
+            if h.get("version") is not None
+        ]
+        raise ValueError(
+            f"no snapshot {version} of table {name!r}; retained: {have}"
+        )
+    return spark.read.parquet(sdir)
+
+
+def restore_table_version(
+    spark: SparkSession, sf_dir: str, name: str, version: int
+) -> None:
+    """Roll the managed table back to a retained snapshot (``RESTORE TABLE
+    ... VERSION AS OF``). The pre-restore state is snapshotted first (a
+    restore is undoable), the snapshot's generation publishes through the
+    same atomic rename-aside as every mutation, and every projection —
+    now out of fingerprint lockstep with the restored table — is rebuilt
+    by the re-ingest this function ends with, so stale projections are
+    never served.
+
+    Scope: restore rolls back MANAGED mutations (delete_where /
+    update_where). Source-landed appends re-apply on the next ingest —
+    the landing directory still contains their files; roll an append back
+    by removing its landed file (the whole-batch delete path)."""
+    import shutil
+
+    _out_dir, dst = _mutation_target(spark, sf_dir, name)
+    sdir = os.path.join(dst + ".snaps", f"{version:05d}")
+    if not os.path.isdir(sdir):
+        raise ValueError(f"no snapshot {version} of table {name!r}")
+    fp, meta = _read_marker(os.path.join(sdir, "_SUCCESS"))
+    _snapshot_generation(dst, f"restore-to-{version}")
+
+    def _write(tmp: str) -> None:
+        for entry in os.scandir(sdir):
+            if entry.is_file() and entry.name.endswith(".parquet"):
+                os.link(entry.path, os.path.join(tmp, entry.name))
+
+    _publish_dir(dst, fp, meta, _write)
+    # invalidate memoized views, then re-sync projections to the restored
+    # generation (they fail the lockstep check and rebuild)
+    spark._lianjia_table_cache = {}
+    spark._lianjia_views_dir = None
+    spark._lianjia_keydict_views = {}
+    _mutation_target(spark, sf_dir, name)
+
+
 def _projection_view(
     spark: SparkSession, sf_dir: str, artifact: str, view: str
 ) -> str | None:
@@ -1544,6 +1693,7 @@ def _ingest_local_append(
                 chunk, os.path.join(tmp, f"part-a{tag}-{i:05d}.parquet")
             )
 
+    _snapshot_generation(dst, "append")
     _publish_dir(dst, fingerprint, meta, _write_generation)
     if kd_cols:
         import glob
@@ -1625,6 +1775,7 @@ def _ingest_local_delete(
             ):
                 os.link(entry.path, os.path.join(tmp, entry.name))
 
+    _snapshot_generation(dst, "delete-batch")
     _publish_dir(dst, fingerprint, meta, _write_generation)
     if kd_cols:
         import glob
@@ -1887,6 +2038,7 @@ def delete_where(spark: SparkSession, sf_dir: str, name: str, predicate) -> int:
                 os.path.join(tmp, "part-00000.parquet"),
             )
 
+    _snapshot_generation(dst, "delete")
     _publish_dir(dst, new_fp, old_meta, _write_generation)
 
     held_paths = sorted(glob.glob(os.path.join(hold, "*.parquet")))
@@ -2128,6 +2280,7 @@ def update_where(
             else:
                 os.link(os.path.join(dst, f), os.path.join(tmp, f))
 
+    _snapshot_generation(dst, "update")
     _publish_dir(dst, new_fp, old_meta, _write_generation)
 
     held_old = sorted(glob.glob(os.path.join(hold_old, "*.parquet")))
@@ -2642,6 +2795,9 @@ def ingest_tables(
                     dst, fingerprint, meta,
                     lambda tmp: df.write.mode("overwrite").parquet(tmp),
                 )
+            # a full rebuild starts a new state lineage (source rewrite /
+            # layout change): pre-rebuild generations must not be restorable
+            _drop_snapshots(dst)
             rebuilt += 1
         if kd_cols and (not kd_fresh or not table_fresh):
             build = _build_keydict_local if local else _build_keydict_spark
