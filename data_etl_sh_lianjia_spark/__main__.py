@@ -109,6 +109,13 @@ def _build_parser() -> argparse.ArgumentParser:
     rest.add_argument("version", type=int)
     rest.add_argument("--sf-dir", default=None)
 
+    cmp_ = sub.add_parser(
+        "compact",
+        help="re-cluster a managed table's generations (OPTIMIZE)",
+    )
+    cmp_.add_argument("table")
+    cmp_.add_argument("--sf-dir", default=None)
+
     sub.add_parser("list", help="list declared queries")
     return p
 
@@ -233,6 +240,14 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "restore":
         eng.restore(args.table, args.version)
         print(f"restored {args.table} to snapshot {args.version}")
+        return 0
+
+    if args.cmd == "compact":
+        st = eng.compact(args.table)
+        print(
+            f"compacted {args.table}: {st['rows']} rows, "
+            f"{st['files_before']} -> {st['files_after']} files"
+        )
         return 0
 
     if args.cmd == "run":

@@ -150,6 +150,19 @@ class Engine:
         restore_table_version(self.spark, self.sf_dir, name, version)
         self._rebind_catalog()
 
+    def compact(self, name: str) -> dict:
+        """Merge a managed table's accumulated append / copy-on-write
+        generations back into globally range-clustered files (the
+        lakehouse OPTIMIZE). Values unchanged; projections restamp onto
+        the new fingerprint instead of rebuilding — see
+        ``session.compact_table``. Returns {rows, files_before,
+        files_after}."""
+        from data_etl_sh_lianjia_spark.session import compact_table
+
+        out = compact_table(self.spark, self.sf_dir, name)
+        self._rebind_catalog()
+        return out
+
     # -- query surfaces -----------------------------------------------------
 
     def sql(self, query: str) -> DataFrame:

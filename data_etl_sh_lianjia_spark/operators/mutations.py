@@ -431,3 +431,73 @@ def time_travel_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, result.schema)
     finally:
         _drop_scratch(spark, scratch)
+
+
+@register(
+    "compact_managed_orders",
+    oracle=f"""
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       {oracle_dsum('o_totalprice', 'sum_total', scale=2)}
+FROM orders
+GROUP BY o_orderpriority
+""",
+    survey_ref="S9,A3,O5",
+    doc="OPTIMIZE-style compaction of a fragmented managed table; values preserved",
+    tags=("mutation",),
+)
+def compact_managed_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fragment a scratch managed orders copy (append a second landed part,
+    then UPDATE some rows copy-on-write), COMPACT it back into clustered
+    files (`session.compact_table` — projections restamp, not rebuild),
+    roll the update back via the retained snapshot, and aggregate — the
+    oracle aggregates the untouched source, so a hash match proves the
+    compaction+restore round-trip is value-preserving end to end."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from data_etl_sh_lianjia_spark.session import (
+        compact_table,
+        restore_table_version,
+        table_history,
+        update_where,
+    )
+
+    scratch = _scratch_copy(sf_dir, "orders", as_dir=True)
+    try:
+        # fragment: split the single landed part in two so ingest + a later
+        # append-shaped layout accumulate multiple managed generations
+        part = os.path.join(scratch, "orders.parquet", "part-00000.parquet")
+        src = pq.read_table(part)
+        half = src.num_rows // 2
+        pq.write_table(src.slice(0, half), part)
+        pq.write_table(
+            src.slice(half),
+            os.path.join(scratch, "orders.parquet", "part-00001.parquet"),
+        )
+        update_where(
+            spark, scratch, "orders",
+            pc.field("o_orderstatus") == "F",
+            {"o_totalprice": lambda t: pc.add(t["o_totalprice"], 7.0)},
+        )
+        compact_table(spark, scratch, "orders")
+        # the update preceded the compaction, so its pre-state is the
+        # oldest retained snapshot: restore rolls both back (values-wise
+        # compaction changed nothing)
+        oldest = min(
+            h["version"]
+            for h in table_history(spark, scratch, "orders")
+            if h.get("version") is not None
+        )
+        restore_table_version(spark, scratch, "orders", oldest)
+        out_dir = spark._lianjia_ingest_map[os.path.normpath(scratch)]
+        post = spark.read.parquet(os.path.join(out_dir, "orders.parquet"))
+        result = post.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "sum_total", scale=2),
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        _drop_scratch(spark, scratch)

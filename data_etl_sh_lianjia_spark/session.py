@@ -397,6 +397,161 @@ def restore_table_version(
     _mutation_target(spark, sf_dir, name)
 
 
+def _restamp_marker(artifact_dir: str, old_fp: str, new_fp: str) -> bool:
+    """Atomically re-fingerprint an artifact whose VALUES are unchanged by
+    a table mutation (compaction re-layouts rows, every projection over
+    them is row-order-independent): rewrite its marker from ``old_fp`` to
+    ``new_fp`` keeping the meta. Returns False — caller must rebuild —
+    when the artifact was not in lockstep with the pre-mutation state. A
+    crash mid-restamp leaves either marker intact (tmp + rename)."""
+    marker = os.path.join(artifact_dir, "_SUCCESS")
+    fp, meta = _read_marker(marker)
+    if fp != old_fp:
+        return False
+    tmp = marker + f".tmp-{os.getpid()}"
+    _write_marker(tmp, new_fp, meta)
+    os.replace(tmp, marker)
+    return True
+
+
+def compact_table(spark: SparkSession, sf_dir: str, name: str) -> dict:
+    """Compact the managed copy of a table: merge its accumulated append /
+    copy-on-write generations back into globally range-clustered files —
+    the maintenance op the append and update paths defer to ("global
+    ordering degrades across batches by design — restored by compaction").
+
+    Values are untouched, only the physical layout changes, so every
+    projection stays EXACT: instead of rebuilding, their markers RESTAMP
+    onto the new fingerprint chain segment (``~cmp<h>``) — O(1) per
+    artifact, the payoff for making every projection row-order-independent.
+    An artifact out of lockstep refuses the restamp and rebuilds through
+    the ordinary re-ingest. The pre-compaction generation snapshots first
+    (time travel / undo), and the ``batches`` tag map clears: compaction
+    rewrites the tagged part files, so a later whole-batch source delete
+    honestly falls back to a full rebuild (the documented contract).
+
+    Local regime: a driver-side pyarrow sort+split (same kernel as the
+    cold ingest). At 100 TB this is the background distributed
+    sort-rewrite every lakehouse schedules (OPTIMIZE / rewrite_data_files);
+    the per-artifact restamp contract is identical.
+
+    Returns {"rows", "files_before", "files_after"}.
+    """
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.compute  # noqa: F401  (registers sort kernels)
+    import pyarrow.parquet as pq
+
+    out_dir, dst = _mutation_target(spark, sf_dir, name)
+    old_fp, old_meta = _read_marker(os.path.join(dst, "_SUCCESS"))
+    parts = sorted(f for f in os.listdir(dst) if f.endswith(".parquet"))
+    table = pa.concat_tables(
+        pq.read_table(os.path.join(dst, f)) for f in parts
+    )
+    key, target_rows = _INGEST_LAYOUT.get(name, (None, 150_000))
+    if key is not None and key not in table.column_names:
+        key = "ts" if "ts" in table.column_names else None
+    if key:
+        table = table.sort_by(key)
+    # same layout rule as the cold ingest (_ingest_local), under the knobs
+    # the managed copy was built with (recorded in its marker meta)
+    import re
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    m = re.fullmatch(
+        r"parts=(\d+):split=(\d+):v\d+", (old_meta or {}).get("layout") or ""
+    )
+    knob_parts = int(m.group(1)) if m else None
+    min_rows_to_split = int(m.group(2)) if m else 50_000
+    if key and table.num_rows >= min(min_rows_to_split, 4 * target_rows):
+        n_parts = knob_parts or max(
+            2, min(cpus, table.num_rows // max(target_rows, 1))
+        )
+    else:
+        n_parts = 1
+    step = -(-table.num_rows // n_parts) if table.num_rows else 1
+
+    new_fp = (
+        f"{old_fp}~cmp"
+        f"{hashlib.md5(f'{old_fp}|compact'.encode()).hexdigest()[:8]}"
+    )
+    meta = {k: v for k, v in (old_meta or {}).items() if k != "batches"}
+    _snapshot_generation(dst, "compact")
+
+    def _write(tmp: str) -> None:
+        wrote = 0
+        for i in range(n_parts):
+            chunk = table.slice(i * step, step)
+            if chunk.num_rows:
+                pq.write_table(
+                    chunk, os.path.join(tmp, f"part-{i:05d}.parquet")
+                )
+                wrote += 1
+        if not wrote:  # 0-row table keeps its schema for readers
+            pq.write_table(table, os.path.join(tmp, "part-00000.parquet"))
+
+    _publish_dir(dst, new_fp, meta, _write)
+
+    # Restamp every value-unchanged sibling onto the new chain segment.
+    for artifact in (
+        f"{name}.keydict.parquet",
+        f"{name}.colstats.parquet",
+        f"{name}.aggproj.parquet",
+    ):
+        _restamp_marker(os.path.join(out_dir, artifact), old_fp, new_fp)
+    ap_spec = _AGG_PROJECTIONS.get(name)
+    if ap_spec and "coarse" in ap_spec:
+        _restamp_marker(_coarse_dst(out_dir, name, ap_spec), old_fp, new_fp)
+    tp_spec = _TOPK_PROJECTIONS.get(name)
+    if tp_spec:
+        _restamp_marker(
+            os.path.join(
+                out_dir, f"{name}.{tp_spec['name']}.topkproj.parquet"
+            ),
+            old_fp, new_fp,
+        )
+    bk_col = _BUCKET_LAYOUT.get(name)
+    if bk_col:
+        bk_dst = os.path.join(out_dir, f"{name}.bucketed.parquet")
+        _fp, bk_meta = _read_marker(os.path.join(bk_dst, "_SUCCESS"))
+        nb = bk_meta.get("n_buckets")
+        if nb:
+            _restamp_marker(bk_dst, f"{old_fp}:bk{nb}", f"{new_fp}:bk{nb}")
+    for jp_name, spec in _JOIN_PROJECTIONS.items():
+        if name not in spec["sources"]:
+            continue
+        jp_dst = os.path.join(out_dir, f"{jp_name}.joinproj.parquet")
+        jp_marker = os.path.join(jp_dst, "_SUCCESS")
+        fp, jmeta = _read_marker(jp_marker)
+        comp = (jmeta or {}).get("components") or {}
+        if comp.get(name) == old_fp:
+            comp = {**comp, name: new_fp}
+            jp_fp = ";".join(f"{t}={comp[t]}" for t in sorted(comp)) + ":jp2"
+            tmpm = jp_marker + f".tmp-{os.getpid()}"
+            _write_marker(tmpm, jp_fp, {**jmeta, "components": comp})
+            os.replace(tmpm, jp_marker)
+    for _vp_name, vp_spec in _RESULT_PROJECTIONS.items():
+        if vp_spec["table"] != name:
+            continue
+        ver = vp_spec.get("version", "vp2")
+        _restamp_marker(
+            os.path.join(out_dir, vp_spec["artifact"]),
+            f"{old_fp}:{ver}", f"{new_fp}:{ver}",
+        )
+    # invalidate memoized DataFrames/views over the pre-compact generation
+    spark._lianjia_table_cache = {}
+    spark._lianjia_views_dir = None
+    spark._lianjia_keydict_views = {}
+    return {
+        "rows": table.num_rows,
+        "files_before": len(parts),
+        "files_after": sum(
+            1 for f in os.listdir(dst) if f.endswith(".parquet")
+        ),
+    }
+
+
 def _projection_view(
     spark: SparkSession, sf_dir: str, artifact: str, view: str
 ) -> str | None:
@@ -1485,10 +1640,12 @@ def _ingest_local(
 def _effective_fingerprint(marker: str, fingerprint: str) -> str | None:
     """The marker's fingerprint when it matches the source-derived
     ``fingerprint`` modulo a managed MUTATION chain (``<fp>`` or
-    ``<fp>~del<h>[~upd<h2>...]`` — segments may interleave), else None.
+    ``<fp>~del<h>[~upd<h2>][~cmp<h3>...]`` — segments may interleave),
+    else None.
 
-    :func:`delete_where` appends one ``~del<h>`` segment and
-    :func:`update_where` one ``~upd<h>`` segment per mutation: the SOURCE
+    :func:`delete_where` appends one ``~del<h>`` segment,
+    :func:`update_where` one ``~upd<h>``, and :func:`compact_table` one
+    ``~cmp<h>`` per mutation: the SOURCE
     is untouched by a managed mutation, so source-derived freshness must
     treat the chained copy as fresh, while every sibling projection
     locksteps on the CHAINED value (a crash between the table publish and
@@ -1502,6 +1659,7 @@ def _effective_fingerprint(marker: str, fingerprint: str) -> str | None:
         have == fingerprint
         or have.startswith(fingerprint + "~del")
         or have.startswith(fingerprint + "~upd")
+        or have.startswith(fingerprint + "~cmp")
     ):
         return have
     return None
