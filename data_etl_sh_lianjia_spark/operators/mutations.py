@@ -501,3 +501,79 @@ def compact_managed_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, result.schema)
     finally:
         _drop_scratch(spark, scratch)
+
+
+@register(
+    "schema_evolution_orders",
+    oracle=f"""
+WITH batch AS (
+  SELECT o_orderkey + 30000000 AS o_orderkey, o_custkey, o_orderstatus,
+         o_totalprice, o_orderdate, o_orderpriority, 'web' AS o_channel
+  FROM orders WHERE o_orderkey % 97 = 0
+),
+merged AS (
+  SELECT *, NULL AS o_channel FROM orders
+  UNION ALL
+  SELECT * FROM batch
+)
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       COUNT(o_channel) AS n_channel,
+       {oracle_dsum('o_totalprice', 'sum_total', scale=2)}
+FROM merged
+GROUP BY o_orderpriority
+""",
+    survey_ref="S5,S9,A3",
+    doc="additive schema evolution: append a batch carrying a NEW column",
+    tags=("mutation",),
+)
+def schema_evolution_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Land a second part file carrying a NEW column (``o_channel``) next
+    to a scratch orders table and re-ingest: the evolution event rebuilds
+    the managed copy under the UNIFIED schema — pre-existing rows
+    null-fill the new column, the batch keeps its values, nothing is
+    silently dropped (plain first-fragment parquet reads lose late-added
+    columns; the engine's unified read is the fix). The oracle reproduces
+    the union with an explicit NULL column, so the hash match pins the
+    evolved schema AND the values."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from data_etl_sh_lianjia_spark.session import ingest_tables
+
+    scratch = _scratch_copy(sf_dir, "orders", as_dir=True)
+    try:
+        src = pq.read_table(
+            os.path.join(scratch, "orders.parquet", "part-00000.parquet")
+        )
+        ok = src.column("o_orderkey").to_numpy()
+        batch = src.filter(pa.array(ok % 97 == 0))
+        batch = batch.set_column(
+            batch.schema.get_field_index("o_orderkey"),
+            batch.schema.field("o_orderkey"),
+            pa.array(
+                (batch.column("o_orderkey").to_numpy() + 30_000_000),
+                pa.int64(),
+            ),
+        )
+        batch = batch.append_column(
+            "o_channel", pa.array(["web"] * batch.num_rows)
+        )
+        pq.write_table(
+            batch,
+            os.path.join(scratch, "orders.parquet", "part-00001.parquet"),
+        )
+        ingest_tables(spark, scratch)
+        out_dir = spark._lianjia_ingest_map[os.path.normpath(scratch)]
+        post = spark.read.parquet(os.path.join(out_dir, "orders.parquet"))
+        result = post.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count("o_channel").alias("n_channel"),
+            dsum("o_totalprice", "sum_total", scale=2),
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        _drop_scratch(spark, scratch)

@@ -1592,6 +1592,49 @@ def _shred_json_columns(table):
     return table
 
 
+def _conform_to_schema(table, schema):
+    """Cast a batch to a target schema: missing columns null-fill, order
+    and types align. The additive-evolution primitive — every landed row
+    ends up under ONE unified schema, never a mixed-schema managed dir."""
+    import pyarrow as pa
+
+    for field in schema:
+        if field.name not in table.column_names:
+            table = table.append_column(
+                field, pa.nulls(table.num_rows, field.type)
+            )
+    return table.select(schema.names).cast(schema)
+
+
+def _read_landed(src: str):
+    """Read a landed table (file or directory form) under a UNIFIED schema.
+
+    pyarrow's plain ``read_table`` takes the first fragment's schema and
+    silently DROPS columns later parts added — the worst failure mode for
+    an evolving landing. Directory sources instead unify per-part schemas
+    (additive evolution: new columns null-fill for old rows); a genuine
+    type conflict between parts raises a clear error instead of guessing."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if not os.path.isdir(src):
+        return pq.read_table(src)
+    files = sorted(glob.glob(os.path.join(src, "*.parquet")))
+    schemas = [pq.read_schema(f) for f in files]
+    try:
+        unified = pa.unify_schemas(schemas)
+    except (pa.ArrowInvalid, pa.ArrowTypeError) as e:
+        raise ValueError(
+            f"landed parts of {src!r} have incompatible schemas (a column "
+            f"changed TYPE across parts — additive evolution only): {e}"
+        ) from e
+    return pa.concat_tables(
+        _conform_to_schema(pq.read_table(f), unified) for f in files
+    )
+
+
 def _ingest_local(
     src: str,
     dst: str,
@@ -1607,7 +1650,7 @@ def _ingest_local(
     import pyarrow.compute  # noqa: F401  (registers kernels for sort)
     import pyarrow.parquet as pq
 
-    table = pq.read_table(src)
+    table = _read_landed(src)
     if key is not None and key not in table.column_names:
         key = "ts" if "ts" in table.column_names else None  # raw events: nanos ts
     table = _shred_json_columns(table)
@@ -1734,6 +1777,30 @@ def _delta_files(
     return new or None
 
 
+def _delta_schema_ok(src: str, old: dict, delta: list[str]) -> bool:
+    """True when the delta batch can APPEND under the managed schema: the
+    same column set with the same types (order may differ — parquet is
+    name-addressed). False is the schema-evolution event — the batch ADDS
+    or DROPS columns, or changes a type — and the caller falls back to
+    the full rebuild, which unifies schemas (old rows null-fill new
+    columns) or raises a clear error on a genuine type conflict. The
+    projection mergers read the RAW delta files, so the O(batch) path
+    must never see a schema the merge SQL can't resolve. Schema footers
+    only — no data is read."""
+    import pyarrow.parquet as pq
+
+    ref = pq.read_schema(os.path.join(src, sorted(old)[0]))
+    ref_names = set(ref.names)
+    for f in delta:
+        s = pq.read_schema(os.path.join(src, f))
+        if set(s.names) != ref_names:
+            return False
+        for field in s:
+            if ref.field(field.name).type != field.type:
+                return False
+    return True
+
+
 def _removed_batches(
     marker: str, layout: str, manifest: dict[str, str] | None
 ) -> list[str] | None:
@@ -1817,11 +1884,26 @@ def _ingest_local_append(
     import pyarrow.parquet as pq
 
     batch = pa.concat_tables(
-        pq.read_table(os.path.join(src, f)) for f in new_files
+        _conform_to_schema(
+            pq.read_table(os.path.join(src, f)),
+            pa.unify_schemas(
+                [pq.read_schema(os.path.join(src, g)) for g in new_files]
+            ),
+        )
+        for f in new_files
     )
     if key is not None and key not in batch.column_names:
         key = "ts" if "ts" in batch.column_names else None
     batch = _shred_json_columns(batch)
+    # subset batches (schema-gated by _delta_schema_ok) null-fill to the
+    # managed schema so every part file of the copy stays schema-identical
+    managed_parts = sorted(
+        f for f in os.listdir(dst) if f.endswith(".parquet")
+    )
+    if managed_parts:
+        managed_schema = pq.read_schema(os.path.join(dst, managed_parts[0]))
+        if batch.schema != managed_schema:
+            batch = _conform_to_schema(batch, managed_schema)
     tag = hashlib.md5("|".join(new_files).encode()).hexdigest()[:8]
     # Record which source files each append batch's managed rows came from:
     # the delete path (_removed_batches) can then absorb a whole-batch
@@ -2761,6 +2843,13 @@ def ingest_tables(
             # dictionary from a different table state.
             delta = _delta_files(table_marker, layout, manifest) if local else None
             if delta is not None:
+                # schema gate: a batch that ADDS columns (or changes a
+                # type) is the evolution event — full rebuild under the
+                # unified schema; subset batches stay O(batch) (null-fill)
+                old_parts = _read_marker(table_marker)[1].get("parts") or {}
+                if old_parts and not _delta_schema_ok(src, old_parts, delta):
+                    delta = None
+            if delta is not None:
                 # pre-append fingerprint: a projection merges ONLY when it
                 # was built from exactly this table state — merging onto a
                 # sibling from a different state would compound. Siblings
@@ -2941,7 +3030,10 @@ def ingest_tables(
                 df = (
                     read_events(spark, src)
                     if name == "events"
-                    else spark.read.parquet(src)
+                    # mergeSchema: a directory landing whose parts evolved
+                    # additively unions to one schema (old rows null-fill)
+                    # instead of silently dropping the new columns
+                    else spark.read.option("mergeSchema", "true").parquet(src)
                 )
                 if key:
                     n_parts = parts or max(2, cpus // 2)
