@@ -116,6 +116,13 @@ def _build_parser() -> argparse.ArgumentParser:
     cmp_.add_argument("table")
     cmp_.add_argument("--sf-dir", default=None)
 
+    vac = sub.add_parser(
+        "vacuum", help="drop retained snapshots beyond --keep (VACUUM)"
+    )
+    vac.add_argument("table")
+    vac.add_argument("--keep", type=int, default=0)
+    vac.add_argument("--sf-dir", default=None)
+
     sub.add_parser("list", help="list declared queries")
     return p
 
@@ -248,6 +255,11 @@ def main(argv: list[str] | None = None) -> int:
             f"compacted {args.table}: {st['rows']} rows, "
             f"{st['files_before']} -> {st['files_after']} files"
         )
+        return 0
+
+    if args.cmd == "vacuum":
+        n = eng.vacuum(args.table, keep=args.keep)
+        print(f"vacuumed {args.table}: {n} snapshots removed")
         return 0
 
     if args.cmd == "run":

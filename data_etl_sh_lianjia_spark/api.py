@@ -150,6 +150,14 @@ class Engine:
         restore_table_version(self.spark, self.sf_dir, name, version)
         self._rebind_catalog()
 
+    def vacuum(self, name: str, keep: int = 0) -> int:
+        """Drop retained snapshots beyond the newest ``keep`` (reclaims the
+        disk the hardlinked generations hold, at the cost of
+        restorability). Returns how many snapshots were removed."""
+        from data_etl_sh_lianjia_spark.session import vacuum_table
+
+        return vacuum_table(self.spark, self.sf_dir, name, keep=keep)
+
     def compact(self, name: str) -> dict:
         """Merge a managed table's accumulated append / copy-on-write
         generations back into globally range-clustered files (the

@@ -397,6 +397,26 @@ def restore_table_version(
     _mutation_target(spark, sf_dir, name)
 
 
+def vacuum_table(
+    spark: SparkSession, sf_dir: str, name: str, keep: int = 0
+) -> int:
+    """Drop a managed table's retained snapshots beyond the newest
+    ``keep`` — the VACUUM analogue (hardlinked generations hold disk for
+    every part file a mutation ever rewrote; vacuuming reclaims it at the
+    cost of restorability). Returns how many snapshots were removed."""
+    import shutil
+
+    _out_dir, dst = _mutation_target(spark, sf_dir, name)
+    snaps = dst + ".snaps"
+    if not os.path.isdir(snaps):
+        return 0
+    have = sorted(d for d in os.listdir(snaps) if d.isdigit())
+    drop = have[: max(0, len(have) - max(0, keep))]
+    for d in drop:
+        shutil.rmtree(os.path.join(snaps, d), ignore_errors=True)
+    return len(drop)
+
+
 def _restamp_marker(artifact_dir: str, old_fp: str, new_fp: str) -> bool:
     """Atomically re-fingerprint an artifact whose VALUES are unchanged by
     a table mutation (compaction re-layouts rows, every projection over

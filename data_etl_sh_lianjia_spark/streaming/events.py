@@ -898,3 +898,128 @@ def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(out_dir, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
     return spark.createDataFrame(rows, result.schema)
+
+
+@register(
+    "stream_lakehouse_ingest",
+    oracle="""
+WITH ts_events AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events
+), flagged AS (
+  SELECT user_id, event_id, ts_us, value,
+         CASE WHEN ts_us - lag(ts_us) OVER w > 1800000000
+                OR lag(ts_us) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM ts_events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+), sessions AS (
+  SELECT user_id, ts_us, value,
+         CAST(SUM(new_session) OVER (PARTITION BY user_id
+                                ORDER BY ts_us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       COUNT(*) AS n_events,
+       (MAX(ts_us) - MIN(ts_us)) // 1000 AS duration_ms,
+       CAST(SUM(CAST(round(value * 10000) AS BIGINT)) AS DOUBLE) / 10000.0
+         AS sum_value
+FROM sessions
+GROUP BY user_id, session_id
+""",
+    survey_ref="S12,S9,T7,W5",
+    doc="streaming micro-batches land through the lakehouse delta ingest; sessions maintained per epoch",
+)
+def stream_lakehouse_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming→lakehouse integration (autoloader shape): a file
+    stream watches a staging area; ``foreachBatch`` lands each
+    micro-batch's files BYTE-IDENTICALLY into the managed events landing
+    dir and runs the engine's delta ingest — the O(batch) append path
+    plus every projection merge (the bucketed sessions artifact
+    re-sessionizes only the batch's users per epoch). After the stream
+    drains, sessionize over the catalog — served from the
+    stream-maintained artifact — must equal the batch oracle over the
+    full event set (T7 batch-equivalence, extended to the storage layer).
+
+    The batch DataFrame is used only to NAME the arrived files
+    (``input_file_name``); the landing copies raw bytes, so timestamp
+    precision survives regardless of how the stream source surfaces the
+    nanos column (see read_events_stream's magnitude note)."""
+    import glob
+    import shutil
+    import tempfile
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    from data_etl_sh_lianjia_spark.session import ingest_tables
+
+    scratch = tempfile.mkdtemp(prefix="spark-graft-slh-")
+    land_dir = os.path.join(scratch, "events.parquet")
+    os.makedirs(land_dir)
+    staging = tempfile.mkdtemp(prefix="spark-graft-slh-stage-")
+    try:
+        src = table_path(sf_dir, "events")
+        parts = (
+            sorted(glob.glob(os.path.join(src, "*.parquet")))
+            if os.path.isdir(src)
+            else [src]
+        )
+        ev = pq.read_table(parts[0])
+        for extra in parts[1:]:
+            import pyarrow as pa
+
+            ev = pa.concat_tables([ev, pq.read_table(extra)])
+        n = ev.num_rows
+        # half lands as the base table; the rest arrives as two stream files
+        pq.write_table(ev.slice(0, n // 2), os.path.join(land_dir, "b0.parquet"))
+        pq.write_table(
+            ev.slice(n // 2, n // 4), os.path.join(staging, "s1.parquet")
+        )
+        pq.write_table(
+            ev.slice(n // 2 + n // 4), os.path.join(staging, "s2.parquet")
+        )
+        ingest_tables(spark, scratch)
+
+        stream = (
+            spark.readStream.schema(spark.read.parquet(staging).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(staging)
+        )
+
+        def land(batch_df: DataFrame, epoch_id: int) -> None:
+            files = [
+                r[0]
+                for r in batch_df.select(
+                    F.input_file_name().alias("f")
+                ).distinct().collect()
+            ]
+            for f in files:
+                path = f.removeprefix("file:").lstrip("/")
+                shutil.copy("/" + path, os.path.join(land_dir, os.path.basename(path)))
+            ingest_tables(spark, scratch)
+
+        ckpt = os.path.join(
+            "/tmp/spark-graft-ckpt", f"slh_{uuid.uuid4().hex[:12]}"
+        )
+        q = (
+            stream.writeStream.foreachBatch(land)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+        from data_etl_sh_lianjia_spark.plans.registry import all_queries
+
+        result = all_queries()["sessionize"].spark_fn(spark, scratch)
+        rows = result.collect()  # materialize before the scratch dir drops
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        redirect = getattr(spark, "_lianjia_ingest_map", None) or {}
+        out_dir = redirect.pop(os.path.normpath(scratch), None)
+        if out_dir:
+            shutil.rmtree(out_dir, ignore_errors=True)
+        shutil.rmtree(scratch, ignore_errors=True)
+        shutil.rmtree(staging, ignore_errors=True)

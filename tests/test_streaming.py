@@ -413,3 +413,81 @@ def test_connector_validation_edges(spark, sf_dir):
         raise AssertionError(f"valid kafka config rejected: {e}")
     except Exception as e:  # pragma: no cover - depends on classpath
         assert "kafka" in str(e).lower()
+
+
+def test_stream_lakehouse_ingest_maintains_projections_per_epoch(
+    spark, tmp_path, monkeypatch
+):
+    """The streaming->lakehouse path: each micro-batch lands through the
+    O(batch) delta ingest (never a rebuild after the base ingest), the
+    bucketed sessions artifact MERGES per epoch (never rebuilt), and the
+    final catalog equals a batch ingest of the full event set."""
+    import os
+    import shutil
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    from data_etl_sh_lianjia_spark import session as sess
+    from data_etl_sh_lianjia_spark.plans.registry import all_queries
+
+    monkeypatch.setattr(sess, "INGEST_ROOT", str(tmp_path / "ingest"))
+    scratch = tmp_path / "slh"
+    (scratch / "events.parquet").mkdir(parents=True)
+    staging = tmp_path / "stage"
+    staging.mkdir()
+    ev = pq.read_table("/root/testdata/sf0.001/events.parquet")
+    n = ev.num_rows
+    pq.write_table(ev.slice(0, n // 2), str(scratch / "events.parquet" / "b0.parquet"))
+    pq.write_table(ev.slice(n // 2, n // 4), str(staging / "s1.parquet"))
+    pq.write_table(ev.slice(n // 2 + n // 4), str(staging / "s2.parquet"))
+    out = sess.ingest_tables(spark, str(scratch))
+
+    epochs = []
+
+    def land(batch_df, epoch_id):
+        from pyspark.sql import functions as F
+
+        for (f,) in batch_df.select(F.input_file_name()).distinct().collect():
+            path = "/" + f.removeprefix("file:").lstrip("/")
+            shutil.copy(
+                path,
+                str(scratch / "events.parquet" / os.path.basename(path)),
+            )
+        sess.ingest_tables(spark, str(scratch))
+        epochs.append(
+            (
+                spark._lianjia_ingest_appended,
+                spark._lianjia_ingest_rebuilt,
+                spark._lianjia_resultproj_merged,
+            )
+        )
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(str(staging)).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(staging))
+    )
+    ckpt = str(tmp_path / f"ckpt-{uuid.uuid4().hex[:8]}")
+    q = (
+        stream.writeStream.foreachBatch(land)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination()
+
+    assert len(epochs) == 2, "two staged files -> two micro-batches"
+    assert all(e == (1, 0, 1) for e in epochs), (
+        "every epoch must take the O(batch) append path and MERGE the "
+        f"sessions artifact (appended, rebuilt, merged) per epoch: {epochs}"
+    )
+    # final managed state == batch ingest of the full event set
+    post = spark.read.parquet(os.path.join(out, "events.parquet"))
+    assert post.count() == n
+    got = all_queries()["sessionize"].spark_fn(spark, str(scratch))
+    plan = got._jdf.queryExecution().toString()
+    assert "lj_events_sessions" in plan and "Window" not in plan, (
+        "sessionize must serve from the stream-maintained artifact "
+        "(a Window in the plan means it fell back to the full re-window)"
+    )

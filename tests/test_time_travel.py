@@ -239,3 +239,28 @@ def test_restore_scope_source_appends_reapply(
     # the restore's trailing re-ingest sees b1 as a fresh delta: re-applied
     post = spark.read.parquet(os.path.join(out, "orders.parquet"))
     assert post.count() == orders.num_rows
+
+
+def test_vacuum_drops_snapshots_cli_included(
+    spark, tmp_path, monkeypatch, restore_catalog
+):
+    from data_etl_sh_lianjia_spark.__main__ import main
+
+    sf = _mk_sf(tmp_path, monkeypatch, tables=("orders",), sub="sfvac")
+    sess.ingest_tables(spark, sf)
+    for _ in range(3):
+        sess.update_where(
+            spark, sf, "orders", pc.field("o_orderkey") >= 0,
+            {"o_totalprice": lambda t: pc.add(t["o_totalprice"], 1.0)},
+        )
+    hist = sess.table_history(spark, sf, "orders")
+    assert len([h for h in hist if h.get("version")]) == 3
+
+    assert sess.vacuum_table(spark, sf, "orders", keep=1) == 2
+    hist2 = sess.table_history(spark, sf, "orders")
+    assert [h["version"] for h in hist2 if h.get("version")] == [3]
+
+    rc = main(["vacuum", "orders", "--keep", "0", "--sf-dir", sf])
+    assert rc == 0
+    hist3 = sess.table_history(spark, sf, "orders")
+    assert [h for h in hist3 if h.get("version")] == []
