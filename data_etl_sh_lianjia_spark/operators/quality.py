@@ -141,3 +141,178 @@ def fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= 2)
         .select("name_a", "name_b", "dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# Declarative data-quality expectations (SURVEY.md §2.9 L6 [derived]) — the
+# CHECK-constraint / expectation-suite surface a training-data pipeline runs
+# at ingest (Delta constraints, Great Expectations, dbt tests). Semantics
+# follow SQL CHECK: a rule only FAILS a row when it evaluates FALSE — NULL
+# passes (unknown is not a violation); pair a domain rule with an explicit
+# IS NOT NULL rule to reject nulls. All row-local rules evaluate in ONE
+# scan (a struct of flags, never one pass per rule — at 100 TB the rule
+# count must not multiply the I/O).
+# ---------------------------------------------------------------------------
+
+def expectations_flags(df: DataFrame, rules: dict[str, str]) -> DataFrame:
+    """``df`` plus one boolean ``ok_<rule>`` column per rule (TRUE/NULL =
+    pass, FALSE = violation) — the single-scan building block the report
+    and the quarantine split share."""
+    out = df
+    for rule_name, expr in rules.items():
+        out = out.withColumn(f"ok_{rule_name}", F.expr(expr))
+    return out
+
+
+def expectations_report(df: DataFrame, rules: dict[str, str]) -> DataFrame:
+    """Per-rule violation report in ONE scan: (rule, n_rows, n_violations,
+    n_unknown). A row violates when the rule is FALSE; NULL counts as
+    unknown (SQL CHECK semantics)."""
+    flagged = expectations_flags(df, rules)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for rule_name in rules:
+        c = F.col(f"ok_{rule_name}")
+        aggs.append(
+            F.sum(F.when(~F.coalesce(c, F.lit(True)), 1).otherwise(0)).alias(
+                f"viol_{rule_name}"
+            )
+        )
+        aggs.append(
+            F.sum(F.when(c.isNull(), 1).otherwise(0)).alias(
+                f"unk_{rule_name}"
+            )
+        )
+    wide = flagged.agg(*aggs)
+    stacked = wide.selectExpr(
+        "n_rows",
+        "stack({n}, {args}) AS (rule, n_violations, n_unknown)".format(
+            n=len(rules),
+            args=", ".join(
+                f"'{r}', viol_{r}, unk_{r}" for r in rules
+            ),
+        ),
+    )
+    return stacked.select("rule", "n_rows", "n_violations", "n_unknown")
+
+
+def split_quarantine(
+    df: DataFrame, rules: dict[str, str]
+) -> tuple[DataFrame, DataFrame]:
+    """(valid, quarantined) partition of ``df``: a row quarantines when ANY
+    rule evaluates FALSE (NULL passes — SQL CHECK). The two sides are a
+    partition by construction: the same combined flag, negated once."""
+    flagged = expectations_flags(df, rules)
+    bad = reduce(
+        lambda a, b: a | b,
+        [
+            ~F.coalesce(F.col(f"ok_{r}"), F.lit(True))
+            for r in rules
+        ],
+    )
+    keep = [c for c in df.columns]
+    return (
+        flagged.filter(~bad).select(*keep),
+        flagged.filter(bad).select(*keep),
+    )
+
+
+# Spark/DuckDB rule-expression pairs: identical strings wherever the SQL
+# dialects agree; RLIKE vs regexp_matches spelled per engine.
+_ORDER_RULES_SPARK = {
+    "orderkey_not_null": "o_orderkey IS NOT NULL",
+    "totalprice_positive": "o_totalprice > 0",
+    "status_domain": "o_orderstatus IN ('F', 'O', 'P')",
+    "priority_format": "o_orderpriority RLIKE '^[1-5]-'",
+}
+_ORDER_RULES_DUCK = {
+    **_ORDER_RULES_SPARK,
+    "priority_format": "regexp_matches(o_orderpriority, '^[1-5]-')",
+}
+
+
+def _duck_report_sql(rules: dict[str, str]) -> str:
+    arms = "\nUNION ALL\n".join(
+        f"SELECT '{r}' AS rule, COUNT(*) AS n_rows,\n"
+        f"       SUM(CASE WHEN NOT COALESCE(({expr}), TRUE) THEN 1 ELSE 0 END) AS n_violations,\n"
+        f"       SUM(CASE WHEN ({expr}) IS NULL THEN 1 ELSE 0 END) AS n_unknown\n"
+        f"FROM orders"
+        for r, expr in rules.items()
+    )
+    return arms
+
+
+@register(
+    "expectations_report_orders",
+    oracle=f"""
+{_duck_report_sql(_ORDER_RULES_DUCK)}
+UNION ALL
+SELECT 'orderkey_unique', COUNT(*),
+       SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END), 0
+FROM (SELECT o_orderkey, COUNT(*) AS cnt FROM orders GROUP BY o_orderkey)
+""",
+    survey_ref="L6,A3,A6",
+    doc="declarative expectation suite: per-rule violation report in one scan",
+)
+def expectations_report_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK-constraint expectation suite over orders: four row-local rules
+    evaluated in a single scan (struct-of-flags — the plan carries ONE
+    parquet Scan for all four) plus a uniqueness expectation (one hash
+    aggregate over the key). [derived] — the reference crawler has no
+    validation layer; this is the ingest gate a 100 TB pipeline runs."""
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    report = expectations_report(orders, _ORDER_RULES_SPARK)
+    uniq = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(
+            F.lit("orderkey_unique").alias("rule"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0)).alias(
+                "n_violations"
+            ),
+            F.lit(0).cast("long").alias("n_unknown"),
+        )
+    )
+    return report.unionByName(uniq)
+
+
+@register(
+    "quarantine_orders",
+    oracle="""
+WITH flagged AS (
+  SELECT *,
+         (NOT COALESCE(o_orderkey IS NOT NULL, TRUE))
+      OR (NOT COALESCE(o_totalprice > 0, TRUE))
+      OR (NOT COALESCE(o_orderstatus IN ('F', 'O', 'P'), TRUE))
+      OR (NOT COALESCE(regexp_matches(o_orderpriority, '^[1-5]-'), TRUE))
+         AS bad
+  FROM orders
+)
+SELECT o_orderstatus,
+       SUM(CASE WHEN NOT bad THEN 1 ELSE 0 END) AS n_valid,
+       SUM(CASE WHEN bad THEN 1 ELSE 0 END) AS n_quarantined
+FROM flagged
+GROUP BY o_orderstatus
+""",
+    survey_ref="L6,A3",
+    doc="expectation-gated quarantine split: valid/quarantined per status",
+)
+def quarantine_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarantine split under the same rule suite: rows failing ANY rule
+    route to the quarantine side (the bad-shard path a training pipeline
+    keeps for triage), everything else is the clean feed. Both sides come
+    from one flagged scan; the result counts each per status so the oracle
+    can prove the split is an exact partition."""
+    orders = _t(spark, sf_dir, "orders")["orders"]
+    flagged = expectations_flags(orders, _ORDER_RULES_SPARK)
+    bad = reduce(
+        lambda a, b: a | b,
+        [
+            ~F.coalesce(F.col(f"ok_{r}"), F.lit(True))
+            for r in _ORDER_RULES_SPARK
+        ],
+    )
+    return flagged.groupBy("o_orderstatus").agg(
+        F.sum(F.when(~bad, 1).otherwise(0)).alias("n_valid"),
+        F.sum(F.when(bad, 1).otherwise(0)).alias("n_quarantined"),
+    )
