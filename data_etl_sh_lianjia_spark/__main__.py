@@ -5,11 +5,21 @@
     python -m data_etl_sh_lianjia_spark run <query> [-o out.json] [--sf-dir DIR]
     python -m data_etl_sh_lianjia_spark sql "SELECT ..." [-o out.json]
     python -m data_etl_sh_lianjia_spark explain <query>
+    python -m data_etl_sh_lianjia_spark ingest [--sf-dir DIR]
+    python -m data_etl_sh_lianjia_spark delete <table> "<col OP literal>"
+    python -m data_etl_sh_lianjia_spark update <table> "<pred>" "col = lit" ...
+    python -m data_etl_sh_lianjia_spark merge <table> batch.parquet --key <col>
+    python -m data_etl_sh_lianjia_spark history <table>
+    python -m data_etl_sh_lianjia_spark restore <table> <version>
+    python -m data_etl_sh_lianjia_spark compact <table>
+    python -m data_etl_sh_lianjia_spark vacuum <table> [--keep N]
 
 ``run`` executes any declared query from the registry over the catalog at
 ``--sf-dir`` and, like the reference's feed export, writes JSON-lines when
-``-o`` is given (otherwise prints a bounded preview). Exit code 0 on
-success; unknown query names list the registry and exit 2.
+``-o`` is given (otherwise prints a bounded preview). The mutation /
+lifecycle subcommands are the lakehouse maintenance surface (SURVEY.md
+§2.11). Exit code 0 on success; unknown query names list the registry
+and exit 2.
 """
 
 from __future__ import annotations
