@@ -842,6 +842,59 @@ def _build_topkproj(
     )
 
 
+def _topk_unaffected(tp_dst: str, spec: dict, candidate_paths) -> bool:
+    """True when a mutation provably cannot change the ordered projection:
+    the projection is FULL (n rows) and every candidate row (removed old
+    versions, and for updates the new versions too) sorts STRICTLY AFTER
+    the current boundary (the last member) under the projection's total
+    order — a non-member's removal, and an insertion that doesn't beat the
+    boundary, leave the top-n bit-identical, so the artifact restamps
+    instead of rebuilding (a full-scan job saved per point mutation).
+    Conservative on every edge: not-full projection, NULL order values, or
+    a tie with the boundary all return False (rebuild)."""
+    import glob as _glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    files = sorted(_glob.glob(os.path.join(tp_dst, "*.parquet")))
+    if not files:
+        return False
+    cur = pa.concat_tables(pq.read_table(f) for f in files)
+    if cur.num_rows < spec["n"]:
+        return False
+    order = []
+    for part in spec["order_sql"].split(","):
+        toks = part.strip().split()
+        order.append((toks[0], len(toks) > 1 and toks[-1].upper() == "DESC"))
+    ocols = [c for c, _ in order]
+
+    def sorts_after(a: dict, b: dict) -> bool:
+        """True when b sorts strictly after a in the projection order."""
+        for col, desc in order:
+            x, y = a[col], b[col]
+            if x == y:
+                continue
+            return (y < x) if desc else (y > x)
+        return False  # equal tuple: not strictly after
+
+    members = cur.select(ocols).to_pylist()
+    if any(v is None for row in members for v in row.values()):
+        return False
+    boundary = members[0]
+    for row in members[1:]:
+        if sorts_after(boundary, row):
+            boundary = row
+    for p in candidate_paths:
+        cand = pq.read_table(p, columns=ocols).to_pylist()
+        for row in cand:
+            if any(v is None for v in row.values()):
+                return False
+            if not sorts_after(boundary, row):
+                return False
+    return True
+
+
 def topkproj_view(spark: SparkSession, sf_dir: str, name: str) -> str | None:
     """Register (memoized) and return the ``lj_<table>_<projname>`` ordered-
     projection view, or None when this session has no fresh projection for
@@ -2323,11 +2376,18 @@ def delete_where(spark: SparkSession, sf_dir: str, name: str, predicate) -> int:
             )
     tp_spec = _TOPK_PROJECTIONS.get(name)
     if tp_spec:
-        _build_topkproj(
-            spark, tp_spec, [dst],
-            os.path.join(out_dir, f"{name}.{tp_spec['name']}.topkproj.parquet"),
-            new_fp, old_meta,
+        tp_dst = os.path.join(
+            out_dir, f"{name}.{tp_spec['name']}.topkproj.parquet"
         )
+        # membership-pruned maintenance: removing rows that provably sort
+        # after the current boundary cannot change the top-n — restamp
+        # instead of paying a full-scan rebuild per point delete
+        if _read_marker(os.path.join(tp_dst, "_SUCCESS"))[
+            0
+        ] == old_fp and _topk_unaffected(tp_dst, tp_spec, held_paths):
+            _restamp_marker(tp_dst, old_fp, new_fp)
+        else:
+            _build_topkproj(spark, tp_spec, [dst], tp_dst, new_fp, old_meta)
     bk_col = _BUCKET_LAYOUT.get(name)
     if bk_col:
         bk_dst = os.path.join(out_dir, f"{name}.bucketed.parquet")
@@ -2575,11 +2635,20 @@ def update_where(
             )
     tp_spec = _TOPK_PROJECTIONS.get(name)
     if tp_spec:
-        _build_topkproj(
-            spark, tp_spec, [dst],
-            os.path.join(out_dir, f"{name}.{tp_spec['name']}.topkproj.parquet"),
-            new_fp, old_meta,
+        tp_dst = os.path.join(
+            out_dir, f"{name}.{tp_spec['name']}.topkproj.parquet"
         )
+        # membership-pruned maintenance: when neither the old nor the new
+        # row versions can reach the projection boundary, the top-n is
+        # provably unchanged — restamp instead of rebuilding
+        if _read_marker(os.path.join(tp_dst, "_SUCCESS"))[
+            0
+        ] == old_fp and _topk_unaffected(
+            tp_dst, tp_spec, held_old + held_new
+        ):
+            _restamp_marker(tp_dst, old_fp, new_fp)
+        else:
+            _build_topkproj(spark, tp_spec, [dst], tp_dst, new_fp, old_meta)
     bk_col = _BUCKET_LAYOUT.get(name)
     if bk_col:
         bk_dst = os.path.join(out_dir, f"{name}.bucketed.parquet")

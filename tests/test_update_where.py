@@ -584,3 +584,60 @@ def test_cli_update_and_merge_subcommands(
     assert _parse_assignment("x = null") == ("x", None)
     with pytest.raises(SystemExit):
         _parse_assignment("x = y + 1")
+
+
+def test_topk_projection_restamps_when_mutation_cannot_reach_boundary(
+    spark, tmp_path, monkeypatch, restore_catalog
+):
+    """Membership-pruned ordered-projection maintenance: deleting or
+    updating rows that provably sort after the top-k boundary restamps the
+    artifact (same data files, new fingerprint) instead of rebuilding; a
+    mutation that CAN reach the boundary still rebuilds."""
+    sf = _mk_sf(tmp_path, monkeypatch, tables=("lineitem",))
+    out = sess.ingest_tables(spark, sf)
+    tp = os.path.join(out, "lineitem.price_topk.topkproj.parquet")
+    li = pq.read_table(f"{SRC}/lineitem.parquet")
+    assert li.num_rows > 1000, "fixture: projection must be full"
+
+    prices = sorted(li.column("l_extendedprice").to_pylist())
+    low = prices[0]
+    # pin the mutation to the bottom row by PRICE (the synthetic data is
+    # not PK-unique: an (orderkey, linenumber) pair can hit a second,
+    # top-k-member row — which must and does refuse the restamp)
+    bottom = pc.field("l_extendedprice") == low
+
+    before = _inodes(os.path.join(tp, "*.parquet"))
+    n = sess.update_where(
+        spark, sf, "lineitem", bottom, {"l_quantity": _bump_qty}
+    )
+    assert n >= 1
+    assert _inodes(os.path.join(tp, "*.parquet")) == before, (
+        "bottom-row update off the order columns must RESTAMP the top-k"
+    )
+    fp, _m = sess._read_marker(os.path.join(tp, "_SUCCESS"))
+    assert "~upd" in fp, "restamp must carry the new chain fingerprint"
+    assert _run(spark, sf, "topk_sort") == _run(spark, sf, "topk_sort_df")
+
+    # a delete of the same bottom row also restamps
+    n = sess.delete_where(spark, sf, "lineitem", bottom)
+    assert n >= 1
+    assert _inodes(os.path.join(tp, "*.parquet")) == before
+    assert _run(spark, sf, "topk_sort") == _run(spark, sf, "topk_sort_df")
+
+    # updating a row's price INTO the boundary region must rebuild
+    hi = prices[-1]
+    sess.update_where(
+        spark, sf, "lineitem",
+        pc.field("l_extendedprice") == prices[10],
+        {"l_extendedprice": hi + 1.0},
+    )
+    assert _inodes(os.path.join(tp, "*.parquet")) != before, (
+        "a price update that beats the boundary must rebuild the top-k"
+    )
+    from pyspark.sql import functions as F
+
+    top1 = (
+        spark.read.parquet(tp).orderBy(F.desc("l_extendedprice")).first()
+    )
+    assert top1["l_extendedprice"] == hi + 1.0
+    assert _run(spark, sf, "topk_sort") == _run(spark, sf, "topk_sort_df")
