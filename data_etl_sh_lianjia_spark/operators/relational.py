@@ -1002,6 +1002,18 @@ def _merge_sessions(
 
 PROJECTION_MERGERS = {"sessions": _merge_sessions}
 
+# Source columns each builder's SQL actually reads (update relevance: an
+# UPDATE that assigns none of these provably cannot change the artifact,
+# so session._maintain_result_projections restamps instead of merging).
+# Kept in lockstep with the SQL constants by
+# tests/test_update_where.py::test_projection_relevant_cols_match_sql.
+# ``ts``/``ts_ns`` both listed: the managed events column name depends on
+# the storage form (nanos-as-long vs NTZ) and relevance must hold either
+# way.
+PROJECTION_RELEVANT_COLS = {
+    "sessions": frozenset({"user_id", "event_id", "ts", "ts_ns", "value"}),
+}
+
 # The sessions merger is DELETE-valid too: it re-derives affected users'
 # sessions from the post-change event table (rather than incrementally
 # extending old sessions), so feeding it the REMOVED rows as the delta
@@ -1156,12 +1168,18 @@ def _delete_merge_regexmatch(
 PROJECTION_BUILDERS["regex_match_docs"] = _build_regexmatch
 PROJECTION_MERGERS["regex_match_docs"] = _merge_regexmatch
 PROJECTION_DELETE_MERGERS["regex_match_docs"] = _delete_merge_regexmatch
+PROJECTION_RELEVANT_COLS["regex_match_docs"] = frozenset(
+    {"doc_id", "text", "lang", "source", "n_chars"}
+)
 
 # per-customer leaderboard (window_rank): append- and delete-valid with the
 # same merger — it re-derives affected customers from the post-change table
 PROJECTION_BUILDERS["custrank_top3"] = _build_custrank
 PROJECTION_MERGERS["custrank_top3"] = _merge_custrank
 PROJECTION_DELETE_MERGERS["custrank_top3"] = _merge_custrank
+PROJECTION_RELEVANT_COLS["custrank_top3"] = frozenset(
+    {"o_custkey", "o_orderkey", "o_totalprice"}
+)
 
 
 @register(

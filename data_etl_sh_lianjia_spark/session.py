@@ -417,17 +417,24 @@ def vacuum_table(
     return len(drop)
 
 
-def _restamp_marker(artifact_dir: str, old_fp: str, new_fp: str) -> bool:
+def _restamp_marker(
+    artifact_dir: str, old_fp: str, new_fp: str, components: dict | None = None
+) -> bool:
     """Atomically re-fingerprint an artifact whose VALUES are unchanged by
-    a table mutation (compaction re-layouts rows, every projection over
-    them is row-order-independent): rewrite its marker from ``old_fp`` to
-    ``new_fp`` keeping the meta. Returns False — caller must rebuild —
-    when the artifact was not in lockstep with the pre-mutation state. A
-    crash mid-restamp leaves either marker intact (tmp + rename)."""
+    a table mutation (compaction re-layouts rows; an update that assigned
+    none of the artifact's columns): rewrite its marker from ``old_fp`` to
+    ``new_fp`` keeping the meta. ``components`` overrides the marker's
+    component-fingerprint map (artifacts that record one must carry the
+    POST-mutation table fingerprint or the serving check refuses them).
+    Returns False — caller must rebuild — when the artifact was not in
+    lockstep with the pre-mutation state. A crash mid-restamp leaves
+    either marker intact (tmp + rename)."""
     marker = os.path.join(artifact_dir, "_SUCCESS")
     fp, meta = _read_marker(marker)
     if fp != old_fp:
         return False
+    if components is not None and meta.get("components"):
+        meta = {**meta, "components": components}
     tmp = marker + f".tmp-{os.getpid()}"
     _write_marker(tmp, new_fp, meta)
     os.replace(tmp, marker)
@@ -558,6 +565,7 @@ def compact_table(spark: SparkSession, sf_dir: str, name: str) -> dict:
         _restamp_marker(
             os.path.join(out_dir, vp_spec["artifact"]),
             f"{old_fp}:{ver}", f"{new_fp}:{ver}",
+            components={name: new_fp},
         )
     # invalidate memoized DataFrames/views over the pre-compact generation
     spark._lianjia_table_cache = {}
@@ -2488,6 +2496,36 @@ def _apply_assignments(matched, assignments):
     return out
 
 
+def _apply_update(matched, assignments):
+    """_apply_assignments plus shredded-column consistency: updating a
+    JSON source column (events.props) re-derives its materialized shred
+    (props_k) so the managed invariants hold — unless the caller assigned
+    the shred directly, which wins. Column order is restored to the
+    input's so the rewritten file stays schema-identical to its
+    siblings."""
+    out = _apply_assignments(matched, assignments)
+    for src_col, (dst_col, _path) in _SHRED_COLUMNS.items():
+        if (
+            src_col in assignments
+            and dst_col not in assignments
+            and dst_col in out.column_names
+        ):
+            out = _shred_json_columns(out.drop_columns([dst_col]))
+    return out.select(matched.column_names)
+
+
+def _referenced_cols(text: str, columns) -> set[str]:
+    """The subset of ``columns`` whose names appear as identifiers in a
+    SQL/spec text — the column-relevance check behind update restamps (an
+    UPDATE whose assigned columns a projection never reads provably cannot
+    change it). Conservative by construction: a name mentioned anywhere in
+    the text counts as referenced."""
+    import re
+
+    words = set(re.findall(r"[A-Za-z_][A-Za-z0-9_]*", text))
+    return {c for c in columns if c in words}
+
+
 def update_where(
     spark: SparkSession, sf_dir: str, name: str, predicate, assignments
 ) -> int:
@@ -2575,11 +2613,20 @@ def update_where(
     for f, matched, rest in splits:
         if matched is None:
             continue
-        updated = _apply_assignments(matched, assignments)
+        updated = _apply_update(matched, assignments)
         n_updated += matched.num_rows
         pq.write_table(matched, os.path.join(hold_old, f))
         pq.write_table(updated, os.path.join(hold_new, f))
         rewritten[f] = pa.concat_tables([rest, updated])
+    # columns whose values this update can change — assigned ones plus any
+    # shred re-derived from an assigned source; drives the relevance
+    # restamps below (a projection that never reads an updated column is
+    # provably unchanged and restamps instead of merging/rebuilding)
+    upd_cols = set(assignments) | {
+        dst
+        for src, (dst, _p) in _SHRED_COLUMNS.items()
+        if src in assignments and dst not in assignments
+    }
     if n_updated == 0:
         shutil.rmtree(hold_old, ignore_errors=True)
         shutil.rmtree(hold_new, ignore_errors=True)
@@ -2605,46 +2652,74 @@ def update_where(
 
     held_old = sorted(glob.glob(os.path.join(hold_old, "*.parquet")))
     held_new = sorted(glob.glob(os.path.join(hold_new, "*.parquet")))
+    table_cols = set(pq.read_schema(held_old[0]).names)
     kd_cols = _DICT_LAYOUT.get(name)
     if kd_cols:
-        _keydict_negative_merge(
-            os.path.join(out_dir, f"{name}.keydict.parquet"),
-            pa.concat_tables(pq.read_table(p) for p in held_old),
-            kd_cols, new_fp, old_meta,
-            add_batch=pa.concat_tables(pq.read_table(p) for p in held_new),
-        )
+        kd_dst = os.path.join(out_dir, f"{name}.keydict.parquet")
+        cs_dst = os.path.join(out_dir, f"{name}.colstats.parquet")
+        if upd_cols.isdisjoint(kd_cols):
+            # no dictionary column changed value: counts are untouched
+            _restamp_marker(kd_dst, old_fp, new_fp)
+            _restamp_marker(cs_dst, old_fp, new_fp)
+        else:
+            _keydict_negative_merge(
+                kd_dst,
+                pa.concat_tables(pq.read_table(p) for p in held_old),
+                kd_cols, new_fp, old_meta,
+                add_batch=pa.concat_tables(
+                    pq.read_table(p) for p in held_new
+                ),
+            )
     ap_spec = _AGG_PROJECTIONS.get(name)
     if ap_spec:
         ap_dst = os.path.join(out_dir, f"{name}.aggproj.parquet")
-        # two-step IVM: negative merge publishes under an intermediate
-        # fingerprint no reader accepts, then the positive merge lands the
-        # final one — a crash in between leaves the rollup refused by
-        # lockstep and rebuilt on the next ingest, never served half-merged
-        _build_aggproj(
-            spark, ap_spec, held_old, ap_dst, f"{new_fp}:neg", old_meta,
-            merge_with=ap_dst, negate=True,
+        ap_text = " ".join(
+            list(ap_spec["keys"])
+            + list(ap_spec.get("key_exprs", {}).values())
+            + list(ap_spec["measures"].values())
         )
-        _build_aggproj(
-            spark, ap_spec, held_new, ap_dst, new_fp, old_meta,
-            merge_with=ap_dst,
-        )
-        if "coarse" in ap_spec:
-            _build_coarse_aggproj(
-                spark, ap_spec, ap_dst, _coarse_dst(out_dir, name, ap_spec),
-                new_fp, old_meta,
+        if upd_cols.isdisjoint(_referenced_cols(ap_text, table_cols)):
+            _restamp_marker(ap_dst, old_fp, new_fp)
+            if "coarse" in ap_spec:
+                _restamp_marker(
+                    _coarse_dst(out_dir, name, ap_spec), old_fp, new_fp
+                )
+        else:
+            # two-step IVM: negative merge publishes under an intermediate
+            # fingerprint no reader accepts, then the positive merge lands
+            # the final one — a crash in between leaves the rollup refused
+            # by lockstep and rebuilt on the next ingest, never served
+            # half-merged
+            _build_aggproj(
+                spark, ap_spec, held_old, ap_dst, f"{new_fp}:neg", old_meta,
+                merge_with=ap_dst, negate=True,
             )
+            _build_aggproj(
+                spark, ap_spec, held_new, ap_dst, new_fp, old_meta,
+                merge_with=ap_dst,
+            )
+            if "coarse" in ap_spec:
+                _build_coarse_aggproj(
+                    spark, ap_spec, ap_dst,
+                    _coarse_dst(out_dir, name, ap_spec), new_fp, old_meta,
+                )
     tp_spec = _TOPK_PROJECTIONS.get(name)
     if tp_spec:
         tp_dst = os.path.join(
             out_dir, f"{name}.{tp_spec['name']}.topkproj.parquet"
         )
-        # membership-pruned maintenance: when neither the old nor the new
-        # row versions can reach the projection boundary, the top-n is
-        # provably unchanged — restamp instead of rebuilding
-        if _read_marker(os.path.join(tp_dst, "_SUCCESS"))[
-            0
-        ] == old_fp and _topk_unaffected(
-            tp_dst, tp_spec, held_old + held_new
+        # provably unchanged when (a) no projected/order column was
+        # updated, or (b) neither the old nor the new row versions can
+        # reach the boundary — restamp instead of rebuilding
+        tp_cols = set(tp_spec["cols"]) | _referenced_cols(
+            tp_spec["order_sql"], table_cols
+        )
+        tp_lockstep = (
+            _read_marker(os.path.join(tp_dst, "_SUCCESS"))[0] == old_fp
+        )
+        if tp_lockstep and (
+            upd_cols.isdisjoint(tp_cols)
+            or _topk_unaffected(tp_dst, tp_spec, held_old + held_new)
         ):
             _restamp_marker(tp_dst, old_fp, new_fp)
         else:
@@ -2711,6 +2786,7 @@ def update_where(
     tbl_state[name]["prev_fp"] = old_fp
     tbl_state[name]["updated_old_paths"] = held_old
     tbl_state[name]["updated_new_paths"] = held_new
+    tbl_state[name]["updated_cols"] = upd_cols
     spark._lianjia_joinproj_ivm = _maintain_join_projections(
         spark, out_dir, tbl_state
     )
@@ -3248,6 +3324,21 @@ def _maintain_join_projections(
             )
             jp_ivm += 1
         elif fact_upd_old and fact_upd_new and lockstep:
+            import pyarrow.parquet as _pq
+
+            upd_cols = tbl_state[fact].get("updated_cols") or set()
+            fact_cols = set(_pq.read_schema(fact_upd_old[0]).names)
+            if upd_cols and upd_cols.isdisjoint(
+                _referenced_cols(spec["build_sql"], fact_cols)
+            ):
+                # relevance restamp: the update never touched a column
+                # this rollup reads — provably unchanged, re-fingerprint
+                # only (saves two merge jobs per point update)
+                tmpm = jp_marker + f".tmp-{os.getpid()}"
+                _write_marker(tmpm, jp_fp, jp_meta)
+                os.replace(tmpm, jp_marker)
+                jp_ivm += 1
+                continue
             # update-IVM: negative merge of the old row versions, then
             # positive merge of the new ones — exact even when the update
             # moves rows across group keys or join keys (each fact row's
@@ -3356,6 +3447,31 @@ def _maintain_result_projections(
             )
             merged_delta = delta_df
             vp_merged += 1
+        elif (
+            upd_old
+            and upd_new
+            and lockstep
+            and (rel := getattr(mod, "PROJECTION_RELEVANT_COLS", {}).get(
+                vp_spec["builder"]
+            ))
+            and (ucols := tbl_state[t].get("updated_cols"))
+            and set(ucols).isdisjoint(rel)
+        ):
+            # relevance restamp: the update assigned none of the columns
+            # this artifact's SQL reads — provably unchanged, so only the
+            # marker re-fingerprints (declared sets pinned against the
+            # SQL constants by the update test suite); components carry
+            # the POST-update table fingerprint or the serving check
+            # would refuse the artifact
+            vmarker = os.path.join(vp_dst, "_SUCCESS")
+            tmpm = vmarker + f".tmp-{os.getpid()}"
+            _write_marker(
+                tmpm, vp_fp,
+                {**old_meta, "components": {t: tbl_state[t]["fp"]}},
+            )
+            os.replace(tmpm, vmarker)
+            vp_merged += 1
+            continue
         elif upd_old and upd_new and merge_fn and del_merge_fn and lockstep:
             # update merge: the delta is the (old versions, new versions)
             # pair. A state-rederiving merger (append- and delete-merge

@@ -641,3 +641,130 @@ def test_topk_projection_restamps_when_mutation_cannot_reach_boundary(
     )
     assert top1["l_extendedprice"] == hi + 1.0
     assert _run(spark, sf, "topk_sort") == _run(spark, sf, "topk_sort_df")
+
+
+def test_projection_relevant_cols_cover_their_sql(spark):
+    """The declared PROJECTION_RELEVANT_COLS sets must cover every source
+    column their builder SQL references — an under-declared set would
+    restamp an artifact the update actually changed (correctness), an
+    over-declared one merely forfeits restamps (safe direction)."""
+    from data_etl_sh_lianjia_spark.operators import relational as rel
+    from data_etl_sh_lianjia_spark.session import _referenced_cols
+
+    events_cols = {"event_id", "ts", "ts_ns", "user_id", "event_type",
+                   "value", "props", "props_k"}
+    orders_cols = {"o_orderkey", "o_custkey", "o_orderstatus",
+                   "o_totalprice", "o_orderdate", "o_orderpriority"}
+    docs_cols = {"doc_id", "text", "lang", "source", "n_chars"}
+
+    assert _referenced_cols(rel._SESSIONIZE_SQL, events_cols) <= set(
+        rel.PROJECTION_RELEVANT_COLS["sessions"]
+    )
+    assert _referenced_cols(rel._WINDOW_RANK_SQL, orders_cols) <= set(
+        rel.PROJECTION_RELEVANT_COLS["custrank_top3"]
+    )
+    assert _referenced_cols(rel._STRING_REGEX_SQL, docs_cols) <= set(
+        rel.PROJECTION_RELEVANT_COLS["regex_match_docs"]
+    )
+
+
+def test_update_relevance_restamps_untouched_projections(
+    spark, tmp_path, monkeypatch, restore_catalog
+):
+    """An UPDATE that assigns only columns a projection never reads must
+    RESTAMP it (same data files, new fingerprint, still serving) while
+    projections that DO read an assigned column merge; all results stay
+    identical to the full-scan plans."""
+    sf = _mk_sf(tmp_path, monkeypatch)
+    out = sess.ingest_tables(spark, sf)
+    li = pq.read_table(f"{SRC}/lineitem.parquet")
+    key = li.column("l_orderkey").to_pylist()[0]
+
+    jp_q3 = os.path.join(out, "q3_orderrev.joinproj.parquet")
+    jp_geo = os.path.join(out, "sales_geo_date.joinproj.parquet")
+    ap = os.path.join(out, "lineitem.aggproj.parquet")
+    tp = os.path.join(out, "lineitem.price_topk.topkproj.parquet")
+    kd = os.path.join(out, "lineitem.keydict.parquet")
+    before = {p: _inodes(os.path.join(p, "*.parquet"))
+              for p in (jp_q3, jp_geo, ap, tp, kd)}
+
+    # l_quantity feeds the q1 aggproj but NOT the revenue rollups, the
+    # price top-k, or the keydict layout
+    n = sess.update_where(
+        spark, sf, "lineitem", pc.field("l_orderkey") == key,
+        {"l_quantity": _bump_qty},
+    )
+    assert n >= 1
+    for p in (jp_q3, jp_geo, tp):
+        assert _inodes(os.path.join(p, "*.parquet")) == before[p], (
+            f"{os.path.basename(p)} must restamp (l_quantity irrelevant)"
+        )
+    assert _inodes(os.path.join(ap, "*.parquet")) != before[ap], (
+        "the q1 aggproj reads l_quantity: it must MERGE, not restamp"
+    )
+    # restamped rollup still serves q3 and matches the full plan
+    q3 = all_queries()["q3_join3"].spark_fn(spark, sf)
+    assert "q3_orderrev" in q3._jdf.queryExecution().toString()
+    for proj, full in (
+        ("q3_join3", "q3_join3_df"),
+        ("q1_scan_agg", "q1_scan_agg_df"),
+        ("topk_sort", "topk_sort_df"),
+        ("distinct_count", "distinct_count_df"),
+    ):
+        assert _run(spark, sf, proj) == _run(spark, sf, full)
+
+
+def test_update_relevance_restamps_leaderboard_and_sessions(
+    spark, tmp_path, monkeypatch, restore_catalog
+):
+    sf = _mk_sf(tmp_path, monkeypatch, tables=("orders", "events"))
+    out = sess.ingest_tables(spark, sf)
+    cr = os.path.join(out, "orders.custrank.resultproj.parquet")
+    ss = os.path.join(out, "events.sessions.resultproj.parquet")
+    cr_before = _inodes(os.path.join(cr, "*.parquet"))
+    ss_before = _inodes(os.path.join(ss, "*.parquet"))
+
+    # o_orderpriority is outside the leaderboard's column set
+    orders = pq.read_table(f"{SRC}/orders.parquet")
+    okey = orders.column("o_orderkey").to_pylist()[0]
+    assert sess.update_where(
+        spark, sf, "orders", pc.field("o_orderkey") == okey,
+        {"o_orderpriority": "9-RECLASSIFIED"},
+    ) >= 1
+    assert _inodes(os.path.join(cr, "*.parquet")) == cr_before
+    assert spark._lianjia_resultproj_merged == 1
+    assert _run(spark, sf, "window_rank") == _run(spark, sf, "window_rank_df")
+
+    # event_type is outside the sessions column set
+    ev = pq.read_table(f"{SRC}/events.parquet")
+    user = ev.column("user_id").to_pylist()[0]
+    assert sess.update_where(
+        spark, sf, "events", pc.field("user_id") == user,
+        {"event_type": "reclassified"},
+    ) >= 1
+    assert _inodes(os.path.join(ss, "*.parquet")) == ss_before
+    assert _run(spark, sf, "sessionize") == _run(spark, sf, "sessionize_df")
+    # json_events reads event_type: its rollup must have merged, and the
+    # served result must match the full plan
+    assert _run(spark, sf, "json_events") == _run(spark, sf, "json_events_df")
+
+
+def test_update_of_shred_source_rederives_shredded_column(
+    spark, tmp_path, monkeypatch, restore_catalog
+):
+    """Updating events.props must re-derive the materialized props_k shred
+    (the managed invariant), unless props_k is assigned explicitly."""
+    sf = _mk_sf(tmp_path, monkeypatch, tables=("events",))
+    out = sess.ingest_tables(spark, sf)
+    ev = pq.read_table(f"{SRC}/events.parquet")
+    eid = ev.column("event_id").to_pylist()[0]
+
+    n = sess.update_where(
+        spark, sf, "events", pc.field("event_id") == eid,
+        {"props": '{"k": 424242}'},
+    )
+    assert n == 1
+    post = spark.read.parquet(os.path.join(out, "events.parquet"))
+    row = post.filter(post.event_id == eid).select("props_k").first()
+    assert row["props_k"] == 424242, "props_k must re-shred from new props"
+    assert _run(spark, sf, "json_events") == _run(spark, sf, "json_events_df")
