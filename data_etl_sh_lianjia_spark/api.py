@@ -150,6 +150,14 @@ class Engine:
         restore_table_version(self.spark, self.sf_dir, name, version)
         self._rebind_catalog()
 
+    def transaction(self, *tables: str):
+        """Multi-table mutation transaction: a ``with`` block whose
+        mutations on the listed tables roll back all-or-nothing on an
+        exception (snapshot-based — see ``session.transaction``)."""
+        from data_etl_sh_lianjia_spark.session import transaction
+
+        return transaction(self.spark, self.sf_dir, *tables)
+
     def vacuum(self, name: str, keep: int = 0) -> int:
         """Drop retained snapshots beyond the newest ``keep`` (reclaims the
         disk the hardlinked generations hold, at the cost of

@@ -397,6 +397,78 @@ def restore_table_version(
     _mutation_target(spark, sf_dir, name)
 
 
+def transaction(spark: SparkSession, sf_dir: str, *tables: str):
+    """Multi-table mutation transaction (context manager): on an exception
+    inside the block, every listed table that was MUTATED (delete_where /
+    update_where / merge_into / compact) rolls back to its state at entry
+    — all-or-nothing across tables, built on the snapshot machinery every
+    mutation already feeds (each mutation retains its pre-state; rollback
+    restores to the entry fingerprint and rebuilds projections through
+    the ordinary lockstep re-ingest).
+
+    Scope: managed mutations only. Source-landed appends are not
+    transactional (their files persist in the landing dir — remove them
+    to roll back, per the restore contract). Rollback requires the entry
+    generation to still be retained: a block that mutates one table more
+    than SNAP_RETAIN times can age it out, which raises with the table
+    named rather than leaving a silent partial commit.
+
+    Usage::
+
+        with transaction(spark, sf_dir, "orders", "lineitem"):
+            delete_where(spark, sf_dir, "orders", ...)
+            update_where(spark, sf_dir, "lineitem", ...)
+
+    [derived] — the reference is a crawler with no transactional
+    analogue; this is the cross-table atomicity a corpus-wide correction
+    (delete a source's orders AND its lineitems, or neither) needs.
+    """
+    from contextlib import contextmanager
+
+    @contextmanager
+    def _txn():
+        out_dir, _dst = _mutation_target(spark, sf_dir, tables[0])
+        entry = {}
+        for t in tables:
+            fp, _m = _read_marker(
+                os.path.join(out_dir, f"{t}.parquet", "_SUCCESS")
+            )
+            entry[t] = fp
+        try:
+            yield
+        except BaseException:
+            for t in tables:
+                cur, _m = _read_marker(
+                    os.path.join(out_dir, f"{t}.parquet", "_SUCCESS")
+                )
+                if cur == entry[t]:
+                    continue
+                snaps = os.path.join(out_dir, f"{t}.parquet.snaps")
+                match = None
+                if os.path.isdir(snaps):
+                    for d in sorted(
+                        (x for x in os.listdir(snaps) if x.isdigit()),
+                        reverse=True,
+                    ):
+                        fp, _sm = _read_marker(
+                            os.path.join(snaps, d, "_SUCCESS")
+                        )
+                        if fp == entry[t]:
+                            match = int(d)
+                            break
+                if match is None:
+                    raise RuntimeError(
+                        f"transaction rollback of {t!r} impossible: the "
+                        f"entry generation is no longer retained (more "
+                        f"than SNAP_RETAIN mutations inside the block?) — "
+                        f"table left at its current state"
+                    )
+                restore_table_version(spark, sf_dir, t, match)
+            raise
+
+    return _txn()
+
+
 def vacuum_table(
     spark: SparkSession, sf_dir: str, name: str, keep: int = 0
 ) -> int:

@@ -264,3 +264,77 @@ def test_vacuum_drops_snapshots_cli_included(
     assert rc == 0
     hist3 = sess.table_history(spark, sf, "orders")
     assert [h for h in hist3 if h.get("version")] == []
+
+
+def test_transaction_rolls_back_all_mutated_tables(
+    spark, tmp_path, monkeypatch, restore_catalog
+):
+    """An exception inside the transaction block rolls EVERY mutated table
+    back to its entry state (all-or-nothing across tables); a clean block
+    commits; exhausted retention raises instead of silently part-rolling."""
+    sf = _mk_sf(tmp_path, monkeypatch, tables=("orders", "lineitem"),
+                sub="sftxn")
+    out = sess.ingest_tables(spark, sf)
+    orders_pre = _rows(spark.read.parquet(os.path.join(out, "orders.parquet")))
+    li_pre = _rows(spark.read.parquet(os.path.join(out, "lineitem.parquet")))
+
+    class Boom(RuntimeError):
+        pass
+
+    with pytest.raises(Boom):
+        with sess.transaction(spark, sf, "orders", "lineitem"):
+            sess.delete_where(
+                spark, sf, "orders", pc.field("o_orderstatus") == "F"
+            )
+            sess.update_where(
+                spark, sf, "lineitem", pc.field("l_quantity") >= 45,
+                {"l_quantity": lambda t: pc.add(t["l_quantity"], 5.0)},
+            )
+            raise Boom("second step failed")
+
+    assert _rows(
+        spark.read.parquet(os.path.join(out, "orders.parquet"))
+    ) == orders_pre, "orders must roll back"
+    assert _rows(
+        spark.read.parquet(os.path.join(out, "lineitem.parquet"))
+    ) == li_pre, "lineitem must roll back"
+    # rolled-back catalog still serves consistently
+    assert _run(spark, sf, "q1_scan_agg") == _run(spark, sf, "q1_scan_agg_df")
+
+    # clean block commits (no rollback)
+    with sess.transaction(spark, sf, "orders"):
+        n = sess.delete_where(
+            spark, sf, "orders", pc.field("o_orderstatus") == "F"
+        )
+    assert n > 0
+    post = spark.read.parquet(os.path.join(out, "orders.parquet"))
+    assert post.filter("o_orderstatus = 'F'").count() == 0
+
+    # a table untouched by the failing block is not restored
+    li_now = _rows(spark.read.parquet(os.path.join(out, "lineitem.parquet")))
+    with pytest.raises(Boom):
+        with sess.transaction(spark, sf, "orders", "lineitem"):
+            raise Boom("nothing mutated")
+    assert _rows(
+        spark.read.parquet(os.path.join(out, "lineitem.parquet"))
+    ) == li_now
+
+
+def test_transaction_rollback_refuses_when_retention_exhausted(
+    spark, tmp_path, monkeypatch, restore_catalog
+):
+    sf = _mk_sf(tmp_path, monkeypatch, tables=("orders",), sub="sftxn2")
+    sess.ingest_tables(spark, sf)
+    monkeypatch.setattr(sess, "SNAP_RETAIN", 2)
+
+    class Boom(RuntimeError):
+        pass
+
+    with pytest.raises(RuntimeError, match="no longer retained"):
+        with sess.transaction(spark, sf, "orders"):
+            for _ in range(3):  # ages the entry generation out of retention
+                sess.update_where(
+                    spark, sf, "orders", pc.field("o_orderkey") >= 0,
+                    {"o_totalprice": lambda t: pc.add(t["o_totalprice"], 1.0)},
+                )
+            raise Boom("too late to roll back")
