@@ -2750,7 +2750,13 @@ def update_where(
             + list(ap_spec.get("key_exprs", {}).values())
             + list(ap_spec["measures"].values())
         )
-        if upd_cols.isdisjoint(_referenced_cols(ap_text, table_cols)):
+        ap_ref = _referenced_cols(ap_text, table_cols | {"ts_ns"})
+        if "ts_ns" in ap_ref:
+            # the events specs read the DERIVED ts_ns; the managed column
+            # backing it is ts (nanos-as-long form) or ts_ns — an update
+            # to either must count as touching the spec
+            ap_ref |= {"ts", "ts_ns"}
+        if upd_cols.isdisjoint(ap_ref):
             _restamp_marker(ap_dst, old_fp, new_fp)
             if "coarse" in ap_spec:
                 _restamp_marker(

@@ -768,3 +768,50 @@ def test_update_of_shred_source_rederives_shredded_column(
     row = post.filter(post.event_id == eid).select("props_k").first()
     assert row["props_k"] == 424242, "props_k must re-shred from new props"
     assert _run(spark, sf, "json_events") == _run(spark, sf, "json_events_df")
+
+
+def test_update_of_events_ts_merges_the_time_keyed_rollup(
+    spark, tmp_path, monkeypatch, restore_catalog
+):
+    """The events rollup reads the DERIVED ts_ns; the managed column
+    backing it is ts. An update shifting ts a day must MERGE the rollup
+    (its ts_day group key moves), never relevance-restamp it."""
+    sf = _mk_sf(tmp_path, monkeypatch, tables=("events",))
+    out = sess.ingest_tables(spark, sf)
+    ev = pq.read_table(f"{SRC}/events.parquet")
+    eid = ev.column("event_id").to_pylist()[0]
+    ap = os.path.join(out, "events.aggproj.parquet")
+    before = _inodes(os.path.join(ap, "*.parquet"))
+
+    managed_cols = pq.read_schema(
+        os.path.join(
+            out, "events.parquet",
+            sorted(
+                f
+                for f in os.listdir(os.path.join(out, "events.parquet"))
+                if f.endswith(".parquet")
+            )[0],
+        )
+    ).names
+    ts_col = "ts" if "ts" in managed_cols else "ts_ns"
+
+    def _shift_day(t, c=ts_col):
+        col = t[c]
+        if pa.types.is_timestamp(col.type):
+            per_day = {"s": 86_400, "ms": 86_400_000,
+                       "us": 86_400_000_000, "ns": 86_400 * 10**9}
+            return pc.add(
+                col, pa.scalar(per_day[col.type.unit],
+                               pa.duration(col.type.unit))
+            )
+        return pc.add(col, 86_400 * 10**9)  # nanos-as-long form
+
+    n = sess.update_where(
+        spark, sf, "events", pc.field("event_id") == eid,
+        {ts_col: _shift_day},
+    )
+    assert n == 1
+    assert _inodes(os.path.join(ap, "*.parquet")) != before, (
+        "a ts update moves the rollup's ts_day group: must merge"
+    )
+    assert _run(spark, sf, "json_events") == _run(spark, sf, "json_events_df")
