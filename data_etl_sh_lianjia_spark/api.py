@@ -150,6 +150,18 @@ class Engine:
         restore_table_version(self.spark, self.sf_dir, name, version)
         self._rebind_catalog()
 
+    def table_changes(
+        self, name: str, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Change data feed between two retained generations (multiset
+        diff tagged with _change_type delete/insert; an update is its
+        delete/insert pair) — see ``session.table_changes``."""
+        from data_etl_sh_lianjia_spark.session import table_changes
+
+        return table_changes(
+            self.spark, self.sf_dir, name, from_version, to_version
+        )
+
     def transaction(self, *tables: str):
         """Multi-table mutation transaction: a ``with`` block whose
         mutations on the listed tables roll back all-or-nothing on an

@@ -577,3 +577,58 @@ def schema_evolution_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, result.schema)
     finally:
         _drop_scratch(spark, scratch)
+
+
+@register(
+    "table_changes_orders",
+    oracle=f"""
+WITH changes AS (
+  SELECT 'delete' AS _change_type, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderstatus IN ('F', 'O')
+  UNION ALL
+  SELECT 'insert', o_orderstatus, o_totalprice + 1000.0
+  FROM orders WHERE o_orderstatus = 'O'
+)
+SELECT _change_type, o_orderstatus,
+       COUNT(*) AS n_rows,
+       {oracle_dsum('o_totalprice', 'sum_total', scale=2)}
+FROM changes
+GROUP BY _change_type, o_orderstatus
+""",
+    survey_ref="S9,O4,A3",
+    doc="change data feed between generations: multiset diff tagged delete/insert",
+)
+def table_changes_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE the 'F' rows and UPDATE the 'O' rows on a scratch managed
+    copy, then read the CHANGE FEED from the pre-mutation generation to
+    the current one (``session.table_changes`` — multiset EXCEPT ALL both
+    ways): deletions surface the removed 'F' rows plus the 'O' rows' OLD
+    versions, insertions the 'O' rows' NEW versions. The oracle rebuilds
+    that feed from the untouched source, so the hash match pins the CDF
+    semantics (updates = delete/insert pairs, unchanged rows absent)."""
+    import pyarrow.compute as pc
+    from pyspark.sql import functions as F
+
+    from data_etl_sh_lianjia_spark.session import (
+        delete_where,
+        table_changes,
+        update_where,
+    )
+
+    scratch = _scratch_copy(sf_dir, "orders")
+    try:
+        delete_where(spark, scratch, "orders", pc.field("o_orderstatus") == "F")
+        update_where(
+            spark, scratch, "orders",
+            pc.field("o_orderstatus") == "O",
+            {"o_totalprice": lambda t: pc.add(t["o_totalprice"], 1000.0)},
+        )
+        feed = table_changes(spark, scratch, "orders", 1)
+        result = feed.groupBy("_change_type", "o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("o_totalprice", "sum_total", scale=2),
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        _drop_scratch(spark, scratch)

@@ -338,3 +338,42 @@ def test_transaction_rollback_refuses_when_retention_exhausted(
                     {"o_totalprice": lambda t: pc.add(t["o_totalprice"], 1.0)},
                 )
             raise Boom("too late to roll back")
+
+
+def test_table_changes_feed_between_versions(
+    spark, tmp_path, monkeypatch, restore_catalog
+):
+    """CDF semantics: deletes surface removed rows, updates surface their
+    delete(old)/insert(new) pair, unchanged rows are absent, and
+    version-to-version reads compose (v1->v2 + v2->current == v1->current
+    as multisets)."""
+    sf = _mk_sf(tmp_path, monkeypatch, tables=("orders",), sub="sfcdf")
+    sess.ingest_tables(spark, sf)
+    orders = pq.read_table(f"{SRC}/orders.parquet")
+    n_f = orders.filter(pc.field("o_orderstatus") == "F").num_rows
+    n_o = orders.filter(pc.field("o_orderstatus") == "O").num_rows
+
+    sess.delete_where(spark, sf, "orders", pc.field("o_orderstatus") == "F")
+    sess.update_where(
+        spark, sf, "orders", pc.field("o_orderstatus") == "O",
+        {"o_totalprice": lambda t: pc.add(t["o_totalprice"], 1.0)},
+    )
+
+    feed = sess.table_changes(spark, sf, "orders", 1).collect()
+    by_type: dict = {}
+    for r in feed:
+        by_type.setdefault(r["_change_type"], []).append(r)
+    assert len(by_type["delete"]) == n_f + n_o
+    assert len(by_type["insert"]) == n_o
+    assert all(
+        r["o_orderstatus"] in ("F", "O") for r in by_type["delete"]
+    )
+    assert all(r["o_orderstatus"] == "O" for r in by_type["insert"])
+
+    # stepwise feeds compose: v1->v2 (the delete) then v2->current (the
+    # update) equals v1->current as a multiset
+    step1 = sess.table_changes(spark, sf, "orders", 1, 2).collect()
+    step2 = sess.table_changes(spark, sf, "orders", 2).collect()
+    assert sorted(map(tuple, step1 + step2)) == sorted(map(tuple, feed))
+    # and the delete-only step carries no inserts
+    assert all(r["_change_type"] == "delete" for r in step1)
