@@ -38,8 +38,12 @@ from tools.scale_curve import SCALE_ROOT, build_replica
 
 def main() -> None:
     out_path = sys.argv[1] if len(sys.argv) > 1 else "MUTATION_SCALE.json"
-    sf = os.path.join(SCALE_ROOT, "sf1.0x")
-    build_replica(sf, 10)
+    # MUTATION_SCALE_REPLICAS=100 measures the 100x point (lineitem 60M
+    # rows) — the corpus dir is shared with tools/scale_curve.py
+    replicas = int(os.environ.get("MUTATION_SCALE_REPLICAS", "10"))
+    tag = {10: "sf1.0x", 100: "sf10x"}.get(replicas, f"sf{replicas}x")
+    sf = os.path.join(SCALE_ROOT, tag)
+    build_replica(sf, replicas)
     spark = sess.get_spark(app_name="mutation-scale")
     sess.tune_for_sf(spark, sf)
 
@@ -116,7 +120,7 @@ def main() -> None:
             results[op] / ingest_ms, 3
         )
     payload = {
-        "scale": "sf1.0x (10x replica of sf0.1; lineitem ~6M rows)",
+        "scale": f"{tag} ({replicas}x replica of sf0.1)",
         "lineitem_files": n_files,
         **results,
     }
