@@ -165,10 +165,22 @@ class Engine:
     def transaction(self, *tables: str):
         """Multi-table mutation transaction: a ``with`` block whose
         mutations on the listed tables roll back all-or-nothing on an
-        exception (snapshot-based — see ``session.transaction``)."""
+        exception (snapshot-based — see ``session.transaction``). The
+        catalog views re-point when the block exits either way, so a
+        rollback never leaves them on a rolled-back-away generation."""
+        from contextlib import contextmanager
+
         from data_etl_sh_lianjia_spark.session import transaction
 
-        return transaction(self.spark, self.sf_dir, *tables)
+        @contextmanager
+        def _txn():
+            try:
+                with transaction(self.spark, self.sf_dir, *tables):
+                    yield
+            finally:
+                self._rebind_catalog()
+
+        return _txn()
 
     def vacuum(self, name: str, keep: int = 0) -> int:
         """Drop retained snapshots beyond the newest ``keep`` (reclaims the

@@ -597,6 +597,7 @@ GROUP BY _change_type, o_orderstatus
 """,
     survey_ref="S9,O4,A3",
     doc="change data feed between generations: multiset diff tagged delete/insert",
+    tags=("mutation",),
 )
 def table_changes_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DELETE the 'F' rows and UPDATE the 'O' rows on a scratch managed

@@ -195,6 +195,20 @@ def expectations_report(df: DataFrame, rules: dict[str, str]) -> DataFrame:
     return stacked.select("rule", "n_rows", "n_violations", "n_unknown")
 
 
+def _bad_flag(rules: dict[str, str]):
+    """The combined violation flag over expectations_flags columns: TRUE
+    when ANY rule evaluates FALSE (NULL passes — SQL CHECK). The single
+    definition both the quarantine split and the per-status report use, so
+    the two surfaces can never diverge on the semantics."""
+    return reduce(
+        lambda a, b: a | b,
+        [
+            ~F.coalesce(F.col(f"ok_{r}"), F.lit(True))
+            for r in rules
+        ],
+    )
+
+
 def split_quarantine(
     df: DataFrame, rules: dict[str, str]
 ) -> tuple[DataFrame, DataFrame]:
@@ -202,13 +216,7 @@ def split_quarantine(
     rule evaluates FALSE (NULL passes — SQL CHECK). The two sides are a
     partition by construction: the same combined flag, negated once."""
     flagged = expectations_flags(df, rules)
-    bad = reduce(
-        lambda a, b: a | b,
-        [
-            ~F.coalesce(F.col(f"ok_{r}"), F.lit(True))
-            for r in rules
-        ],
-    )
+    bad = _bad_flag(rules)
     keep = [c for c in df.columns]
     return (
         flagged.filter(~bad).select(*keep),
@@ -305,13 +313,7 @@ def quarantine_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     can prove the split is an exact partition."""
     orders = _t(spark, sf_dir, "orders")["orders"]
     flagged = expectations_flags(orders, _ORDER_RULES_SPARK)
-    bad = reduce(
-        lambda a, b: a | b,
-        [
-            ~F.coalesce(F.col(f"ok_{r}"), F.lit(True))
-            for r in _ORDER_RULES_SPARK
-        ],
-    )
+    bad = _bad_flag(_ORDER_RULES_SPARK)
     return flagged.groupBy("o_orderstatus").agg(
         F.sum(F.when(~bad, 1).otherwise(0)).alias("n_valid"),
         F.sum(F.when(bad, 1).otherwise(0)).alias("n_quarantined"),

@@ -400,18 +400,23 @@ def restore_table_version(
 def transaction(spark: SparkSession, sf_dir: str, *tables: str):
     """Multi-table mutation transaction (context manager): on an exception
     inside the block, every listed table that was MUTATED (delete_where /
-    update_where / merge_into / compact) rolls back to its state at entry
-    — all-or-nothing across tables, built on the snapshot machinery every
+    update_where / compact) rolls back to its state at entry —
+    all-or-nothing across tables, built on the snapshot machinery every
     mutation already feeds (each mutation retains its pre-state; rollback
     restores to the entry fingerprint and rebuilds projections through
     the ordinary lockstep re-ingest).
 
-    Scope: managed mutations only. Source-landed appends are not
+    Scope: managed mutations only. Source-landed appends are NOT
     transactional (their files persist in the landing dir — remove them
-    to roll back, per the restore contract). Rollback requires the entry
-    generation to still be retained: a block that mutates one table more
-    than SNAP_RETAIN times can age it out, which raises with the table
-    named rather than leaving a silent partial commit.
+    to roll back, per the restore contract), and that includes
+    ``merge_into``'s append half: rolling back a merge restores the
+    pre-merge generation but the landed ``merge-*.parquet`` re-applies on
+    the next ingest — remove that file to undo the merge fully. Rollback
+    requires the entry generation to still be retained: a block that
+    mutates one table more than SNAP_RETAIN times can age it out; the
+    rollback still restores EVERY other listed table first and then
+    raises naming the unrestorable ones, rather than leaving a silent
+    partial commit.
 
     Usage::
 
@@ -437,6 +442,9 @@ def transaction(spark: SparkSession, sf_dir: str, *tables: str):
         try:
             yield
         except BaseException:
+            # attempt EVERY table before reporting failures: one
+            # unrestorable table must not abandon the others' rollbacks
+            unrestorable = []
             for t in tables:
                 cur, _m = _read_marker(
                     os.path.join(out_dir, f"{t}.parquet", "_SUCCESS")
@@ -457,13 +465,17 @@ def transaction(spark: SparkSession, sf_dir: str, *tables: str):
                             match = int(d)
                             break
                 if match is None:
-                    raise RuntimeError(
-                        f"transaction rollback of {t!r} impossible: the "
-                        f"entry generation is no longer retained (more "
-                        f"than SNAP_RETAIN mutations inside the block?) — "
-                        f"table left at its current state"
-                    )
+                    unrestorable.append(t)
+                    continue
                 restore_table_version(spark, sf_dir, t, match)
+            if unrestorable:
+                raise RuntimeError(
+                    f"transaction rollback of {unrestorable!r} impossible: "
+                    f"the entry generation is no longer retained (more "
+                    f"than SNAP_RETAIN mutations inside the block?) — "
+                    f"those tables are left at their current state; every "
+                    f"other listed table was rolled back"
+                )
             raise
 
     return _txn()
@@ -1572,7 +1584,19 @@ def merge_keydicts(tables):
     """
     import pyarrow as pa
 
-    merged = pa.concat_tables(tables)
+    # Normalize to one canonical NULLABLE schema before concat: frames
+    # arrive from three producers — pyarrow value_counts deltas
+    # (non-nullable fields), pyarrow-written keydict parquet (round-trips
+    # non-nullable), and the Spark-written distributed keydict (nullable)
+    # — and pa.concat_tables refuses nullability mismatches. Surfaced by
+    # the 100x mutation-scale run (large tables build their keydict
+    # through Spark; small ones never mix producers).
+    canon = pa.schema(
+        [("col", pa.string()), ("key", pa.int64()), ("cnt", pa.int64())]
+    )
+    merged = pa.concat_tables(
+        t.select(["col", "key", "cnt"]).cast(canon) for t in tables
+    )
     agg = merged.group_by(["col", "key"]).aggregate([("cnt", "sum")])
     # select by NAME: the key/aggregate column order of group_by output is
     # an implementation detail that has differed across pyarrow releases —
@@ -2079,13 +2103,11 @@ def _ingest_local_append(
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
+    unified = pa.unify_schemas(
+        [pq.read_schema(os.path.join(src, g)) for g in new_files]
+    )
     batch = pa.concat_tables(
-        _conform_to_schema(
-            pq.read_table(os.path.join(src, f)),
-            pa.unify_schemas(
-                [pq.read_schema(os.path.join(src, g)) for g in new_files]
-            ),
-        )
+        _conform_to_schema(pq.read_table(os.path.join(src, f)), unified)
         for f in new_files
     )
     if key is not None and key not in batch.column_names:
@@ -2983,9 +3005,19 @@ def merge_into(
     n_replaced = delete_where(
         spark, sf_dir, name, pc.field(key).isin(keys)
     )
-    tag = hashlib.md5(
-        b"|".join(str(k).encode() for k in keys.to_pylist())
-    ).hexdigest()[:8]
+    # unique landing name per invocation: re-merging the same key set (a
+    # re-crawl refresh, or a retry) must land a NEW part file — rewriting
+    # an existing one would read as a source modification and trigger a
+    # full rebuild that resurrects previously-replaced rows
+    import uuid
+
+    tag = (
+        hashlib.md5(
+            b"|".join(str(k).encode() for k in keys.to_pylist())
+        ).hexdigest()[:8]
+        + "-"
+        + uuid.uuid4().hex[:8]
+    )
     pq.write_table(batch, os.path.join(src, f"merge-{tag}.parquet"))
     # re-ingest under the recorded layout: the append-only delta path
     # lands the batch and positive-merges every projection

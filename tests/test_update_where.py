@@ -815,3 +815,50 @@ def test_update_of_events_ts_merges_the_time_keyed_rollup(
         "a ts update moves the rollup's ts_day group: must merge"
     )
     assert _run(spark, sf, "json_events") == _run(spark, sf, "json_events_df")
+
+
+def test_merge_into_same_keys_twice_replaces_again_no_resurrection(
+    spark, tmp_path, monkeypatch, restore_catalog
+):
+    """Re-merging the same key set (re-crawl refresh / retry) must land a
+    NEW part file and replace again — a filename collision would read as
+    a source modification, full-rebuild from source, and resurrect the
+    previously replaced rows."""
+    sf = tmp_path / "sfmerge2"
+    (sf / "orders.parquet").mkdir(parents=True)
+    orders = pq.read_table(f"{SRC}/orders.parquet")
+    pq.write_table(orders, str(sf / "orders.parquet" / "part-00000.parquet"))
+    monkeypatch.setattr(sess, "INGEST_ROOT", str(tmp_path / "ingest"))
+    out = sess.ingest_tables(spark, str(sf))
+
+    hit = sorted(set(orders.column("o_orderkey").to_pylist()))[:4]
+    base = orders.filter(pc.field("o_orderkey").isin(hit))
+
+    def _priced(delta):
+        return base.set_column(
+            base.schema.get_field_index("o_totalprice"),
+            base.schema.field("o_totalprice"),
+            pc.add(base["o_totalprice"], delta).combine_chunks(),
+        )
+
+    n_dup = base.num_rows
+    r1 = sess.merge_into(spark, str(sf), "orders", _priced(10.0), "o_orderkey")
+    r2 = sess.merge_into(spark, str(sf), "orders", _priced(20.0), "o_orderkey")
+    assert r1 == (n_dup, n_dup) and r2 == (n_dup, n_dup)
+
+    post = spark.read.parquet(os.path.join(out, "orders.parquet"))
+    assert post.count() == orders.num_rows, "no duplicates, no resurrection"
+    got = {
+        r["o_orderkey"]: r["o_totalprice"]
+        for r in post.filter(post.o_orderkey.isin([int(k) for k in hit])).collect()
+    }
+    want = dict(
+        zip(
+            base.column("o_orderkey").to_pylist(),
+            pc.add(base["o_totalprice"], 20.0).to_pylist(),
+        )
+    )
+    for k in hit:
+        assert got[k] == pytest.approx(want[k]), (
+            "second merge's values must win"
+        )

@@ -74,8 +74,11 @@ def main() -> None:
     )
     dates = sorted(li_meta.column("l_shipdate").to_pylist())
     cut_lo, cut_hi = dates[100], dates[2000]
-    point_key = li_meta.column("l_orderkey").to_pylist()[0]
-    point_key2 = li_meta.column("l_orderkey").to_pylist()[-1]
+    # point-mutation keys must survive the preceding range delete, or the
+    # point timings would measure a 0-row no-op instead of a file rewrite
+    survivors = li_meta.filter(pc.field("l_shipdate") >= cut_hi)
+    point_key = survivors.column("l_orderkey").to_pylist()[0]
+    point_key2 = survivors.column("l_orderkey").to_pylist()[-1]
 
     results: dict[str, float] = {"ingest_rebuild_ms": round(ingest_ms, 1)}
 
