@@ -862,3 +862,49 @@ def test_merge_into_same_keys_twice_replaces_again_no_resurrection(
         assert got[k] == pytest.approx(want[k]), (
             "second merge's values must win"
         )
+
+
+def test_update_crash_between_the_two_merges_never_serves_half_merged(
+    spark, tmp_path, monkeypatch, restore_catalog
+):
+    """Die AFTER the negative aggproj merge but BEFORE the positive one:
+    the intermediate publish carries the ':neg' fingerprint no reader
+    accepts, so the half-merged rollup is refused (q1 falls back to the
+    full scan — correct values) and the next ingest rebuilds it from the
+    post-update table."""
+    sf = _mk_sf(tmp_path, monkeypatch, tables=("lineitem",))
+    out = sess.ingest_tables(spark, sf)
+
+    real = sess._build_aggproj
+    calls = {"n": 0}
+
+    def crash_on_second(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("crash between merges")
+        return real(*a, **k)
+
+    monkeypatch.setattr(sess, "_build_aggproj", crash_on_second)
+    with pytest.raises(RuntimeError, match="crash between merges"):
+        # l_quantity feeds the aggproj: the two-step merge path runs
+        sess.update_where(
+            spark, sf, "lineitem", pc.field("l_suppkey") == 5,
+            {"l_quantity": _bump_qty},
+        )
+    monkeypatch.setattr(sess, "_build_aggproj", real)
+    assert calls["n"] == 2, "fixture: must have died on the positive merge"
+
+    # the half-merged rollup (':neg' fp) is refused by lockstep
+    assert sess.aggproj_view(spark, sf, "lineitem") is None
+    assert sess.aggproj_coarse_view(spark, sf, "lineitem") is None
+    fp, _m = sess._read_marker(
+        os.path.join(out, "lineitem.aggproj.parquet", "_SUCCESS")
+    )
+    assert fp.endswith(":neg"), "fixture: intermediate publish landed"
+    # the table itself is fully updated; the fallback plan is correct
+    assert _run(spark, sf, "q1_scan_agg") == _run(spark, sf, "q1_scan_agg_df")
+
+    # next ingest heals: rollup rebuilds from the post-update copy
+    sess.ingest_tables(spark, sf)
+    assert sess.aggproj_coarse_view(spark, sf, "lineitem") is not None
+    assert _run(spark, sf, "q1_scan_agg") == _run(spark, sf, "q1_scan_agg_df")
