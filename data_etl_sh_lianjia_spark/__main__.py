@@ -13,6 +13,7 @@
     python -m data_etl_sh_lianjia_spark restore <table> <version>
     python -m data_etl_sh_lianjia_spark compact <table>
     python -m data_etl_sh_lianjia_spark vacuum <table> [--keep N]
+    python -m data_etl_sh_lianjia_spark materialize <query>
 
 ``run`` executes any declared query from the registry over the catalog at
 ``--sf-dir`` and, like the reference's feed export, writes JSON-lines when
@@ -125,6 +126,13 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     cmp_.add_argument("table")
     cmp_.add_argument("--sf-dir", default=None)
+
+    mat = sub.add_parser(
+        "materialize",
+        help="pin a declared query's result as a managed artifact",
+    )
+    mat.add_argument("query")
+    mat.add_argument("--sf-dir", default=None)
 
     vac = sub.add_parser(
         "vacuum", help="drop retained snapshots beyond --keep (VACUUM)"
@@ -265,6 +273,11 @@ def main(argv: list[str] | None = None) -> int:
             f"compacted {args.table}: {st['rows']} rows, "
             f"{st['files_before']} -> {st['files_after']} files"
         )
+        return 0
+
+    if args.cmd == "materialize":
+        path = eng.materialize(args.query)
+        print(f"materialized {args.query} at {path}")
         return 0
 
     if args.cmd == "vacuum":

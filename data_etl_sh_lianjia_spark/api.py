@@ -218,6 +218,23 @@ class Engine:
             )
         return queries[name].spark_fn(self.spark, self.sf_dir)
 
+    def materialize(self, name: str) -> str:
+        """CREATE-MATERIALIZED-VIEW for any declared query: pin its result
+        as a managed artifact, served by ``query_cached`` while the whole
+        catalog is unchanged (see ``session.materialize_query``)."""
+        from data_etl_sh_lianjia_spark.session import materialize_query
+
+        return materialize_query(self.spark, self.sf_dir, name)
+
+    def query_cached(self, name: str) -> DataFrame:
+        """``query(name)``, served from its materialized artifact when one
+        is fresh (any table change invalidates); falls back to running the
+        query — same values either way."""
+        from data_etl_sh_lianjia_spark.session import query_materialized
+
+        mat = query_materialized(self.spark, self.sf_dir, name)
+        return mat if mat is not None else self.query(name)
+
     def queries(self) -> list[str]:
         return sorted(all_queries())
 

@@ -397,6 +397,70 @@ def restore_table_version(
     _mutation_target(spark, sf_dir, name)
 
 
+def materialize_query(spark: SparkSession, sf_dir: str, name: str) -> str:
+    """Materialize ANY declared query's result as a managed artifact —
+    the generic materialized-view surface on top of the same
+    fingerprint-lockstep machinery the purpose-built projections use.
+    The artifact's marker carries a components map over EVERY landed
+    table (conservative: the registry's query functions may read any of
+    them), so :func:`query_materialized` serves it only while the whole
+    catalog is byte-unchanged and refuses it the moment any table
+    mutates — stale-serving is structurally impossible, the cost is
+    over-invalidation. Idempotent per catalog state: a fresh artifact is
+    not rebuilt. Returns the artifact path.
+
+    Refresh model: rebuild-on-demand (call again after changes). The
+    purpose-built projections (_AGG/_JOIN/_RESULT) remain the
+    incremental tier; this is the long tail — any of the ~200 declared
+    queries can be pinned without writing a maintainer.
+
+    [derived] — CREATE MATERIALIZED VIEW for the engine's query surface.
+    """
+    from data_etl_sh_lianjia_spark.plans.registry import all_queries
+
+    dq = all_queries()[name]
+    if "mutation" in (dq.tags or ()):
+        raise ValueError(
+            f"{name!r} is a mutation-suite query (it scratch-copies and "
+            f"mutates its own catalog) — materializing it would freeze a "
+            f"side effect, not a view"
+        )
+    ingest_tables(spark, sf_dir)
+    out_dir = spark._lianjia_ingest_map[os.path.normpath(sf_dir)]
+    comps = {}
+    for t in TABLES:
+        fp, _m = _read_marker(
+            os.path.join(out_dir, f"{t}.parquet", "_SUCCESS")
+        )
+        if fp:
+            comps[t] = fp
+    fingerprint = (
+        ";".join(f"{t}={comps[t]}" for t in sorted(comps)) + ":qm1"
+    )
+    dst = os.path.join(out_dir, f"query.{name}.queryproj.parquet")
+    if _marker_fresh(os.path.join(dst, "_SUCCESS"), fingerprint):
+        return dst
+    df = dq.spark_fn(spark, sf_dir)
+    _publish_dir(
+        dst, fingerprint, {"components": comps},
+        lambda tmp: df.coalesce(1).write.mode("overwrite").parquet(tmp),
+    )
+    return dst
+
+
+def query_materialized(
+    spark: SparkSession, sf_dir: str, name: str
+) -> DataFrame | None:
+    """The materialized result of ``name`` as a DataFrame, or None when no
+    artifact exists or any landed table changed since it was built —
+    callers fall back to running the query, so the materialization is
+    purely an optimization, never a correctness dependency."""
+    view = _projection_view(
+        spark, sf_dir, f"query.{name}.queryproj.parquet", f"lj_qm_{name}"
+    )
+    return spark.table(view) if view else None
+
+
 def transaction(spark: SparkSession, sf_dir: str, *tables: str):
     """Multi-table mutation transaction (context manager): on an exception
     inside the block, every listed table that was MUTATED (delete_where /
