@@ -276,7 +276,13 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "materialize":
-        path = eng.materialize(args.query)
+        try:
+            path = eng.materialize(args.query)
+        except KeyError:
+            print(f"unknown query {args.query!r}; available:", file=sys.stderr)
+            for name in eng.queries():
+                print(f"  {name}", file=sys.stderr)
+            return 2
         print(f"materialized {args.query} at {path}")
         return 0
 

@@ -199,13 +199,15 @@ def _bad_flag(rules: dict[str, str]):
     """The combined violation flag over expectations_flags columns: TRUE
     when ANY rule evaluates FALSE (NULL passes — SQL CHECK). The single
     definition both the quarantine split and the per-status report use, so
-    the two surfaces can never diverge on the semantics."""
+    the two surfaces can never diverge on the semantics. No rules →
+    nothing is bad (F.lit(False) initializer, not a reduce() crash)."""
     return reduce(
         lambda a, b: a | b,
         [
             ~F.coalesce(F.col(f"ok_{r}"), F.lit(True))
             for r in rules
         ],
+        F.lit(False),
     )
 
 

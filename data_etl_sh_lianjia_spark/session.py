@@ -454,7 +454,11 @@ def query_materialized(
     """The materialized result of ``name`` as a DataFrame, or None when no
     artifact exists or any landed table changed since it was built —
     callers fall back to running the query, so the materialization is
-    purely an optimization, never a correctness dependency."""
+    purely an optimization, never a correctness dependency. Runs the
+    (idempotent) ingest first so artifacts pinned by ANOTHER process
+    (e.g. the CLI) serve here too — _projection_view resolves through
+    this session's managed-catalog map."""
+    ingest_tables(spark, sf_dir)
     view = _projection_view(
         spark, sf_dir, f"query.{name}.queryproj.parquet", f"lj_qm_{name}"
     )

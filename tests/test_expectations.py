@@ -72,3 +72,9 @@ def test_quarantine_is_exact_partition(spark, dirty):
     assert q == {None, 3, 5, 6}
     assert valid.count() + quarantined.count() == dirty.count()
     assert valid.columns == dirty.columns, "flag columns must not leak"
+
+
+def test_empty_rule_suite_quarantines_nothing(spark, dirty):
+    valid, quarantined = split_quarantine(dirty, {})
+    assert valid.count() == dirty.count()
+    assert quarantined.count() == 0

@@ -96,8 +96,13 @@ def test_engine_query_cached_and_cli(spark, tmp_path, monkeypatch,
 
     rc = main(["materialize", "text_stats", "--sf-dir", str(sf)])
     assert rc == 0
+    assert main(["materialize", "no_such_query", "--sf-dir", str(sf)]) == 2
     from data_etl_sh_lianjia_spark.api import Engine
 
+    # simulate a FRESH process: the session's managed-catalog map is empty,
+    # so serving must re-resolve it (query_materialized ingests first)
+    spark._lianjia_ingest_map = {}
+    spark._lianjia_keydict_views = {}
     eng = Engine(sf_dir=str(sf), spark=spark)
     cached = eng.query_cached("text_stats")
     assert "lj_qm_text_stats" in cached._jdf.queryExecution().toString(), (
