@@ -2451,6 +2451,98 @@ def _mutation_target(
     return out_dir, dst
 
 
+def _point_prune_candidates(
+    out_dir: str,
+    name: str,
+    dst: str,
+    parts: list[str],
+    predicate,
+    old_fp: str,
+):
+    """Two-hop file pruning for POINT predicates on the bucket key: the
+    main table is clustered on a time key, so a point-key predicate's
+    min/max spans every file and the stats-pruned match check must decode
+    the key column once per file — the measured floor of the 100× point
+    mutations. The bucketed copy is SORTED on the bucket key, so the same
+    predicate row-group-prunes there; resolve the matched rows' CLUSTER
+    values against it, then admit only the main files whose cluster range
+    intersects a matched value.
+
+    Returns (candidate part-name set, expected match count) or (None,
+    None) when the fast path doesn't apply (no bucketed copy / not in
+    lockstep / predicate reads more than the bucket key / NULL cluster
+    values among the matches — all conservative). Soundness: bucketed ==
+    main row-for-row at lockstep, so every matching main row's cluster
+    value is in the matched set and its file's range intersects — no
+    false skips; the caller additionally cross-checks the match COUNT
+    from the main split against the bucketed count and hard-fails on
+    mismatch, so the prune can never silently under-delete."""
+    import bisect
+
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    bk_col = _BUCKET_LAYOUT.get(name)
+    cluster_key, _tr = _INGEST_LAYOUT.get(name, (None, None))
+    if not bk_col or not cluster_key or bk_col == cluster_key:
+        return None, None
+    bk_dst = os.path.join(out_dir, f"{name}.bucketed.parquet")
+    bk_have, bk_meta = _read_marker(os.path.join(bk_dst, "_SUCCESS"))
+    nb = bk_meta.get("n_buckets")
+    if not nb or bk_have != f"{old_fp}:bk{nb}":
+        return None, None
+    if not parts:
+        return None, None
+    table_cols = set(pq.read_schema(os.path.join(dst, parts[0])).names)
+    pref = _referenced_cols(str(predicate), table_cols)
+    if not pref or not pref <= {bk_col}:
+        return None, None
+
+    matched_vals: list = []
+    n_matches = 0
+    for entry in os.scandir(bk_dst):
+        if not (entry.is_file() and entry.name.endswith(".parquet")):
+            continue
+        ds = pads.dataset(entry.path)
+        if ds.count_rows(filter=predicate) == 0:
+            continue
+        t = ds.to_table(columns=[cluster_key], filter=predicate)
+        n_matches += t.num_rows
+        matched_vals.append(t.column(cluster_key))
+    if n_matches == 0:
+        return set(), 0
+    vals = pa.chunked_array(matched_vals).combine_chunks()
+    if vals.null_count:
+        return None, None  # NULL cluster values carry no file stats
+    sorted_vals = sorted(vals.to_pylist())
+
+    candidates = set()
+    for f in parts:
+        md = pq.read_metadata(os.path.join(dst, f))
+        mn = mx = None
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                if col.path_in_schema != cluster_key:
+                    continue
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    # a file without stats can hide anything: admit it
+                    mn, mx = sorted_vals[0], sorted_vals[-1]
+                    break
+                mn = st.min if mn is None else min(mn, st.min)
+                mx = st.max if mx is None else max(mx, st.max)
+        if mn is None:
+            candidates.add(f)  # no cluster column found: admit
+            continue
+        # any matched value inside [mn, mx]?
+        i = bisect.bisect_left(sorted_vals, mn)
+        if i < len(sorted_vals) and sorted_vals[i] <= mx:
+            candidates.add(f)
+    return candidates, n_matches
+
+
 def delete_where(spark: SparkSession, sf_dir: str, name: str, predicate) -> int:
     """Row-level ``DELETE FROM <name> WHERE <predicate>`` on the managed
     copy of a table — O(affected files + projection sizes), never
@@ -2515,6 +2607,17 @@ def delete_where(spark: SparkSession, sf_dir: str, name: str, predicate) -> int:
     os.makedirs(hold)
     survivors: dict = {}
     n_deleted = 0
+    # Point-predicate fast path: resolve bucket-key predicates against the
+    # key-sorted bucketed copy and skip main files whose cluster range
+    # excludes every matched row — O(metadata) for unaffected files
+    # instead of one key-column decode each (see _point_prune_candidates;
+    # the count cross-check below makes the prune self-verifying).
+    candidates, expected_n = _point_prune_candidates(
+        out_dir, name, dst, parts, predicate, old_fp
+    )
+    to_split = (
+        parts if candidates is None else [f for f in parts if f in candidates]
+    )
     # Per-file splits run on a thread pool: pyarrow's scan/filter kernels
     # release the GIL, so the stats-pruned match checks and the affected-
     # file rewrites overlap across files. (On a cluster this pass is a
@@ -2523,14 +2626,14 @@ def delete_where(spark: SparkSession, sf_dir: str, name: str, predicate) -> int:
     # distributed ingest branch.)
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=min(8, max(1, len(parts)))) as pool:
+    with ThreadPoolExecutor(max_workers=min(8, max(1, len(to_split) or 1))) as pool:
         splits = list(
             pool.map(
                 lambda f: (
                     f,
                     *_split_file_by_predicate(os.path.join(dst, f), predicate),
                 ),
-                parts,
+                to_split,
             )
         )
     for f, matched, rest in splits:
@@ -2539,6 +2642,13 @@ def delete_where(spark: SparkSession, sf_dir: str, name: str, predicate) -> int:
         n_deleted += matched.num_rows
         pq.write_table(matched, os.path.join(hold, f))
         survivors[f] = rest
+    if expected_n is not None and n_deleted != expected_n:
+        shutil.rmtree(hold, ignore_errors=True)
+        raise RuntimeError(
+            f"point-prune count mismatch on {name!r}: bucketed copy matched "
+            f"{expected_n} rows, main split found {n_deleted} — the copies "
+            f"disagree; refusing the mutation"
+        )
     if n_deleted == 0:
         shutil.rmtree(hold, ignore_errors=True)
         return 0
@@ -2801,16 +2911,23 @@ def update_where(
     hold_new = dst + f".updnew-{os.getpid()}-{uuid.uuid4().hex[:8]}"
     os.makedirs(hold_old)
     os.makedirs(hold_new)
+    # point-predicate fast path + count cross-check — see delete_where
+    candidates, expected_n = _point_prune_candidates(
+        out_dir, name, dst, parts, predicate, old_fp
+    )
+    to_split = (
+        parts if candidates is None else [f for f in parts if f in candidates]
+    )
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=min(8, max(1, len(parts)))) as pool:
+    with ThreadPoolExecutor(max_workers=min(8, max(1, len(to_split) or 1))) as pool:
         splits = list(
             pool.map(
                 lambda f: (
                     f,
                     *_split_file_by_predicate(os.path.join(dst, f), predicate),
                 ),
-                parts,
+                to_split,
             )
         )
     rewritten: dict = {}
@@ -2823,6 +2940,14 @@ def update_where(
         pq.write_table(matched, os.path.join(hold_old, f))
         pq.write_table(updated, os.path.join(hold_new, f))
         rewritten[f] = pa.concat_tables([rest, updated])
+    if expected_n is not None and n_updated != expected_n:
+        shutil.rmtree(hold_old, ignore_errors=True)
+        shutil.rmtree(hold_new, ignore_errors=True)
+        raise RuntimeError(
+            f"point-prune count mismatch on {name!r}: bucketed copy matched "
+            f"{expected_n} rows, main split found {n_updated} — the copies "
+            f"disagree; refusing the mutation"
+        )
     # columns whose values this update can change — assigned ones plus any
     # shred re-derived from an assigned source; drives the relevance
     # restamps below (a projection that never reads an updated column is

@@ -908,3 +908,45 @@ def test_update_crash_between_the_two_merges_never_serves_half_merged(
     sess.ingest_tables(spark, sf)
     assert sess.aggproj_coarse_view(spark, sf, "lineitem") is not None
     assert _run(spark, sf, "q1_scan_agg") == _run(spark, sf, "q1_scan_agg_df")
+
+
+def test_point_predicate_prunes_main_file_decodes_via_bucketed_copy(
+    spark, tmp_path, monkeypatch, restore_catalog
+):
+    """A bucket-key point predicate resolves against the key-sorted
+    bucketed copy first: main files whose cluster range excludes every
+    matched row are never opened (split runs only on candidates), the
+    mutation stays exact, and a multi-column predicate bypasses the fast
+    path entirely."""
+    sf = _mk_sf(tmp_path, monkeypatch, tables=("lineitem",))
+    out = sess.ingest_tables(spark, sf, parts=4, min_rows_to_split=1000)
+    li = pq.read_table(f"{SRC}/lineitem.parquet")
+    key = li.column("l_orderkey").to_pylist()[0]
+    n_want = li.filter(pc.field("l_orderkey") == key).num_rows
+
+    real = sess._split_file_by_predicate
+    seen = []
+
+    def counting(path, predicate):
+        seen.append(os.path.basename(os.path.dirname(path)))
+        return real(path, predicate)
+
+    monkeypatch.setattr(sess, "_split_file_by_predicate", counting)
+    n = sess.update_where(
+        spark, sf, "lineitem", pc.field("l_orderkey") == key,
+        {"l_quantity": _bump_qty},
+    )
+    assert n == n_want
+    main_splits = sum(1 for d in seen if d == "lineitem.parquet")
+    assert main_splits < 4, (
+        f"point predicate must not decode every main file (saw {main_splits})"
+    )
+    assert _run(spark, sf, "q1_scan_agg") == _run(spark, sf, "q1_scan_agg_df")
+
+    # multi-column predicate: fast path refused, every file checked
+    seen.clear()
+    sess.delete_where(
+        spark, sf, "lineitem",
+        (pc.field("l_orderkey") == key) & (pc.field("l_quantity") >= 0),
+    )
+    assert sum(1 for d in seen if d == "lineitem.parquet") == 4
