@@ -106,3 +106,88 @@ def test_referenced_cols_matches_identifiers():
     # any identifier-shaped token) do
     assert _referenced_cols("totals + a2", cols) == set()
     assert _referenced_cols("ts_ns DIV 86400000000000", cols) == {"ts_ns"}
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 1000)),  # (key, cluster)
+        min_size=1,
+        max_size=80,
+    ),
+    target=st.integers(0, 20),
+)
+def test_point_prune_candidates_is_sound(tmp_path_factory, rows, target):
+    """Every main file that CONTAINS a predicate match must be admitted by
+    the two-hop prune (no false skips), and the expected count must equal
+    the true match count — under any key/cluster distribution, including
+    keys spread across every cluster range."""
+    import pyarrow.compute as pc
+
+    from data_etl_sh_lianjia_spark import session as sess
+
+    tmp = tmp_path_factory.mktemp("pp")
+    out_dir = str(tmp)
+    name = "lineitem"  # has both a bucket layout and a cluster key
+    bk_col = sess._BUCKET_LAYOUT[name]
+    cluster_key = sess._INGEST_LAYOUT[name][0]
+
+    # main table: cluster-sorted rows split across 3 files
+    srt = sorted(rows, key=lambda r: r[1])
+    dst = os.path.join(out_dir, f"{name}.parquet")
+    os.makedirs(dst)
+    step = -(-len(srt) // 3)
+    parts = []
+    for i in range(3):
+        chunk = srt[i * step:(i + 1) * step]
+        if not chunk:
+            continue
+        f = f"part-{i:05d}.parquet"
+        pq.write_table(
+            pa.table(
+                {
+                    bk_col: pa.array([r[0] for r in chunk], pa.int64()),
+                    cluster_key: pa.array([r[1] for r in chunk], pa.int64()),
+                }
+            ),
+            os.path.join(dst, f),
+        )
+        parts.append(f)
+    sess._write_marker(os.path.join(dst, "_SUCCESS"), "fpX")
+
+    # bucketed copy: same rows, key-sorted, 2 bucket files
+    bk_dst = os.path.join(out_dir, f"{name}.bucketed.parquet")
+    os.makedirs(bk_dst)
+    ksort = sorted(rows, key=lambda r: r[0])
+    half = len(ksort) // 2 or 1
+    for i, chunk in enumerate((ksort[:half], ksort[half:])):
+        if not chunk:
+            continue
+        pq.write_table(
+            pa.table(
+                {
+                    bk_col: pa.array([r[0] for r in chunk], pa.int64()),
+                    cluster_key: pa.array([r[1] for r in chunk], pa.int64()),
+                }
+            ),
+            os.path.join(bk_dst, f"b{i}_0000{i}.parquet"),
+        )
+    sess._write_marker(
+        os.path.join(bk_dst, "_SUCCESS"), "fpX:bk2", {"n_buckets": 2}
+    )
+
+    predicate = pc.field(bk_col) == target
+    candidates, expected = sess._point_prune_candidates(
+        out_dir, name, dst, parts, predicate, "fpX"
+    )
+    true_n = sum(1 for r in rows if r[0] == target)
+    if candidates is None:
+        return  # fast path declined: always sound
+    assert expected == true_n
+    for f in parts:
+        t = pq.read_table(os.path.join(dst, f))
+        has = target in t.column(bk_col).to_pylist()
+        if has:
+            assert f in candidates, (
+                f"file {f} holds a match but was pruned"
+            )
