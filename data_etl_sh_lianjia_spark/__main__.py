@@ -125,6 +125,10 @@ def _build_parser() -> argparse.ArgumentParser:
         help="re-cluster a managed table's generations (OPTIMIZE)",
     )
     cmp_.add_argument("table")
+    cmp_.add_argument(
+        "--zorder",
+        help="comma-separated columns for OPTIMIZE ZORDER BY clustering",
+    )
     cmp_.add_argument("--sf-dir", default=None)
 
     mat = sub.add_parser(
@@ -268,7 +272,10 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "compact":
-        st = eng.compact(args.table)
+        st = eng.compact(
+            args.table,
+            zorder=args.zorder.split(",") if args.zorder else None,
+        )
         print(
             f"compacted {args.table}: {st['rows']} rows, "
             f"{st['files_before']} -> {st['files_after']} files"

@@ -190,16 +190,18 @@ class Engine:
 
         return vacuum_table(self.spark, self.sf_dir, name, keep=keep)
 
-    def compact(self, name: str) -> dict:
+    def compact(self, name: str, zorder: list[str] | None = None) -> dict:
         """Merge a managed table's accumulated append / copy-on-write
         generations back into globally range-clustered files (the
-        lakehouse OPTIMIZE). Values unchanged; projections restamp onto
-        the new fingerprint instead of rebuilding — see
-        ``session.compact_table``. Returns {rows, files_before,
-        files_after}."""
+        lakehouse OPTIMIZE) — or, with ``zorder=[c1, c2, ...]``, into a
+        Morton-interleaved multi-dimensional clustering (OPTIMIZE ZORDER
+        BY: per-file stats then prune on EVERY listed column). Values
+        unchanged; projections restamp onto the new fingerprint instead
+        of rebuilding — see ``session.compact_table``. Returns {rows,
+        files_before, files_after}."""
         from data_etl_sh_lianjia_spark.session import compact_table
 
-        out = compact_table(self.spark, self.sf_dir, name)
+        out = compact_table(self.spark, self.sf_dir, name, zorder=zorder)
         self._rebind_catalog()
         return out
 

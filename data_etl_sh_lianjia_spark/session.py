@@ -636,7 +636,43 @@ def _restamp_marker(
     return True
 
 
-def compact_table(spark: SparkSession, sf_dir: str, name: str) -> dict:
+def _zorder_sort_indices(table, cols):
+    """Morton (Z-order) sort permutation over 2+ columns: each column
+    rank-normalizes to a 16-bit code (rank space — column type and value
+    distribution drop out, NULLs rank last), the codes bit-interleave,
+    and the table sorts by the interleaved value. Files cut from the
+    sorted order cover small HYPER-RECTANGLES of the key space, so
+    per-file min/max stats prune on EVERY z-ordered column — the
+    multi-dimensional generalization of single-key range clustering
+    (Delta OPTIMIZE ZORDER BY / the z-value layout every lakehouse
+    offers)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    n = table.num_rows
+    codes = []
+    for c in cols:
+        order = pc.sort_indices(
+            table.column(c), null_placement="at_end"
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        rank = np.empty(n, dtype=np.uint64)
+        rank[order] = np.arange(n, dtype=np.uint64)
+        codes.append((rank * 65535 // max(n - 1, 1)).astype(np.uint64))
+    z = np.zeros(n, dtype=np.uint64)
+    for bit in range(16):
+        for j, c in enumerate(codes):
+            z |= ((c >> np.uint64(bit)) & np.uint64(1)) << np.uint64(
+                bit * len(codes) + j
+            )
+    return np.argsort(z, kind="stable")
+
+
+def compact_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    zorder: list[str] | None = None,
+) -> dict:
     """Compact the managed copy of a table: merge its accumulated append /
     copy-on-write generations back into globally range-clustered files —
     the maintenance op the append and update paths defer to ("global
@@ -674,7 +710,18 @@ def compact_table(spark: SparkSession, sf_dir: str, name: str) -> dict:
     key, target_rows = _INGEST_LAYOUT.get(name, (None, 150_000))
     if key is not None and key not in table.column_names:
         key = "ts" if "ts" in table.column_names else None
-    if key:
+    if zorder:
+        missing = [c for c in zorder if c not in table.column_names]
+        if missing:
+            raise ValueError(f"z-order columns not in {name!r}: {missing}")
+        if len(zorder) < 2:
+            raise ValueError(
+                "z-ordering needs >= 2 columns (one column is plain "
+                "range clustering — omit zorder)"
+            )
+        if table.num_rows:
+            table = table.take(_zorder_sort_indices(table, zorder))
+    elif key:
         table = table.sort_by(key)
     # same layout rule as the cold ingest (_ingest_local), under the knobs
     # the managed copy was built with (recorded in its marker meta)
@@ -686,7 +733,9 @@ def compact_table(spark: SparkSession, sf_dir: str, name: str) -> dict:
     )
     knob_parts = int(m.group(1)) if m else None
     min_rows_to_split = int(m.group(2)) if m else 50_000
-    if key and table.num_rows >= min(min_rows_to_split, 4 * target_rows):
+    if (zorder or key) and table.num_rows >= min(
+        min_rows_to_split, 4 * target_rows
+    ):
         n_parts = knob_parts or max(
             2, min(cpus, table.num_rows // max(target_rows, 1))
         )
@@ -696,7 +745,9 @@ def compact_table(spark: SparkSession, sf_dir: str, name: str) -> dict:
 
     new_fp = (
         f"{old_fp}~cmp"
-        f"{hashlib.md5(f'{old_fp}|compact'.encode()).hexdigest()[:8]}"
+        + hashlib.md5(
+            f"{old_fp}|compact|{','.join(zorder or ())}".encode()
+        ).hexdigest()[:8]
     )
     meta = {k: v for k, v in (old_meta or {}).items() if k != "batches"}
     _snapshot_generation(dst, "compact")

@@ -192,3 +192,66 @@ def test_cli_compact_subcommand(spark, tmp_path, monkeypatch, restore_catalog):
     out = spark._lianjia_ingest_map[os.path.normpath(str(sf))]
     fp, _m = sess._read_marker(os.path.join(out, "orders.parquet", "_SUCCESS"))
     assert "~cmp" in fp
+
+
+def test_compact_zorder_clusters_multiple_dimensions(
+    spark, tmp_path, monkeypatch, restore_catalog
+):
+    """OPTIMIZE ZORDER BY: after a z-order compact on (shipdate, partkey),
+    per-file min/max stats prune on BOTH columns — a point partkey admits
+    fewer files than the plain time clustering (where every file spans
+    the full partkey domain) — while values and projections are
+    untouched (restamp)."""
+    sf = tmp_path / "sfz"
+    sf.mkdir()
+    for t in STAR:
+        shutil.copy(f"{SRC}/{t}.parquet", str(sf / f"{t}.parquet"))
+    monkeypatch.setattr(sess, "INGEST_ROOT", str(tmp_path / "ingest"))
+    out = sess.ingest_tables(spark, str(sf), parts=4, min_rows_to_split=1000)
+    dst = os.path.join(out, "lineitem.parquet")
+
+    li = pq.read_table(f"{SRC}/lineitem.parquet")
+    pk = sorted(li.column("l_partkey").to_pylist())[len(li) // 20]
+
+    def files_admitting(col, value):
+        n = 0
+        for p in sorted(glob.glob(os.path.join(dst, "*.parquet"))):
+            c = pq.read_table(p, columns=[col]).column(col)
+            if pc.min(c).as_py() <= value <= pc.max(c).as_py():
+                n += 1
+        return n
+
+    pre_rows = sorted(map(tuple, spark.read.parquet(dst).collect()))
+    assert files_admitting("l_partkey", pk) == 4, (
+        "fixture: plain time clustering must not prune on partkey"
+    )
+    ap_inodes = _inodes(os.path.join(out, "lineitem.aggproj.parquet", "*.parquet"))
+
+    st = sess.compact_table(
+        spark, str(sf), "lineitem", zorder=["l_shipdate", "l_partkey"]
+    )
+    assert st["rows"] == li.num_rows
+    assert files_admitting("l_partkey", pk) < 4, (
+        "z-ordered files must prune on the second dimension"
+    )
+    n_files = len(glob.glob(os.path.join(dst, "*.parquet")))
+    assert n_files == 4, "layout rule unchanged by zorder"
+
+    post_rows = sorted(map(tuple, spark.read.parquet(dst).collect()))
+    assert post_rows == pre_rows, "z-order compact must not change values"
+    assert _inodes(
+        os.path.join(out, "lineitem.aggproj.parquet", "*.parquet")
+    ) == ap_inodes, "projections restamp under zorder too"
+    for proj, full in (
+        ("q1_scan_agg", "q1_scan_agg_df"),
+        ("q3_join3", "q3_join3_df"),
+        ("topk_sort", "topk_sort_df"),
+    ):
+        assert _run(spark, str(sf), proj) == _run(spark, str(sf), full)
+
+    with pytest.raises(ValueError, match=">= 2 columns"):
+        sess.compact_table(spark, str(sf), "lineitem", zorder=["l_partkey"])
+    with pytest.raises(ValueError, match="not in"):
+        sess.compact_table(
+            spark, str(sf), "lineitem", zorder=["l_partkey", "nope"]
+        )
