@@ -32,6 +32,24 @@ def entry(spark: SparkSession) -> DataFrame:
 # converts repo-verified queries into driver-verified ones round by round.
 # Update after each round from the new CORRECTNESS_r{N}.json.
 _DRIVER_SAMPLED = frozenset({
+    # --- round 7 sample (CORRECTNESS_r07.json, 46 hash-green; the two
+    # quality queries re-verify post oracle-cast fix, and the two rows-only
+    # ANN queries re-verify now that they carry exact+recall oracles) ---
+    "ann_brute_topk", "ann_ivf_topk", "cosine_topk", "cosine_topk_grid",
+    "dedup_first_per_key", "embedding_centroids", "embedding_norm_qa",
+    "except_all_multiset", "except_distinct", "exists_agg_subquery",
+    "in_subquery_bigorders", "intersect_all_multiset", "intersect_distinct",
+    "knn_label_agreement", "q2_min_cost_supplier", "q4_order_priority",
+    "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
+    "q9_product_profit", "q10_returned_items", "q11_top_value_suppliers",
+    "q12_priority_classes", "q13_order_distribution", "q14_promo_revenue",
+    "q15_top_supplier_cte", "q16_notin_distinct", "q17_small_qty_revenue",
+    "q18_large_orders", "q19_disjunctive_pred", "q20_excess_supply",
+    "q21_waiting_supplier", "q22_idle_customers", "resample_gapfill",
+    "string_regex", "string_regex_df", "udf_arrow_norms",
+    "udf_grouped_demean", "udf_pandas_scalar", "udf_row_registered",
+    "udtf_tokenize", "union_discriminator", "window_lag_lead",
+    "window_range_interval", "window_rank_family", "window_running",
     # --- round 6 sample (CORRECTNESS_r06.json, 50/50 green) ---
     "compact_small_files", "dedup_repeated_passages", "deterministic_sample",
     "distinct_count", "distinct_count_df", "fk_integrity_audit",
@@ -49,17 +67,19 @@ _DRIVER_SAMPLED = frozenset({
     "q3_join3_df", "q5_join5", "q5_join5_df", "scd2_order_history",
     "sessionize", "sessionize_df", "stratified_sample", "topk_sort",
     "topk_sort_df", "window_rank", "window_rank_df", "zorder_cluster",
-    # --- rounds 1-5 union ---
-    "agg_extras_suite", "agg_skew_two_phase", "approx_distinct",
+    # --- rounds 1-5 union (minus approx_distinct / hll_mergeable_sketch /
+    # count_min_heavy_hitters, deliberately re-exposed: their r5 rows were
+    # rows-only no_oracle; they now carry exact+bounded-error oracles) ---
+    "agg_extras_suite", "agg_skew_two_phase",
     "array_map_suite", "bm25_topk", "cohort_retention", "collect_ordered",
-    "correlated_scalar_subquery", "count_min_heavy_hitters",
+    "correlated_scalar_subquery",
     "counting_suite", "cube_agg", "date_suite", "dedup_canonical_docs",
     "dedup_connected_groups", "dedup_embedding_cosine", "dedup_exact",
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_semantic_clusters",
     "dedup_simhash", "doc_fingerprint", "embedding_quantize",
     "events_tumbling_batch", "explode_outer_digits", "funnel_conversion",
     "gapfill_locf", "grouping_sets_agg", "having_filtered_agg",
-    "hll_mergeable_sketch", "hybrid_search_rrf", "join_skew_salted",
+    "hybrid_search_rrf", "join_skew_salted",
     "json_construct_roundtrip", "lang_id", "map_pivot_labels",
     "marker_substring", "math_suite", "misc_agg_suite",
     "multimodal_blob_stats", "multimodal_frame_sample",

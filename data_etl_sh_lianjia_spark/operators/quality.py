@@ -243,8 +243,8 @@ _ORDER_RULES_DUCK = {
 def _duck_report_sql(rules: dict[str, str]) -> str:
     arms = "\nUNION ALL\n".join(
         f"SELECT '{r}' AS rule, COUNT(*) AS n_rows,\n"
-        f"       SUM(CASE WHEN NOT COALESCE(({expr}), TRUE) THEN 1 ELSE 0 END) AS n_violations,\n"
-        f"       SUM(CASE WHEN ({expr}) IS NULL THEN 1 ELSE 0 END) AS n_unknown\n"
+        f"       CAST(SUM(CASE WHEN NOT COALESCE(({expr}), TRUE) THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,\n"
+        f"       CAST(SUM(CASE WHEN ({expr}) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unknown\n"
         f"FROM orders"
         for r, expr in rules.items()
     )
@@ -257,7 +257,8 @@ def _duck_report_sql(rules: dict[str, str]) -> str:
 {_duck_report_sql(_ORDER_RULES_DUCK)}
 UNION ALL
 SELECT 'orderkey_unique', COUNT(*),
-       SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END), 0
+       CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(0 AS BIGINT)
 FROM (SELECT o_orderkey, COUNT(*) AS cnt FROM orders GROUP BY o_orderkey)
 """,
     survey_ref="L6,A3,A6",
@@ -299,8 +300,8 @@ WITH flagged AS (
   FROM orders
 )
 SELECT o_orderstatus,
-       SUM(CASE WHEN NOT bad THEN 1 ELSE 0 END) AS n_valid,
-       SUM(CASE WHEN bad THEN 1 ELSE 0 END) AS n_quarantined
+       CAST(SUM(CASE WHEN NOT bad THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+       CAST(SUM(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined
 FROM flagged
 GROUP BY o_orderstatus
 """,
