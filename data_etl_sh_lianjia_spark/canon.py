@@ -52,6 +52,71 @@ def canon_rows(rows: list[tuple], cols: list[str]) -> tuple[list[str], list[tupl
     return [cols[i] for i in order], out
 
 
+# ---------------------------------------------------------------------------
+# Driver-faithful column-TYPE families. The round driver canonicalizes both
+# engines' results through pandas, where the column dtype decides the value
+# repr: integer dtypes stringify as "123" while float dtypes stringify as
+# "f:123.0" — so a DuckDB HUGEINT (SUM over integers) or DOUBLE column against
+# a Spark BIGINT column is a hash MISMATCH even when every value is equal
+# (the round-1 counting_suite and round-7 quality.py failures). Value-level
+# comparison via fetchall() cannot see this (Python int == float), so the
+# oracle sweep additionally requires the FAMILIES below to agree per column.
+# ---------------------------------------------------------------------------
+
+_DUCK_INT = {
+    "TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+    "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT",
+}
+# pandas renders HUGEINT/UHUGEINT and DECIMAL as float64 -> driver float repr
+_DUCK_FLOAT = {"FLOAT", "DOUBLE", "HUGEINT", "UHUGEINT"}
+
+
+def duck_family(type_name: Any) -> str:
+    """Family the driver's pandas canon sees for a DuckDB logical type."""
+    s = str(type_name).upper()
+    if s in _DUCK_INT:
+        return "int"
+    if s in _DUCK_FLOAT or s.startswith("DECIMAL"):
+        return "float"
+    if s == "BOOLEAN":
+        return "bool"
+    return "other"
+
+
+def spark_family(dt: Any) -> str:
+    """Family the driver's pandas canon sees for a Spark DataType. Spark
+    decimals collect as decimal.Decimal (scale-padded str repr — never equal
+    to a pandas float repr), so they get their own family: a query emitting
+    decimal output is a driver-red risk and must cast to double/long."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "int"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "float"
+    if isinstance(dt, T.DecimalType):
+        return "dec"
+    return "other"
+
+
+def family_mismatches(spark_schema: Any, duck_cols: list, duck_types: list) -> list:
+    """(column, spark_family, duck_family) triples where the driver's pandas
+    canon would type the two engines' columns differently — each one is a
+    guaranteed driver hash mismatch regardless of values. Spark 'dec' never
+    matches anything (including duck DECIMAL: pandas floats it)."""
+    duck = {c: duck_family(t) for c, t in zip(duck_cols, duck_types)}
+    out = []
+    for f in spark_schema.fields:
+        sf, df = spark_family(f.dataType), duck.get(f.name)
+        if df is None:
+            continue  # column-set mismatch is the value gate's job
+        if sf == "dec" or (sf != df and "other" not in (sf, df)):
+            out.append((f.name, sf, df))
+    return out
+
+
 @dataclass
 class CompareResult:
     ok: bool

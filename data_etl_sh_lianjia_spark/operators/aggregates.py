@@ -165,19 +165,42 @@ def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "approx_distinct",
-    oracle=None,  # approximate by construction -> rows-only at the driver;
-    # tolerance-checked against exact counts in tests/test_approx.py
-    survey_ref="A4",
-    doc="approx_count_distinct (HLL++) per returnflag",
-)
-def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _approx_distinct_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(returnflag, approx, exact) distinct-part counts — the raw HLL++
+    estimate next to the exact count; tolerance-asserted in
+    tests/test_ann_recall.py and flag-folded by the registered query."""
     li = _t(spark, sf_dir, "lineitem")["lineitem"]
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
     )
+
+
+@register(
+    "approx_distinct",
+    # The estimate itself is implementation-specific (HLL++ register layout),
+    # so the hash-checked surface is the EXACT count plus an in-Spark
+    # bounded-error flag: |approx - exact| / exact <= 0.05 (default rsd also
+    # 0.05; measured error at every test SF is < 0.01). The oracle computes
+    # the same exact counts with a literal TRUE — deterministic for fixed
+    # input, honest about what the approximation guarantees.
+    oracle="""
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS exact_parts,
+       TRUE AS within_tol
+FROM lineitem GROUP BY l_returnflag
+""",
+    survey_ref="A4",
+    doc="approx_count_distinct (HLL++) per returnflag: exact counts + bounded-error flag",
+)
+def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = _approx_distinct_raw(spark, sf_dir)
+    tol = (
+        F.abs(F.col("approx_parts") - F.col("exact_parts"))
+        / F.col("exact_parts")
+        <= F.lit(0.05)
+    )
+    return raw.select("l_returnflag", "exact_parts", tol.alias("within_tol"))
 
 
 @register(
@@ -361,17 +384,12 @@ def agg_extras_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "hll_mergeable_sketch",
-    oracle=None,  # sketch estimates are implementation-specific: tolerance-checked in tests/test_ann_recall.py
-    survey_ref="A4",
-    doc="mergeable HLL sketches: per-group hll_sketch_agg -> hll_union_agg global estimate",
-)
-def hll_mergeable_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _hll_sketch_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB distinct-count pattern: build per-partition/per-group HLL
     sketches (one small binary per group, mergeable and associative), union
     them for rollups instead of rescanning raw data. Per-status estimates
-    plus the union-of-sketches global estimate in one result."""
+    plus the union-of-sketches global estimate in one result; raw estimates
+    tolerance-asserted in tests/test_ann_recall.py."""
     o = _t(spark, sf_dir, "orders")["orders"]
     per_group = o.groupBy("o_orderstatus").agg(
         F.hll_sketch_agg("o_custkey").alias("sk"),
@@ -391,13 +409,45 @@ def hll_mergeable_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "count_min_heavy_hitters",
-    oracle=None,  # sketch estimates are implementation-specific:
-    # tolerance-checked against exact counts in tests/test_ann_recall.py
-    survey_ref="A4,A3",
-    doc="count-min sketch: distributed frequency sketch probed for the exact top keys",
+    "hll_mergeable_sketch",
+    # Sketch estimates are implementation-specific (Datasketches register
+    # layout), so the hash surface is the EXACT distinct counts plus an
+    # in-Spark bounded-error flag over the sketch estimate (<= 5% relative
+    # error — default lgK gives ~1.6% rse). The oracle computes the same
+    # exact counts with literal TRUE; the union-merge path still runs and
+    # is what the flag certifies.
+    oracle="""
+SELECT o_orderstatus, COUNT(*) AS n_rows,
+       COUNT(DISTINCT o_custkey) AS exact_customers, TRUE AS within_tol
+FROM orders GROUP BY o_orderstatus
+UNION ALL
+SELECT 'ALL', COUNT(*), COUNT(DISTINCT o_custkey), TRUE FROM orders
+""",
+    survey_ref="A4",
+    doc="mergeable HLL sketches: hll_sketch_agg -> hll_union_agg, exact counts + bounded-error flag",
 )
-def count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def hll_mergeable_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")["orders"]
+    exact = o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("exact_customers")
+    ).unionByName(
+        o.agg(
+            F.lit("ALL").alias("o_orderstatus"),
+            F.countDistinct("o_custkey").alias("exact_customers"),
+        )
+    )
+    raw = _hll_sketch_raw(spark, sf_dir)
+    tol = (
+        F.abs(F.col("approx_customers") - F.col("exact_customers"))
+        / F.col("exact_customers")
+        <= F.lit(0.05)
+    )
+    return raw.join(exact, "o_orderstatus").select(
+        "o_orderstatus", "n_rows", "exact_customers", tol.alias("within_tol")
+    )
+
+
+def _cms_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The streaming-frequency counterpart of the HLL sketch (A4): a
     count-min sketch over lineitem's supplier key, built distributedly
     (one mergeable sketch per partition, merged on the driver — the same
@@ -428,3 +478,29 @@ def count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in top
     ]
     return spark.createDataFrame(rows, "l_suppkey long, est bigint, exact bigint")
+
+
+@register(
+    "count_min_heavy_hitters",
+    # The CMS estimate depends on the sketch's hash family, so the hash
+    # surface is the EXACT top-10 frequencies plus an in-Spark flag for the
+    # CMS guarantee (exact <= est <= exact + eps*N, eps=0.001, fixed seed —
+    # deterministic for fixed input). Oracle: same exact top-10, literal
+    # TRUE. Raw estimates bound-asserted in tests/test_ann_recall.py.
+    oracle="""
+SELECT l_suppkey, COUNT(*) AS exact, TRUE AS bound_ok
+FROM lineitem GROUP BY l_suppkey
+ORDER BY exact DESC, l_suppkey
+LIMIT 10
+""",
+    survey_ref="A4,A3",
+    doc="count-min sketch heavy hitters: exact top-10 + CMS eps-bound flag",
+)
+def count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    n = li.count()
+    raw = _cms_raw(spark, sf_dir)
+    ok = (F.col("est") >= F.col("exact")) & (
+        F.col("est") <= F.col("exact") + F.lit(0.001) * F.lit(float(n))
+    )
+    return raw.select("l_suppkey", "exact", ok.alias("bound_ok"))

