@@ -167,7 +167,13 @@ def expectations_flags(df: DataFrame, rules: dict[str, str]) -> DataFrame:
 def expectations_report(df: DataFrame, rules: dict[str, str]) -> DataFrame:
     """Per-rule violation report in ONE scan: (rule, n_rows, n_violations,
     n_unknown). A row violates when the rule is FALSE; NULL counts as
-    unknown (SQL CHECK semantics)."""
+    unknown (SQL CHECK semantics). No rules -> empty report (matching
+    _bad_flag's documented nothing-is-bad empty-suite behavior), never an
+    invalid ``stack(0,)`` expression."""
+    if not rules:
+        return df.sparkSession.createDataFrame(
+            [], "rule string, n_rows bigint, n_violations bigint, n_unknown bigint"
+        )
     flagged = expectations_flags(df, rules)
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for rule_name in rules:

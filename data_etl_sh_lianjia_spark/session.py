@@ -479,7 +479,10 @@ def transaction(spark: SparkSession, sf_dir: str, *tables: str):
     to roll back, per the restore contract), and that includes
     ``merge_into``'s append half: rolling back a merge restores the
     pre-merge generation but the landed ``merge-*.parquet`` re-applies on
-    the next ingest — remove that file to undo the merge fully. Rollback
+    the next ingest — remove that file AND its ``.tombstones.json``
+    sidecar (together: a tombstone without its batch would delete the
+    replaced rows on a rebuild without inserting their replacements) to
+    undo the merge fully. Rollback
     requires the entry generation to still be retained: a block that
     mutates one table more than SNAP_RETAIN times can age it out; the
     rollback still restores EVERY other listed table first and then
@@ -497,6 +500,12 @@ def transaction(spark: SparkSession, sf_dir: str, *tables: str):
     (delete a source's orders AND its lineitems, or neither) needs.
     """
     from contextlib import contextmanager
+
+    if not tables:
+        raise ValueError(
+            "transaction needs at least one table to guard — an empty "
+            "table list would be a no-op block, not atomicity"
+        )
 
     @contextmanager
     def _txn():
@@ -650,6 +659,12 @@ def _zorder_sort_indices(table, cols):
     import pyarrow.compute as pc
 
     n = table.num_rows
+    # Per-column code width shrinks so the interleave always fits in the
+    # uint64 (16 bits up to 4 columns, 64 // n_cols beyond): bit positions
+    # must stay < 64 — numpy's uint64 shift wraps mod 64 on x86, which would
+    # silently corrupt the most-significant rank bits for 5+ columns.
+    bits = min(16, 64 // len(cols))
+    top = np.uint64((1 << bits) - 1)
     codes = []
     for c in cols:
         order = pc.sort_indices(
@@ -657,9 +672,9 @@ def _zorder_sort_indices(table, cols):
         ).to_numpy(zero_copy_only=False).astype(np.int64)
         rank = np.empty(n, dtype=np.uint64)
         rank[order] = np.arange(n, dtype=np.uint64)
-        codes.append((rank * 65535 // max(n - 1, 1)).astype(np.uint64))
+        codes.append((rank * top // max(n - 1, 1)).astype(np.uint64))
     z = np.zeros(n, dtype=np.uint64)
-    for bit in range(16):
+    for bit in range(bits):
         for j, c in enumerate(codes):
             z |= ((c >> np.uint64(bit)) & np.uint64(1)) << np.uint64(
                 bit * len(codes) + j
@@ -1952,7 +1967,14 @@ def _read_landed(src: str):
     silently DROPS columns later parts added — the worst failure mode for
     an evolving landing. Directory sources instead unify per-part schemas
     (additive evolution: new columns null-fill for old rows); a genuine
-    type conflict between parts raises a clear error instead of guessing."""
+    type conflict between parts raises a clear error instead of guessing.
+
+    Merge tombstones replay here (see :func:`merge_into`): each
+    ``merge-*.tombstones.json`` sidecar records the keys its merge batch
+    REPLACED, and any full rebuild drops those keys from every part landed
+    before that merge (by file mtime; the batch itself and later landings
+    are untouched) — so a rebuild reproduces the upsert's net state instead
+    of resurrecting replaced rows next to their batch versions."""
     import glob
 
     import pyarrow as pa
@@ -1969,9 +1991,51 @@ def _read_landed(src: str):
             f"landed parts of {src!r} have incompatible schemas (a column "
             f"changed TYPE across parts — additive evolution only): {e}"
         ) from e
+    tombs = _load_merge_tombstones(src)
     return pa.concat_tables(
-        _conform_to_schema(pq.read_table(f), unified) for f in files
+        _replay_tombstones(
+            _conform_to_schema(pq.read_table(f), unified), f, tombs
+        )
+        for f in files
     )
+
+
+def _load_merge_tombstones(src: str) -> list[dict]:
+    """Parsed ``merge-*.tombstones.json`` sidecars of a landed directory
+    (empty list when none). Unreadable sidecars raise: silently skipping
+    one would resurrect its merge's replaced rows on this rebuild."""
+    import glob
+    import json
+
+    out = []
+    for tf in sorted(glob.glob(os.path.join(src, "merge-*.tombstones.json"))):
+        with open(tf) as fh:
+            out.append(json.load(fh))
+    return out
+
+
+def _replay_tombstones(table, path: str, tombs: list[dict]):
+    """Drop from one landed part every key a LATER merge replaced: a
+    tombstone applies to parts landed strictly before its merge (file
+    mtime < recorded merge time), never to the merge's own batch file or
+    to parts landed after it."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if not tombs:
+        return table
+    base = os.path.basename(path)
+    mtime = os.stat(path).st_mtime_ns
+    for tb in tombs:
+        if base == tb["batch"] or mtime >= tb["t_ns"]:
+            continue
+        col = tb["key"]
+        if col not in table.column_names or not table.num_rows:
+            continue
+        vals = pa.array(tb["values"]).cast(table.schema.field(col).type)
+        hit = pc.fill_null(pc.is_in(table.column(col), value_set=vals), False)
+        table = table.filter(pc.invert(hit))
+    return table
 
 
 def _ingest_local(
@@ -3119,7 +3183,11 @@ def update_where(
         if (
             nb
             and bk_have == f"{old_fp}:bk{nb}"
-            and bk_col not in assignments
+            # gate on the DERIVED update set, not the raw assignments: a
+            # shred re-derivation (events.props -> props_k) counts as
+            # touching that column, and if the bucket key were ever a
+            # derived column the targeted path must not hold it still
+            and bk_col not in upd_cols
         ):
             # targeted rewrite: the bucket key is untouched, so updated
             # rows stay in their bucket — only files with matches rewrite
@@ -3137,9 +3205,15 @@ def update_where(
                     if b_matched is None:
                         os.link(entry.path, os.path.join(tmp, entry.name))
                     else:
+                        # _apply_update, not _apply_assignments: the
+                        # bucketed copy must re-derive shredded columns
+                        # exactly like the main table's rewrite did, or a
+                        # bucketed table with a JSON shred would publish a
+                        # copy whose shred diverges under a fresh
+                        # fingerprint
                         pq.write_table(
                             pa.concat_tables(
-                                [b_rest, _apply_assignments(b_matched, assignments)]
+                                [b_rest, _apply_update(b_matched, assignments)]
                             ),
                             os.path.join(tmp, entry.name),
                         )
@@ -3263,6 +3337,36 @@ def merge_into(
         + uuid.uuid4().hex[:8]
     )
     pq.write_table(batch, os.path.join(src, f"merge-{tag}.parquet"))
+    # Durability of the DELETE half: the insert half persists as the landed
+    # merge-*.parquet, but the matched-key delete lives only in the managed
+    # ~del chain — a FULL source rebuild (schema-evolving append, changed
+    # ingest knobs, lost marker) re-reads every landed file and would
+    # silently resurrect the replaced rows next to their batch versions.
+    # So the replaced keys also persist as a tombstone sidecar next to the
+    # batch; _read_landed replays it on any full rebuild (drop matching
+    # keys from every part landed BEFORE this merge, never from the batch
+    # itself or later landings — ordered by file mtime). Written AFTER the
+    # batch so a crash between the two leaves the pre-tombstone behavior,
+    # never a delete without its insert. Undoing a merge by hand means
+    # removing BOTH files. Non-JSON-scalar key types (e.g. timestamps)
+    # skip the sidecar and keep the documented resurrection caveat.
+    key_vals = keys.to_pylist()
+    if all(isinstance(k, (int, str)) and not isinstance(k, bool) for k in key_vals):
+        import json
+        import time
+
+        tomb = {
+            "key": key,
+            "batch": f"merge-{tag}.parquet",
+            "t_ns": time.time_ns(),
+            "values": key_vals,
+        }
+        tmp_tomb = os.path.join(src, f".merge-{tag}.tombstones.tmp")
+        with open(tmp_tomb, "w") as fh:
+            json.dump(tomb, fh)
+        os.replace(
+            tmp_tomb, os.path.join(src, f"merge-{tag}.tombstones.json")
+        )
     # re-ingest under the recorded layout: the append-only delta path
     # lands the batch and positive-merges every projection
     _mutation_target(spark, sf_dir, name)

@@ -950,3 +950,104 @@ def test_point_predicate_prunes_main_file_decodes_via_bucketed_copy(
         (pc.field("l_orderkey") == key) & (pc.field("l_quantity") >= 0),
     )
     assert sum(1 for d in seen if d == "lineitem.parquet") == 4
+
+
+def test_merge_tombstones_survive_full_rebuild(
+    spark, tmp_path, monkeypatch, restore_catalog
+):
+    """The delete half of a merge must be as durable as its insert half:
+    a FULL source rebuild (lost marker here — same path as changed ingest
+    knobs) re-reads every landed file, and without the tombstone sidecar
+    it would resurrect the replaced rows next to their batch versions.
+    With two merges over the same keys, the NEWEST batch's rows must be
+    the only survivors after the rebuild."""
+    sf = tmp_path / "sftomb"
+    (sf / "orders.parquet").mkdir(parents=True)
+    orders = pq.read_table(f"{SRC}/orders.parquet")
+    pq.write_table(orders, str(sf / "orders.parquet" / "part-00000.parquet"))
+    monkeypatch.setattr(sess, "INGEST_ROOT", str(tmp_path / "ingest"))
+    out = sess.ingest_tables(spark, str(sf))
+
+    hit = sorted(set(orders.column("o_orderkey").to_pylist()))[:4]
+    base = orders.filter(pc.field("o_orderkey").isin(hit))
+
+    def _priced(delta):
+        return base.set_column(
+            base.schema.get_field_index("o_totalprice"),
+            base.schema.field("o_totalprice"),
+            pc.add(base["o_totalprice"], delta).combine_chunks(),
+        )
+
+    sess.merge_into(spark, str(sf), "orders", _priced(10.0), "o_orderkey")
+    sess.merge_into(spark, str(sf), "orders", _priced(20.0), "o_orderkey")
+    sidecars = glob.glob(str(sf / "orders.parquet" / "merge-*.tombstones.json"))
+    assert len(sidecars) == 2, "each merge persists its replaced-key sidecar"
+
+    # lose the managed marker -> next ingest cannot prove freshness and
+    # full-rebuilds from the landed dir (the ADVICE resurrection scenario)
+    os.remove(os.path.join(out, "orders.parquet", "_SUCCESS"))
+    spark._lianjia_table_cache = {}
+    sess.ingest_tables(spark, str(sf))
+
+    post = spark.read.parquet(os.path.join(out, "orders.parquet"))
+    assert post.count() == orders.num_rows, (
+        "full rebuild resurrected merge-replaced rows"
+    )
+    rows = post.filter(post.o_orderkey.isin([int(k) for k in hit])).collect()
+    assert len(rows) == len(hit), "exactly one survivor per merged key"
+    want = dict(
+        zip(
+            base.column("o_orderkey").to_pylist(),
+            pc.add(base["o_totalprice"], 20.0).to_pylist(),
+        )
+    )
+    for r in rows:
+        assert r["o_totalprice"] == pytest.approx(want[r["o_orderkey"]]), (
+            "the newest merge batch must win the rebuild"
+        )
+
+
+def test_merge_tombstones_survive_schema_evolving_append(
+    spark, tmp_path, monkeypatch, restore_catalog
+):
+    """The other ADVICE scenario: a schema-ADDING landed part fails the
+    _delta_schema_ok gate and forces a full rebuild — which must both
+    null-fill the new column for old rows AND replay the merge tombstone."""
+    sf = tmp_path / "sftomb2"
+    (sf / "orders.parquet").mkdir(parents=True)
+    orders = pq.read_table(f"{SRC}/orders.parquet")
+    pq.write_table(orders, str(sf / "orders.parquet" / "part-00000.parquet"))
+    monkeypatch.setattr(sess, "INGEST_ROOT", str(tmp_path / "ingest"))
+    out = sess.ingest_tables(spark, str(sf))
+
+    hit = sorted(set(orders.column("o_orderkey").to_pylist()))[:3]
+    base = orders.filter(pc.field("o_orderkey").isin(hit))
+    batch = base.set_column(
+        base.schema.get_field_index("o_totalprice"),
+        base.schema.field("o_totalprice"),
+        pc.add(base["o_totalprice"], 55.0).combine_chunks(),
+    )
+    sess.merge_into(spark, str(sf), "orders", batch, "o_orderkey")
+
+    evolved = orders.slice(0, 2).set_column(
+        orders.schema.get_field_index("o_orderkey"),
+        orders.schema.field("o_orderkey"),
+        pa.array([20_000_001, 20_000_002], pa.int64()),
+    ).append_column("o_channel", pa.array(["web", "app"]))
+    pq.write_table(evolved, str(sf / "orders.parquet" / "part-evolved.parquet"))
+    spark._lianjia_table_cache = {}
+    sess.ingest_tables(spark, str(sf))
+
+    post = spark.read.parquet(os.path.join(out, "orders.parquet"))
+    assert "o_channel" in post.columns
+    assert post.count() == orders.num_rows + 2
+    got = {
+        r["o_orderkey"]: r["o_totalprice"]
+        for r in post.filter(post.o_orderkey.isin([int(k) for k in hit])).collect()
+    }
+    assert len(got) == len(hit), "rebuild resurrected merge-replaced rows"
+    for k, v in zip(
+        base.column("o_orderkey").to_pylist(),
+        pc.add(base["o_totalprice"], 55.0).to_pylist(),
+    ):
+        assert got[k] == pytest.approx(v)
