@@ -703,10 +703,19 @@ def compact_table(
     rewrites the tagged part files, so a later whole-batch source delete
     honestly falls back to a full rebuild (the documented contract).
 
-    Local regime: a driver-side pyarrow sort+split (same kernel as the
-    cold ingest). At 100 TB this is the background distributed
-    sort-rewrite every lakehouse schedules (OPTIMIZE / rewrite_data_files);
-    the per-artifact restamp contract is identical.
+    Execution regimes: in distributed-DML mode (``_dml_distributed``) the
+    key-sort compaction runs as a SPARK JOB — ``repartitionByRange`` on the
+    cluster key + ``sortWithinPartitions`` + per-partition parquet write,
+    so the sort scales with the cluster instead of driver memory; the
+    resulting files are range-disjoint and internally sorted (the same
+    clustering property the local kernel's contiguous slices give — row
+    order across equal keys may differ, which every projection tolerates by
+    the row-order-independence contract that makes restamping sound).
+    Explicit ZORDER keeps the driver-side kernel in both modes (the
+    rank-interleave needs global per-column ranks; at scale this is the
+    quantile-bucket interleave job lakehouse OPTIMIZE runs offline).
+    Locally the default is a driver-side pyarrow sort+split (same kernel
+    as the cold ingest).
 
     Returns {"rows", "files_before", "files_after"}.
     """
@@ -719,12 +728,40 @@ def compact_table(
     out_dir, dst = _mutation_target(spark, sf_dir, name)
     old_fp, old_meta = _read_marker(os.path.join(dst, "_SUCCESS"))
     parts = sorted(f for f in os.listdir(dst) if f.endswith(".parquet"))
-    table = pa.concat_tables(
-        pq.read_table(os.path.join(dst, f)) for f in parts
-    )
+    first_schema = pq.read_schema(os.path.join(dst, parts[0]))
     key, target_rows = _INGEST_LAYOUT.get(name, (None, 150_000))
-    if key is not None and key not in table.column_names:
-        key = "ts" if "ts" in table.column_names else None
+    if key is not None and key not in first_schema.names:
+        key = "ts" if "ts" in first_schema.names else None
+    num_rows = sum(
+        pq.ParquetFile(os.path.join(dst, f)).metadata.num_rows for f in parts
+    )
+
+    def _spark_roundtrips(schema) -> bool:
+        # A Spark rewrite must be SCHEMA-identical to the pyarrow kernel's:
+        # ns-timestamps come back as long (nanosAsLong) and nested lists
+        # can re-encode their item field name — either would diverge the
+        # compacted generation from its pyarrow-written siblings. Such
+        # tables (events' ts, embeddings' list column) keep the local
+        # kernel; the 100 TB fact tables are primitives-only and take the
+        # distributed job.
+        return not any(
+            pa.types.is_nested(f_.type)
+            or (pa.types.is_timestamp(f_.type) and f_.type.unit == "ns")
+            for f_ in schema
+        )
+
+    distributed = (
+        _dml_distributed()
+        and not zorder
+        and key is not None
+        and num_rows > 0
+        and _spark_roundtrips(first_schema)
+    )
+    table = None
+    if not distributed:
+        table = pa.concat_tables(
+            pq.read_table(os.path.join(dst, f)) for f in parts
+        )
     if zorder:
         missing = [c for c in zorder if c not in table.column_names]
         if missing:
@@ -736,7 +773,7 @@ def compact_table(
             )
         if table.num_rows:
             table = table.take(_zorder_sort_indices(table, zorder))
-    elif key:
+    elif key and not distributed:
         table = table.sort_by(key)
     # same layout rule as the cold ingest (_ingest_local), under the knobs
     # the managed copy was built with (recorded in its marker meta)
@@ -748,15 +785,15 @@ def compact_table(
     )
     knob_parts = int(m.group(1)) if m else None
     min_rows_to_split = int(m.group(2)) if m else 50_000
-    if (zorder or key) and table.num_rows >= min(
+    if (zorder or key) and num_rows >= min(
         min_rows_to_split, 4 * target_rows
     ):
         n_parts = knob_parts or max(
-            2, min(cpus, table.num_rows // max(target_rows, 1))
+            2, min(cpus, num_rows // max(target_rows, 1))
         )
     else:
         n_parts = 1
-    step = -(-table.num_rows // n_parts) if table.num_rows else 1
+    step = -(-num_rows // n_parts) if num_rows else 1
 
     new_fp = (
         f"{old_fp}~cmp"
@@ -768,6 +805,24 @@ def compact_table(
     _snapshot_generation(dst, "compact")
 
     def _write(tmp: str) -> None:
+        if distributed:
+            # the sort-rewrite as a Spark job: range-partition on the
+            # cluster key (range-disjoint output files), sort within each
+            # partition, write one file per partition — value-identical to
+            # the local kernel as a multiset, same clustering property
+            (
+                spark.read.parquet(dst)
+                .repartitionByRange(n_parts, F.col(key))
+                .sortWithinPartitions(key)
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+            for extra in os.listdir(tmp):
+                # drop Spark's empty _SUCCESS (+ checksum sidecars): the
+                # fingerprint marker is stamped by _publish_dir
+                if extra == "_SUCCESS" or extra.endswith(".crc"):
+                    os.remove(os.path.join(tmp, extra))
+            return
         wrote = 0
         for i in range(n_parts):
             chunk = table.slice(i * step, step)
@@ -833,7 +888,7 @@ def compact_table(
     spark._lianjia_views_dir = None
     spark._lianjia_keydict_views = {}
     return {
-        "rows": table.num_rows,
+        "rows": num_rows,
         "files_before": len(parts),
         "files_after": sum(
             1 for f in os.listdir(dst) if f.endswith(".parquet")
@@ -2529,6 +2584,76 @@ def _split_file_by_predicate(path: str, predicate):
     return tbl.filter(pa.array(mask)), tbl.filter(pa.array(~mask))
 
 
+def _dml_distributed() -> bool:
+    """Distributed-DML mode (``SPARK_GRAFT_DML_DISTRIBUTED=1``): route the
+    per-file split/rewrite work of delete_where / update_where and
+    compact_table's sort-rewrite through SPARK TASKS instead of driver
+    threads + driver-side pyarrow. The per-file CONTRACT is identical in
+    both regimes (stats-pruned match check, matched/survivor partition,
+    same staged file names) — only where the work runs changes. This is
+    the 100 TB execution story: the local thread pool saturates one
+    machine, but the compaction sort and a wide predicate's file rewrites
+    must scale with the cluster, not the driver. Read per call so tests
+    can flip it per-case."""
+    return os.environ.get("SPARK_GRAFT_DML_DISTRIBUTED", "") == "1"
+
+
+def _split_files_via_spark(
+    spark: SparkSession,
+    dst: str,
+    files: list[str],
+    predicate,
+    hold_matched: str,
+    stage: str,
+    assignments=None,
+    hold_new: str | None = None,
+) -> list[tuple[str, int, int]]:
+    """One Spark task per candidate file — the distributed regime of the
+    delete/update per-file pass. Each task splits its file by ``predicate``
+    (same null-safe kernel as the local path), writes the matched rows to
+    ``hold_matched/<f>`` (and, for UPDATE, the post-assignment versions to
+    ``hold_new/<f>``), and stages the file's replacement at ``stage/<f>``
+    (survivors, plus updated rows for UPDATE) — the driver then hardlinks
+    staged files into the new generation without ever materializing row
+    data. Returns ``[(f, n_matched, n_staged)]``, ``n_matched == -1`` for
+    untouched files. Requires storage shared between driver and executors
+    (true in local mode and on any cluster's DFS/object store — the same
+    assumption every managed artifact already makes)."""
+    if not files:
+        return []
+    ensure_package_shipped(spark)
+
+    def work(f: str) -> tuple[str, int, int]:
+        import os as _os
+
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        from data_etl_sh_lianjia_spark.session import (
+            _apply_update as _upd,
+            _split_file_by_predicate as _split,
+        )
+
+        matched, rest = _split(_os.path.join(dst, f), predicate)
+        if matched is None:
+            return (f, -1, -1)
+        _pq.write_table(matched, _os.path.join(hold_matched, f))
+        if assignments is None:
+            if rest.num_rows:
+                _pq.write_table(rest, _os.path.join(stage, f))
+            return (f, matched.num_rows, rest.num_rows)
+        updated = _upd(matched, assignments)
+        _pq.write_table(updated, _os.path.join(hold_new, f))
+        _pq.write_table(
+            _pa.concat_tables([rest, updated]), _os.path.join(stage, f)
+        )
+        return (f, matched.num_rows, rest.num_rows + updated.num_rows)
+
+    return (
+        spark.sparkContext.parallelize(files, len(files)).map(work).collect()
+    )
+
+
 def _mutation_target(
     spark: SparkSession, sf_dir: str, name: str
 ) -> tuple[str, str]:
@@ -2709,6 +2834,7 @@ def delete_where(spark: SparkSession, sf_dir: str, name: str, predicate) -> int:
     import hashlib
     import shutil
     import uuid
+    from concurrent.futures import ThreadPoolExecutor
 
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -2733,32 +2859,47 @@ def delete_where(spark: SparkSession, sf_dir: str, name: str, predicate) -> int:
     to_split = (
         parts if candidates is None else [f for f in parts if f in candidates]
     )
-    # Per-file splits run on a thread pool: pyarrow's scan/filter kernels
-    # release the GIL, so the stats-pruned match checks and the affected-
-    # file rewrites overlap across files. (On a cluster this pass is a
-    # distributed job — one task per file, same per-file contract; the
-    # pool is the local-regime analogue, like _ingest_local vs the
-    # distributed ingest branch.)
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=min(8, max(1, len(to_split) or 1))) as pool:
-        splits = list(
-            pool.map(
-                lambda f: (
-                    f,
-                    *_split_file_by_predicate(os.path.join(dst, f), predicate),
-                ),
-                to_split,
+    # Per-file splits: SPARK TASKS in distributed-DML mode (one task per
+    # candidate file — the 100 TB regime, see _split_files_via_spark),
+    # else a driver thread pool (pyarrow's scan/filter kernels release the
+    # GIL, so the stats-pruned match checks and the affected-file rewrites
+    # overlap across files). Same per-file contract either way.
+    stage = None
+    if _dml_distributed():
+        stage = dst + f".stage-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        os.makedirs(stage)
+        for f, n_matched, n_staged in _split_files_via_spark(
+            spark, dst, to_split, predicate, hold, stage
+        ):
+            if n_matched < 0:
+                continue
+            n_deleted += n_matched
+            survivors[f] = os.path.join(stage, f) if n_staged else None
+    else:
+        with ThreadPoolExecutor(
+            max_workers=min(8, max(1, len(to_split) or 1))
+        ) as pool:
+            splits = list(
+                pool.map(
+                    lambda f: (
+                        f,
+                        *_split_file_by_predicate(
+                            os.path.join(dst, f), predicate
+                        ),
+                    ),
+                    to_split,
+                )
             )
-        )
-    for f, matched, rest in splits:
-        if matched is None:
-            continue
-        n_deleted += matched.num_rows
-        pq.write_table(matched, os.path.join(hold, f))
-        survivors[f] = rest
+        for f, matched, rest in splits:
+            if matched is None:
+                continue
+            n_deleted += matched.num_rows
+            pq.write_table(matched, os.path.join(hold, f))
+            survivors[f] = rest
     if expected_n is not None and n_deleted != expected_n:
         shutil.rmtree(hold, ignore_errors=True)
+        if stage:
+            shutil.rmtree(stage, ignore_errors=True)
         raise RuntimeError(
             f"point-prune count mismatch on {name!r}: bucketed copy matched "
             f"{expected_n} rows, main split found {n_deleted} — the copies "
@@ -2766,6 +2907,8 @@ def delete_where(spark: SparkSession, sf_dir: str, name: str, predicate) -> int:
         )
     if n_deleted == 0:
         shutil.rmtree(hold, ignore_errors=True)
+        if stage:
+            shutil.rmtree(stage, ignore_errors=True)
         return 0
 
     h = hashlib.md5(f"{old_fp}|{predicate}".encode()).hexdigest()[:8]
@@ -2775,17 +2918,25 @@ def delete_where(spark: SparkSession, sf_dir: str, name: str, predicate) -> int:
         wrote = False
         for f in parts:
             if f in survivors:
-                if survivors[f].num_rows:
-                    pq.write_table(survivors[f], os.path.join(tmp, f))
-                    wrote = True
+                s = survivors[f]
+                if s is None or (not isinstance(s, str) and not s.num_rows):
+                    continue  # no surviving rows in this file
+                if isinstance(s, str):  # distributed mode staged the file
+                    os.link(s, os.path.join(tmp, f))
+                else:
+                    pq.write_table(s, os.path.join(tmp, f))
+                wrote = True
             else:
                 os.link(os.path.join(dst, f), os.path.join(tmp, f))
                 wrote = True
         if not wrote:
             # every row deleted: keep one 0-row file so the managed dir
             # still carries the table's schema for readers
+            schema = pq.read_schema(
+                os.path.join(hold, sorted(os.listdir(hold))[0])
+            )
             pq.write_table(
-                next(iter(survivors.values())),
+                schema.empty_table(),
                 os.path.join(tmp, "part-00000.parquet"),
             )
 
@@ -2886,6 +3037,8 @@ def delete_where(spark: SparkSession, sf_dir: str, name: str, predicate) -> int:
         spark, out_dir, tbl_state
     )
     shutil.rmtree(hold, ignore_errors=True)
+    if stage:  # staged survivor files were hardlinked into the generation
+        shutil.rmtree(stage, ignore_errors=True)
     # invalidate memoized DataFrames/views over the pre-delete generation
     spark._lianjia_table_cache = {}
     spark._lianjia_views_dir = None
@@ -3013,6 +3166,7 @@ def update_where(
     import hashlib
     import shutil
     import uuid
+    from concurrent.futures import ThreadPoolExecutor
 
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -3033,31 +3187,50 @@ def update_where(
     to_split = (
         parts if candidates is None else [f for f in parts if f in candidates]
     )
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=min(8, max(1, len(to_split) or 1))) as pool:
-        splits = list(
-            pool.map(
-                lambda f: (
-                    f,
-                    *_split_file_by_predicate(os.path.join(dst, f), predicate),
-                ),
-                to_split,
-            )
-        )
     rewritten: dict = {}
     n_updated = 0
-    for f, matched, rest in splits:
-        if matched is None:
-            continue
-        updated = _apply_update(matched, assignments)
-        n_updated += matched.num_rows
-        pq.write_table(matched, os.path.join(hold_old, f))
-        pq.write_table(updated, os.path.join(hold_new, f))
-        rewritten[f] = pa.concat_tables([rest, updated])
+    stage = None
+    if _dml_distributed():
+        # one Spark task per candidate file (see _split_files_via_spark):
+        # tasks stage each rewritten file; the driver only links paths
+        stage = dst + f".stage-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        os.makedirs(stage)
+        for f, n_matched, _n_staged in _split_files_via_spark(
+            spark, dst, to_split, predicate, hold_old, stage,
+            assignments=assignments, hold_new=hold_new,
+        ):
+            if n_matched < 0:
+                continue
+            n_updated += n_matched
+            rewritten[f] = os.path.join(stage, f)
+    else:
+        with ThreadPoolExecutor(
+            max_workers=min(8, max(1, len(to_split) or 1))
+        ) as pool:
+            splits = list(
+                pool.map(
+                    lambda f: (
+                        f,
+                        *_split_file_by_predicate(
+                            os.path.join(dst, f), predicate
+                        ),
+                    ),
+                    to_split,
+                )
+            )
+        for f, matched, rest in splits:
+            if matched is None:
+                continue
+            updated = _apply_update(matched, assignments)
+            n_updated += matched.num_rows
+            pq.write_table(matched, os.path.join(hold_old, f))
+            pq.write_table(updated, os.path.join(hold_new, f))
+            rewritten[f] = pa.concat_tables([rest, updated])
     if expected_n is not None and n_updated != expected_n:
         shutil.rmtree(hold_old, ignore_errors=True)
         shutil.rmtree(hold_new, ignore_errors=True)
+        if stage:
+            shutil.rmtree(stage, ignore_errors=True)
         raise RuntimeError(
             f"point-prune count mismatch on {name!r}: bucketed copy matched "
             f"{expected_n} rows, main split found {n_updated} — the copies "
@@ -3075,6 +3248,8 @@ def update_where(
     if n_updated == 0:
         shutil.rmtree(hold_old, ignore_errors=True)
         shutil.rmtree(hold_new, ignore_errors=True)
+        if stage:
+            shutil.rmtree(stage, ignore_errors=True)
         return 0
 
     new_digest = hashlib.md5(f"{old_fp}|{predicate}".encode())
@@ -3088,7 +3263,11 @@ def update_where(
     def _write_generation(tmp: str) -> None:
         for f in parts:
             if f in rewritten:
-                pq.write_table(rewritten[f], os.path.join(tmp, f))
+                r = rewritten[f]
+                if isinstance(r, str):  # distributed mode staged the file
+                    os.link(r, os.path.join(tmp, f))
+                else:
+                    pq.write_table(r, os.path.join(tmp, f))
             else:
                 os.link(os.path.join(dst, f), os.path.join(tmp, f))
 
@@ -3256,6 +3435,8 @@ def update_where(
     )
     shutil.rmtree(hold_old, ignore_errors=True)
     shutil.rmtree(hold_new, ignore_errors=True)
+    if stage:  # staged rewritten files were hardlinked into the generation
+        shutil.rmtree(stage, ignore_errors=True)
     # invalidate memoized DataFrames/views over the pre-update generation
     spark._lianjia_table_cache = {}
     spark._lianjia_views_dir = None

@@ -1,0 +1,283 @@
+"""Distributed-DML mode (SPARK_GRAFT_DML_DISTRIBUTED=1): the delete/update
+per-file split and the compaction sort run as SPARK TASKS instead of driver
+threads / driver-side pyarrow — the 100 TB execution regime — and must be
+value-identical to the local kernels on every surface the contract tests
+pin: managed table rows, untouched-file hardlinks, projection merges,
+restamp lockstep, and the schema-keeping edge cases."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from data_etl_sh_lianjia_spark import session as sess
+
+SRC = "/root/testdata/sf0.001"
+STAR = ("lineitem", "orders", "customer", "supplier", "nation", "region")
+
+
+@pytest.fixture()
+def restore_catalog(spark):
+    saved = (
+        dict(getattr(spark, "_lianjia_ingest_map", {}) or {}),
+        dict(getattr(spark, "_lianjia_table_cache", {}) or {}),
+        set(getattr(spark, "_lianjia_cached_views", set()) or set()),
+        dict(getattr(spark, "_lianjia_keydict_views", {}) or {}),
+        dict(getattr(spark, "_lianjia_bucket_tables", {}) or {}),
+    )
+    yield
+    spark._lianjia_ingest_map = saved[0]
+    spark._lianjia_table_cache = saved[1]
+    spark._lianjia_cached_views = saved[2]
+    spark._lianjia_keydict_views = saved[3]
+    spark._lianjia_bucket_tables = saved[4]
+    spark._lianjia_views_dir = None
+
+
+def _mk_sf(tmp_path, monkeypatch, sub, tables=("lineitem", "orders")):
+    sf = tmp_path / sub
+    sf.mkdir()
+    for t in tables:
+        shutil.copy(f"{SRC}/{t}.parquet", str(sf / f"{t}.parquet"))
+    monkeypatch.setattr(sess, "INGEST_ROOT", str(tmp_path / "ingest"))
+    return str(sf)
+
+
+def _rows(spark, managed_dir, table):
+    df = spark.read.parquet(os.path.join(managed_dir, f"{table}.parquet"))
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_distributed_delete_matches_local(
+    spark, tmp_path, monkeypatch, restore_catalog
+):
+    """The same predicate DELETE in both regimes: identical row counts,
+    identical surviving rows, untouched files still HARDLINK (the driver
+    links staged + untouched files — no row data crosses the driver)."""
+    import datetime
+
+    pred = lambda: (  # noqa: E731 — fresh expression per run
+        pc.field("l_shipdate")
+        < pc.scalar(datetime.datetime(1996, 1, 1))
+    )
+    results = {}
+    for mode, flag in (("local", "0"), ("dist", "1")):
+        # sf0.01: lineitem splits into multiple range-clustered files, so
+        # the stats prune leaves genuinely untouched files to hardlink
+        sf = tmp_path / f"sfdel-{mode}"
+        sf.mkdir()
+        for t in ("lineitem", "orders"):
+            shutil.copy(
+                f"/root/testdata/sf0.01/{t}.parquet", str(sf / f"{t}.parquet")
+            )
+        monkeypatch.setattr(sess, "INGEST_ROOT", str(tmp_path / "ingest"))
+        sf = str(sf)
+        out = sess.ingest_tables(spark, sf)
+        li_dir = os.path.join(out, "lineitem.parquet")
+        before = {
+            f: os.stat(os.path.join(li_dir, f)).st_ino
+            for f in os.listdir(li_dir)
+            if f.endswith(".parquet")
+        }
+        monkeypatch.setenv("SPARK_GRAFT_DML_DISTRIBUTED", flag)
+        try:
+            n = sess.delete_where(spark, sf, "lineitem", pred())
+        finally:
+            monkeypatch.delenv("SPARK_GRAFT_DML_DISTRIBUTED", raising=False)
+        after = {
+            f: os.stat(os.path.join(li_dir, f)).st_ino
+            for f in os.listdir(li_dir)
+            if f.endswith(".parquet")
+        }
+        untouched = [f for f in after if after[f] == before.get(f)]
+        results[mode] = (n, _rows(spark, out, "lineitem"), len(untouched))
+        spark._lianjia_table_cache = {}
+        assert n > 0
+        assert not glob.glob(li_dir + ".stage-*"), "stage dir must be cleaned"
+    assert results["local"][0] == results["dist"][0]
+    assert results["local"][1] == results["dist"][1]
+    # stats-pruned untouched files hardlink in BOTH regimes
+    assert results["dist"][2] > 0
+    assert results["local"][2] == results["dist"][2]
+
+
+def test_distributed_update_matches_local_and_projections(
+    spark, tmp_path, monkeypatch, restore_catalog
+):
+    """The same UPDATE (callable assignment over old values) in both
+    regimes: identical updated rows AND an identical keydict projection
+    (the negative+positive merge consumes the hold dirs the Spark tasks
+    wrote)."""
+    results = {}
+    for mode, flag in (("local", "0"), ("dist", "1")):
+        sf = _mk_sf(tmp_path, monkeypatch, f"sfupd-{mode}")
+        out = sess.ingest_tables(spark, sf)
+        monkeypatch.setenv("SPARK_GRAFT_DML_DISTRIBUTED", flag)
+        try:
+            n = sess.update_where(
+                spark, sf, "lineitem",
+                pc.field("l_suppkey") == 3,
+                {
+                    "l_quantity": lambda t: pc.add(t["l_quantity"], 7.0),
+                    "l_returnflag": "U",
+                },
+            )
+        finally:
+            monkeypatch.delenv("SPARK_GRAFT_DML_DISTRIBUTED", raising=False)
+        assert n > 0
+        kd = os.path.join(out, "lineitem.keydict.parquet")
+        kd_rows = (
+            sorted(tuple(r) for r in spark.read.parquet(kd).collect())
+            if os.path.isdir(kd)
+            else None
+        )
+        results[mode] = (n, _rows(spark, out, "lineitem"), kd_rows)
+        spark._lianjia_table_cache = {}
+    assert results["local"] == results["dist"]
+
+
+def test_distributed_compact_sort_rewrite(
+    spark, tmp_path, monkeypatch, restore_catalog
+):
+    """Distributed compaction (Spark repartitionByRange + sortWithin):
+    value-identical multiset, files pairwise RANGE-DISJOINT on the cluster
+    key and internally sorted, fingerprint chains ~cmp, and the keydict
+    restamps in lockstep (served, not rebuilt)."""
+    sf = _mk_sf(tmp_path, monkeypatch, "sfcmp")
+    out = sess.ingest_tables(spark, sf)
+    # a delete first, so compaction has a real multi-generation dir to merge
+    sess.delete_where(spark, sf, "lineitem", pc.field("l_suppkey") == 1)
+    li_dir = os.path.join(out, "lineitem.parquet")
+    pre_rows = _rows(spark, out, "lineitem")
+    pre_fp, _m = sess._read_marker(os.path.join(li_dir, "_SUCCESS"))
+
+    monkeypatch.setenv("SPARK_GRAFT_DML_DISTRIBUTED", "1")
+    try:
+        stats = sess.compact_table(spark, sf, "lineitem")
+    finally:
+        monkeypatch.delenv("SPARK_GRAFT_DML_DISTRIBUTED", raising=False)
+
+    assert stats["rows"] == len(pre_rows)
+    assert _rows(spark, out, "lineitem") == pre_rows
+    new_fp, _m2 = sess._read_marker(os.path.join(li_dir, "_SUCCESS"))
+    assert new_fp.startswith(pre_fp) and "~cmp" in new_fp
+    # keydict restamped onto the compacted fingerprint (lockstep serve)
+    kd_fp, _km = sess._read_marker(
+        os.path.join(out, "lineitem.keydict.parquet", "_SUCCESS")
+    )
+    assert kd_fp == new_fp
+    # per-file ranges on the cluster key are pairwise disjoint + sorted
+    key = sess._INGEST_LAYOUT["lineitem"][0]
+    ranges = []
+    for f in sorted(os.listdir(li_dir)):
+        if not f.endswith(".parquet"):
+            continue
+        col = pq.read_table(os.path.join(li_dir, f), columns=[key]).column(key)
+        vals = col.to_pylist()
+        assert vals == sorted(vals), "file not internally sorted"
+        ranges.append((vals[0], vals[-1]))
+    ranges.sort()
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi <= lo, "compacted files must be range-disjoint"
+
+
+def test_distributed_compact_falls_back_on_nanos_timestamp(
+    spark, tmp_path, monkeypatch, restore_catalog
+):
+    """events carries a TIMESTAMP(NANOS) column that a Spark rewrite would
+    silently retype (nanosAsLong); the schema guard must keep the local
+    kernel so the compacted generation stays schema-identical."""
+    sf = tmp_path / "sfevt"
+    sf.mkdir()
+    shutil.copy(f"{SRC}/events.parquet", str(sf / "events.parquet"))
+    monkeypatch.setattr(sess, "INGEST_ROOT", str(tmp_path / "ingest"))
+    out = sess.ingest_tables(spark, str(sf))
+    ev_dir = os.path.join(out, "events.parquet")
+    pre_schema = pq.read_schema(
+        os.path.join(
+            ev_dir,
+            sorted(f for f in os.listdir(ev_dir) if f.endswith(".parquet"))[0],
+        )
+    )
+    monkeypatch.setenv("SPARK_GRAFT_DML_DISTRIBUTED", "1")
+    try:
+        sess.compact_table(spark, str(sf), "events")
+    finally:
+        monkeypatch.delenv("SPARK_GRAFT_DML_DISTRIBUTED", raising=False)
+    post_schema = pq.read_schema(
+        os.path.join(
+            ev_dir,
+            sorted(f for f in os.listdir(ev_dir) if f.endswith(".parquet"))[0],
+        )
+    )
+    assert post_schema.equals(pre_schema), (
+        "ns-timestamp table must keep the pyarrow kernel's schema"
+    )
+
+
+def test_distributed_delete_all_rows_keeps_schema(
+    spark, tmp_path, monkeypatch, restore_catalog
+):
+    """Deleting every row in distributed mode still publishes one 0-row
+    schema-carrying file (readers need the schema)."""
+    sf = _mk_sf(tmp_path, monkeypatch, "sfdelall", tables=("orders",))
+    out = sess.ingest_tables(spark, sf)
+    monkeypatch.setenv("SPARK_GRAFT_DML_DISTRIBUTED", "1")
+    try:
+        n = sess.delete_where(spark, sf, "orders", pc.field("o_orderkey") >= 0)
+    finally:
+        monkeypatch.delenv("SPARK_GRAFT_DML_DISTRIBUTED", raising=False)
+    assert n > 0
+    o_dir = os.path.join(out, "orders.parquet")
+    files = [f for f in os.listdir(o_dir) if f.endswith(".parquet")]
+    assert files, "schema-carrying file must remain"
+    tbl = pa.concat_tables(
+        pq.read_table(os.path.join(o_dir, f)) for f in files
+    )
+    assert tbl.num_rows == 0 and "o_orderkey" in tbl.column_names
+
+
+def test_distributed_merge_into_upserts(
+    spark, tmp_path, monkeypatch, restore_catalog
+):
+    """merge_into composes delete_where + append: with the flag on, the
+    delete half runs as Spark tasks and the upsert contract holds."""
+    sf = tmp_path / "sfmrg"
+    (sf / "orders.parquet").mkdir(parents=True)
+    orders = pq.read_table(f"{SRC}/orders.parquet")
+    pq.write_table(orders, str(sf / "orders.parquet" / "part-00000.parquet"))
+    monkeypatch.setattr(sess, "INGEST_ROOT", str(tmp_path / "ingest"))
+    out = sess.ingest_tables(spark, str(sf))
+
+    hit = sorted(set(orders.column("o_orderkey").to_pylist()))[:4]
+    base = orders.filter(pc.field("o_orderkey").isin(hit))
+    batch = base.set_column(
+        base.schema.get_field_index("o_totalprice"),
+        base.schema.field("o_totalprice"),
+        pc.add(base["o_totalprice"], 42.0).combine_chunks(),
+    )
+    monkeypatch.setenv("SPARK_GRAFT_DML_DISTRIBUTED", "1")
+    try:
+        replaced, landed = sess.merge_into(
+            spark, str(sf), "orders", batch, "o_orderkey"
+        )
+    finally:
+        monkeypatch.delenv("SPARK_GRAFT_DML_DISTRIBUTED", raising=False)
+    assert (replaced, landed) == (base.num_rows, base.num_rows)
+    post = spark.read.parquet(os.path.join(out, "orders.parquet"))
+    assert post.count() == orders.num_rows
+    got = {
+        r["o_orderkey"]: r["o_totalprice"]
+        for r in post.filter(post.o_orderkey.isin([int(k) for k in hit])).collect()
+    }
+    for k, v in zip(
+        base.column("o_orderkey").to_pylist(),
+        pc.add(base["o_totalprice"], 42.0).to_pylist(),
+    ):
+        assert got[k] == pytest.approx(v)
