@@ -682,6 +682,88 @@ def _zorder_sort_indices(table, cols):
     return np.argsort(z, kind="stable")
 
 
+def _zorder_sample_boundaries(
+    dst: str, parts: list[str], cols: list[str], bits: int
+) -> dict:
+    """Per-column quantile cut points (2^bits - 1 values) for the
+    DISTRIBUTED z-order code, from a per-file row-group-0 sample of only
+    the z columns. Boundary quality is an index-quality knob — coarser
+    boundaries mean looser clustering, never wrong values — so a sample
+    suffices; at the test scales every file is a single row group and the
+    sample IS the full column."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    out = {}
+    n_cuts = (1 << bits) - 1
+    for c in cols:
+        chunks = []
+        for f in parts:
+            pf = pq.ParquetFile(os.path.join(dst, f))
+            if pf.metadata.num_row_groups:
+                arr = pf.read_row_group(0, columns=[c]).column(c)
+                arr = arr.combine_chunks().drop_null()
+                if len(arr):
+                    chunks.append(arr.to_numpy(zero_copy_only=False))
+        if not chunks:
+            out[c] = np.array([])
+            continue
+        v = np.concatenate(chunks)
+        v.sort(kind="stable")
+        idx = np.linspace(0, len(v) - 1, min(n_cuts, len(v))).astype(np.int64)
+        out[c] = v[idx]
+    return out
+
+
+def _with_zcode(df: DataFrame, cols: list[str], bounds: dict) -> DataFrame:
+    """``df`` plus a ``__lj_z`` long column: each z column maps to its
+    quantile-bucket code via searchsorted against the broadcast boundary
+    arrays (NULLs take the max code — ranked last, matching the local
+    kernel), and the codes bit-interleave into the Morton value. One
+    mapInArrow pass, no shuffle; the caller range-partitions on the code."""
+    from pyspark.sql import types as T
+
+    bits = min(16, 64 // len(cols))
+    out_struct = T.StructType(
+        list(df.schema.fields) + [T.StructField("__lj_z", T.LongType())]
+    )
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for b in batches:
+            codes = []
+            for c in cols:
+                col = b.column(b.schema.get_field_index(c))
+                nulls = pc.is_null(col).to_numpy(zero_copy_only=False)
+                vals = col.to_numpy(zero_copy_only=False)
+                bnd = bounds[c]
+                if len(bnd) and nulls.any():
+                    vals = vals.copy()
+                    vals[nulls] = bnd[0]  # placeholder; overwritten below
+                code = (
+                    np.searchsorted(bnd, vals, side="left")
+                    if len(bnd)
+                    else np.zeros(b.num_rows, dtype=np.int64)
+                ).astype(np.uint64)
+                code[nulls] = np.uint64((1 << bits) - 1)
+                codes.append(code)
+            z = np.zeros(b.num_rows, dtype=np.uint64)
+            for bit in range(bits):
+                for j, c_ in enumerate(codes):
+                    z |= ((c_ >> np.uint64(bit)) & np.uint64(1)) << np.uint64(
+                        bit * len(codes) + j
+                    )
+            yield pa.record_batch(
+                list(b.columns) + [pa.array(z.astype(np.int64))],
+                names=list(b.schema.names) + ["__lj_z"],
+            )
+
+    return df.mapInArrow(fn, out_struct)
+
+
 def compact_table(
     spark: SparkSession,
     sf_dir: str,
@@ -711,9 +793,13 @@ def compact_table(
     clustering property the local kernel's contiguous slices give — row
     order across equal keys may differ, which every projection tolerates by
     the row-order-independence contract that makes restamping sound).
-    Explicit ZORDER keeps the driver-side kernel in both modes (the
-    rank-interleave needs global per-column ranks; at scale this is the
-    quantile-bucket interleave job lakehouse OPTIMIZE runs offline).
+    Explicit ZORDER in distributed mode runs the quantile-bucket
+    interleave as a Spark job: sampled per-column boundaries
+    (_zorder_sample_boundaries), one mapInArrow pass appending the Morton
+    code (_with_zcode), then the same range-partitioned sorted write —
+    values identical, clustering quality tracks the boundary sample.
+    Tables whose schema does not round-trip through Spark (ns-timestamps,
+    nested columns) keep the driver-side pyarrow kernels in every mode.
     Locally the default is a driver-side pyarrow sort+split (same kernel
     as the cold ingest).
 
@@ -750,20 +836,8 @@ def compact_table(
             for f_ in schema
         )
 
-    distributed = (
-        _dml_distributed()
-        and not zorder
-        and key is not None
-        and num_rows > 0
-        and _spark_roundtrips(first_schema)
-    )
-    table = None
-    if not distributed:
-        table = pa.concat_tables(
-            pq.read_table(os.path.join(dst, f)) for f in parts
-        )
     if zorder:
-        missing = [c for c in zorder if c not in table.column_names]
+        missing = [c for c in zorder if c not in first_schema.names]
         if missing:
             raise ValueError(f"z-order columns not in {name!r}: {missing}")
         if len(zorder) < 2:
@@ -771,9 +845,20 @@ def compact_table(
                 "z-ordering needs >= 2 columns (one column is plain "
                 "range clustering — omit zorder)"
             )
+    roundtrips = _spark_roundtrips(first_schema) and num_rows > 0
+    distributed = (
+        _dml_distributed() and not zorder and key is not None and roundtrips
+    )
+    dist_z = bool(_dml_distributed() and zorder and roundtrips)
+    table = None
+    if not (distributed or dist_z):
+        table = pa.concat_tables(
+            pq.read_table(os.path.join(dst, f)) for f in parts
+        )
+    if zorder and not dist_z:
         if table.num_rows:
             table = table.take(_zorder_sort_indices(table, zorder))
-    elif key and not distributed:
+    elif key and not (distributed or dist_z):
         table = table.sort_by(key)
     # same layout rule as the cold ingest (_ingest_local), under the knobs
     # the managed copy was built with (recorded in its marker meta)
@@ -804,24 +889,44 @@ def compact_table(
     meta = {k: v for k, v in (old_meta or {}).items() if k != "batches"}
     _snapshot_generation(dst, "compact")
 
+    def _spark_write_sorted(df, sort_cols, drop_col=None) -> "callable":
+        def _w(tmp: str) -> None:
+            out = df.repartitionByRange(
+                n_parts, *[F.col(c) for c in sort_cols]
+            ).sortWithinPartitions(*sort_cols)
+            if drop_col:
+                out = out.drop(drop_col)
+            out.write.mode("overwrite").parquet(tmp)
+            for extra in os.listdir(tmp):
+                # drop Spark's empty _SUCCESS (+ checksum sidecars): the
+                # fingerprint marker is stamped by _publish_dir
+                if extra == "_SUCCESS" or extra.endswith(".crc"):
+                    os.remove(os.path.join(tmp, extra))
+
+        return _w
+
     def _write(tmp: str) -> None:
         if distributed:
             # the sort-rewrite as a Spark job: range-partition on the
             # cluster key (range-disjoint output files), sort within each
             # partition, write one file per partition — value-identical to
             # the local kernel as a multiset, same clustering property
-            (
-                spark.read.parquet(dst)
-                .repartitionByRange(n_parts, F.col(key))
-                .sortWithinPartitions(key)
-                .write.mode("overwrite")
-                .parquet(tmp)
+            _spark_write_sorted(spark.read.parquet(dst), [key])(tmp)
+            return
+        if dist_z:
+            # distributed ZORDER: sampled per-column quantile boundaries
+            # (driver reads ONLY the z columns' first row group per file —
+            # boundary quality is an index-quality knob, never correctness:
+            # values are untouched either way), one mapInArrow pass appends
+            # the bit-interleaved z-code, then the same range-partitioned
+            # sorted write as the key path, dropping the code column. This
+            # is the quantile-bucket interleave job lakehouse OPTIMIZE
+            # ZORDER runs at scale.
+            bounds = _zorder_sample_boundaries(
+                dst, parts, zorder, bits=min(16, 64 // len(zorder))
             )
-            for extra in os.listdir(tmp):
-                # drop Spark's empty _SUCCESS (+ checksum sidecars): the
-                # fingerprint marker is stamped by _publish_dir
-                if extra == "_SUCCESS" or extra.endswith(".crc"):
-                    os.remove(os.path.join(tmp, extra))
+            zdf = _with_zcode(spark.read.parquet(dst), zorder, bounds)
+            _spark_write_sorted(zdf, ["__lj_z"], drop_col="__lj_z")(tmp)
             return
         wrote = 0
         for i in range(n_parts):

@@ -281,3 +281,59 @@ def test_distributed_merge_into_upserts(
         pc.add(base["o_totalprice"], 42.0).to_pylist(),
     ):
         assert got[k] == pytest.approx(v)
+
+
+def test_distributed_zorder_compact(
+    spark, tmp_path, monkeypatch, restore_catalog
+):
+    """Distributed ZORDER (sampled quantile boundaries -> mapInArrow Morton
+    code -> range-partitioned sorted write): values untouched, projections
+    restamp, and per-file min/max stats prune on the SECOND z dimension —
+    the same contract the local kernel's test pins."""
+    import pyarrow.compute as pc2
+
+    sf = tmp_path / "sfzd"
+    sf.mkdir()
+    for t in ("lineitem", "orders", "customer", "supplier", "nation", "region"):
+        shutil.copy(f"{SRC}/{t}.parquet", str(sf / f"{t}.parquet"))
+    monkeypatch.setattr(sess, "INGEST_ROOT", str(tmp_path / "ingest"))
+    out = sess.ingest_tables(spark, str(sf), parts=4, min_rows_to_split=1000)
+    dst = os.path.join(out, "lineitem.parquet")
+
+    li = pq.read_table(f"{SRC}/lineitem.parquet")
+    pk = sorted(li.column("l_partkey").to_pylist())[len(li) // 20]
+
+    def files_admitting(col, value):
+        n = 0
+        for p in sorted(glob.glob(os.path.join(dst, "*.parquet"))):
+            c = pq.read_table(p, columns=[col]).column(col)
+            if pc2.min(c).as_py() <= value <= pc2.max(c).as_py():
+                n += 1
+        return n
+
+    pre_rows = sorted(map(tuple, spark.read.parquet(dst).collect()))
+    n_before = len(glob.glob(os.path.join(dst, "*.parquet")))
+    assert files_admitting("l_partkey", pk) == n_before, (
+        "fixture: plain time clustering must not prune on partkey"
+    )
+    kd_marker = os.path.join(out, "lineitem.keydict.parquet", "_SUCCESS")
+    monkeypatch.setenv("SPARK_GRAFT_DML_DISTRIBUTED", "1")
+    try:
+        st = sess.compact_table(
+            spark, str(sf), "lineitem", zorder=["l_shipdate", "l_partkey"]
+        )
+    finally:
+        monkeypatch.delenv("SPARK_GRAFT_DML_DISTRIBUTED", raising=False)
+    assert st["rows"] == li.num_rows
+    assert files_admitting("l_partkey", pk) < n_before, (
+        "distributed z-order must prune on the second dimension"
+    )
+    post_rows = sorted(map(tuple, spark.read.parquet(dst).collect()))
+    assert post_rows == pre_rows, "z-order compact must not change values"
+    # the __lj_z scratch column must never reach the published files
+    for p in glob.glob(os.path.join(dst, "*.parquet")):
+        assert "__lj_z" not in pq.read_schema(p).names
+    fp, _m = sess._read_marker(os.path.join(dst, "_SUCCESS"))
+    assert "~cmp" in fp
+    kd_fp, _km = sess._read_marker(kd_marker)
+    assert kd_fp == fp, "keydict must restamp onto the compacted chain"
