@@ -473,11 +473,21 @@ def _cms_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .collect()
     )
+    # totalCount() is the sketch's own N (items added) — the eps*N bound's
+    # N for free, instead of a third full scan of the fact table
+    n_total = int(cms.totalCount())
     rows = [
-        (int(r["l_suppkey"]), int(cms.estimateCount(int(r["l_suppkey"]))), int(r["exact"]))
+        (
+            int(r["l_suppkey"]),
+            int(cms.estimateCount(int(r["l_suppkey"]))),
+            int(r["exact"]),
+            n_total,
+        )
         for r in top
     ]
-    return spark.createDataFrame(rows, "l_suppkey long, est bigint, exact bigint")
+    return spark.createDataFrame(
+        rows, "l_suppkey long, est bigint, exact bigint, n_total bigint"
+    )
 
 
 @register(
@@ -497,10 +507,9 @@ LIMIT 10
     doc="count-min sketch heavy hitters: exact top-10 + CMS eps-bound flag",
 )
 def count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")["lineitem"]
-    n = li.count()
     raw = _cms_raw(spark, sf_dir)
     ok = (F.col("est") >= F.col("exact")) & (
-        F.col("est") <= F.col("exact") + F.lit(0.001) * F.lit(float(n))
+        F.col("est")
+        <= F.col("exact") + F.lit(0.001) * F.col("n_total").cast("double")
     )
     return raw.select("l_suppkey", "exact", ok.alias("bound_ok"))

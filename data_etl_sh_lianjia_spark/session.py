@@ -682,33 +682,46 @@ def _zorder_sort_indices(table, cols):
     return np.argsort(z, kind="stable")
 
 
+def _z_bits(n_cols: int) -> int:
+    """Per-column code width for the DISTRIBUTED z-order interleave: the
+    top interleave bit position, (bits-1)*n + (n-1), must stay BELOW 63 —
+    the code rides a Spark LongType column, and a code using bit 63 would
+    flip sign under int64 and rotate the range-partition order at 2^63
+    (the local uint64 kernel is immune; this cap only governs the
+    distributed path). 63//n keeps 16 bits through 3 columns, 15 at 4."""
+    return min(16, 63 // n_cols)
+
+
 def _zorder_sample_boundaries(
     dst: str, parts: list[str], cols: list[str], bits: int
 ) -> dict:
     """Per-column quantile cut points (2^bits - 1 values) for the
     DISTRIBUTED z-order code, from a per-file row-group-0 sample of only
-    the z columns. Boundary quality is an index-quality knob — coarser
-    boundaries mean looser clustering, never wrong values — so a sample
-    suffices; at the test scales every file is a single row group and the
-    sample IS the full column."""
+    the z columns (one row-group read per file covers every column).
+    Boundary quality is an index-quality knob — coarser boundaries mean
+    looser clustering, never wrong values — so a sample suffices; at the
+    test scales every file is a single row group and the sample IS the
+    full column."""
     import numpy as np
     import pyarrow.parquet as pq
 
+    chunks: dict[str, list] = {c: [] for c in cols}
+    for f in parts:
+        pf = pq.ParquetFile(os.path.join(dst, f))
+        if not pf.metadata.num_row_groups:
+            continue
+        rg = pf.read_row_group(0, columns=list(cols))
+        for c in cols:
+            arr = rg.column(c).combine_chunks().drop_null()
+            if len(arr):
+                chunks[c].append(arr.to_numpy(zero_copy_only=False))
     out = {}
     n_cuts = (1 << bits) - 1
     for c in cols:
-        chunks = []
-        for f in parts:
-            pf = pq.ParquetFile(os.path.join(dst, f))
-            if pf.metadata.num_row_groups:
-                arr = pf.read_row_group(0, columns=[c]).column(c)
-                arr = arr.combine_chunks().drop_null()
-                if len(arr):
-                    chunks.append(arr.to_numpy(zero_copy_only=False))
-        if not chunks:
+        if not chunks[c]:
             out[c] = np.array([])
             continue
-        v = np.concatenate(chunks)
+        v = np.concatenate(chunks[c])
         v.sort(kind="stable")
         idx = np.linspace(0, len(v) - 1, min(n_cuts, len(v))).astype(np.int64)
         out[c] = v[idx]
@@ -723,7 +736,7 @@ def _with_zcode(df: DataFrame, cols: list[str], bounds: dict) -> DataFrame:
     mapInArrow pass, no shuffle; the caller range-partitions on the code."""
     from pyspark.sql import types as T
 
-    bits = min(16, 64 // len(cols))
+    bits = _z_bits(len(cols))
     out_struct = T.StructType(
         list(df.schema.fields) + [T.StructField("__lj_z", T.LongType())]
     )
@@ -889,21 +902,18 @@ def compact_table(
     meta = {k: v for k, v in (old_meta or {}).items() if k != "batches"}
     _snapshot_generation(dst, "compact")
 
-    def _spark_write_sorted(df, sort_cols, drop_col=None) -> "callable":
-        def _w(tmp: str) -> None:
-            out = df.repartitionByRange(
-                n_parts, *[F.col(c) for c in sort_cols]
-            ).sortWithinPartitions(*sort_cols)
-            if drop_col:
-                out = out.drop(drop_col)
-            out.write.mode("overwrite").parquet(tmp)
-            for extra in os.listdir(tmp):
-                # drop Spark's empty _SUCCESS (+ checksum sidecars): the
-                # fingerprint marker is stamped by _publish_dir
-                if extra == "_SUCCESS" or extra.endswith(".crc"):
-                    os.remove(os.path.join(tmp, extra))
-
-        return _w
+    def _spark_write_sorted(df, sort_cols, tmp, drop_col=None) -> None:
+        out = df.repartitionByRange(
+            n_parts, *[F.col(c) for c in sort_cols]
+        ).sortWithinPartitions(*sort_cols)
+        if drop_col:
+            out = out.drop(drop_col)
+        out.write.mode("overwrite").parquet(tmp)
+        for extra in os.listdir(tmp):
+            # drop Spark's empty _SUCCESS (+ checksum sidecars): the
+            # fingerprint marker is stamped by _publish_dir
+            if extra == "_SUCCESS" or extra.endswith(".crc"):
+                os.remove(os.path.join(tmp, extra))
 
     def _write(tmp: str) -> None:
         if distributed:
@@ -911,7 +921,7 @@ def compact_table(
             # cluster key (range-disjoint output files), sort within each
             # partition, write one file per partition — value-identical to
             # the local kernel as a multiset, same clustering property
-            _spark_write_sorted(spark.read.parquet(dst), [key])(tmp)
+            _spark_write_sorted(spark.read.parquet(dst), [key], tmp)
             return
         if dist_z:
             # distributed ZORDER: sampled per-column quantile boundaries
@@ -923,10 +933,10 @@ def compact_table(
             # is the quantile-bucket interleave job lakehouse OPTIMIZE
             # ZORDER runs at scale.
             bounds = _zorder_sample_boundaries(
-                dst, parts, zorder, bits=min(16, 64 // len(zorder))
+                dst, parts, zorder, bits=_z_bits(len(zorder))
             )
             zdf = _with_zcode(spark.read.parquet(dst), zorder, bounds)
-            _spark_write_sorted(zdf, ["__lj_z"], drop_col="__lj_z")(tmp)
+            _spark_write_sorted(zdf, ["__lj_z"], tmp, drop_col="__lj_z")
             return
         wrote = 0
         for i in range(n_parts):
@@ -2130,7 +2140,7 @@ def _read_landed(src: str):
     type conflict between parts raises a clear error instead of guessing.
 
     Merge tombstones replay here (see :func:`merge_into`): each
-    ``merge-*.tombstones.json`` sidecar records the keys its merge batch
+    ``_merge-*.tombstones.json`` sidecar records the keys its merge batch
     REPLACED, and any full rebuild drops those keys from every part landed
     before that merge (by file mtime; the batch itself and later landings
     are untouched) — so a rebuild reproduces the upsert's net state instead
@@ -2161,23 +2171,33 @@ def _read_landed(src: str):
 
 
 def _load_merge_tombstones(src: str) -> list[dict]:
-    """Parsed ``merge-*.tombstones.json`` sidecars of a landed directory
+    """Parsed ``_merge-*.tombstones.json`` sidecars of a landed directory
     (empty list when none). Unreadable sidecars raise: silently skipping
     one would resurrect its merge's replaced rows on this rebuild."""
     import glob
     import json
 
     out = []
-    for tf in sorted(glob.glob(os.path.join(src, "merge-*.tombstones.json"))):
+    for tf in sorted(glob.glob(os.path.join(src, "_merge-*.tombstones.json"))):
         with open(tf) as fh:
             out.append(json.load(fh))
     return out
 
 
+def _tombstone_applies(tb: dict, base: str, path: str) -> bool:
+    """Whether a tombstone's delete covers the landed part ``base``: by the
+    at-merge NAME manifest (robust to copies/restores that refresh mtimes),
+    falling back to the mtime rule for pre-manifest sidecars."""
+    files = tb.get("files")
+    if files is not None:
+        return base in files
+    return base != tb["batch"] and os.stat(path).st_mtime_ns < tb["t_ns"]
+
+
 def _replay_tombstones(table, path: str, tombs: list[dict]):
     """Drop from one landed part every key a LATER merge replaced: a
-    tombstone applies to parts landed strictly before its merge (file
-    mtime < recorded merge time), never to the merge's own batch file or
+    tombstone applies to exactly the parts that existed at its merge time
+    (its recorded name manifest), never to the merge's own batch file or
     to parts landed after it."""
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -2185,9 +2205,8 @@ def _replay_tombstones(table, path: str, tombs: list[dict]):
     if not tombs:
         return table
     base = os.path.basename(path)
-    mtime = os.stat(path).st_mtime_ns
     for tb in tombs:
-        if base == tb["batch"] or mtime >= tb["t_ns"]:
+        if not _tombstone_applies(tb, base, path):
             continue
         col = tb["key"]
         if col not in table.column_names or not table.num_rows:
@@ -2196,6 +2215,36 @@ def _replay_tombstones(table, path: str, tombs: list[dict]):
         hit = pc.fill_null(pc.is_in(table.column(col), value_set=vals), False)
         table = table.filter(pc.invert(hit))
     return table
+
+
+def _replay_tombstones_spark(src: str, df: DataFrame) -> DataFrame:
+    """Merge-tombstone replay for the DISTRIBUTED full-rebuild branch (a
+    landed source >= LOCAL_INGEST_MAX_BYTES is read via spark.read, not
+    _read_landed): per-row provenance comes from input_file_name(), and
+    each tombstone drops its replaced keys from exactly the parts in its
+    at-merge manifest. No-op without sidecars."""
+    tombs = _load_merge_tombstones(src) if os.path.isdir(src) else []
+    if not tombs:
+        return df
+    out = df.withColumn(
+        "__lj_file", F.element_at(F.split(F.input_file_name(), "/"), -1)
+    )
+    for tb in tombs:
+        if tb["key"] not in df.columns:
+            continue
+        files = tb.get("files")
+        if files is None:  # pre-manifest sidecar: derive from mtimes
+            files = [
+                f
+                for f in os.listdir(src)
+                if f.endswith(".parquet")
+                and _tombstone_applies(tb, f, os.path.join(src, f))
+            ]
+        hit = F.col("__lj_file").isin(list(files)) & F.coalesce(
+            F.col(tb["key"]).isin(tb["values"]), F.lit(False)
+        )
+        out = out.filter(~hit)
+    return out.drop("__lj_file")
 
 
 def _ingest_local(
@@ -3641,17 +3690,31 @@ def merge_into(
         import json
         import time
 
+        batch_name = f"merge-{tag}.parquet"
         tomb = {
             "key": key,
-            "batch": f"merge-{tag}.parquet",
+            "batch": batch_name,
+            # Applicability is by NAME manifest, not mtime: the tombstone
+            # applies to exactly the parts that existed at merge time (the
+            # rows delete_where removed), so a copied/restored landing
+            # (fresh mtimes) still replays correctly and later landings
+            # are never touched. t_ns kept for forensics only.
+            "files": sorted(
+                f
+                for f in os.listdir(src)
+                if f.endswith(".parquet") and f != batch_name
+            ),
             "t_ns": time.time_ns(),
             "values": key_vals,
         }
-        tmp_tomb = os.path.join(src, f".merge-{tag}.tombstones.tmp")
+        # underscore prefix: Spark's file index and pyarrow's dataset
+        # discovery both skip '_'-prefixed files, so the sidecar never
+        # reads as a data file on any directory-scan path
+        tmp_tomb = os.path.join(src, f"._merge-{tag}.tombstones.tmp")
         with open(tmp_tomb, "w") as fh:
             json.dump(tomb, fh)
         os.replace(
-            tmp_tomb, os.path.join(src, f"merge-{tag}.tombstones.json")
+            tmp_tomb, os.path.join(src, f"_merge-{tag}.tombstones.json")
         )
     # re-ingest under the recorded layout: the append-only delta path
     # lands the batch and positive-merges every projection
@@ -3987,6 +4050,10 @@ def ingest_tables(
                     # instead of silently dropping the new columns
                     else spark.read.option("mergeSchema", "true").parquet(src)
                 )
+                # merge-tombstone replay, same contract as _read_landed's
+                # on the local branch: a full rebuild must not resurrect
+                # merge-replaced rows next to their batch versions
+                df = _replay_tombstones_spark(src, df)
                 if key:
                     n_parts = parts or max(2, cpus // 2)
                     df = df.repartitionByRange(n_parts, key)

@@ -980,7 +980,7 @@ def test_merge_tombstones_survive_full_rebuild(
 
     sess.merge_into(spark, str(sf), "orders", _priced(10.0), "o_orderkey")
     sess.merge_into(spark, str(sf), "orders", _priced(20.0), "o_orderkey")
-    sidecars = glob.glob(str(sf / "orders.parquet" / "merge-*.tombstones.json"))
+    sidecars = glob.glob(str(sf / "orders.parquet" / "_merge-*.tombstones.json"))
     assert len(sidecars) == 2, "each merge persists its replaced-key sidecar"
 
     # lose the managed marker -> next ingest cannot prove freshness and
@@ -1049,5 +1049,98 @@ def test_merge_tombstones_survive_schema_evolving_append(
     for k, v in zip(
         base.column("o_orderkey").to_pylist(),
         pc.add(base["o_totalprice"], 55.0).to_pylist(),
+    ):
+        assert got[k] == pytest.approx(v)
+
+
+def test_merge_tombstones_replay_on_spark_ingest_branch(
+    spark, tmp_path, monkeypatch, restore_catalog
+):
+    """Sources >= LOCAL_INGEST_MAX_BYTES rebuild through spark.read, not
+    _read_landed — the tombstone replay must hold there too (and the
+    '_'-prefixed sidecar must not read as a data file in the directory
+    scan). Forced by dropping the threshold to 0."""
+    sf = tmp_path / "sftombspark"
+    (sf / "orders.parquet").mkdir(parents=True)
+    orders = pq.read_table(f"{SRC}/orders.parquet")
+    pq.write_table(orders, str(sf / "orders.parquet" / "part-00000.parquet"))
+    monkeypatch.setattr(sess, "INGEST_ROOT", str(tmp_path / "ingest"))
+    monkeypatch.setattr(sess, "LOCAL_INGEST_MAX_BYTES", 0)
+    out = sess.ingest_tables(spark, str(sf))
+
+    hit = sorted(set(orders.column("o_orderkey").to_pylist()))[:3]
+    base = orders.filter(pc.field("o_orderkey").isin(hit))
+    batch = base.set_column(
+        base.schema.get_field_index("o_totalprice"),
+        base.schema.field("o_totalprice"),
+        pc.add(base["o_totalprice"], 31.0).combine_chunks(),
+    )
+    sess.merge_into(spark, str(sf), "orders", batch, "o_orderkey")
+    assert glob.glob(str(sf / "orders.parquet" / "_merge-*.tombstones.json"))
+
+    os.remove(os.path.join(out, "orders.parquet", "_SUCCESS"))
+    spark._lianjia_table_cache = {}
+    sess.ingest_tables(spark, str(sf))  # full rebuild on the spark branch
+
+    post = spark.read.parquet(os.path.join(out, "orders.parquet"))
+    assert post.count() == orders.num_rows, (
+        "spark-branch rebuild resurrected merge-replaced rows"
+    )
+    got = {
+        r["o_orderkey"]: r["o_totalprice"]
+        for r in post.filter(post.o_orderkey.isin([int(k) for k in hit])).collect()
+    }
+    assert len(got) == len(hit)
+    for k, v in zip(
+        base.column("o_orderkey").to_pylist(),
+        pc.add(base["o_totalprice"], 31.0).to_pylist(),
+    ):
+        assert got[k] == pytest.approx(v)
+
+
+def test_merge_tombstones_survive_copied_landing(
+    spark, tmp_path, monkeypatch, restore_catalog
+):
+    """Applicability is by the at-merge NAME manifest, not mtimes: a landed
+    directory copied without mtime preservation (cp/rsync/image unpack)
+    must still replay its tombstones when the copy is ingested fresh."""
+    src_sf = tmp_path / "sftombsrc"
+    (src_sf / "orders.parquet").mkdir(parents=True)
+    orders = pq.read_table(f"{SRC}/orders.parquet")
+    pq.write_table(
+        orders, str(src_sf / "orders.parquet" / "part-00000.parquet")
+    )
+    monkeypatch.setattr(sess, "INGEST_ROOT", str(tmp_path / "ingest"))
+    sess.ingest_tables(spark, str(src_sf))
+
+    hit = sorted(set(orders.column("o_orderkey").to_pylist()))[:3]
+    base = orders.filter(pc.field("o_orderkey").isin(hit))
+    batch = base.set_column(
+        base.schema.get_field_index("o_totalprice"),
+        base.schema.field("o_totalprice"),
+        pc.add(base["o_totalprice"], 77.0).combine_chunks(),
+    )
+    sess.merge_into(spark, str(src_sf), "orders", batch, "o_orderkey")
+
+    # plain shutil.copy: content identical, ALL mtimes refreshed to now
+    dst_sf = tmp_path / "sftombcopy"
+    (dst_sf / "orders.parquet").mkdir(parents=True)
+    for f in os.listdir(src_sf / "orders.parquet"):
+        shutil.copy(
+            str(src_sf / "orders.parquet" / f),
+            str(dst_sf / "orders.parquet" / f),
+        )
+    out2 = sess.ingest_tables(spark, str(dst_sf))
+    post = spark.read.parquet(os.path.join(out2, "orders.parquet"))
+    assert post.count() == orders.num_rows, (
+        "copied landing (fresh mtimes) resurrected merge-replaced rows"
+    )
+    got = {
+        r["o_orderkey"]: r["o_totalprice"]
+        for r in post.filter(post.o_orderkey.isin([int(k) for k in hit])).collect()
+    }
+    for k, v in zip(
+        base.column("o_orderkey").to_pylist(),
+        pc.add(base["o_totalprice"], 77.0).to_pylist(),
     ):
         assert got[k] == pytest.approx(v)
