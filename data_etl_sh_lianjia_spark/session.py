@@ -2776,6 +2776,31 @@ def _split_files_via_spark(
     if not files:
         return []
     ensure_package_shipped(spark)
+    # Assignment callables defined OUTSIDE this package (caller lambdas are
+    # fine — cloudpickle serializes those by value — but a module-level
+    # function from the caller's module pickles by REFERENCE and the
+    # worker can't import that module): register their defining modules
+    # for by-value pickling around the dispatch.
+    foreign_mods = []
+    if assignments:
+        import inspect
+
+        # MUST be pyspark's vendored cloudpickle: the RDD command is
+        # serialized by pyspark.serializers' instance, and registering
+        # by-value on the standalone cloudpickle module has no effect on it
+        from pyspark import cloudpickle
+
+        for v in assignments.values():
+            m = inspect.getmodule(v) if callable(v) else None
+            if (
+                m is not None
+                and m.__name__ != "builtins"
+                and not m.__name__.startswith("data_etl_sh_lianjia_spark")
+                and m not in foreign_mods
+            ):
+                foreign_mods.append(m)
+        for m in foreign_mods:
+            cloudpickle.register_pickle_by_value(m)
 
     def work(f: str) -> tuple[str, int, int]:
         import os as _os
@@ -2803,9 +2828,18 @@ def _split_files_via_spark(
         )
         return (f, matched.num_rows, rest.num_rows + updated.num_rows)
 
-    return (
-        spark.sparkContext.parallelize(files, len(files)).map(work).collect()
-    )
+    try:
+        return (
+            spark.sparkContext.parallelize(files, len(files))
+            .map(work)
+            .collect()
+        )
+    finally:
+        if foreign_mods:
+            from pyspark import cloudpickle
+
+            for m in foreign_mods:
+                cloudpickle.unregister_pickle_by_value(m)
 
 
 def _mutation_target(
@@ -3330,6 +3364,13 @@ def update_where(
     old_fp, old_meta = _read_marker(table_marker)
 
     parts = sorted(f for f in os.listdir(dst) if f.endswith(".parquet"))
+    # validate the SET clause on the DRIVER before dispatching any work:
+    # an unknown column must raise a clear ValueError here, never a
+    # Py4J-wrapped executor traceback from a distributed-mode task
+    known = set(pq.read_schema(os.path.join(dst, parts[0])).names)
+    for col in assignments:
+        if col not in known:
+            raise ValueError(f"UPDATE of unknown column {col!r}")
     hold_old = dst + f".updold-{os.getpid()}-{uuid.uuid4().hex[:8]}"
     hold_new = dst + f".updnew-{os.getpid()}-{uuid.uuid4().hex[:8]}"
     os.makedirs(hold_old)

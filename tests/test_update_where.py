@@ -917,7 +917,14 @@ def test_point_predicate_prunes_main_file_decodes_via_bucketed_copy(
     bucketed copy first: main files whose cluster range excludes every
     matched row are never opened (split runs only on candidates), the
     mutation stays exact, and a multi-column predicate bypasses the fast
-    path entirely."""
+    path entirely.
+
+    Pinned to the LOCAL split regime: the observation hook (a driver-side
+    monkeypatch of _split_file_by_predicate) cannot see executor-side
+    calls. The candidate SELECTION under test (_point_prune_candidates)
+    runs on the driver identically in both regimes, and distributed-mode
+    value parity is pinned by tests/test_dml_distributed.py."""
+    monkeypatch.setenv("SPARK_GRAFT_DML_DISTRIBUTED", "0")
     sf = _mk_sf(tmp_path, monkeypatch, tables=("lineitem",))
     out = sess.ingest_tables(spark, sf, parts=4, min_rows_to_split=1000)
     li = pq.read_table(f"{SRC}/lineitem.parquet")
