@@ -2141,10 +2141,13 @@ def _read_landed(src: str):
 
     Merge tombstones replay here (see :func:`merge_into`): each
     ``_merge-*.tombstones.json`` sidecar records the keys its merge batch
-    REPLACED, and any full rebuild drops those keys from every part landed
-    before that merge (by file mtime; the batch itself and later landings
-    are untouched) — so a rebuild reproduces the upsert's net state instead
-    of resurrecting replaced rows next to their batch versions."""
+    REPLACED plus the {name: size} manifest of the parts that existed at
+    merge time, and any full rebuild drops those keys from exactly the
+    manifest's still-byte-identical parts (the batch itself, later
+    landings, and parts rewritten in place since the merge are untouched —
+    see _tombstone_applies) — so a rebuild reproduces the upsert's net
+    state instead of resurrecting replaced rows next to their batch
+    versions."""
     import glob
 
     import pyarrow as pa
@@ -2171,25 +2174,45 @@ def _read_landed(src: str):
 
 
 def _load_merge_tombstones(src: str) -> list[dict]:
-    """Parsed ``_merge-*.tombstones.json`` sidecars of a landed directory
-    (empty list when none). Unreadable sidecars raise: silently skipping
-    one would resurrect its merge's replaced rows on this rebuild."""
+    """Parsed merge-tombstone sidecars of a landed directory (empty list
+    when none) — the ``_merge-*`` name plus the short-lived un-prefixed
+    ``merge-*`` spelling, so a landing that carries old-format sidecars
+    still replays them. Unreadable sidecars raise: silently skipping one
+    would resurrect its merge's replaced rows on this rebuild."""
     import glob
     import json
 
     out = []
-    for tf in sorted(glob.glob(os.path.join(src, "_merge-*.tombstones.json"))):
+    found = sorted(
+        glob.glob(os.path.join(src, "_merge-*.tombstones.json"))
+    ) + sorted(glob.glob(os.path.join(src, "merge-*.tombstones.json")))
+    for tf in found:
         with open(tf) as fh:
             out.append(json.load(fh))
     return out
 
 
 def _tombstone_applies(tb: dict, base: str, path: str) -> bool:
-    """Whether a tombstone's delete covers the landed part ``base``: by the
-    at-merge NAME manifest (robust to copies/restores that refresh mtimes),
-    falling back to the mtime rule for pre-manifest sidecars."""
+    """Whether a tombstone's delete covers the landed part ``base``.
+
+    Primary rule: the at-merge {name: size} manifest — the part existed at
+    merge time AND is still byte-size-identical. Robust on both sides: a
+    copied/restored landing (fresh mtimes, same bytes) still replays, while
+    a part REWRITTEN in place since the merge (new size) counts as a fresh
+    landing whose rows the old delete never covered ('a source rewrite
+    resets the chain'; a same-size in-place rewrite is the one undetectable
+    case, documented here). Fallbacks for older sidecars: name-only list
+    manifests, then the original mtime rule."""
     files = tb.get("files")
-    if files is not None:
+    if isinstance(files, dict):
+        rec = files.get(base)
+        if rec is None:
+            return False
+        try:
+            return os.path.getsize(path) == rec
+        except OSError:
+            return False
+    if files is not None:  # legacy list manifest: name-only
         return base in files
     return base != tb["batch"] and os.stat(path).st_mtime_ns < tb["t_ns"]
 
@@ -2226,21 +2249,19 @@ def _replay_tombstones_spark(src: str, df: DataFrame) -> DataFrame:
     tombs = _load_merge_tombstones(src) if os.path.isdir(src) else []
     if not tombs:
         return df
+    parts = [f for f in os.listdir(src) if f.endswith(".parquet")]
     out = df.withColumn(
         "__lj_file", F.element_at(F.split(F.input_file_name(), "/"), -1)
     )
     for tb in tombs:
         if tb["key"] not in df.columns:
             continue
-        files = tb.get("files")
-        if files is None:  # pre-manifest sidecar: derive from mtimes
-            files = [
-                f
-                for f in os.listdir(src)
-                if f.endswith(".parquet")
-                and _tombstone_applies(tb, f, os.path.join(src, f))
-            ]
-        hit = F.col("__lj_file").isin(list(files)) & F.coalesce(
+        files = [
+            f for f in parts if _tombstone_applies(tb, f, os.path.join(src, f))
+        ]
+        if not files:
+            continue
+        hit = F.col("__lj_file").isin(files) & F.coalesce(
             F.col(tb["key"]).isin(tb["values"]), F.lit(False)
         )
         out = out.filter(~hit)
@@ -2828,6 +2849,19 @@ def _split_files_via_spark(
         )
         return (f, matched.num_rows, rest.num_rows + updated.num_rows)
 
+    if foreign_mods:
+        # Best-effort: by-value capture can fail on modules whose globals
+        # don't pickle (loggers with locks, open handles). Probe once and
+        # fall back to by-reference — the pre-registration behavior, which
+        # works whenever the module IS importable on the workers.
+        from pyspark import cloudpickle
+
+        try:
+            cloudpickle.dumps(work)
+        except Exception:
+            for m in foreign_mods:
+                cloudpickle.unregister_pickle_by_value(m)
+            foreign_mods = []
     try:
         return (
             spark.sparkContext.parallelize(files, len(files))
@@ -3735,16 +3769,19 @@ def merge_into(
         tomb = {
             "key": key,
             "batch": batch_name,
-            # Applicability is by NAME manifest, not mtime: the tombstone
-            # applies to exactly the parts that existed at merge time (the
-            # rows delete_where removed), so a copied/restored landing
-            # (fresh mtimes) still replays correctly and later landings
-            # are never touched. t_ns kept for forensics only.
-            "files": sorted(
-                f
-                for f in os.listdir(src)
+            # Applicability is the at-merge {name: size} manifest, not
+            # mtime: the tombstone applies to exactly the parts that
+            # existed at merge time (the rows delete_where removed) and
+            # are still byte-size-identical — a copied/restored landing
+            # (fresh mtimes) still replays correctly, later landings are
+            # never touched, and an in-place part REWRITE since the merge
+            # (new size) exempts that part as a fresh landing. t_ns kept
+            # for forensics only (see _tombstone_applies).
+            "files": {
+                f: os.path.getsize(os.path.join(src, f))
+                for f in sorted(os.listdir(src))
                 if f.endswith(".parquet") and f != batch_name
-            ),
+            },
             "t_ns": time.time_ns(),
             "values": key_vals,
         }

@@ -1151,3 +1151,55 @@ def test_merge_tombstones_survive_copied_landing(
         pc.add(base["o_totalprice"], 77.0).to_pylist(),
     ):
         assert got[k] == pytest.approx(v)
+
+
+def test_merge_tombstones_exempt_rewritten_parts(
+    spark, tmp_path, monkeypatch, restore_catalog
+):
+    """A source part REWRITTEN in place after a merge is a fresh landing
+    ('a source rewrite resets the chain'): its rows were never covered by
+    the earlier delete, so the rebuild must keep a re-landed row even when
+    its key appears in an older tombstone — the size manifest exempts the
+    rewritten part instead of silently dropping the user's new data."""
+    sf = tmp_path / "sftombrw"
+    (sf / "orders.parquet").mkdir(parents=True)
+    orders = pq.read_table(f"{SRC}/orders.parquet")
+    pq.write_table(orders, str(sf / "orders.parquet" / "part-00000.parquet"))
+    monkeypatch.setattr(sess, "INGEST_ROOT", str(tmp_path / "ingest"))
+    out = sess.ingest_tables(spark, str(sf))
+
+    hit = sorted(set(orders.column("o_orderkey").to_pylist()))[:2]
+    base = orders.filter(pc.field("o_orderkey").isin(hit))
+    batch = base.set_column(
+        base.schema.get_field_index("o_totalprice"),
+        base.schema.field("o_totalprice"),
+        pc.add(base["o_totalprice"], 11.0).combine_chunks(),
+    )
+    sess.merge_into(spark, str(sf), "orders", batch, "o_orderkey")
+
+    # rewrite the ORIGINAL part in place: keep only rows with the merged
+    # keys, re-priced — deliberately re-introducing tombstoned keys with a
+    # different byte size (the detectable-rewrite case)
+    relanded = base.set_column(
+        base.schema.get_field_index("o_totalprice"),
+        base.schema.field("o_totalprice"),
+        pc.add(base["o_totalprice"], 999.0).combine_chunks(),
+    )
+    pq.write_table(relanded, str(sf / "orders.parquet" / "part-00000.parquet"))
+    spark._lianjia_table_cache = {}
+    sess.ingest_tables(spark, str(sf))  # source rewrite -> full rebuild
+
+    post = spark.read.parquet(os.path.join(out, "orders.parquet"))
+    # re-landed rows (999) must survive; batch rows (11) also remain
+    # landed — the rewrite made the key a duplicate, which is the source
+    # owner's call, never silent data loss
+    prices = sorted(
+        r["o_totalprice"]
+        for r in post.filter(post.o_orderkey == int(hit[0])).collect()
+    )
+    want_batch = base.filter(pc.field("o_orderkey") == hit[0])
+    b_price = want_batch.column("o_totalprice").to_pylist()[0]
+    want = sorted([b_price + 11.0, b_price + 999.0])
+    assert prices == pytest.approx(want), (
+        "rewritten part's rows must not be tombstone-dropped"
+    )
