@@ -859,10 +859,18 @@ def compact_table(
                 "range clustering — omit zorder)"
             )
     roundtrips = _spark_roundtrips(first_schema) and num_rows > 0
-    distributed = (
-        _dml_distributed() and not zorder and key is not None and roundtrips
+    # compaction rewrites the WHOLE table: the auto regime keys off total
+    # table bytes (the same quantity the ingest's local/Spark split uses)
+    tbl_bytes = sum(
+        os.path.getsize(os.path.join(dst, f)) for f in parts
     )
-    dist_z = bool(_dml_distributed() and zorder and roundtrips)
+    distributed = (
+        _dml_distributed(tbl_bytes)
+        and not zorder
+        and key is not None
+        and roundtrips
+    )
+    dist_z = bool(_dml_distributed(tbl_bytes) and zorder and roundtrips)
     table = None
     if not (distributed or dist_z):
         table = pa.concat_tables(
@@ -2759,18 +2767,32 @@ def _split_file_by_predicate(path: str, predicate):
     return tbl.filter(pa.array(mask)), tbl.filter(pa.array(~mask))
 
 
-def _dml_distributed() -> bool:
-    """Distributed-DML mode (``SPARK_GRAFT_DML_DISTRIBUTED=1``): route the
-    per-file split/rewrite work of delete_where / update_where and
-    compact_table's sort-rewrite through SPARK TASKS instead of driver
-    threads + driver-side pyarrow. The per-file CONTRACT is identical in
-    both regimes (stats-pruned match check, matched/survivor partition,
-    same staged file names) — only where the work runs changes. This is
-    the 100 TB execution story: the local thread pool saturates one
-    machine, but the compaction sort and a wide predicate's file rewrites
-    must scale with the cluster, not the driver. Read per call so tests
-    can flip it per-case."""
-    return os.environ.get("SPARK_GRAFT_DML_DISTRIBUTED", "") == "1"
+def _dml_distributed(total_bytes: int | None = None) -> bool:
+    """Distributed-DML regime choice: route the per-file split/rewrite
+    work of delete_where / update_where and compact_table's sort-rewrite
+    through SPARK TASKS instead of driver threads + driver-side pyarrow.
+    The per-file CONTRACT is identical in both regimes (stats-pruned match
+    check, matched/survivor partition, same staged file names) — only
+    where the work runs changes. This is the 100 TB execution story: the
+    local thread pool saturates one machine, but the compaction sort and
+    a wide predicate's file rewrites must scale with the cluster, not the
+    driver.
+
+    ``SPARK_GRAFT_DML_DISTRIBUTED=1`` forces the Spark regime, ``=0``
+    forces local; UNSET is size-aware auto — distributed once the bytes
+    this mutation must actually process (candidate files for
+    delete/update, the whole table for compaction) reach
+    ``LOCAL_INGEST_MAX_BYTES``, the same threshold the ingest uses for
+    its own local/Spark split. Below it the driver kernels win on fixed
+    cost (no task dispatch, no sampling job); above it driver memory and
+    one machine's cores are the bottleneck. Read per call so tests can
+    flip it per-case."""
+    v = os.environ.get("SPARK_GRAFT_DML_DISTRIBUTED", "")
+    if v == "1":
+        return True
+    if v == "0":
+        return False
+    return total_bytes is not None and total_bytes >= LOCAL_INGEST_MAX_BYTES
 
 
 def _split_files_via_spark(
@@ -3081,13 +3103,17 @@ def delete_where(spark: SparkSession, sf_dir: str, name: str, predicate) -> int:
     to_split = (
         parts if candidates is None else [f for f in parts if f in candidates]
     )
-    # Per-file splits: SPARK TASKS in distributed-DML mode (one task per
-    # candidate file — the 100 TB regime, see _split_files_via_spark),
-    # else a driver thread pool (pyarrow's scan/filter kernels release the
-    # GIL, so the stats-pruned match checks and the affected-file rewrites
+    # Per-file splits: SPARK TASKS in the distributed regime (one task per
+    # candidate file — the 100 TB regime, see _split_files_via_spark; auto
+    # once the CANDIDATE bytes clear the local/Spark threshold), else a
+    # driver thread pool (pyarrow's scan/filter kernels release the GIL,
+    # so the stats-pruned match checks and the affected-file rewrites
     # overlap across files). Same per-file contract either way.
     stage = None
-    if _dml_distributed():
+    cand_bytes = sum(
+        os.path.getsize(os.path.join(dst, f)) for f in to_split
+    )
+    if _dml_distributed(cand_bytes):
         stage = dst + f".stage-{os.getpid()}-{uuid.uuid4().hex[:8]}"
         os.makedirs(stage)
         for f, n_matched, n_staged in _split_files_via_spark(
@@ -3419,7 +3445,10 @@ def update_where(
     rewritten: dict = {}
     n_updated = 0
     stage = None
-    if _dml_distributed():
+    cand_bytes = sum(
+        os.path.getsize(os.path.join(dst, f)) for f in to_split
+    )
+    if _dml_distributed(cand_bytes):
         # one Spark task per candidate file (see _split_files_via_spark):
         # tasks stage each rewritten file; the driver only links paths
         stage = dst + f".stage-{os.getpid()}-{uuid.uuid4().hex[:8]}"

@@ -337,3 +337,38 @@ def test_distributed_zorder_compact(
     assert "~cmp" in fp
     kd_fp, _km = sess._read_marker(kd_marker)
     assert kd_fp == fp, "keydict must restamp onto the compacted chain"
+
+
+def test_auto_regime_picks_spark_above_threshold(
+    spark, tmp_path, monkeypatch, restore_catalog
+):
+    """UNSET flag = size-aware auto: a mutation whose candidate bytes
+    clear LOCAL_INGEST_MAX_BYTES dispatches through Spark tasks, below it
+    the local thread pool runs — same values either way (pinned by the
+    cross-regime tests above); this pins the REGIME CHOICE itself."""
+    calls = []
+    real = sess._split_files_via_spark
+
+    def spy(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(sess, "_split_files_via_spark", spy)
+    monkeypatch.delenv("SPARK_GRAFT_DML_DISTRIBUTED", raising=False)
+
+    sf = _mk_sf(tmp_path, monkeypatch, "sfauto")
+    sess.ingest_tables(spark, sf)
+    # small data, default threshold: local kernel, no Spark dispatch
+    n = sess.delete_where(spark, sf, "lineitem", pc.field("l_suppkey") == 2)
+    assert n > 0 and not calls
+
+    # drop the threshold to 0: the same shape of mutation now dispatches
+    monkeypatch.setattr(sess, "LOCAL_INGEST_MAX_BYTES", 0)
+    n = sess.delete_where(spark, sf, "lineitem", pc.field("l_suppkey") == 3)
+    assert n > 0 and calls, "auto regime must pick Spark above threshold"
+
+    # explicit =0 forces local even above threshold
+    calls.clear()
+    monkeypatch.setenv("SPARK_GRAFT_DML_DISTRIBUTED", "0")
+    n = sess.delete_where(spark, sf, "lineitem", pc.field("l_suppkey") == 4)
+    assert n > 0 and not calls, "=0 must force the local kernel"
