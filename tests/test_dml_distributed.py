@@ -372,3 +372,61 @@ def test_auto_regime_picks_spark_above_threshold(
     monkeypatch.setenv("SPARK_GRAFT_DML_DISTRIBUTED", "0")
     n = sess.delete_where(spark, sf, "lineitem", pc.field("l_suppkey") == 4)
     assert n > 0 and not calls, "=0 must force the local kernel"
+
+
+def test_distributed_zorder_string_dimension(
+    spark, tmp_path, monkeypatch, restore_catalog
+):
+    """The distributed z-code must handle non-numeric z columns: object-
+    array searchsorted over string boundaries (documents.lang) interleaved
+    with a long column — values untouched, clustering gains on the string
+    dimension (a point lang admits fewer files than before)."""
+    sf = tmp_path / "sfzstr"
+    sf.mkdir()
+    shutil.copy(
+        "/root/testdata/sf0.01/documents.parquet", str(sf / "documents.parquet")
+    )
+    monkeypatch.setattr(sess, "INGEST_ROOT", str(tmp_path / "ingest"))
+    out = sess.ingest_tables(spark, str(sf), parts=4, min_rows_to_split=100)
+    dst = os.path.join(out, "documents.parquet")
+    pre_rows = sorted(
+        (r["doc_id"], r["lang"], r["n_chars"])
+        for r in spark.read.parquet(dst).select("doc_id", "lang", "n_chars").collect()
+    )
+    n_before = len([f for f in os.listdir(dst) if f.endswith(".parquet")])
+
+    def files_admitting(value):
+        import pyarrow.compute as pc2
+
+        n = 0
+        for f in sorted(os.listdir(dst)):
+            if not f.endswith(".parquet"):
+                continue
+            c = pq.read_table(os.path.join(dst, f), columns=["lang"]).column("lang")
+            if pc2.min(c).as_py() <= value <= pc2.max(c).as_py():
+                n += 1
+        return n
+
+    langs = sorted(
+        set(
+            pq.read_table(f"{sf}/documents.parquet", columns=["lang"])
+            .column("lang")
+            .to_pylist()
+        )
+    )
+    probe = langs[len(langs) // 2]
+    monkeypatch.setenv("SPARK_GRAFT_DML_DISTRIBUTED", "1")
+    try:
+        sess.compact_table(spark, str(sf), "documents", zorder=["lang", "n_chars"])
+    finally:
+        monkeypatch.delenv("SPARK_GRAFT_DML_DISTRIBUTED", raising=False)
+    post_rows = sorted(
+        (r["doc_id"], r["lang"], r["n_chars"])
+        for r in spark.read.parquet(dst).select("doc_id", "lang", "n_chars").collect()
+    )
+    assert post_rows == pre_rows, "values must be untouched"
+    n_after = len([f for f in os.listdir(dst) if f.endswith(".parquet")])
+    if n_after >= 2 and len(langs) >= n_after:
+        assert files_admitting(probe) < n_after, (
+            "string z dimension should gain min/max pruning"
+        )
