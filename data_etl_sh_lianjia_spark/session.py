@@ -607,10 +607,26 @@ def vacuum_table(
     """Drop a managed table's retained snapshots beyond the newest
     ``keep`` — the VACUUM analogue (hardlinked generations hold disk for
     every part file a mutation ever rewrote; vacuuming reclaims it at the
-    cost of restorability). Returns how many snapshots were removed."""
+    cost of restorability). Also sweeps ORPHANED mutation scratch dirs
+    (``.dropped-*`` / ``.updold-*`` / ``.updnew-*`` / ``.stage-*`` — the
+    uuid-suffixed hold/staging dirs a crash mid-mutation leaves behind;
+    successful mutations remove their own). ``.tmp-*`` / ``.old-*`` are
+    deliberately NOT swept: _publish_dir self-reclaims those pid-keyed
+    dirs and a concurrent publish may legitimately own one. Running
+    vacuum concurrently with a mutation on the same table is outside the
+    contract (same as every mutating op). Returns how many snapshots were
+    removed."""
     import shutil
 
-    _out_dir, dst = _mutation_target(spark, sf_dir, name)
+    out_dir, dst = _mutation_target(spark, sf_dir, name)
+    base = os.path.basename(dst)
+    for entry in os.scandir(out_dir):
+        tail = entry.name[len(base) :]
+        if entry.is_dir() and entry.name.startswith(base + ".") and any(
+            tail.startswith(p)
+            for p in (".dropped-", ".updold-", ".updnew-", ".stage-")
+        ):
+            shutil.rmtree(entry.path, ignore_errors=True)
     snaps = dst + ".snaps"
     if not os.path.isdir(snaps):
         return 0

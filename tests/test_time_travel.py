@@ -377,3 +377,28 @@ def test_table_changes_feed_between_versions(
     assert sorted(map(tuple, step1 + step2)) == sorted(map(tuple, feed))
     # and the delete-only step carries no inserts
     assert all(r["_change_type"] == "delete" for r in step1)
+
+
+def test_vacuum_sweeps_orphaned_mutation_scratch_dirs(
+    spark, tmp_path, monkeypatch, restore_catalog
+):
+    """A crash mid-mutation leaves uuid-suffixed hold/stage dirs next to
+    the managed table; vacuum reclaims them. pid-keyed _publish_dir dirs
+    (.tmp-*/.old-*) are NOT swept — a concurrent publish may own one."""
+    sf = _mk_sf(tmp_path, monkeypatch, tables=("orders",))
+    out = sess.ingest_tables(spark, sf)
+    dst = os.path.join(out, "orders.parquet")
+    orphans = [
+        dst + ".dropped-123-deadbeef",
+        dst + ".updold-123-deadbeef",
+        dst + ".updnew-123-deadbeef",
+        dst + ".stage-123-deadbeef",
+    ]
+    keep_tmp = dst + ".tmp-99999"
+    for d in orphans + [keep_tmp]:
+        os.makedirs(d)
+    sess.vacuum_table(spark, sf, "orders")
+    for d in orphans:
+        assert not os.path.exists(d), f"orphan not swept: {d}"
+    assert os.path.exists(keep_tmp), ".tmp-* must survive (publisher-owned)"
+    os.rmdir(keep_tmp)
