@@ -2675,12 +2675,42 @@ def _ingest_local_delete(
     if kd_cols:
         import glob
 
-        batch = pa.concat_tables(
-            pq.read_table(p)
-            for p in sorted(glob.glob(os.path.join(hold, "*.parquet")))
+        _keydict_negative_merge(
+            kd_dst,
+            sorted(glob.glob(os.path.join(hold, "*.parquet"))),
+            kd_cols, fingerprint, meta,
         )
-        _keydict_negative_merge(kd_dst, batch, kd_cols, fingerprint, meta)
     return hold
+
+
+def _kd_count_frames(src, kd_cols, negate: bool) -> list:
+    """(col, key, cnt) signed count frames for the keydict merge, from a
+    pyarrow Table or a list of parquet paths (path form: one file at a
+    time, only ``kd_cols`` decoded — bounded driver memory for arbitrarily
+    wide mutations)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    if isinstance(src, (list, tuple)):
+        tables = (pq.read_table(p, columns=list(kd_cols)) for p in src)
+    else:
+        tables = (src,)
+    frames = []
+    for t in tables:
+        for c in kd_cols:
+            vc = pc.value_counts(t.column(c).combine_chunks())
+            cnt = pc.cast(vc.field("counts"), pa.int64())
+            frames.append(
+                pa.table(
+                    {
+                        "col": pa.array([c] * len(vc)),
+                        "key": pc.cast(vc.field("values"), pa.int64()),
+                        "cnt": pc.negate(cnt) if negate else cnt,
+                    }
+                )
+            )
+    return frames
 
 
 def _keydict_negative_merge(
@@ -2696,10 +2726,15 @@ def _keydict_negative_merge(
     (delete_where). ``add_batch`` is the UPDATE path (update_where): the
     rows' NEW versions merge positively in the same pass, so one publish
     carries the remove+re-add and the dictionary can never be observed
-    mid-mutation."""
+    mid-mutation.
+
+    ``batch`` / ``add_batch`` accept a pyarrow Table OR a list of parquet
+    paths: the path form counts per FILE with only the dictionary columns
+    decoded, so driver memory for a WIDE mutation is one file's key
+    columns — never the full held row set — and the count frames it folds
+    into merge_keydicts stay O(distinct keys)."""
     import glob
 
-    import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
@@ -2707,30 +2742,9 @@ def _keydict_negative_merge(
         pq.read_table(p)
         for p in sorted(glob.glob(os.path.join(kd_dst, "*.parquet")))
     ]
-    for c in kd_cols:
-        vc = pc.value_counts(batch.column(c).combine_chunks())
-        frames.append(
-            pa.table(
-                {
-                    "col": pa.array([c] * len(vc)),
-                    "key": pc.cast(vc.field("values"), pa.int64()),
-                    "cnt": pc.negate(
-                        pc.cast(vc.field("counts"), pa.int64())
-                    ),
-                }
-            )
-        )
-        if add_batch is not None:
-            va = pc.value_counts(add_batch.column(c).combine_chunks())
-            frames.append(
-                pa.table(
-                    {
-                        "col": pa.array([c] * len(va)),
-                        "key": pc.cast(va.field("values"), pa.int64()),
-                        "cnt": pc.cast(va.field("counts"), pa.int64()),
-                    }
-                )
-            )
+    frames += _kd_count_frames(batch, kd_cols, negate=True)
+    if add_batch is not None:
+        frames += _kd_count_frames(add_batch, kd_cols, negate=False)
     merged = merge_keydicts(frames)
     if len(merged) and pc.min(merged["cnt"]).as_py() < 0:
         raise RuntimeError(
@@ -3210,10 +3224,11 @@ def delete_where(spark: SparkSession, sf_dir: str, name: str, predicate) -> int:
     held_paths = sorted(glob.glob(os.path.join(hold, "*.parquet")))
     kd_cols = _DICT_LAYOUT.get(name)
     if kd_cols:
-        held = pa.concat_tables(pq.read_table(p) for p in held_paths)
+        # path form: per-file, dictionary-columns-only counting — driver
+        # memory stays one file's key columns however wide the delete is
         _keydict_negative_merge(
             os.path.join(out_dir, f"{name}.keydict.parquet"),
-            held, kd_cols, new_fp, old_meta,
+            held_paths, kd_cols, new_fp, old_meta,
         )
     ap_spec = _AGG_PROJECTIONS.get(name)
     if ap_spec:
@@ -3561,12 +3576,8 @@ def update_where(
             _restamp_marker(cs_dst, old_fp, new_fp)
         else:
             _keydict_negative_merge(
-                kd_dst,
-                pa.concat_tables(pq.read_table(p) for p in held_old),
-                kd_cols, new_fp, old_meta,
-                add_batch=pa.concat_tables(
-                    pq.read_table(p) for p in held_new
-                ),
+                kd_dst, held_old, kd_cols, new_fp, old_meta,
+                add_batch=held_new,
             )
     ap_spec = _AGG_PROJECTIONS.get(name)
     if ap_spec:
