@@ -191,6 +191,51 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "xml_roundtrip",
+    oracle="""
+SELECT n_regionkey, COUNT(*) AS n,
+       CAST(SUM(n_nationkey) AS BIGINT) AS sum_key
+FROM nation
+GROUP BY n_regionkey
+""",
+    survey_ref="S4,S8",
+    doc="XML sink -> rowTag source round-trip; agg equals the direct parquet query",
+)
+def xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured breadth beyond JSON/CSV: Spark 4 ships the XML
+    source natively (the spark-xml package merged upstream), and XML is
+    the reference's native habitat — its entire extraction layer is
+    HTML/XPath tree addressing (reference lianjia.py:29-57). Write the
+    nation table as XML (one <row> element per record), read it back with
+    an explicit schema + rowTag, aggregate — must equal the direct parquet
+    query (the oracle never sees the XML copy), proving the sink/source
+    pair is lossless for the carried columns."""
+    import shutil
+    import tempfile
+
+    nat = load_tables(spark, sf_dir, names=("nation",))["nation"]
+    sl = nat.select("n_nationkey", "n_name", "n_regionkey")
+    path = tempfile.mkdtemp(prefix="spark-graft-xml-")
+    try:
+        sl.coalesce(1).write.mode("overwrite").option("rowTag", "row").xml(path)
+        back = (
+            spark.read.schema(
+                "n_nationkey int, n_name string, n_regionkey int"
+            )
+            .option("rowTag", "row")
+            .xml(path)
+        )
+        result = back.groupBy("n_regionkey").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_nationkey").cast("bigint").alias("sum_key"),
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
     "catalog_save_as_table",
     oracle=f"""
 SELECT c_mktsegment, COUNT(*) AS n,
