@@ -236,6 +236,47 @@ def xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "binaryfile_scan",
+    oracle="""
+SELECT n_name || '.bin' AS fname,
+       CAST(strlen(n_name) AS BIGINT) AS n_bytes
+FROM nation
+""",
+    survey_ref="S4,S1",
+    doc="binaryFile source: opaque blob ingestion (path, length, content) over a landed file set",
+)
+def binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal ingestion front door (SURVEY §2.9 L5 feeds on this):
+    Spark's built-in ``binaryFile`` source reads a directory of opaque
+    blobs as (path, modificationTime, length, content) rows — how image/
+    audio/video corpora enter a 100 TB pipeline before any decode. Blobs
+    here derive deterministically from the nation table (each row's name
+    as UTF-8 bytes), so the per-file (name, byte length) output is
+    oracle-checkable against the table itself — the source's length and
+    content columns proven consistent with what was landed."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    nat = load_tables(spark, sf_dir, names=("nation",))["nation"]
+    rows = nat.select("n_name").collect()  # 25 rows — bounded by schema
+    path = tempfile.mkdtemp(prefix="spark-graft-bin-")
+    try:
+        for r in rows:
+            with open(_os.path.join(path, f"{r['n_name']}.bin"), "wb") as fh:
+                fh.write(r["n_name"].encode("utf-8"))
+        back = spark.read.format("binaryFile").load(path)
+        result = back.select(
+            F.element_at(F.split("path", "/"), -1).alias("fname"),
+            F.length("content").cast("bigint").alias("n_bytes"),
+        ).filter(F.col("n_bytes") == F.col("length"))  # source-consistency
+        out = result.collect()
+        return spark.createDataFrame(out, result.schema)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
     "catalog_save_as_table",
     oracle=f"""
 SELECT c_mktsegment, COUNT(*) AS n,
