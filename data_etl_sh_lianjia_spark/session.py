@@ -2683,19 +2683,15 @@ def _ingest_local_delete(
     return hold
 
 
-def _kd_count_frames(src, kd_cols, negate: bool) -> list:
+def _kd_count_frames(paths, kd_cols, negate: bool) -> list:
     """(col, key, cnt) signed count frames for the keydict merge, from a
-    pyarrow Table or a list of parquet paths (path form: one file at a
-    time, only ``kd_cols`` decoded — bounded driver memory for arbitrarily
-    wide mutations)."""
+    list of parquet paths — one file at a time, only ``kd_cols`` decoded,
+    so driver memory stays bounded for arbitrarily wide mutations."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    if isinstance(src, (list, tuple)):
-        tables = (pq.read_table(p, columns=list(kd_cols)) for p in src)
-    else:
-        tables = (src,)
+    tables = (pq.read_table(p, columns=list(kd_cols)) for p in paths)
     frames = []
     for t in tables:
         for c in kd_cols:
@@ -2728,11 +2724,11 @@ def _keydict_negative_merge(
     carries the remove+re-add and the dictionary can never be observed
     mid-mutation.
 
-    ``batch`` / ``add_batch`` accept a pyarrow Table OR a list of parquet
-    paths: the path form counts per FILE with only the dictionary columns
-    decoded, so driver memory for a WIDE mutation is one file's key
-    columns — never the full held row set — and the count frames it folds
-    into merge_keydicts stay O(distinct keys)."""
+    ``batch`` / ``add_batch`` are lists of held-file parquet paths: the
+    counts run per FILE with only the dictionary columns decoded, so
+    driver memory for a WIDE mutation is one file's key columns — never
+    the full held row set — and the count frames folded into
+    merge_keydicts stay O(distinct keys)."""
     import glob
 
     import pyarrow.compute as pc

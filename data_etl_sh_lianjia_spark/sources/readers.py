@@ -29,6 +29,13 @@ from data_etl_sh_lianjia_spark.plans.registry import register
 from data_etl_sh_lianjia_spark.session import load_tables
 
 
+def _materialize(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Collect a SMALL result and rebind it to a fresh in-memory DataFrame,
+    so the caller can delete the scratch storage the plan was reading —
+    the shared tail of every sink→source round-trip query here."""
+    return spark.createDataFrame(df.collect(), df.schema)
+
+
 def write_jsonl(df: DataFrame, path: str, n_files: int = 1) -> None:
     """S8: JSON-lines feed export (one object per line, like the crawler)."""
     df.coalesce(n_files).write.mode("overwrite").json(path)
@@ -184,8 +191,7 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"), dsum("s_acctbal", "sum_bal", scale=2)
         )
         # materialize the small summary, then drop the scratch dir
-        rows = result.collect()
-        return spark.createDataFrame(rows, result.schema)
+        return _materialize(spark, result)
     finally:
         shutil.rmtree(path, ignore_errors=True)
 
@@ -229,8 +235,7 @@ def xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.sum("n_nationkey").cast("bigint").alias("sum_key"),
         )
-        rows = result.collect()
-        return spark.createDataFrame(rows, result.schema)
+        return _materialize(spark, result)
     finally:
         shutil.rmtree(path, ignore_errors=True)
 
@@ -270,8 +275,7 @@ def binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(F.split("path", "/"), -1).alias("fname"),
             F.length("content").cast("bigint").alias("n_bytes"),
         ).filter(F.col("n_bytes") == F.col("length"))  # source-consistency
-        out = result.collect()
-        return spark.createDataFrame(out, result.schema)
+        return _materialize(spark, result)
     finally:
         shutil.rmtree(path, ignore_errors=True)
 
@@ -304,8 +308,7 @@ def catalog_save_as_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         result = back.groupBy("c_mktsegment").agg(
             F.count(F.lit(1)).alias("n"), dsum("c_acctbal", "sum_bal", scale=2)
         )
-        rows = result.collect()
-        return spark.createDataFrame(rows, result.schema)
+        return _materialize(spark, result)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table_name}")
 
@@ -340,8 +343,7 @@ def partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         result = back.groupBy("o_orderpriority").agg(
             F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "sum_price", scale=2)
         )
-        rows = result.collect()
-        return spark.createDataFrame(rows, result.schema)
+        return _materialize(spark, result)
     finally:
         shutil.rmtree(path, ignore_errors=True)
 
