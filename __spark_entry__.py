@@ -32,6 +32,26 @@ def entry(spark: SparkSession) -> DataFrame:
 # converts repo-verified queries into driver-verified ones round by round.
 # Update after each round from the new CORRECTNESS_r{N}.json.
 _DRIVER_SAMPLED = frozenset({
+    # --- round 8 sample (CORRECTNESS_r08.json, 50/50 hash-green — closed
+    # the never-sampled backlog; registry fully driver-verified) ---
+    "ann_lsh_topk", "ann_pq_topk", "approx_distinct", "binaryfile_scan",
+    "boilerplate_ngram_flags", "bpe_pair_stats", "catalog_save_as_table",
+    "chunk_embed_topk", "compact_managed_orders", "contamination_ngram",
+    "count_min_heavy_hitters", "crawl_reachability", "csv_roundtrip",
+    "dataset_mixture", "dataset_split_groups", "delete_where_orders",
+    "delete_where_q1_projection", "doc_chunking", "expectations_report_orders",
+    "hll_mergeable_sketch", "html_selector_extract", "jsonl_roundtrip",
+    "lianjia_zone_summary", "merge_into_customers", "ohlc_downsample",
+    "orc_roundtrip", "pack_sequences", "partitioned_write_prune",
+    "python_datasource_scan", "quarantine_orders", "schema_evolution_orders",
+    "source_cap", "source_config_rotation", "stream_dedup",
+    "stream_foreach_batch_sink", "stream_lakehouse_ingest",
+    "stream_session_window", "stream_sliding_counts",
+    "stream_stateful_counter", "stream_static_join",
+    "stream_stream_join", "stream_stream_left_join", "stream_tumbling_counts",
+    "table_changes_orders", "time_travel_orders", "update_where_orders",
+    "update_where_q1_projection", "url_parse_suite", "vocab_coverage",
+    "xml_roundtrip",
     # --- round 7 sample (CORRECTNESS_r07.json, 46 hash-green; the two
     # quality queries re-verify post oracle-cast fix, and the two rows-only
     # ANN queries re-verify now that they carry exact+recall oracles) ---
