@@ -2683,35 +2683,62 @@ def _ingest_local_delete(
     return hold
 
 
+def _kd_value_counts(table, kd_cols, negate: bool) -> list[tuple]:
+    """Signed (col, key, cnt) tuples for the keydict merge from an
+    in-memory arrow table — the one counting kernel shared by the
+    driver-side path (`_kd_count_frames`) and the distributed per-file
+    split tasks (`_split_files_via_spark`), so both regimes produce
+    bit-identical dictionary deltas. Keys cast to int64 (nulls survive
+    as None); counts are negated for removed rows."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    out = []
+    for c in kd_cols:
+        vc = pc.value_counts(table.column(c).combine_chunks())
+        keys = pc.cast(vc.field("values"), pa.int64()).to_pylist()
+        cnts = pc.cast(vc.field("counts"), pa.int64()).to_pylist()
+        out.extend(
+            (c, k, -n if negate else n) for k, n in zip(keys, cnts)
+        )
+    return out
+
+
+def _kd_frames_from_counts(counts: list[tuple]) -> list:
+    """One (col, key, cnt) arrow frame from pre-computed signed count
+    tuples (the distributed tasks' return payload) — O(distinct keys)
+    driver work, no parquet decode."""
+    import pyarrow as pa
+
+    if not counts:
+        return []
+    return [
+        pa.table(
+            {
+                "col": pa.array([c for c, _k, _n in counts], pa.string()),
+                "key": pa.array([k for _c, k, _n in counts], pa.int64()),
+                "cnt": pa.array([n for _c, _k, n in counts], pa.int64()),
+            }
+        )
+    ]
+
+
 def _kd_count_frames(paths, kd_cols, negate: bool) -> list:
     """(col, key, cnt) signed count frames for the keydict merge, from a
     list of parquet paths — one file at a time, only ``kd_cols`` decoded,
     so driver memory stays bounded for arbitrarily wide mutations."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    tables = (pq.read_table(p, columns=list(kd_cols)) for p in paths)
     frames = []
-    for t in tables:
-        for c in kd_cols:
-            vc = pc.value_counts(t.column(c).combine_chunks())
-            cnt = pc.cast(vc.field("counts"), pa.int64())
-            frames.append(
-                pa.table(
-                    {
-                        "col": pa.array([c] * len(vc)),
-                        "key": pc.cast(vc.field("values"), pa.int64()),
-                        "cnt": pc.negate(cnt) if negate else cnt,
-                    }
-                )
-            )
+    for p in paths:
+        t = pq.read_table(p, columns=list(kd_cols))
+        frames += _kd_frames_from_counts(_kd_value_counts(t, kd_cols, negate))
     return frames
 
 
 def _keydict_negative_merge(
     kd_dst: str, batch, kd_cols, fingerprint: str, meta: dict | None,
-    add_batch=None,
+    add_batch=None, precomputed: list | None = None,
 ) -> None:
     """Negative keydict/colstats merge from a batch of REMOVED rows: per-key
     counts subtract as exactly as they add (merge_keydicts sums signed
@@ -2728,7 +2755,14 @@ def _keydict_negative_merge(
     counts run per FILE with only the dictionary columns decoded, so
     driver memory for a WIDE mutation is one file's key columns — never
     the full held row set — and the count frames folded into
-    merge_keydicts stay O(distinct keys)."""
+    merge_keydicts stay O(distinct keys).
+
+    ``precomputed`` is the DISTRIBUTED regime's form: the signed
+    (col, key, cnt) tuples the `_split_files_via_spark` tasks already
+    counted while each decoded its own file — the driver then does zero
+    parquet decodes here (batch/add_batch are ignored), so a wide
+    predicate mutation's counting wall-clock scales with the cluster,
+    not serially on the driver."""
     import glob
 
     import pyarrow.compute as pc
@@ -2738,9 +2772,12 @@ def _keydict_negative_merge(
         pq.read_table(p)
         for p in sorted(glob.glob(os.path.join(kd_dst, "*.parquet")))
     ]
-    frames += _kd_count_frames(batch, kd_cols, negate=True)
-    if add_batch is not None:
-        frames += _kd_count_frames(add_batch, kd_cols, negate=False)
+    if precomputed is not None:
+        frames += _kd_frames_from_counts(precomputed)
+    else:
+        frames += _kd_count_frames(batch, kd_cols, negate=True)
+        if add_batch is not None:
+            frames += _kd_count_frames(add_batch, kd_cols, negate=False)
     merged = merge_keydicts(frames)
     if len(merged) and pc.min(merged["cnt"]).as_py() < 0:
         raise RuntimeError(
@@ -2830,7 +2867,8 @@ def _split_files_via_spark(
     stage: str,
     assignments=None,
     hold_new: str | None = None,
-) -> list[tuple[str, int, int]]:
+    kd_cols=None,
+) -> list[tuple[str, int, int, list, list]]:
     """One Spark task per candidate file — the distributed regime of the
     delete/update per-file pass. Each task splits its file by ``predicate``
     (same null-safe kernel as the local path), writes the matched rows to
@@ -2838,10 +2876,16 @@ def _split_files_via_spark(
     ``hold_new/<f>``), and stages the file's replacement at ``stage/<f>``
     (survivors, plus updated rows for UPDATE) — the driver then hardlinks
     staged files into the new generation without ever materializing row
-    data. Returns ``[(f, n_matched, n_staged)]``, ``n_matched == -1`` for
-    untouched files. Requires storage shared between driver and executors
-    (true in local mode and on any cluster's DFS/object store — the same
-    assumption every managed artifact already makes)."""
+    data. With ``kd_cols``, each task also returns its file's signed
+    dictionary-column value counts (matched rows negative; updated rows
+    positive) so the keydict maintenance never re-decodes held files on
+    the driver — only O(distinct keys per file) tuples cross the wire,
+    and the counting wall-clock rides the same Spark job as the rewrite.
+    Returns ``[(f, n_matched, n_staged, kd_neg, kd_pos)]``,
+    ``n_matched == -1`` for untouched files. Requires storage shared
+    between driver and executors (true in local mode and on any cluster's
+    DFS/object store — the same assumption every managed artifact already
+    makes)."""
     if not files:
         return []
     ensure_package_shipped(spark)
@@ -2871,7 +2915,7 @@ def _split_files_via_spark(
         for m in foreign_mods:
             cloudpickle.register_pickle_by_value(m)
 
-    def work(f: str) -> tuple[str, int, int]:
+    def work(f: str) -> tuple[str, int, int, list, list]:
         import os as _os
 
         import pyarrow as _pa
@@ -2879,23 +2923,29 @@ def _split_files_via_spark(
 
         from data_etl_sh_lianjia_spark.session import (
             _apply_update as _upd,
+            _kd_value_counts as _kdvc,
             _split_file_by_predicate as _split,
         )
 
         matched, rest = _split(_os.path.join(dst, f), predicate)
         if matched is None:
-            return (f, -1, -1)
+            return (f, -1, -1, [], [])
         _pq.write_table(matched, _os.path.join(hold_matched, f))
+        kd_neg = _kdvc(matched, kd_cols, negate=True) if kd_cols else []
         if assignments is None:
             if rest.num_rows:
                 _pq.write_table(rest, _os.path.join(stage, f))
-            return (f, matched.num_rows, rest.num_rows)
+            return (f, matched.num_rows, rest.num_rows, kd_neg, [])
         updated = _upd(matched, assignments)
+        kd_pos = _kdvc(updated, kd_cols, negate=False) if kd_cols else []
         _pq.write_table(updated, _os.path.join(hold_new, f))
         _pq.write_table(
             _pa.concat_tables([rest, updated]), _os.path.join(stage, f)
         )
-        return (f, matched.num_rows, rest.num_rows + updated.num_rows)
+        return (
+            f, matched.num_rows, rest.num_rows + updated.num_rows,
+            kd_neg, kd_pos,
+        )
 
     if foreign_mods:
         # Best-effort: by-value capture can fail on modules whose globals
@@ -3139,15 +3189,22 @@ def delete_where(spark: SparkSession, sf_dir: str, name: str, predicate) -> int:
     cand_bytes = sum(
         os.path.getsize(os.path.join(dst, f)) for f in to_split
     )
+    kd_cols = _DICT_LAYOUT.get(name)
+    kd_counts: list | None = None
     if _dml_distributed(cand_bytes):
         stage = dst + f".stage-{os.getpid()}-{uuid.uuid4().hex[:8]}"
         os.makedirs(stage)
-        for f, n_matched, n_staged in _split_files_via_spark(
-            spark, dst, to_split, predicate, hold, stage
+        # tasks count the dictionary-column deltas of the rows they remove
+        # while they already have the file decoded — the keydict merge
+        # below then needs no driver-side parquet decode at all
+        kd_counts = []
+        for f, n_matched, n_staged, kd_neg, _kd_pos in _split_files_via_spark(
+            spark, dst, to_split, predicate, hold, stage, kd_cols=kd_cols
         ):
             if n_matched < 0:
                 continue
             n_deleted += n_matched
+            kd_counts += kd_neg
             survivors[f] = os.path.join(stage, f) if n_staged else None
     else:
         with ThreadPoolExecutor(
@@ -3218,13 +3275,14 @@ def delete_where(spark: SparkSession, sf_dir: str, name: str, predicate) -> int:
     _publish_dir(dst, new_fp, old_meta, _write_generation)
 
     held_paths = sorted(glob.glob(os.path.join(hold, "*.parquet")))
-    kd_cols = _DICT_LAYOUT.get(name)
     if kd_cols:
-        # path form: per-file, dictionary-columns-only counting — driver
-        # memory stays one file's key columns however wide the delete is
+        # distributed regime: the split tasks already counted the deltas
+        # (kd_counts); local regime: per-file, dictionary-columns-only
+        # counting — driver memory stays one file's key columns either way
         _keydict_negative_merge(
             os.path.join(out_dir, f"{name}.keydict.parquet"),
             held_paths, kd_cols, new_fp, old_meta,
+            precomputed=kd_counts,
         )
     ap_spec = _AGG_PROJECTIONS.get(name)
     if ap_spec:
@@ -3475,18 +3533,34 @@ def update_where(
     cand_bytes = sum(
         os.path.getsize(os.path.join(dst, f)) for f in to_split
     )
+    kd_cols = _DICT_LAYOUT.get(name)
+    # dictionary counts only change when the SET clause touches a
+    # dictionary column (shred-derived ones included) — mirrors the
+    # restamp-vs-merge decision below, so tasks never count for nothing
+    kd_touched = bool(kd_cols) and not (
+        set(assignments)
+        | {
+            d
+            for src, (d, _p) in _SHRED_COLUMNS.items()
+            if src in assignments
+        }
+    ).isdisjoint(kd_cols)
+    kd_counts: list | None = None
     if _dml_distributed(cand_bytes):
         # one Spark task per candidate file (see _split_files_via_spark):
         # tasks stage each rewritten file; the driver only links paths
         stage = dst + f".stage-{os.getpid()}-{uuid.uuid4().hex[:8]}"
         os.makedirs(stage)
-        for f, n_matched, _n_staged in _split_files_via_spark(
+        kd_counts = []
+        for f, n_matched, _n_staged, kd_neg, kd_pos in _split_files_via_spark(
             spark, dst, to_split, predicate, hold_old, stage,
             assignments=assignments, hold_new=hold_new,
+            kd_cols=kd_cols if kd_touched else None,
         ):
             if n_matched < 0:
                 continue
             n_updated += n_matched
+            kd_counts += kd_neg + kd_pos
             rewritten[f] = os.path.join(stage, f)
     else:
         with ThreadPoolExecutor(
@@ -3562,7 +3636,6 @@ def update_where(
     held_old = sorted(glob.glob(os.path.join(hold_old, "*.parquet")))
     held_new = sorted(glob.glob(os.path.join(hold_new, "*.parquet")))
     table_cols = set(pq.read_schema(held_old[0]).names)
-    kd_cols = _DICT_LAYOUT.get(name)
     if kd_cols:
         kd_dst = os.path.join(out_dir, f"{name}.keydict.parquet")
         cs_dst = os.path.join(out_dir, f"{name}.colstats.parquet")
@@ -3574,6 +3647,7 @@ def update_where(
             _keydict_negative_merge(
                 kd_dst, held_old, kd_cols, new_fp, old_meta,
                 add_batch=held_new,
+                precomputed=kd_counts,
             )
     ap_spec = _AGG_PROJECTIONS.get(name)
     if ap_spec:

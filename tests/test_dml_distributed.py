@@ -142,6 +142,62 @@ def test_distributed_update_matches_local_and_projections(
     assert results["local"] == results["dist"]
 
 
+def test_distributed_keydict_counts_ride_spark_tasks(
+    spark, tmp_path, monkeypatch, restore_catalog
+):
+    """In the distributed regime the keydict deltas come back from the
+    split tasks themselves — the driver must NOT re-decode held files
+    (`_kd_count_frames` never runs), and the merged dictionary must be
+    value-identical to the local regime's for both a DELETE and an
+    UPDATE that rewrites a dictionary column."""
+    kd_decodes = []
+    real_count = sess._kd_count_frames
+
+    def spy(*a, **k):
+        kd_decodes.append(1)
+        return real_count(*a, **k)
+
+    monkeypatch.setattr(sess, "_kd_count_frames", spy)
+
+    results = {}
+    for mode, flag in (("local", "0"), ("dist", "1")):
+        sf = _mk_sf(tmp_path, monkeypatch, f"sfkd-{mode}")
+        out = sess.ingest_tables(spark, sf)
+        monkeypatch.setenv("SPARK_GRAFT_DML_DISTRIBUTED", flag)
+        kd_decodes.clear()
+        try:
+            n_del = sess.delete_where(
+                spark, sf, "lineitem", pc.field("l_suppkey") == 2
+            )
+            n_upd = sess.update_where(
+                spark, sf, "lineitem",
+                pc.field("l_suppkey") == 3,
+                {"l_suppkey": lambda t: pc.add(t["l_suppkey"], 100)},
+            )
+        finally:
+            monkeypatch.delenv("SPARK_GRAFT_DML_DISTRIBUTED", raising=False)
+        assert n_del > 0 and n_upd > 0
+        if mode == "dist":
+            assert not kd_decodes, (
+                "distributed keydict maintenance must not decode held "
+                "files on the driver"
+            )
+        else:
+            assert kd_decodes, "local regime still counts from held files"
+        kd = os.path.join(out, "lineitem.keydict.parquet")
+        results[mode] = sorted(
+            tuple(r) for r in spark.read.parquet(kd).collect()
+        )
+        spark._lianjia_table_cache = {}
+    assert results["local"] == results["dist"]
+    # and the merged dictionary equals a from-scratch rebuild: counts for
+    # the updated key moved, deleted key is gone
+    keys = {(c, k): n for c, k, n in results["dist"]}
+    assert ("l_suppkey", 2) not in keys
+    assert ("l_suppkey", 3) not in keys
+    assert keys.get(("l_suppkey", 103), 0) > 0
+
+
 def test_distributed_compact_sort_rewrite(
     spark, tmp_path, monkeypatch, restore_catalog
 ):
