@@ -793,6 +793,135 @@ def _with_zcode(df: DataFrame, cols: list[str], bounds: dict) -> DataFrame:
     return df.mapInArrow(fn, out_struct)
 
 
+def _compact_key_boundaries(dst: str, parts: list[str], key: str, n_cuts: int):
+    """Sampled quantile cut points on the cluster key for the arrow-native
+    distributed compaction — row-group-0 of only the key column per file,
+    same index-quality-not-correctness argument as the z-order sampler:
+    coarse boundaries skew bucket sizes, never values or ordering."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    chunks = []
+    for f in parts:
+        pf = pq.ParquetFile(os.path.join(dst, f))
+        if not pf.metadata.num_row_groups:
+            continue
+        arr = (
+            pf.read_row_group(0, columns=[key])
+            .column(key)
+            .combine_chunks()
+            .drop_null()
+        )
+        if len(arr):
+            chunks.append(arr.to_numpy(zero_copy_only=False))
+    if not chunks or n_cuts < 1:
+        return np.array([])
+    v = np.concatenate(chunks)
+    v.sort(kind="stable")
+    idx = np.linspace(0, len(v) - 1, min(n_cuts, len(v))).astype(np.int64)
+    return np.unique(v[idx])
+
+
+def _compact_arrow_via_spark(
+    spark: SparkSession,
+    dst: str,
+    parts: list[str],
+    key: str,
+    n_parts: int,
+    tmp: str,
+) -> None:
+    """Schema-preserving distributed sort-rewrite for tables the Spark
+    DataFrame writer can't round-trip (ns-timestamps, nested lists,
+    unsigned ints — see _spark_roundtrips): a two-stage arrow-native
+    range shuffle over the shared store, so the events-like tables a
+    streaming corpus compacts most stay byte-schema-identical to their
+    pyarrow-written siblings while the work runs as Spark tasks.
+
+    Stage 1 (one task per input file): pyarrow-read the file, bucket its
+    rows against the sampled key boundaries (searchsorted; NULL keys take
+    the last bucket, matching sort_by's nulls-at-end), write each
+    non-empty slice to ``scratch/b<bucket>/<infile>`` — the original
+    arrow schema travels untouched. Stage 2 (one task per bucket): concat
+    the bucket's fragments in deterministic filename order, sort_by(key)
+    (stable), write ``part-<bucket>.parquet`` into the staging dir with
+    the same pq.write_table call the local kernel uses. Only paths and
+    row counts cross the driver; output files are range-disjoint and
+    internally sorted — the same clustering contract as the DataFrame
+    regime — and the driver hard-fails if a single row went missing
+    between the stages."""
+    import shutil
+    import uuid
+
+    scratch = dst + f".cshuf-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    buckets = list(range(n_parts))
+    for b in buckets:
+        os.makedirs(os.path.join(scratch, f"b{b:05d}"))
+    bounds = _compact_key_boundaries(dst, parts, key, n_parts - 1)
+
+    def partition_file(f: str) -> tuple[str, int]:
+        import os as _os
+
+        import numpy as _np
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+        import pyarrow.parquet as _pq
+
+        tbl = _pq.read_table(_os.path.join(dst, f))
+        if not tbl.num_rows:
+            return (f, 0)
+        col = tbl.column(key)
+        nulls = _pc.is_null(col).to_numpy(zero_copy_only=False)
+        if len(bounds):
+            vals = col.to_numpy(zero_copy_only=False)
+            if nulls.any():
+                vals = vals.copy()
+                vals[nulls] = bounds[0]  # placeholder; overwritten below
+            bk = _np.searchsorted(bounds, vals, side="right")
+        else:
+            bk = _np.zeros(tbl.num_rows, dtype=_np.int64)
+        bk[nulls] = n_parts - 1  # nulls sort last in every regime
+        for b in _np.unique(bk):
+            slice_ = tbl.filter(_pa.array(bk == b))
+            _pq.write_table(
+                slice_, _os.path.join(scratch, f"b{int(b):05d}", f)
+            )
+        return (f, tbl.num_rows)
+
+    def sort_bucket(b: int) -> tuple[int, int]:
+        import os as _os
+
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        bdir = _os.path.join(scratch, f"b{b:05d}")
+        frags = sorted(
+            _os.path.join(bdir, p)
+            for p in _os.listdir(bdir)
+            if p.endswith(".parquet")
+        )
+        if not frags:
+            return (b, 0)
+        merged = _pa.concat_tables(
+            _pq.read_table(p) for p in frags
+        ).sort_by(key)
+        _pq.write_table(merged, _os.path.join(tmp, f"part-{b:05d}.parquet"))
+        return (b, merged.num_rows)
+
+    sc = spark.sparkContext
+    try:
+        in_counts = sc.parallelize(parts, len(parts)).map(partition_file).collect()
+        out_counts = sc.parallelize(buckets, len(buckets)).map(sort_bucket).collect()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    n_in = sum(n for _f, n in in_counts)
+    n_out = sum(n for _b, n in out_counts)
+    if n_in != n_out:
+        raise RuntimeError(
+            f"arrow compaction shuffle lost rows: staged {n_in}, "
+            f"sorted {n_out} — refusing to publish"
+        )
+
+
 def compact_table(
     spark: SparkSession,
     sf_dir: str,
@@ -852,18 +981,31 @@ def compact_table(
     )
 
     def _spark_roundtrips(schema) -> bool:
-        # A Spark rewrite must be SCHEMA-identical to the pyarrow kernel's:
-        # ns-timestamps come back as long (nanosAsLong) and nested lists
-        # can re-encode their item field name — either would diverge the
-        # compacted generation from its pyarrow-written siblings. Such
-        # tables (events' ts, embeddings' list column) keep the local
-        # kernel; the 100 TB fact tables are primitives-only and take the
-        # distributed job.
-        return not any(
-            pa.types.is_nested(f_.type)
-            or (pa.types.is_timestamp(f_.type) and f_.type.unit == "ns")
-            for f_ in schema
-        )
+        # A Spark rewrite must be SCHEMA-identical to the pyarrow kernel's.
+        # POSITIVE allowlist of arrow types known to round-trip through the
+        # DataFrame writer byte-for-byte (a deny-list missed Spark's silent
+        # widenings: uint32 -> long, uint64 -> decimal, ms-timestamp -> us;
+        # ns-timestamps come back as long under nanosAsLong and nested
+        # lists can re-encode their item field name). Tables that fail the
+        # gate take the arrow-native distributed shuffle below — never a
+        # silently-retyped generation.
+        def ok(t) -> bool:
+            return (
+                t in (
+                    pa.int8(), pa.int16(), pa.int32(), pa.int64(),
+                    pa.float32(), pa.float64(), pa.string(),
+                    pa.large_string(), pa.binary(), pa.large_binary(),
+                    pa.bool_(), pa.date32(),
+                )
+                or (
+                    pa.types.is_timestamp(t)
+                    and t.unit == "us"
+                    and t.tz in (None, "UTC")
+                )
+                or pa.types.is_decimal128(t)
+            )
+
+        return all(ok(f_.type) for f_ in schema)
 
     if zorder:
         missing = [c for c in zorder if c not in first_schema.names]
@@ -887,15 +1029,26 @@ def compact_table(
         and roundtrips
     )
     dist_z = bool(_dml_distributed(tbl_bytes) and zorder and roundtrips)
+    # schema that Spark's writer can't round-trip (ns-timestamps, nested,
+    # unsigned): the sort-rewrite still runs distributed, via the
+    # arrow-native two-stage range shuffle (_compact_arrow_via_spark) —
+    # the generation stays byte-schema-identical to its pyarrow siblings
+    dist_arrow = (
+        _dml_distributed(tbl_bytes)
+        and not zorder
+        and key is not None
+        and not roundtrips
+        and num_rows > 0
+    )
     table = None
-    if not (distributed or dist_z):
+    if not (distributed or dist_z or dist_arrow):
         table = pa.concat_tables(
             pq.read_table(os.path.join(dst, f)) for f in parts
         )
     if zorder and not dist_z:
         if table.num_rows:
             table = table.take(_zorder_sort_indices(table, zorder))
-    elif key and not (distributed or dist_z):
+    elif key and not (distributed or dist_z or dist_arrow):
         table = table.sort_by(key)
     # same layout rule as the cold ingest (_ingest_local), under the knobs
     # the managed copy was built with (recorded in its marker meta)
@@ -946,6 +1099,9 @@ def compact_table(
             # partition, write one file per partition — value-identical to
             # the local kernel as a multiset, same clustering property
             _spark_write_sorted(spark.read.parquet(dst), [key], tmp)
+            return
+        if dist_arrow:
+            _compact_arrow_via_spark(spark, dst, parts, key, n_parts, tmp)
             return
         if dist_z:
             # distributed ZORDER: sampled per-column quantile boundaries

@@ -243,38 +243,166 @@ def test_distributed_compact_sort_rewrite(
         assert hi <= lo, "compacted files must be range-disjoint"
 
 
-def test_distributed_compact_falls_back_on_nanos_timestamp(
+def test_distributed_compact_nanos_timestamp_stays_schema_identical(
     spark, tmp_path, monkeypatch, restore_catalog
 ):
-    """events carries a TIMESTAMP(NANOS) column that a Spark rewrite would
-    silently retype (nanosAsLong); the schema guard must keep the local
-    kernel so the compacted generation stays schema-identical."""
+    """events carries a TIMESTAMP(NANOS) column that Spark's DataFrame
+    writer would silently retype (nanosAsLong) — the distributed regime
+    must route it through the arrow-native two-stage range shuffle
+    (_compact_arrow_via_spark) and publish a generation that is
+    byte-schema-identical to its pyarrow-written siblings, value-identical
+    as a multiset, internally sorted, and range-disjoint across files."""
+    arrow_path = []
+    real = sess._compact_arrow_via_spark
+
+    def spy(*a, **k):
+        arrow_path.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(sess, "_compact_arrow_via_spark", spy)
+
     sf = tmp_path / "sfevt"
     sf.mkdir()
-    shutil.copy(f"{SRC}/events.parquet", str(sf / "events.parquet"))
+    # force the non-round-trip shape: ts as TIMESTAMP(NANOS) (the streaming
+    # corpus habitat; current testdata ships us-unit, which Spark's writer
+    # handles — the arrow shuffle exists for the ns/nested/unsigned cases)
+    src = pq.read_table(f"{SRC}/events.parquet")
+    src = src.set_column(
+        src.schema.get_field_index("ts"),
+        "ts",
+        src.column("ts").cast(pa.timestamp("ns")),
+    )
+    pq.write_table(src, str(sf / "events.parquet"))
     monkeypatch.setattr(sess, "INGEST_ROOT", str(tmp_path / "ingest"))
     out = sess.ingest_tables(spark, str(sf))
     ev_dir = os.path.join(out, "events.parquet")
-    pre_schema = pq.read_schema(
-        os.path.join(
+
+    def _first_part():
+        return os.path.join(
             ev_dir,
             sorted(f for f in os.listdir(ev_dir) if f.endswith(".parquet"))[0],
         )
-    )
+
+    def _whole_table():
+        return pa.concat_tables(
+            pq.read_table(os.path.join(ev_dir, f))
+            for f in sorted(os.listdir(ev_dir))
+            if f.endswith(".parquet")
+        )
+
+    pre_schema = pq.read_schema(_first_part())
+    pre_tbl = _whole_table()
+    key = "ts" if "ts" in pre_tbl.schema.names else pre_tbl.schema.names[0]
+    pre_multiset = sorted(map(str, pre_tbl.to_pylist()))
+
     monkeypatch.setenv("SPARK_GRAFT_DML_DISTRIBUTED", "1")
     try:
-        sess.compact_table(spark, str(sf), "events")
+        stats = sess.compact_table(spark, str(sf), "events")
     finally:
         monkeypatch.delenv("SPARK_GRAFT_DML_DISTRIBUTED", raising=False)
-    post_schema = pq.read_schema(
-        os.path.join(
-            ev_dir,
-            sorted(f for f in os.listdir(ev_dir) if f.endswith(".parquet"))[0],
-        )
-    )
+
+    assert arrow_path, "ns-timestamp compaction must take the arrow shuffle"
+    assert stats["rows"] == pre_tbl.num_rows
+    post_schema = pq.read_schema(_first_part())
     assert post_schema.equals(pre_schema), (
-        "ns-timestamp table must keep the pyarrow kernel's schema"
+        "ns-timestamp generation must stay schema-identical"
     )
+    post_tbl = _whole_table()
+    assert post_tbl.schema.equals(pre_tbl.schema)
+    post_multiset = sorted(map(str, post_tbl.to_pylist()))
+    assert post_multiset == pre_multiset, "values must survive the shuffle"
+    # clustering contract: files internally sorted, pairwise range-disjoint
+    ranges = []
+    for f in sorted(os.listdir(ev_dir)):
+        if not f.endswith(".parquet"):
+            continue
+        vals = (
+            pq.read_table(os.path.join(ev_dir, f), columns=[key])
+            .column(key)
+            .to_pylist()
+        )
+        assert vals == sorted(vals), "file not internally sorted"
+        if vals:
+            ranges.append((vals[0], vals[-1]))
+    ranges.sort()
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi <= lo, "compacted files must be range-disjoint"
+
+
+def test_arrow_compact_kernel_multibucket(spark, tmp_path):
+    """The arrow-native shuffle kernel directly, at its hard shape:
+    several input files, n_parts > 1 real range buckets, a ns-timestamp
+    sort key WITH nulls, and a nested list column — multiset preserved,
+    schema byte-identical, outputs sorted with nulls last, files
+    range-disjoint."""
+    import random
+
+    rng = random.Random(7)
+    dst = tmp_path / "tbl.parquet"
+    dst.mkdir()
+    schema = pa.schema(
+        [
+            ("ts", pa.timestamp("ns")),
+            ("v", pa.uint32()),
+            ("tags", pa.list_(pa.string())),
+        ]
+    )
+    n_rows = 0
+    for i in range(5):
+        ts = [
+            None if rng.random() < 0.1 else rng.randrange(10**15)
+            for _ in range(200)
+        ]
+        t = pa.table(
+            {
+                "ts": pa.array(ts, pa.timestamp("ns")),
+                "v": pa.array(
+                    [rng.randrange(2**31) for _ in range(200)], pa.uint32()
+                ),
+                "tags": pa.array(
+                    [[f"t{rng.randrange(5)}"] for _ in range(200)],
+                    pa.list_(pa.string()),
+                ),
+            },
+            schema=schema,
+        )
+        pq.write_table(t, str(dst / f"part-a{i:02d}-00000.parquet"))
+        n_rows += t.num_rows
+    parts = sorted(os.listdir(dst))
+    pre = pa.concat_tables(
+        pq.read_table(str(dst / f)) for f in parts
+    )
+    pre_multiset = sorted(map(str, pre.to_pylist()))
+
+    tmp = tmp_path / "out"
+    tmp.mkdir()
+    sess._compact_arrow_via_spark(
+        spark, str(dst), parts, "ts", 4, str(tmp)
+    )
+    outs = sorted(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+    assert len(outs) > 1, "multi-bucket shape must produce several files"
+    post = pa.concat_tables(pq.read_table(str(tmp / f)) for f in outs)
+    assert post.schema.equals(pre.schema)
+    assert sorted(map(str, post.to_pylist())) == pre_multiset
+    ranges = []
+    saw_null_tail = False
+    for f in outs:
+        vals = pq.read_table(str(tmp / f), columns=["ts"]).column(
+            "ts"
+        ).to_pylist()
+        nn = [v for v in vals if v is not None]
+        assert nn == sorted(nn), "non-null keys must be sorted"
+        # nulls, if any, sit at the tail (sort_by nulls-at-end)
+        if None in vals:
+            assert all(v is None for v in vals[vals.index(None):])
+            assert f == outs[-1], "null keys must land in the last bucket"
+            saw_null_tail = True
+        if nn:
+            ranges.append((nn[0], nn[-1]))
+    assert saw_null_tail, "fixture guarantees null keys"
+    ranges.sort()
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi <= lo, "buckets must be range-disjoint"
 
 
 def test_distributed_delete_all_rows_keeps_schema(
