@@ -15,6 +15,7 @@ survive a 1000-executor cluster at ~100 TB:
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -155,6 +156,12 @@ LOCAL_INGEST_MAX_BYTES = 256 * 1024 * 1024
 # (register_views) and rely on broadcast joins instead.
 DIM_CACHE_MAX_BYTES = 256 * 1024 * 1024
 
+# merge_into tombstones inline their replaced-key list in the JSON sidecar
+# up to this many keys; beyond it the keys spill to a parquet sidecar and
+# replay as a broadcast anti-join (a multi-million-key merge must not grow
+# the JSON, driver memory, or an .isin expression tree without bound).
+TOMBSTONE_INLINE_MAX = 10_000
+
 # (cluster_key, target_rows_per_file) per fact table: facts split for
 # parallel scan and range-clustered on their dominant filter/locality column
 # so parquet row-group min/max stats prune at the scan (q1/q3/q5/q14/q19
@@ -223,6 +230,12 @@ _BUCKET_LAYOUT = {
 _DICT_LAYOUT = {
     "lineitem": ("l_partkey", "l_suppkey"),
 }
+
+# Guards the register_pickle_by_value window in _split_files_via_spark:
+# cloudpickle registration is process-global state, so the whole
+# register -> serialize -> unregister span must be exclusive against any
+# other driver thread doing the same.
+_CLOUDPICKLE_REG_LOCK = threading.Lock()
 
 
 def _publish_dir(dst: str, fingerprint: str, meta: dict | None, write) -> None:
@@ -480,7 +493,8 @@ def transaction(spark: SparkSession, sf_dir: str, *tables: str):
     ``merge_into``'s append half: rolling back a merge restores the
     pre-merge generation but the landed ``merge-*.parquet`` re-applies on
     the next ingest — remove that file AND its ``.tombstones.json``
-    sidecar (together: a tombstone without its batch would delete the
+    sidecar (plus the ``.tombstones.keys`` parquet sidecar a large merge
+    spills; together: a tombstone without its batch would delete the
     replaced rows on a rebuild without inserting their replacements) to
     undo the merge fully. Rollback
     requires the entry generation to still be retained: a block that
@@ -610,21 +624,34 @@ def vacuum_table(
     cost of restorability). Also sweeps ORPHANED mutation scratch dirs
     (``.dropped-*`` / ``.updold-*`` / ``.updnew-*`` / ``.stage-*`` — the
     uuid-suffixed hold/staging dirs a crash mid-mutation leaves behind;
-    successful mutations remove their own). ``.tmp-*`` / ``.old-*`` are
+    successful mutations remove their own). Only scratch dirs older than
+    ``SCRATCH_SWEEP_AGE_S`` (default 1 h) are swept: the age gate keeps a
+    vacuum that races a live mutation from ANOTHER process (out of
+    contract, but the failure would be silent staging loss) from deleting
+    its in-flight hold/stage dirs — genuine crash orphans are always
+    older by the time anyone vacuums. ``.tmp-*`` / ``.old-*`` are
     deliberately NOT swept: _publish_dir self-reclaims those pid-keyed
     dirs and a concurrent publish may legitimately own one. Running
     vacuum concurrently with a mutation on the same table is outside the
     contract (same as every mutating op). Returns how many snapshots were
     removed."""
     import shutil
+    import time
 
     out_dir, dst = _mutation_target(spark, sf_dir, name)
     base = os.path.basename(dst)
+    min_age = float(os.environ.get("SCRATCH_SWEEP_AGE_S", "3600"))
+    now = time.time()
     for entry in os.scandir(out_dir):
         tail = entry.name[len(base) :]
-        if entry.is_dir() and entry.name.startswith(base + ".") and any(
-            tail.startswith(p)
-            for p in (".dropped-", ".updold-", ".updnew-", ".stage-")
+        if (
+            entry.is_dir()
+            and entry.name.startswith(base + ".")
+            and any(
+                tail.startswith(p)
+                for p in (".dropped-", ".updold-", ".updnew-", ".stage-")
+            )
+            and now - entry.stat().st_mtime >= min_age
         ):
             shutil.rmtree(entry.path, ignore_errors=True)
     snaps = dst + ".snaps"
@@ -2353,14 +2380,46 @@ def _read_landed(src: str):
     )
 
 
+def _part_identity(path: str) -> list:
+    """Cheap content identity of a landed part for the tombstone manifest:
+    [byte size, footer num_rows, md5 over per-row-group (rows, bytes)
+    metadata]. One footer read, no data decode — strong enough that an
+    in-place rewrite which happens to land on the same byte size (the one
+    case a size-only manifest can't see) still exempts the part."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    h = hashlib.md5()
+    for i in range(md.num_row_groups):
+        rg = md.row_group(i)
+        h.update(f"{rg.num_rows}:{rg.total_byte_size};".encode())
+        for j in range(rg.num_columns):
+            cc = rg.column(j)
+            # compressed size + column statistics make the hash CONTENT-
+            # sensitive (uncompressed sizes alone are shape-only: two
+            # int64 columns of different values hash identically)
+            h.update(f"{cc.total_compressed_size}:".encode())
+            st = cc.statistics
+            if st is not None and st.has_min_max:
+                h.update(repr((st.min, st.max, st.null_count)).encode())
+    return [os.path.getsize(path), md.num_rows, h.hexdigest()[:16]]
+
+
 def _load_merge_tombstones(src: str) -> list[dict]:
     """Parsed merge-tombstone sidecars of a landed directory (empty list
     when none) — the ``_merge-*`` name plus the short-lived un-prefixed
     ``merge-*`` spelling, so a landing that carries old-format sidecars
     still replays them. Unreadable sidecars raise: silently skipping one
-    would resurrect its merge's replaced rows on this rebuild."""
+    would resurrect its merge's replaced rows on this rebuild. Large
+    merges spill their key set to a parquet sidecar (``values_file``)
+    instead of inlining it in the JSON — resolved here to an arrow
+    ChunkedArray (one column, read once)."""
     import glob
     import json
+
+    import pyarrow.parquet as pq
 
     out = []
     found = sorted(
@@ -2368,28 +2427,37 @@ def _load_merge_tombstones(src: str) -> list[dict]:
     ) + sorted(glob.glob(os.path.join(src, "merge-*.tombstones.json")))
     for tf in found:
         with open(tf) as fh:
-            out.append(json.load(fh))
+            tb = json.load(fh)
+        if tb.get("values_file"):
+            tb["values"] = pq.read_table(
+                os.path.join(src, tb["values_file"])
+            ).column("key")
+        out.append(tb)
     return out
 
 
 def _tombstone_applies(tb: dict, base: str, path: str) -> bool:
     """Whether a tombstone's delete covers the landed part ``base``.
 
-    Primary rule: the at-merge {name: size} manifest — the part existed at
-    merge time AND is still byte-size-identical. Robust on both sides: a
-    copied/restored landing (fresh mtimes, same bytes) still replays, while
-    a part REWRITTEN in place since the merge (new size) counts as a fresh
-    landing whose rows the old delete never covered ('a source rewrite
-    resets the chain'; a same-size in-place rewrite is the one undetectable
-    case, documented here). Fallbacks for older sidecars: name-only list
-    manifests, then the original mtime rule."""
+    Primary rule: the at-merge content-identity manifest
+    {name: [size, num_rows, row-group metadata hash]} — the part existed
+    at merge time AND still carries the same identity (see
+    _part_identity; a same-size in-place rewrite no longer slips
+    through). Robust on both sides: a copied/restored landing (fresh
+    mtimes, same bytes) still replays, while a part REWRITTEN in place
+    since the merge counts as a fresh landing whose rows the old delete
+    never covered ('a source rewrite resets the chain'). Fallbacks for
+    older sidecars: {name: size} manifests, name-only list manifests,
+    then the original mtime rule."""
     files = tb.get("files")
     if isinstance(files, dict):
         rec = files.get(base)
         if rec is None:
             return False
         try:
-            return os.path.getsize(path) == rec
+            if isinstance(rec, list):
+                return _part_identity(path) == rec
+            return os.path.getsize(path) == rec  # legacy size-only
         except OSError:
             return False
     if files is not None:  # legacy list manifest: name-only
@@ -2414,7 +2482,12 @@ def _replay_tombstones(table, path: str, tombs: list[dict]):
         col = tb["key"]
         if col not in table.column_names or not table.num_rows:
             continue
-        vals = pa.array(tb["values"]).cast(table.schema.field(col).type)
+        vals = tb["values"]
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        elif not isinstance(vals, pa.Array):
+            vals = pa.array(vals)
+        vals = vals.cast(table.schema.field(col).type)
         hit = pc.fill_null(pc.is_in(table.column(col), value_set=vals), False)
         table = table.filter(pc.invert(hit))
     return table
@@ -2426,6 +2499,8 @@ def _replay_tombstones_spark(src: str, df: DataFrame) -> DataFrame:
     _read_landed): per-row provenance comes from input_file_name(), and
     each tombstone drops its replaced keys from exactly the parts in its
     at-merge manifest. No-op without sidecars."""
+    import pyarrow as pa
+
     tombs = _load_merge_tombstones(src) if os.path.isdir(src) else []
     if not tombs:
         return df
@@ -2441,10 +2516,28 @@ def _replay_tombstones_spark(src: str, df: DataFrame) -> DataFrame:
         ]
         if not files:
             continue
-        hit = F.col("__lj_file").isin(files) & F.coalesce(
-            F.col(tb["key"]).isin(tb["values"]), F.lit(False)
-        )
-        out = out.filter(~hit)
+        vals = tb["values"]
+        if isinstance(vals, (pa.Array, pa.ChunkedArray)):
+            # spilled key set (large merge): replay as a BROADCAST
+            # anti-join instead of an .isin literal — the plan stays
+            # O(1) in key count and the keys ship as arrow batches, not
+            # a parsed expression tree. (Spark can't read the
+            # '_'-prefixed sidecar path itself — hidden-file filter —
+            # so the one-column table goes through createDataFrame.)
+            keys_df = df.sparkSession.createDataFrame(
+                pa.table({"__lj_tbkey": vals}).to_pandas()
+            )
+            out = out.join(
+                F.broadcast(keys_df.distinct()),
+                F.col("__lj_file").isin(files)
+                & (F.col(tb["key"]) == F.col("__lj_tbkey")),
+                "left_anti",
+            )
+        else:
+            hit = F.col("__lj_file").isin(files) & F.coalesce(
+                F.col(tb["key"]).isin(vals), F.lit(False)
+            )
+            out = out.filter(~hit)
     return out.drop("__lj_file")
 
 
@@ -3051,6 +3144,7 @@ def _split_files_via_spark(
     # worker can't import that module): register their defining modules
     # for by-value pickling around the dispatch.
     foreign_mods = []
+    lock_held = False
     if assignments:
         import inspect
 
@@ -3068,6 +3162,13 @@ def _split_files_via_spark(
                 and m not in foreign_mods
             ):
                 foreign_mods.append(m)
+        if foreign_mods:
+            # register/dispatch/unregister mutate GLOBAL cloudpickle state:
+            # hold the module lock across the whole window so a concurrent
+            # Spark serialization from another driver thread can neither
+            # observe a registration it didn't ask for nor lose this one
+            _CLOUDPICKLE_REG_LOCK.acquire()
+            lock_held = True
         for m in foreign_mods:
             cloudpickle.register_pickle_by_value(m)
 
@@ -3113,6 +3214,13 @@ def _split_files_via_spark(
         try:
             cloudpickle.dumps(work)
         except Exception:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "by-value pickling probe failed for %s; falling back to "
+                "by-reference (workers must be able to import them)",
+                [m.__name__ for m in foreign_mods],
+            )
             for m in foreign_mods:
                 cloudpickle.unregister_pickle_by_value(m)
             foreign_mods = []
@@ -3128,6 +3236,8 @@ def _split_files_via_spark(
 
             for m in foreign_mods:
                 cloudpickle.unregister_pickle_by_value(m)
+        if lock_held:
+            _CLOUDPICKLE_REG_LOCK.release()
 
 
 def _mutation_target(
@@ -3988,6 +4098,7 @@ def merge_into(
     """
     import hashlib
 
+    import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
@@ -4051,22 +4162,38 @@ def merge_into(
         tomb = {
             "key": key,
             "batch": batch_name,
-            # Applicability is the at-merge {name: size} manifest, not
+            # Applicability is the at-merge content-identity manifest
+            # {name: [size, num_rows, row-group-metadata hash]}, not
             # mtime: the tombstone applies to exactly the parts that
             # existed at merge time (the rows delete_where removed) and
-            # are still byte-size-identical — a copied/restored landing
+            # still carry the same identity — a copied/restored landing
             # (fresh mtimes) still replays correctly, later landings are
-            # never touched, and an in-place part REWRITE since the merge
-            # (new size) exempts that part as a fresh landing. t_ns kept
-            # for forensics only (see _tombstone_applies).
+            # never touched, and ANY in-place part rewrite since the
+            # merge (even one landing on the same byte size) exempts
+            # that part as a fresh landing. t_ns kept for forensics only
+            # (see _tombstone_applies).
             "files": {
-                f: os.path.getsize(os.path.join(src, f))
+                f: _part_identity(os.path.join(src, f))
                 for f in sorted(os.listdir(src))
                 if f.endswith(".parquet") and f != batch_name
             },
             "t_ns": time.time_ns(),
-            "values": key_vals,
         }
+        if len(key_vals) > TOMBSTONE_INLINE_MAX:
+            # large merge: the replaced keys spill to a parquet sidecar
+            # (and replay as a broadcast anti-join) — inlining them would
+            # grow the JSON, driver memory, and the .isin expression tree
+            # without bound. Written BEFORE the JSON that references it:
+            # a crash between the two leaves an orphan keys file (inert —
+            # '_'-prefixed, nothing discovers it), never a tombstone
+            # whose keys are missing.
+            keys_name = f"_merge-{tag}.tombstones.keys"
+            pq.write_table(
+                pa.table({"key": keys}), os.path.join(src, keys_name)
+            )
+            tomb["values_file"] = keys_name
+        else:
+            tomb["values"] = key_vals
         # underscore prefix: Spark's file index and pyarrow's dataset
         # discovery both skip '_'-prefixed files, so the sidecar never
         # reads as a data file on any directory-scan path

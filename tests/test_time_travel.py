@@ -21,6 +21,7 @@ from __future__ import annotations
 import glob
 import os
 import shutil
+import time
 
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -383,8 +384,11 @@ def test_vacuum_sweeps_orphaned_mutation_scratch_dirs(
     spark, tmp_path, monkeypatch, restore_catalog
 ):
     """A crash mid-mutation leaves uuid-suffixed hold/stage dirs next to
-    the managed table; vacuum reclaims them. pid-keyed _publish_dir dirs
-    (.tmp-*/.old-*) are NOT swept — a concurrent publish may own one."""
+    the managed table; vacuum reclaims them — but only once they age past
+    SCRATCH_SWEEP_AGE_S, so a vacuum racing a LIVE mutation from another
+    process never deletes its in-flight staging. pid-keyed _publish_dir
+    dirs (.tmp-*/.old-*) are NOT swept — a concurrent publish may own
+    one."""
     sf = _mk_sf(tmp_path, monkeypatch, tables=("orders",))
     out = sess.ingest_tables(spark, sf)
     dst = os.path.join(out, "orders.parquet")
@@ -395,10 +399,18 @@ def test_vacuum_sweeps_orphaned_mutation_scratch_dirs(
         dst + ".stage-123-deadbeef",
     ]
     keep_tmp = dst + ".tmp-99999"
-    for d in orphans + [keep_tmp]:
+    fresh = dst + ".stage-456-cafecafe"
+    for d in orphans + [keep_tmp, fresh]:
         os.makedirs(d)
+    old = time.time() - 7200
+    for d in orphans:
+        os.utime(d, (old, old))  # crash orphans are hours old
     sess.vacuum_table(spark, sf, "orders")
     for d in orphans:
         assert not os.path.exists(d), f"orphan not swept: {d}"
     assert os.path.exists(keep_tmp), ".tmp-* must survive (publisher-owned)"
+    assert os.path.exists(fresh), (
+        "a FRESH scratch dir (possible live mutation) must survive the sweep"
+    )
     os.rmdir(keep_tmp)
+    os.rmdir(fresh)

@@ -27,6 +27,7 @@ import pyarrow.parquet as pq
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
+from data_etl_sh_lianjia_spark import session as sess
 from data_etl_sh_lianjia_spark.session import _read_landed
 
 _KEYS = st.integers(0, 7)
@@ -55,11 +56,14 @@ def _write(path: str, rows: list[tuple[int, int]]) -> None:
 
 
 def _sidecar(src: str, tag: str, batch_name: str, keys: list[int]) -> None:
+    # the CURRENT manifest format: content identity per part (the legacy
+    # size-only and name-only shapes are pinned by the deterministic
+    # fallback tests below)
     tomb = {
         "key": "k",
         "batch": batch_name,
         "files": {
-            f: os.path.getsize(os.path.join(src, f))
+            f: sess._part_identity(os.path.join(src, f))
             for f in sorted(os.listdir(src))
             if f.endswith(".parquet") and f != batch_name
         },
@@ -106,14 +110,20 @@ def test_replay_reproduces_model_under_any_op_interleaving(
             model[name] = list(rows)
         else:  # rewrite an existing part in place with fresh content
             target = sorted(model)[seq % len(model)]
-            old_size = os.path.getsize(os.path.join(src, target))
+            old_ident = sess._part_identity(os.path.join(src, target))
             _write(os.path.join(src, target), rows)
-            if os.path.getsize(os.path.join(src, target)) == old_size:
-                # same-size rewrite is the documented undetectable case:
-                # regenerate with one extra row to keep the test honest
+            if sess._part_identity(os.path.join(src, target)) == old_ident:
+                # identical-CONTENT rewrite is indistinguishable from no
+                # rewrite (and semantically equivalent to a restore from
+                # backup); nudge with an extra row so the model's "rewrite
+                # resets the chain" stays observable. Same-SIZE rewrites
+                # with different content no longer need this — the
+                # identity manifest catches them.
                 _write(os.path.join(src, target), rows + [(0, 424242)])
                 rows = rows + [(0, 424242)]
-                assert os.path.getsize(os.path.join(src, target)) != old_size
+                assert (
+                    sess._part_identity(os.path.join(src, target)) != old_ident
+                )
             model[target] = list(rows)
 
     got = sorted(
@@ -124,3 +134,127 @@ def test_replay_reproduces_model_under_any_op_interleaving(
     )
     want = sorted(r for rows_ in model.values() for r in rows_)
     assert got == want, f"replay diverged from the model: {got} != {want}"
+
+
+def test_same_size_rewrite_exempts_part_under_identity_manifest(tmp_path):
+    """The r8 caveat, now closed: a part rewritten in place to DIFFERENT
+    content but the SAME byte size must not count as still covered by a
+    pre-rewrite tombstone. The legacy size-only record stays pinned as
+    the (weaker) documented fallback."""
+    p = str(tmp_path / "part-00000.parquet")
+    _write(p, [(1, 1), (2, 2)])
+    ident = sess._part_identity(p)
+    tb = {
+        "key": "k",
+        "batch": "merge-x.parquet",
+        "files": {"part-00000.parquet": ident},
+        "t_ns": 0,
+        "values": [1],
+    }
+    assert sess._tombstone_applies(tb, "part-00000.parquet", p)
+
+    # rewrite: same shape (2 int64 rows -> same uncompressed sizes),
+    # different values
+    _write(p, [(3, 3), (4, 4)])
+    same_size_rec = [os.path.getsize(p), ident[1], ident[2]]
+    tb_rewritten = {**tb, "files": {"part-00000.parquet": same_size_rec}}
+    assert not sess._tombstone_applies(tb_rewritten, "part-00000.parquet", p), (
+        "identity manifest must catch a same-size different-content rewrite"
+    )
+    # legacy size-only manifest: size matches -> still applies (fallback)
+    tb_legacy = {**tb, "files": {"part-00000.parquet": os.path.getsize(p)}}
+    assert sess._tombstone_applies(tb_legacy, "part-00000.parquet", p)
+
+
+def test_large_merge_spills_keys_and_replays_on_both_paths(
+    spark, tmp_path, monkeypatch, restore_catalog
+):
+    """A merge whose replaced-key set exceeds TOMBSTONE_INLINE_MAX must
+    spill the keys to a parquet sidecar (JSON carries values_file, no
+    inline list) and still replay exactly on BOTH rebuild paths: the
+    pyarrow _read_landed path and the Spark branch's broadcast anti-join
+    (_replay_tombstones_spark)."""
+    import glob as _glob
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as _pq
+
+    monkeypatch.setattr(sess, "TOMBSTONE_INLINE_MAX", 2)
+    monkeypatch.setattr(sess, "INGEST_ROOT", str(tmp_path / "ingest"))
+
+    sf = tmp_path / "sfspill"
+    (sf / "orders.parquet").mkdir(parents=True)
+    orders = _pq.read_table("/root/testdata/sf0.001/orders.parquet")
+    _pq.write_table(
+        orders, str(sf / "orders.parquet" / "part-00000.parquet")
+    )
+    out = sess.ingest_tables(spark, str(sf))
+
+    hit = sorted(set(orders.column("o_orderkey").to_pylist()))[:5]
+    base = orders.filter(pc.field("o_orderkey").isin(hit))
+    batch = base.set_column(
+        base.schema.get_field_index("o_totalprice"),
+        base.schema.field("o_totalprice"),
+        pc.add(base["o_totalprice"], 11.0).combine_chunks(),
+    )
+    sess.merge_into(spark, str(sf), "orders", batch, "o_orderkey")
+
+    src = str(sf / "orders.parquet")
+    sidecars = _glob.glob(os.path.join(src, "_merge-*.tombstones.json"))
+    assert len(sidecars) == 1
+    with open(sidecars[0]) as fh:
+        tomb = json.load(fh)
+    assert "values" not in tomb, "spilled sidecar must not inline keys"
+    keys_path = os.path.join(src, tomb["values_file"])
+    assert os.path.exists(keys_path)
+    assert sorted(
+        _pq.read_table(keys_path).column("key").to_pylist()
+    ) == [int(k) for k in hit]
+
+    # pyarrow rebuild path: exactly one survivor per merged key, batch wins
+    tbl = _read_landed(src)
+    want = dict(
+        zip(hit, pc.add(base["o_totalprice"], 11.0).to_pylist())
+    )
+    got = {
+        k: v
+        for k, v in zip(
+            tbl.column("o_orderkey").to_pylist(),
+            tbl.column("o_totalprice").to_pylist(),
+        )
+        if k in want
+    }
+    assert tbl.num_rows == orders.num_rows
+    assert {k: round(v, 2) for k, v in got.items()} == {
+        k: round(v, 2) for k, v in want.items()
+    }
+
+    # Spark branch: broadcast anti-join replay over the same landing
+    df = sess._replay_tombstones_spark(src, spark.read.parquet(src))
+    assert df.count() == orders.num_rows
+    rows = df.filter(df.o_orderkey.isin([int(k) for k in hit])).collect()
+    assert len(rows) == len(hit)
+    for r in rows:
+        assert abs(r["o_totalprice"] - want[r["o_orderkey"]]) < 1e-6
+    assert out  # silence unused warning
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture()
+def restore_catalog(spark):
+    saved = (
+        dict(getattr(spark, "_lianjia_ingest_map", {}) or {}),
+        dict(getattr(spark, "_lianjia_table_cache", {}) or {}),
+        set(getattr(spark, "_lianjia_cached_views", set()) or set()),
+        dict(getattr(spark, "_lianjia_keydict_views", {}) or {}),
+        dict(getattr(spark, "_lianjia_bucket_tables", {}) or {}),
+    )
+    yield
+    spark._lianjia_ingest_map = saved[0]
+    spark._lianjia_table_cache = saved[1]
+    spark._lianjia_cached_views = saved[2]
+    spark._lianjia_keydict_views = saved[3]
+    spark._lianjia_bucket_tables = saved[4]
+    spark._lianjia_views_dir = None
