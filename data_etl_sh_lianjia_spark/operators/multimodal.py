@@ -20,8 +20,11 @@ Decode comes in three tiers:
 - ``decode="real"`` in :func:`extract_features` magic-sniffs the container
   and dispatches to the in-repo BMP/PNG/JPEG/WAV decoders
   (`multimodal_features_real` oracles it against generation-time ground
-  truth); only containers that genuinely need an external codec (ffmpeg
-  for MP3/MP4/H.264) still raise NotImplementedError at that seam.
+  truth). Video: MJPEG-in-AVI demuxes + frame-decodes for real
+  (`multimodal_avi_frame_extract` — RIFF chunk walk + the baseline-JPEG
+  decoder); only containers that genuinely need an external codec (ffmpeg
+  for MP3 and inter-coded MP4/H.264) still raise NotImplementedError at
+  that seam.
 
 Scale: blobs ride the columnar path (Parquet BINARY + Arrow); the decode
 stage is an embarrassingly parallel mapInPandas over row batches, so
@@ -150,6 +153,7 @@ def extract_features(
                 _decode_jpeg,
                 _decode_png,
                 _decode_wav,
+                _demux_avi_mjpeg,
             )
 
             def image_feature(rgb: np.ndarray) -> list[float]:
@@ -183,11 +187,22 @@ def extract_features(
                             float(np.max(np.abs(sf))),
                             0.0,
                         ], "audio"
+                    elif buf[:4] == b"RIFF" and buf[8:12] == b"AVI ":
+                        fps, fr = _demux_avi_mjpeg(buf)
+                        first = _decode_jpeg(fr[0]).astype(np.float64)
+                        v, m = [
+                            float(len(fr)),
+                            float(fps),
+                            float(np.round(first[:, :, 0].mean(), 6)),
+                            float(np.round(first[:, :, 1].mean(), 6)),
+                            float(np.round(first[:, :, 2].mean(), 6)),
+                        ], "video"
                     else:
                         raise NotImplementedError(
                             "no in-container codec for this media container "
-                            "(compressed audio/video such as MP3/MP4/H.264 "
-                            "needs ffmpeg); plug the external decoder in here"
+                            "(compressed audio such as MP3, and inter-coded "
+                            "video such as MP4/H.264, need ffmpeg); plug the "
+                            "external decoder in here"
                         )
                     modality.append(m)
                     feats.append((v + [0.0] * dim)[:dim])
@@ -1676,4 +1691,252 @@ def multimodal_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id",
         "modality",
         *[F.element_at("feature", i).alias(f"f{i}") for i in range(1, 6)],
+    )
+
+
+# --- MJPEG-in-AVI: real video-container demux + frame decode -----------
+#
+# A Motion-JPEG AVI is the one video container expressible entirely from
+# first principles with the codecs already in this module: the RIFF/AVI
+# chunk grammar (the same grammar the WAV decoder walks) carries one
+# complete baseline JPEG per '00dc' chunk. Muxer + demuxer below are full
+# implementations of that grammar — header list (avih/strh/strf), movi
+# payload chunks with word alignment, idx1 index — so frame sampling runs
+# against a genuine container bitstream, not a synthetic frame stack.
+# Inter-coded video (H.264/MP4) and MP3 remain the documented
+# NotImplementedError seam in extract_features.
+
+
+def _encode_avi_mjpeg(frames: list[bytes], w: int, h: int, fps: int) -> bytes:
+    """RIFF AVI muxer for an MJPEG video stream: LIST hdrl (avih + LIST
+    strl(strh 'vids'/'MJPG' + strf BITMAPINFOHEADER)), LIST movi of
+    word-aligned '00dc' chunks, and an idx1 keyframe index."""
+    import struct
+
+    def chunk(fourcc: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) & 1 else b""
+        return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+    def lst(fourcc: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", fourcc + payload)
+
+    max_bytes = max(len(f) for f in frames)
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,  # dwMicroSecPerFrame
+        max_bytes * fps,   # dwMaxBytesPerSec
+        0,                 # dwPaddingGranularity
+        0x10,              # AVIF_HASINDEX
+        len(frames), 0, 1, max_bytes,
+        w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4H",
+        b"vids", b"MJPG", 0, 0, 0, 0,
+        1, fps,            # dwScale / dwRate -> fps
+        0, len(frames), max_bytes, 0xFFFFFFFF, 0,
+        0, 0, w, h,        # rcFrame
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_payload = b"".join(chunk(b"00dc", f) for f in frames)
+    movi = lst(b"movi", movi_payload)
+    # idx1 offsets are relative to the start of the movi payload fourcc
+    idx, off = [], 4
+    for f in frames:
+        idx.append(struct.pack("<4sIII", b"00dc", 0x10, off, len(f)))
+        off += 8 + len(f) + (len(f) & 1)
+    idx1 = chunk(b"idx1", b"".join(idx))
+    return chunk(b"RIFF", b"AVI " + hdrl + movi + idx1)
+
+
+def _demux_avi_mjpeg(buf: bytes) -> tuple[int, list[bytes]]:
+    """Walk the RIFF/AVI chunk tree: fps from strh (dwRate/dwScale), one
+    JPEG bitstream per '00dc'/'00db' chunk of LIST movi. Returns
+    (fps, frames)."""
+    import struct
+
+    if buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI container")
+
+    def walk(pos: int, end: int):
+        while pos + 8 <= end:
+            fourcc = buf[pos : pos + 4]
+            size = struct.unpack_from("<I", buf, pos + 4)[0]
+            yield fourcc, pos + 8, size
+            pos += 8 + size + (size & 1)
+
+    fps, frames = None, []
+    for fourcc, body, size in walk(12, 8 + struct.unpack_from("<I", buf, 4)[0]):
+        if fourcc != b"LIST":
+            continue
+        kind = buf[body : body + 4]
+        if kind == b"hdrl":
+            for fc2, b2, s2 in walk(body + 4, body + size):
+                if fc2 == b"LIST" and buf[b2 : b2 + 4] == b"strl":
+                    for fc3, b3, s3 in walk(b2 + 4, b2 + s2):
+                        if fc3 == b"strh" and buf[b3 : b3 + 4] == b"vids":
+                            scale, rate = struct.unpack_from("<II", buf, b3 + 20)
+                            fps = rate // max(scale, 1)
+        elif kind == b"movi":
+            for fc2, b2, s2 in walk(body + 4, body + size):
+                if fc2 in (b"00dc", b"00db"):
+                    frames.append(buf[b2 : b2 + s2])
+    if fps is None or not frames:
+        raise ValueError("AVI carries no vids stream / no frames")
+    return fps, frames
+
+
+def synthesize_video_fixtures(out_dir: str = _MEDIA_FIXTURE_DIR) -> tuple[str, str]:
+    """Deterministic MJPEG-AVI corpus: 40 containers of 3-7 JPEG frames
+    (flat 8x8-block frames, all-ones quant tables — the same bit-exact
+    construction as the JPEG corpus, so the predicted decode is the exact
+    YCbCr round trip). Ground truth lands in a sibling parquet keyed
+    (media_id, frame_idx) for the sampled frames, giving the driver hash
+    gate an end-to-end oracle over demux + decode."""
+    import hashlib  # noqa: F401  (fixture parity with synthesize_media_fixtures)
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    vpath = os.path.join(out_dir, "video.parquet")
+    tpath = os.path.join(out_dir, "video_truth.parquet")
+    if os.path.exists(vpath) and os.path.exists(tpath):
+        return vpath, tpath
+    os.makedirs(out_dir, exist_ok=True)
+    ones_q = np.ones((8, 8), dtype=np.int64)
+    vrows, trows = [], []
+    for i in range(40):
+        n_frames = 3 + i % 5
+        fps = (10, 15, 24, 30)[i % 4]
+        bw, bh = 2 + (i * 3) % 4, 2 + (i * 7) % 3
+        w, h = bw * 8 - (i % 8), bh * 8 - (i * 5) % 8
+        frames, decoded = [], []
+        for f in range(n_frames):
+            bx = np.arange(bw)[None, :]
+            by = np.arange(bh)[:, None]
+            blocks = np.stack(
+                [
+                    (bx * 37 + by * 13 + 17 * i + 29 * f) % 256,
+                    (bx * 11 + by * 23 + 7 * i + 43 * f) % 256,
+                    (bx * 5 + by * 31 + 3 * i + 19 * f) % 256,
+                ],
+                axis=2,
+            ).astype(np.uint8)
+            rgb = np.kron(blocks, np.ones((8, 8, 1), dtype=np.uint8))[:h, :w]
+            frames.append(_encode_jpeg(rgb, ones_q, ones_q))
+            decoded.append(_ycbcr_to_rgb(_rgb_to_ycbcr(rgb)))
+        vrows.append(
+            {"media_id": 4000 + i, "media": _encode_avi_mjpeg(frames, w, h, fps)}
+        )
+        for idx in sorted({0, n_frames // 2, n_frames - 1}):
+            d = decoded[idx]
+            trows.append(
+                {
+                    "media_id": 4000 + i,
+                    "frame_idx": idx,
+                    "n_frames": n_frames,
+                    "fps": fps,
+                    "width": w,
+                    "height": h,
+                    "mean_r": _round6(d[:, :, 0].astype(np.float64).mean()),
+                    "mean_g": _round6(d[:, :, 1].astype(np.float64).mean()),
+                    "mean_b": _round6(d[:, :, 2].astype(np.float64).mean()),
+                }
+            )
+    vschema = pa.schema([("media_id", pa.int64()), ("media", pa.binary())])
+    tschema = pa.schema(
+        [
+            ("media_id", pa.int64()),
+            ("frame_idx", pa.int64()),
+            ("n_frames", pa.int64()),
+            ("fps", pa.int64()),
+            ("width", pa.int64()),
+            ("height", pa.int64()),
+            ("mean_r", pa.float64()),
+            ("mean_g", pa.float64()),
+            ("mean_b", pa.float64()),
+        ]
+    )
+    for path, rows, schema in (
+        (vpath, vrows, vschema),
+        (tpath, trows, tschema),
+    ):
+        tmp = f"{path}.tmp-{os.getpid()}"
+        pq.write_table(pa.Table.from_pylist(rows, schema=schema), tmp)
+        os.replace(tmp, path)
+    return vpath, tpath
+
+
+_VIDEO_FIXTURE_PATH, _VIDEO_TRUTH_PATH = synthesize_video_fixtures()
+
+
+@register(
+    "multimodal_avi_frame_extract",
+    # The oracle reads generation-time ground truth; the Spark side walks
+    # the actual RIFF/AVI bitstream and JPEG-decodes the sampled frames —
+    # the hash gate verifies demux + frame decode end-to-end.
+    oracle=f"""
+SELECT media_id, frame_idx, n_frames, fps, width, height,
+       mean_r, mean_g, mean_b
+FROM read_parquet('{_VIDEO_TRUTH_PATH}')
+""",
+    survey_ref="L5,P1",
+    doc="REAL video frame extraction: MJPEG-AVI demux -> sample first/mid/last -> JPEG decode",
+)
+def multimodal_avi_frame_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling on a REAL container format: demux the RIFF/AVI
+    chunk tree, sample the first/middle/last '00dc' frames, decode each
+    with the in-repo baseline-JPEG decoder, emit per-frame dimensions +
+    channel means. Same embarrassingly parallel mapInPandas shape as the
+    image decoders — at 100 TB each container decodes wholly inside its
+    Arrow batch, no shuffle."""
+    ensure_package_shipped(spark)
+    media = spark.read.parquet(_VIDEO_FIXTURE_PATH).select("media_id", "media")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from data_etl_sh_lianjia_spark.operators.multimodal import (
+            _decode_jpeg,
+            _demux_avi_mjpeg,
+        )
+
+        for pdf in batches:
+            out = {
+                "media_id": [], "frame_idx": [], "n_frames": [], "fps": [],
+                "width": [], "height": [],
+                "mean_r": [], "mean_g": [], "mean_b": [],
+            }
+            for mid, blob in zip(pdf["media_id"], pdf["media"]):
+                fps, frames = _demux_avi_mjpeg(bytes(blob))
+                n = len(frames)
+                for idx in sorted({0, n // 2, n - 1}):
+                    rgb = _decode_jpeg(frames[idx])
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(idx)
+                    out["n_frames"].append(n)
+                    out["fps"].append(fps)
+                    out["height"].append(rgb.shape[0])
+                    out["width"].append(rgb.shape[1])
+                    for ch, name in enumerate(("mean_r", "mean_g", "mean_b")):
+                        out[name].append(
+                            float(
+                                np.round(
+                                    rgb[:, :, ch].astype(np.float64).mean(), 6
+                                )
+                            )
+                        )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        fn,
+        "media_id long, frame_idx long, n_frames long, fps long,"
+        " width long, height long,"
+        " mean_r double, mean_g double, mean_b double",
     )

@@ -297,3 +297,64 @@ def test_jpeg_decoder_rejects_unsupported_variants():
     sub[sof + 11] = 0x22  # component 1 sampling byte
     with pytest.raises(ValueError, match="subsampling"):
         _decode_jpeg(bytes(sub))
+
+
+def test_avi_mjpeg_mux_demux_roundtrip():
+    """RIFF/AVI container grammar: frames (including ODD-length JPEG
+    payloads, exercising word-alignment padding) round-trip bit-exactly,
+    fps survives strh, and non-AVI input raises cleanly."""
+    ones = np.ones((8, 8), dtype=np.int64)
+    frames = [
+        M._encode_jpeg(np.full((16, 24, 3), c, dtype=np.uint8), ones, ones)
+        for c in (5, 77, 200, 254)
+    ]
+    avi = M._encode_avi_mjpeg(frames, 24, 16, 15)
+    fps, out = M._demux_avi_mjpeg(avi)
+    assert fps == 15
+    assert [bytes(f) for f in out] == [bytes(f) for f in frames]
+
+    # word-alignment: odd- and even-length payloads both round-trip (the
+    # demuxer walks sizes, so a missing pad byte would desync every
+    # following chunk)
+    raw = [b"\xff\xd8odd", b"\xff\xd8even!", b"x"]
+    fps2, out2 = M._demux_avi_mjpeg(M._encode_avi_mjpeg(raw, 4, 4, 10))
+    assert fps2 == 10 and out2 == raw
+
+    with pytest.raises(ValueError):
+        M._demux_avi_mjpeg(b"RIFF\x04\x00\x00\x00WAVE")
+    with pytest.raises(ValueError):
+        M._demux_avi_mjpeg(b"not a riff at all")
+
+
+def test_avi_frame_extract_matches_ground_truth(spark, sf_dir):
+    """The registered query end-to-end: demux + JPEG decode must equal the
+    generation-time predicted decode for every sampled frame."""
+    import pyarrow.parquet as pq
+
+    got = {
+        (r["media_id"], r["frame_idx"]): r
+        for r in M.multimodal_avi_frame_extract(spark, sf_dir).collect()
+    }
+    truth = pq.read_table(M._VIDEO_TRUTH_PATH).to_pylist()
+    assert len(got) == len(truth) > 0
+    for t in truth:
+        r = got[(t["media_id"], t["frame_idx"])]
+        for k in ("n_frames", "fps", "width", "height"):
+            assert r[k] == t[k], (t["media_id"], t["frame_idx"], k)
+        for k in ("mean_r", "mean_g", "mean_b"):
+            assert abs(r[k] - t[k]) < 1e-9, (t["media_id"], k)
+
+
+def test_extract_features_handles_avi_video_modality(spark):
+    """extract_features(decode='real') sniffs RIFF/AVI and yields a video
+    feature vector [n_frames, fps, first-frame channel means]."""
+    ones = np.ones((8, 8), dtype=np.int64)
+    frames = [
+        M._encode_jpeg(np.full((8, 8, 3), c, dtype=np.uint8), ones, ones)
+        for c in (10, 20)
+    ]
+    avi = M._encode_avi_mjpeg(frames, 8, 8, 30)
+    media = spark.createDataFrame([(1, bytearray(avi))], "media_id long, media binary")
+    row = M.extract_features(media, decode="real").collect()[0]
+    assert row["modality"] == "video"
+    assert row["feature"][0] == 2.0 and row["feature"][1] == 30.0
