@@ -82,6 +82,42 @@ def test_approx_percentile_tolerance(spark, sf_dir):
         assert abs(a - e) / e < 0.01, (a, e)
 
 
+def test_bh_quantile_sketch_tolerance(spark, sf_dir):
+    """The mergeable Ben-Haim/Tom-Tov histogram sketch (map-side partial
+    summaries -> per-group closest-pair merge) must land within 2%
+    relative error of the exact interpolated percentile per group — far
+    inside the 5% bound the registered query's flag asserts."""
+    from data_etl_sh_lianjia_spark.operators.aggregates import (
+        _quantile_sketch_raw,
+    )
+    from data_etl_sh_lianjia_spark.session import load_tables
+
+    import pyspark.sql.functions as F
+
+    approx = {
+        r["l_returnflag"]: (r["p50_approx"], r["p95_approx"])
+        for r in _quantile_sketch_raw(spark, sf_dir).collect()
+    }
+    li = load_tables(spark, sf_dir, names=("lineitem",))["lineitem"]
+    exact = {
+        r["l_returnflag"]: (r["p50"], r["p95"])
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_extendedprice", F.lit(0.5)).alias("p50"),
+            F.percentile("l_extendedprice", F.lit(0.95)).alias("p95"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact) and approx
+    for flag in exact:
+        for a, e in zip(approx[flag], exact[flag]):
+            assert abs(a - e) / abs(e) < 0.02, (flag, a, e)
+    flagged = (
+        all_queries()["quantile_sketch_mergeable"].spark_fn(spark, sf_dir)
+    ).collect()
+    assert flagged and all(r["within_tol"] for r in flagged)
+
+
 def test_pq_recall_vs_brute_force(spark, sf_dir):
     """PQ with m=8 x 16 centroids on near-uniform unit vectors is a coarse
     code (quantization distortion dominates), but the ADC ordering plus
