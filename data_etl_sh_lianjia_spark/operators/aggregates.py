@@ -221,22 +221,67 @@ def _quantile_sketch_raw(
         "l_returnflag", "l_extendedprice"
     )
 
+    def _collapse(cen, w, k):
+        """Compress sorted (centroid, weight) arrays to <= k centroids:
+        an O(n log n) equal-mass pre-chunking when far over budget (the
+        same summary the leaf stage builds), then the BH closest-pair
+        merge for the final refinement — bounded at O(k^2), never
+        O(n^2) in the incoming summary count."""
+        import numpy as np
+
+        if len(cen) > 4 * k:
+            cum = np.cumsum(w)
+            cuts = np.searchsorted(
+                cum, np.linspace(0, cum[-1], 4 * k + 1)[1:-1], side="left"
+            )
+            edges = np.unique(np.concatenate(([0], cuts + 1, [len(cen)])))
+            mass = np.add.reduceat(w, edges[:-1])
+            cen = np.add.reduceat(cen * w, edges[:-1]) / mass
+            w = mass
+        while len(cen) > k:
+            i = int(np.argmin(np.diff(cen)))
+            tw = w[i] + w[i + 1]
+            cen[i] = (cen[i] * w[i] + cen[i + 1] * w[i + 1]) / tw
+            w[i] = tw
+            cen = np.delete(cen, i + 1)
+            w = np.delete(w, i + 1)
+        return cen, w
+
     def partial(batches):
+        # ONE summary per group per PARTITION: per-group state accumulates
+        # across arrow batches (merge new batch points, collapse back to
+        # the bucket budget) and emits only when the partition iterator is
+        # exhausted — the shuffle volume is O(groups x buckets) per task
+        # regardless of row count or arrow batch size.
         import numpy as np
         import pandas as pd
 
+        state: dict = {}
         for pdf in batches:
-            out = {"l_returnflag": [], "centroid": [], "weight": []}
             for flag, grp in pdf.groupby("l_returnflag"):
                 v = np.sort(grp["l_extendedprice"].to_numpy(np.float64))
                 k = min(buckets, len(v))
                 edges = np.linspace(0, len(v), k + 1).astype(np.int64)
-                for a, b in zip(edges[:-1], edges[1:]):
-                    if b > a:
-                        out["l_returnflag"].append(flag)
-                        out["centroid"].append(float(v[a:b].mean()))
-                        out["weight"].append(float(b - a))
-            yield pd.DataFrame(out)
+                mass = (edges[1:] - edges[:-1]).astype(np.float64)
+                keep = mass > 0
+                cen = (
+                    np.add.reduceat(v, edges[:-1])[keep] / mass[keep]
+                )
+                w = mass[keep]
+                if flag in state:
+                    oc, ow = state[flag]
+                    order = np.argsort(
+                        np.concatenate([oc, cen]), kind="stable"
+                    )
+                    cen = np.concatenate([oc, cen])[order]
+                    w = np.concatenate([ow, w])[order]
+                state[flag] = _collapse(cen, w, buckets)
+        out = {"l_returnflag": [], "centroid": [], "weight": []}
+        for flag, (cen, w) in state.items():
+            out["l_returnflag"].extend([flag] * len(cen))
+            out["centroid"].extend(map(float, cen))
+            out["weight"].extend(map(float, w))
+        yield pd.DataFrame(out)
 
     partials = li.mapInPandas(
         partial, "l_returnflag string, centroid double, weight double"
@@ -246,16 +291,12 @@ def _quantile_sketch_raw(
         import numpy as np
         import pandas as pd
 
-        c = pdf.sort_values("centroid")
-        cen = c["centroid"].to_numpy(np.float64).copy()
-        w = c["weight"].to_numpy(np.float64).copy()
-        while len(cen) > buckets:
-            i = int(np.argmin(np.diff(cen)))
-            tw = w[i] + w[i + 1]
-            cen[i] = (cen[i] * w[i] + cen[i + 1] * w[i + 1]) / tw
-            w[i] = tw
-            cen = np.delete(cen, i + 1)
-            w = np.delete(w, i + 1)
+        c = pdf.sort_values("centroid", kind="stable")
+        cen, w = _collapse(
+            c["centroid"].to_numpy(np.float64).copy(),
+            c["weight"].to_numpy(np.float64).copy(),
+            buckets,
+        )
         # half-weight convention: each centroid sits at the middle of its
         # bucket's mass; quantiles interpolate the cumulative curve
         cum = np.cumsum(w) - w / 2.0

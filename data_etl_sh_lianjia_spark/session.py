@@ -14,6 +14,7 @@ survive a 1000-executor cluster at ~100 TB:
 
 from __future__ import annotations
 
+import functools
 import os
 import threading
 
@@ -649,7 +650,10 @@ def vacuum_table(
             and entry.name.startswith(base + ".")
             and any(
                 tail.startswith(p)
-                for p in (".dropped-", ".updold-", ".updnew-", ".stage-")
+                for p in (
+                    ".dropped-", ".updold-", ".updnew-", ".stage-",
+                    ".cshuf-",  # arrow-compaction range-shuffle scratch
+                )
             )
             and now - entry.stat().st_mtime >= min_age
         ):
@@ -2503,12 +2507,36 @@ def _read_landed(src: str):
     )
 
 
+def _stat_token(v) -> str:
+    """Version-stable text encoding of a parquet column statistic for the
+    persisted tombstone manifest. NEVER repr() of a library object — the
+    manifest outlives the pyarrow version that wrote it, and a changed
+    repr would silently exempt every part (resurrecting replaced rows on
+    rebuild). bytes -> hex; float -> shortest round-trip repr (stable
+    since py3.1); everything else (int, str, date/datetime/Decimal) ->
+    type-tagged str(), all of which are stdlib-stable."""
+    if isinstance(v, bytes):
+        return f"b:{v.hex()}"
+    if isinstance(v, float):
+        return f"f:{v!r}"
+    return f"{type(v).__name__}:{v!s}"
+
+
 def _part_identity(path: str) -> list:
     """Cheap content identity of a landed part for the tombstone manifest:
-    [byte size, footer num_rows, md5 over per-row-group (rows, bytes)
-    metadata]. One footer read, no data decode — strong enough that an
-    in-place rewrite which happens to land on the same byte size (the one
-    case a size-only manifest can't see) still exempts the part."""
+    [byte size, footer num_rows, md5 over per-row-group metadata]. One
+    footer read, no data decode — strong enough that an in-place rewrite
+    which happens to land on the same byte size (the one case a size-only
+    manifest can't see) still exempts the part. Memoized on
+    (path, mtime_ns, size): a replay checks every landed part against
+    every tombstone, and without the cache that is O(tombstones x parts)
+    footer reads per rebuild."""
+    st = os.stat(path)
+    return list(_part_identity_cached(path, st.st_mtime_ns, st.st_size))
+
+
+@functools.lru_cache(maxsize=4096)
+def _part_identity_cached(path: str, mtime_ns: int, size: int) -> tuple:
     import hashlib
 
     import pyarrow.parquet as pq
@@ -2526,8 +2554,16 @@ def _part_identity(path: str) -> list:
             h.update(f"{cc.total_compressed_size}:".encode())
             st = cc.statistics
             if st is not None and st.has_min_max:
-                h.update(repr((st.min, st.max, st.null_count)).encode())
-    return [os.path.getsize(path), md.num_rows, h.hexdigest()[:16]]
+                h.update(
+                    ";".join(
+                        (
+                            _stat_token(st.min),
+                            _stat_token(st.max),
+                            _stat_token(st.null_count),
+                        )
+                    ).encode()
+                )
+    return (size, md.num_rows, h.hexdigest()[:16])
 
 
 def _load_merge_tombstones(src: str) -> list[dict]:
@@ -3271,11 +3307,10 @@ def _split_files_via_spark(
     if assignments:
         import inspect
 
-        # MUST be pyspark's vendored cloudpickle: the RDD command is
-        # serialized by pyspark.serializers' instance, and registering
-        # by-value on the standalone cloudpickle module has no effect on it
-        from pyspark import cloudpickle
-
+        # NOTE: registration below MUST use pyspark's vendored cloudpickle:
+        # the RDD command is serialized by pyspark.serializers' instance,
+        # and registering by-value on the standalone cloudpickle module has
+        # no effect on it
         for v in assignments.values():
             m = inspect.getmodule(v) if callable(v) else None
             if (
@@ -3289,11 +3324,51 @@ def _split_files_via_spark(
             # register/dispatch/unregister mutate GLOBAL cloudpickle state:
             # hold the module lock across the whole window so a concurrent
             # Spark serialization from another driver thread can neither
-            # observe a registration it didn't ask for nor lose this one
+            # observe a registration it didn't ask for nor lose this one.
+            # Everything from here to the job's end runs under the
+            # try/finally below — an exception anywhere in the window
+            # (registration included) must release the lock.
             _CLOUDPICKLE_REG_LOCK.acquire()
             lock_held = True
-        for m in foreign_mods:
-            cloudpickle.register_pickle_by_value(m)
+    registered: list = []
+    try:
+        if foreign_mods:
+            from pyspark import cloudpickle
+
+            for m in foreign_mods:
+                cloudpickle.register_pickle_by_value(m)
+                registered.append(m)
+        return _split_files_dispatch(
+            spark, dst, files, predicate, hold_matched, stage,
+            assignments, hold_new, kd_cols, registered,
+        )
+    finally:
+        if registered:
+            from pyspark import cloudpickle
+
+            for m in registered:
+                cloudpickle.unregister_pickle_by_value(m)
+        if lock_held:
+            _CLOUDPICKLE_REG_LOCK.release()
+
+
+def _split_files_dispatch(
+    spark: SparkSession,
+    dst: str,
+    files: list[str],
+    predicate,
+    hold_matched: str,
+    stage: str,
+    assignments,
+    hold_new: str | None,
+    kd_cols,
+    registered: list,
+) -> list[tuple[str, int, int, list, list]]:
+    """The work-closure + probe + job half of _split_files_via_spark,
+    split out so the caller's lock/registration try/finally covers the
+    WHOLE window (see _CLOUDPICKLE_REG_LOCK). ``registered`` is mutated
+    in place when the by-value probe falls back, so the caller
+    unregisters exactly what is still registered."""
 
     def work(f: str) -> tuple[str, int, int, list, list]:
         import os as _os
@@ -3327,7 +3402,7 @@ def _split_files_via_spark(
             kd_neg, kd_pos,
         )
 
-    if foreign_mods:
+    if registered:
         # Best-effort: by-value capture can fail on modules whose globals
         # don't pickle (loggers with locks, open handles). Probe once and
         # fall back to by-reference — the pre-registration behavior, which
@@ -3342,25 +3417,16 @@ def _split_files_via_spark(
             logging.getLogger(__name__).warning(
                 "by-value pickling probe failed for %s; falling back to "
                 "by-reference (workers must be able to import them)",
-                [m.__name__ for m in foreign_mods],
+                [m.__name__ for m in registered],
             )
-            for m in foreign_mods:
+            for m in registered:
                 cloudpickle.unregister_pickle_by_value(m)
-            foreign_mods = []
-    try:
-        return (
-            spark.sparkContext.parallelize(files, len(files))
-            .map(work)
-            .collect()
-        )
-    finally:
-        if foreign_mods:
-            from pyspark import cloudpickle
-
-            for m in foreign_mods:
-                cloudpickle.unregister_pickle_by_value(m)
-        if lock_held:
-            _CLOUDPICKLE_REG_LOCK.release()
+            registered.clear()
+    return (
+        spark.sparkContext.parallelize(files, len(files))
+        .map(work)
+        .collect()
+    )
 
 
 def _mutation_target(
