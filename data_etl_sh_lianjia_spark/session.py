@@ -1709,6 +1709,23 @@ WHERE o.o_orderdate < TIMESTAMP_NTZ '1998-03-15 00:00:00'
   AND l.l_shipdate  > TIMESTAMP_NTZ '1996-03-15 00:00:00'
 GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority, c_mktsegment
 """,
+        # Coarse derivation: q3's segment filter + deterministic top-10
+        # applied ON the rollup at maintenance time, so the per-query
+        # TakeOrderedAndProject over O(qualifying orders) moves into the
+        # (already O(rollup)) maintenance pass and serving becomes a
+        # 10-row projection. The ORDER BY is the serving query's exact
+        # expression (same cast/divide, same tiebreak), so row selection
+        # is identical by construction.
+        "coarse": {
+            "name": "q3top",
+            "derive_sql": """
+SELECT l_orderkey, s_rev, orderdate, o_orderpriority
+FROM {src}
+WHERE c_mktsegment = 'BUILDING'
+ORDER BY CAST(s_rev AS DOUBLE) / 10000.0D DESC, l_orderkey
+LIMIT 10
+""",
+        },
     },
 }
 
