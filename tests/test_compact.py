@@ -127,6 +127,21 @@ def test_compact_reclusters_preserves_values_and_restamps_projections(
     fp, _m = sess._read_marker(os.path.join(dst, "_SUCCESS"))
     assert "~cmp" in fp
 
+    # coarse joinproj siblings restamp onto the compacted chain too —
+    # a missed restamp would silently degrade q3/q5 to their fine-rollup
+    # (or full-scan) tiers after every compaction
+    for art in (
+        "q3_orderrev.q3top.joinproj.parquet",
+        "sales_geo_year.q5asia.joinproj.parquet",
+    ):
+        c_fp, c_meta = sess._read_marker(os.path.join(out, art, "_SUCCESS"))
+        assert (c_meta.get("components") or {}).get("lineitem") == fp, art
+    q3_plan = (
+        all_queries()["q3_join3"].spark_fn(spark, str(sf))
+        ._jdf.queryExecution().toString()
+    )
+    assert "q3top" in q3_plan, "q3 must keep its coarse serve post-compact"
+
     # and they still SERVE: projection-served == full scan, plans unchanged
     df = all_queries()["q1_scan_agg"].spark_fn(spark, str(sf))
     assert "aggproj" in df._jdf.queryExecution().toString()
