@@ -409,3 +409,48 @@ def source_config_rotation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("ua_bucket", "proxy_idx")
         .agg(F.count(F.lit(1)).alias("n_requests"))
     )
+
+
+@register(
+    "text_roundtrip",
+    oracle="""
+SELECT lang, COUNT(*) AS n,
+       CAST(SUM(length(text)) AS BIGINT) AS sum_chars
+FROM documents
+WHERE doc_id % 3 = 0
+GROUP BY lang
+""",
+    survey_ref="S5,S8",
+    doc="line-oriented text sink -> spark.read.text source round-trip (hex line framing), agg equals direct query",
+)
+def text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write a documents slice as a PLAIN TEXT line feed (the rawest
+    crawler output format: one record per line) and read it back with the
+    line-oriented text source. Records are framed
+    ``doc_id\\tlang\\thex(text)`` — hex makes arbitrary document bytes
+    (embedded newlines, tabs) line-safe and lossless, the discipline any
+    line-oriented corpus dump needs (base64 is out: Spark's ``base64``
+    MIME-chunks long values with embedded newlines, which a line source
+    would shred). Aggregating the round-tripped rows (count + decoded
+    char lengths per lang) must equal querying the parquet directly."""
+    docs = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    slice_df = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.concat_ws(
+            "\t",
+            F.col("doc_id").cast("string"),
+            F.col("lang"),
+            F.hex(F.encode("text", "UTF-8")),
+        ).alias("value")
+    )
+    path = f"/tmp/spark-graft-text/documents-{abs(hash(sf_dir)) % 10**8}"
+    slice_df.coalesce(1).write.mode("overwrite").text(path)
+    back = spark.read.text(path)
+    parts = F.split(F.col("value"), "\t", 3)
+    decoded = back.select(
+        parts.getItem(1).alias("lang"),
+        F.decode(F.unhex(parts.getItem(2)), "UTF-8").alias("text"),
+    )
+    return decoded.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.length("text")).cast("bigint").alias("sum_chars"),
+    )
