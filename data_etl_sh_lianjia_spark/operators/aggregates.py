@@ -270,10 +270,9 @@ def _quantile_sketch_raw(
                 w = mass[keep]
                 if flag in state:
                     oc, ow = state[flag]
-                    order = np.argsort(
-                        np.concatenate([oc, cen]), kind="stable"
-                    )
-                    cen = np.concatenate([oc, cen])[order]
+                    merged = np.concatenate([oc, cen])
+                    order = np.argsort(merged, kind="stable")
+                    cen = merged[order]
                     w = np.concatenate([ow, w])[order]
                 state[flag] = _collapse(cen, w, buckets)
         out = {"l_returnflag": [], "centroid": [], "weight": []}

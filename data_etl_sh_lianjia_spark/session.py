@@ -2524,19 +2524,31 @@ def _read_landed(src: str):
     )
 
 
+# Version tag of the identity-hash ENCODING below. Bump on any change to
+# _stat_token / the hash layout: _tombstone_applies compares the full
+# identity only within one encoding version and falls back to the
+# (size, num_rows) pair across versions — an encoding change must degrade
+# to a weaker-but-correct check, never to "no tombstone applies anywhere"
+# (which would silently resurrect merge-replaced rows on rebuild).
+_IDENTITY_VERSION = "v2"
+
+
 def _stat_token(v) -> str:
-    """Version-stable text encoding of a parquet column statistic for the
-    persisted tombstone manifest. NEVER repr() of a library object — the
-    manifest outlives the pyarrow version that wrote it, and a changed
-    repr would silently exempt every part (resurrecting replaced rows on
-    rebuild). bytes -> hex; float -> shortest round-trip repr (stable
-    since py3.1); everything else (int, str, date/datetime/Decimal) ->
-    type-tagged str(), all of which are stdlib-stable."""
+    """Version-stable, injection-proof text encoding of a parquet column
+    statistic for the persisted tombstone manifest. NEVER repr() of a
+    library object — the manifest outlives the pyarrow version that wrote
+    it. bytes -> hex; float -> shortest round-trip repr (stable since
+    py3.1); everything else (int, str, date/datetime/Decimal) ->
+    type-tagged str(). Every token is LENGTH-PREFIXED so joined tokens
+    can't alias across field boundaries (a ';' inside a string statistic
+    must not re-frame the tuple)."""
     if isinstance(v, bytes):
-        return f"b:{v.hex()}"
-    if isinstance(v, float):
-        return f"f:{v!r}"
-    return f"{type(v).__name__}:{v!s}"
+        body = f"b:{v.hex()}"
+    elif isinstance(v, float):
+        body = f"f:{v!r}"
+    else:
+        body = f"{type(v).__name__}:{v!s}"
+    return f"{len(body)}#{body}"
 
 
 def _part_identity(path: str) -> list:
@@ -2545,15 +2557,23 @@ def _part_identity(path: str) -> list:
     footer read, no data decode — strong enough that an in-place rewrite
     which happens to land on the same byte size (the one case a size-only
     manifest can't see) still exempts the part. Memoized on
-    (path, mtime_ns, size): a replay checks every landed part against
-    every tombstone, and without the cache that is O(tombstones x parts)
-    footer reads per rebuild."""
+    (path, inode, mtime_ns, size): a replay checks every landed part
+    against every tombstone, and without the cache that is
+    O(tombstones x parts) footer reads per rebuild. The inode is part of
+    the key because a rename-into-place replacement can preserve both
+    size and mtime — only a literal in-place overwrite keeps the inode,
+    and that bumps mtime — so a stale cache entry can't survive either
+    replacement style."""
     st = os.stat(path)
-    return list(_part_identity_cached(path, st.st_mtime_ns, st.st_size))
+    return list(
+        _part_identity_cached(path, st.st_ino, st.st_mtime_ns, st.st_size)
+    )
 
 
 @functools.lru_cache(maxsize=4096)
-def _part_identity_cached(path: str, mtime_ns: int, size: int) -> tuple:
+def _part_identity_cached(
+    path: str, inode: int, mtime_ns: int, size: int
+) -> tuple:
     import hashlib
 
     import pyarrow.parquet as pq
@@ -2580,7 +2600,7 @@ def _part_identity_cached(path: str, mtime_ns: int, size: int) -> tuple:
                         )
                     ).encode()
                 )
-    return (size, md.num_rows, h.hexdigest()[:16])
+    return (size, md.num_rows, f"{_IDENTITY_VERSION}:{h.hexdigest()[:16]}")
 
 
 def _load_merge_tombstones(src: str) -> list[dict]:
@@ -2622,7 +2642,12 @@ def _tombstone_applies(tb: dict, base: str, path: str) -> bool:
     through). Robust on both sides: a copied/restored landing (fresh
     mtimes, same bytes) still replays, while a part REWRITTEN in place
     since the merge counts as a fresh landing whose rows the old delete
-    never covered ('a source rewrite resets the chain'). Fallbacks for
+    never covered ('a source rewrite resets the chain'). The identity
+    hash is encoding-versioned: a manifest written under a DIFFERENT
+    hash encoding compares on (size, num_rows) only — still stronger
+    than the legacy size-only rule, and crucially fail-SAFE: an encoding
+    change must never make every tombstone stop applying (that would
+    resurrect merge-replaced rows on the next rebuild). Fallbacks for
     older sidecars: {name: size} manifests, name-only list manifests,
     then the original mtime rule."""
     files = tb.get("files")
@@ -2632,7 +2657,14 @@ def _tombstone_applies(tb: dict, base: str, path: str) -> bool:
             return False
         try:
             if isinstance(rec, list):
-                return _part_identity(path) == rec
+                ident = _part_identity(path)
+                rec_ver = (
+                    str(rec[2]).split(":", 1)[0] if len(rec) == 3 else ""
+                )
+                if rec_ver == _IDENTITY_VERSION:
+                    return ident == list(rec)
+                # cross-encoding manifest: size + row count only
+                return ident[:2] == list(rec[:2])
             return os.path.getsize(path) == rec  # legacy size-only
         except OSError:
             return False

@@ -427,19 +427,29 @@ def text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write a documents slice as a PLAIN TEXT line feed (the rawest
     crawler output format: one record per line) and read it back with the
     line-oriented text source. Records are framed
-    ``doc_id\\tlang\\thex(text)`` — hex makes arbitrary document bytes
+    ``doc_id\\thex(lang)\\thex(text)`` — hex makes arbitrary field bytes
     (embedded newlines, tabs) line-safe and lossless, the discipline any
     line-oriented corpus dump needs (base64 is out: Spark's ``base64``
     MIME-chunks long values with embedded newlines, which a line source
-    would shred). Aggregating the round-tripped rows (count + decoded
-    char lengths per lang) must equal querying the parquet directly."""
+    would shred). NULL fields frame as the literal ``-`` (not valid hex)
+    — concat_ws silently DROPS nulls, which would collapse the frame and
+    shift every following field. Aggregating the round-tripped rows
+    (count + decoded char lengths per lang) must equal querying the
+    parquet directly."""
+
+    def enc(col: str):
+        return F.coalesce(F.hex(F.encode(col, "UTF-8")), F.lit("-"))
+
+    def dec(c):
+        return F.when(c != "-", F.decode(F.unhex(c), "UTF-8"))
+
     docs = load_tables(spark, sf_dir, names=("documents",))["documents"]
     slice_df = docs.filter(F.col("doc_id") % 3 == 0).select(
         F.concat_ws(
             "\t",
             F.col("doc_id").cast("string"),
-            F.col("lang"),
-            F.hex(F.encode("text", "UTF-8")),
+            enc("lang"),
+            enc("text"),
         ).alias("value")
     )
     path = f"/tmp/spark-graft-text/documents-{abs(hash(sf_dir)) % 10**8}"
@@ -447,8 +457,8 @@ def text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.text(path)
     parts = F.split(F.col("value"), "\t", 3)
     decoded = back.select(
-        parts.getItem(1).alias("lang"),
-        F.decode(F.unhex(parts.getItem(2)), "UTF-8").alias("text"),
+        dec(parts.getItem(1)).alias("lang"),
+        dec(parts.getItem(2)).alias("text"),
     )
     return decoded.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n"),

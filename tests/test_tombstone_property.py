@@ -165,6 +165,19 @@ def test_same_size_rewrite_exempts_part_under_identity_manifest(tmp_path):
     tb_legacy = {**tb, "files": {"part-00000.parquet": os.path.getsize(p)}}
     assert sess._tombstone_applies(tb_legacy, "part-00000.parquet", p)
 
+    # cross-ENCODING manifest (hash written under a different identity
+    # version): must degrade to the (size, num_rows) compare — fail-safe,
+    # never "no tombstone applies anywhere"
+    cur = sess._part_identity(p)
+    old_enc = [cur[0], cur[1], "v1:deadbeefdeadbeef"]
+    tb_xver = {**tb, "files": {"part-00000.parquet": old_enc}}
+    assert sess._tombstone_applies(tb_xver, "part-00000.parquet", p), (
+        "an identity-encoding bump must not exempt every part"
+    )
+    wrong_rows = [cur[0], cur[1] + 1, "v1:deadbeefdeadbeef"]
+    tb_xver2 = {**tb, "files": {"part-00000.parquet": wrong_rows}}
+    assert not sess._tombstone_applies(tb_xver2, "part-00000.parquet", p)
+
 
 def test_large_merge_spills_keys_and_replays_on_both_paths(
     spark, tmp_path, monkeypatch, restore_catalog
