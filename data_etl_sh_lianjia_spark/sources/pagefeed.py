@@ -22,7 +22,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 from data_etl_sh_lianjia_spark.plans.registry import register
 
@@ -155,4 +161,132 @@ def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("page").alias("n_pages"),
             F.sum("price").alias("sum_price"),
         )
+    )
+
+
+# --- Custom Python DataSource WRITER (the sink half of the API) --------
+#
+# The reference publishes its items through scrapy's FEEDS export
+# (settings.py — JSON-lines feed). Here that export is a first-class
+# Spark SINK: executors stage one JSON-lines file per partition
+# (DataSourceWriter.write), ship back a picklable commit message, and the
+# DRIVER promotes staged files into place only when every task succeeded
+# (commit) or removes them all (abort) — the same two-phase contract
+# every production sink (FileFormatWriter, Delta commit service) runs on.
+
+
+class _FeedCommit(WriterCommitMessage):
+    def __init__(self, staged: str, rows: int) -> None:
+        self.staged = staged
+        self.rows = rows
+
+
+class JsonFeedWriter(DataSourceWriter):
+    def __init__(self, options, overwrite: bool) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("lianjia_feed sink requires a path option")
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> _FeedCommit:
+        # executor-side: stage this partition's rows as one .jsonl file;
+        # nothing becomes visible until the driver's commit promotes it
+        import json
+        import os
+        import uuid
+
+        staged = os.path.join(
+            self.path, f"_staged-{uuid.uuid4().hex}.jsonl"
+        )
+        os.makedirs(self.path, exist_ok=True)
+        n = 0
+        with open(staged, "w") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _FeedCommit(staged, n)
+
+    def commit(self, messages) -> None:
+        # driver-side, all tasks succeeded: atomically promote each staged
+        # file ('_'-prefixed names are invisible to every directory scan
+        # until renamed)
+        import os
+
+        if self.overwrite:
+            for f in os.listdir(self.path):
+                if f.endswith(".jsonl") and not f.startswith("_"):
+                    os.remove(os.path.join(self.path, f))
+        for i, m in enumerate(messages):
+            os.replace(
+                m.staged, os.path.join(self.path, f"part-{i:05d}.jsonl")
+            )
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.staged):
+                os.remove(m.staged)
+
+
+class JsonFeedDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "lianjia_feed"
+
+    def schema(self) -> str:  # reader side unused; sink-only source
+        return "value string"
+
+    def writer(self, schema, overwrite: bool) -> JsonFeedWriter:
+        return JsonFeedWriter(self.options, overwrite)
+
+
+def _ensure_feed_registered(spark: SparkSession) -> None:
+    if not getattr(spark, "_lianjia_feed_registered", False):
+        spark.dataSource.register(JsonFeedDataSource)
+        spark._lianjia_feed_registered = True
+
+
+@register(
+    "python_datasource_sink",
+    oracle="""
+SELECT o_orderstatus, COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_cents
+FROM orders
+WHERE o_orderkey % 11 = 0
+GROUP BY o_orderstatus
+""",
+    survey_ref="S8,S9",
+    doc="custom Python DataSource SINK: two-phase staged write (executor stage, driver commit), read-back agg equals direct query",
+)
+def python_datasource_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's feed export as a first-class custom Spark sink:
+    an orders slice writes through ``lianjia_feed`` (per-partition staged
+    .jsonl + driver-side two-phase commit), is read back through the
+    ordinary JSON source with an explicit schema, and the read-back
+    aggregate must equal querying the parquet directly — proving the
+    sink's staging/commit cycle publishes exactly the written rows."""
+    from data_etl_sh_lianjia_spark.session import load_tables
+
+    _ensure_feed_registered(spark)
+    orders = load_tables(spark, sf_dir, names=("orders",))["orders"]
+    slice_df = orders.filter(F.col("o_orderkey") % 11 == 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = f"/tmp/spark-graft-feed/orders-{abs(hash(sf_dir)) % 10**8}"
+    (
+        slice_df.write.format("lianjia_feed")
+        .mode("overwrite")
+        .option("path", path)
+        .save()
+    )
+    back = spark.read.schema(
+        "o_orderkey long, o_orderstatus string, o_totalprice double"
+    ).json(f"{path}/*.jsonl")
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+        ).cast("bigint").alias("sum_cents"),
     )
