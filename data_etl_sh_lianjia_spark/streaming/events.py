@@ -23,6 +23,11 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamWriter,
+    WriterCommitMessage,
+)
 
 from data_etl_sh_lianjia_spark.functions.deterministic import dsum, oracle_dsum
 from data_etl_sh_lianjia_spark.plans.registry import register
@@ -1023,3 +1028,129 @@ def stream_lakehouse_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.rmtree(out_dir, ignore_errors=True)
         shutil.rmtree(scratch, ignore_errors=True)
         shutil.rmtree(staging, ignore_errors=True)
+
+
+# --- T-sink: custom Python DataSourceStreamWriter ----------------------------
+
+
+class _StreamFeedCommit(WriterCommitMessage):
+    def __init__(self, staged: str, rows: int) -> None:
+        self.staged = staged
+        self.rows = rows
+
+
+class JsonFeedStreamWriter(DataSourceStreamWriter):
+    """Streaming half of the custom feed sink (see sources/pagefeed.py for
+    the batch writer): executors stage one .jsonl per partition per
+    micro-batch, and commit(messages, batchId) promotes them under names
+    KEYED BY (batchId, partition) — a replayed epoch after failure
+    overwrites the same files, the idempotent-sink recipe that turns
+    at-least-once delivery into exactly-once output."""
+
+    def __init__(self, options) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("lianjia_feed_stream sink requires a path option")
+
+    def write(self, iterator) -> _StreamFeedCommit:
+        import json
+        import os as _os
+        import uuid
+
+        staged = _os.path.join(
+            self.path, f"_staged-{uuid.uuid4().hex}.jsonl"
+        )
+        _os.makedirs(self.path, exist_ok=True)
+        n = 0
+        with open(staged, "w") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _StreamFeedCommit(staged, n)
+
+    def commit(self, messages, batchId) -> None:  # noqa: N803 (Spark API name)
+        import os as _os
+
+        for i, m in enumerate(messages):
+            _os.replace(
+                m.staged,
+                _os.path.join(self.path, f"part-{batchId:05d}-{i:05d}.jsonl"),
+            )
+
+    def abort(self, messages, batchId) -> None:  # noqa: N803
+        import os as _os
+
+        for m in messages:
+            if m is not None and _os.path.exists(m.staged):
+                _os.remove(m.staged)
+
+
+class JsonFeedStreamSink(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "lianjia_feed_stream"
+
+    def schema(self) -> str:  # sink-only
+        return "value string"
+
+    def streamWriter(self, schema, overwrite: bool):  # noqa: N802
+        return JsonFeedStreamWriter(self.options)
+
+
+@register(
+    "stream_python_sink",
+    oracle="""
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS sum_scaled
+FROM events
+GROUP BY user_id
+""",
+    survey_ref="T7,S8,S12",
+    doc="custom Python DataSourceStreamWriter sink: per-epoch staged commit, read-back agg equals batch",
+)
+def stream_python_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming custom-sink API surface end-to-end: the events stream
+    writes row-level records through a registered Python
+    DataSourceStreamWriter (per-partition staging, per-epoch idempotent
+    commit), the published .jsonl feed reads back through the ordinary
+    JSON source, and the read-back per-user aggregate must equal the batch
+    aggregate over the same closed input (T7)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    _assert_single_events_file(sf_dir, "stream_python_sink")
+    if not getattr(spark, "_lianjia_feed_stream_registered", False):
+        spark.dataSource.register(JsonFeedStreamSink)
+        spark._lianjia_feed_stream_registered = True
+
+    out_dir = tempfile.mkdtemp(prefix="spark-graft-pysink-")
+    ev = read_events_stream(spark, sf_dir).select(
+        "user_id",
+        F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long").alias(
+            "scaled"
+        ),
+    )
+    unique = f"pysink_{uuid.uuid4().hex[:12]}"
+    ckpt = os.path.join("/tmp/spark-graft-ckpt", unique)
+    q = (
+        ev.writeStream.format("lianjia_feed_stream")
+        .outputMode("append")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    back = spark.read.schema("user_id long, scaled long").json(
+        f"{out_dir}/*.jsonl"
+    )
+    result = back.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("scaled").cast("bigint").alias("sum_scaled"),
+    )
+    rows = result.collect()
+    shutil.rmtree(out_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.createDataFrame(rows, result.schema)
