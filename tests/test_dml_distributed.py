@@ -405,6 +405,76 @@ def test_arrow_compact_kernel_multibucket(spark, tmp_path):
         assert hi <= lo, "buckets must be range-disjoint"
 
 
+@pytest.mark.parametrize(
+    "rows_per_file,n_files,n_parts,null_frac",
+    [
+        (1, 1, 4, 0.0),     # single row, more buckets than rows
+        (50, 3, 2, 1.0),    # ALL-null key: everything lands in the tail
+        (40, 4, 8, 0.5),    # heavy nulls, buckets >> distinct values
+        (30, 2, 1, 0.2),    # single bucket degenerate
+    ],
+)
+def test_arrow_compact_kernel_edges(
+    spark, tmp_path, rows_per_file, n_files, n_parts, null_frac
+):
+    """Edge shapes of the arrow shuffle kernel: tiny inputs, all-null sort
+    keys, empty buckets, single-bucket degenerate — multiset + schema
+    always preserved, non-null keys sorted, nulls at the global tail."""
+    import random
+
+    rng = random.Random(rows_per_file * 31 + n_files)
+    dst = tmp_path / "t.parquet"
+    dst.mkdir()
+    schema = pa.schema([("k", pa.int64()), ("v", pa.int64())])
+    for i in range(n_files):
+        ks = [
+            None if rng.random() < null_frac else rng.randrange(100)
+            for _ in range(rows_per_file)
+        ]
+        pq.write_table(
+            pa.table(
+                {
+                    "k": pa.array(ks, pa.int64()),
+                    "v": pa.array(
+                        [rng.randrange(10**6) for _ in range(rows_per_file)],
+                        pa.int64(),
+                    ),
+                },
+                schema=schema,
+            ),
+            str(dst / f"part-{i:02d}.parquet"),
+        )
+    parts = sorted(os.listdir(dst))
+    pre = pa.concat_tables(pq.read_table(str(dst / f)) for f in parts)
+    tmp = tmp_path / "out"
+    tmp.mkdir()
+    sess._compact_arrow_via_spark(
+        spark, str(dst), parts, "k", n_parts, str(tmp)
+    )
+    outs = sorted(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+    post = pa.concat_tables(pq.read_table(str(tmp / f)) for f in outs)
+    assert post.schema.equals(pre.schema)
+    assert sorted(map(str, post.to_pylist())) == sorted(
+        map(str, pre.to_pylist())
+    )
+    all_keys = [
+        v
+        for f in outs
+        for v in pq.read_table(str(tmp / f), columns=["k"]).column(
+            "k"
+        ).to_pylist()
+    ]
+    nn = [v for v in all_keys if v is not None]
+    # global order across files (sorted filename order) must be
+    # non-decreasing on non-null keys, nulls only at the global tail
+    assert nn == sorted(nn)
+    if None in all_keys:
+        first_null = all_keys.index(None)
+        assert all(v is None for v in all_keys[first_null:]), (
+            "null keys must form the global tail"
+        )
+
+
 def test_distributed_delete_all_rows_keeps_schema(
     spark, tmp_path, monkeypatch, restore_catalog
 ):
