@@ -134,3 +134,88 @@ def pagerank_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select(
         F.col("node").alias("n_nationkey"), "n_name", F.col("pr").alias("pagerank")
     )
+
+
+# ---------------------------------------------------------------------------
+# triangle_count — near-dup graph density audit (SURVEY §2.9 L2 / §2.4 J3)
+# ---------------------------------------------------------------------------
+
+
+def _triangle_oracle() -> str:
+    from data_etl_sh_lianjia_spark.operators.dedup import _DUCK_NGRAM_EDGES
+
+    # pairs always carry doc_a < doc_b, so the degree tiebreak reduces to
+    # "<=" (equal degrees orient by the ids' existing order)
+    return f"""
+WITH pairs AS ({_DUCK_NGRAM_EDGES}),
+deg AS (
+  SELECT s, COUNT(*) AS d
+  FROM (SELECT doc_a AS s FROM pairs UNION ALL SELECT doc_b AS s FROM pairs)
+  GROUP BY s
+),
+e AS (
+  SELECT CASE WHEN du.d <= dv.d THEN p.doc_a ELSE p.doc_b END AS u,
+         CASE WHEN du.d <= dv.d THEN p.doc_b ELSE p.doc_a END AS v
+  FROM pairs p
+  JOIN deg du ON du.s = p.doc_a
+  JOIN deg dv ON dv.s = p.doc_b
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_vertices,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+       CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM e e1
+JOIN e e2 ON e1.u = e2.u AND e1.v <> e2.v
+JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+"""
+
+
+@register(
+    "triangle_count",
+    oracle=_triangle_oracle(),
+    survey_ref="L2,J3,A3",
+    doc="degree-oriented triangle count over the near-dup pair graph (cluster-density audit)",
+)
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the n-gram near-dup graph — the density
+    audit of duplicate clusters (many triangles = tight clique-like dup
+    groups; few = chain-like borderline pairs). The DISTRIBUTED triangle
+    recipe: orient every edge from the lower-(degree, id) endpoint to the
+    higher, which turns the graph into a DAG whose max out-degree is
+    O(sqrt(edges)) — the wedge join (e1 ⋈ e2 on the shared apex) can then
+    never blow up on a hub vertex, and each triangle is counted exactly
+    once at its unique smallest apex. Both engines run the identical
+    orientation + two-join plan; all counts are exact BIGINTs."""
+    from data_etl_sh_lianjia_spark.operators.dedup import dedup_ngram_jaccard
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    deg = (
+        pairs.selectExpr("doc_a AS s")
+        .unionByName(pairs.selectExpr("doc_b AS s"))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # orient: degree tables are tiny relative to the pair set — broadcast
+    da = F.broadcast(deg.selectExpr("s AS sa", "d AS da"))
+    db = F.broadcast(deg.selectExpr("s AS sb", "d AS db"))
+    oriented = (
+        pairs.join(da, F.col("doc_a") == F.col("sa"))
+        .join(db, F.col("doc_b") == F.col("sb"))
+        .select(
+            F.when(F.col("da") <= F.col("db"), F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("u"),
+            F.when(F.col("da") <= F.col("db"), F.col("doc_b"))
+            .otherwise(F.col("doc_a"))
+            .alias("v"),
+        )
+    )
+    e1 = oriented.selectExpr("u AS u1", "v AS v1")
+    e2 = oriented.selectExpr("u AS u2", "v AS v2")
+    e3 = oriented.selectExpr("u AS u3", "v AS v3")
+    wedges = e1.join(e2, (F.col("u1") == F.col("u2")) & (F.col("v1") != F.col("v2")))
+    tri = wedges.join(
+        e3, (F.col("u3") == F.col("v1")) & (F.col("v3") == F.col("v2"))
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    n_vertices = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_vertices"))
+    n_edges = oriented.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    return n_vertices.crossJoin(n_edges).crossJoin(tri)
