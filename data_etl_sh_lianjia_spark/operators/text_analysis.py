@@ -668,3 +668,79 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_hybrid_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# L4 — bigram LM count-of-counts (Good-Turing smoothing table)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bigram_good_turing",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+bi AS (
+  SELECT ws[i] || ' ' || ws[i + 1] AS bg
+  FROM toks, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+),
+counts AS (SELECT bg, COUNT(*) AS freq FROM bi GROUP BY bg),
+coc AS (
+  SELECT CAST(freq AS BIGINT) AS freq,
+         CAST(COUNT(*) AS BIGINT) AS n_types
+  FROM counts GROUP BY freq
+)
+SELECT freq, n_types,
+       CASE WHEN lead(freq) OVER w = freq + 1
+            THEN round((freq + 1) * CAST(lead(n_types) OVER w AS DOUBLE)
+                       / n_types, 6)
+       END AS gt_adjusted
+FROM coc WINDOW w AS (ORDER BY freq)
+""",
+    survey_ref="L4,A3,W2",
+    doc="bigram count-of-counts + Good-Turing adjusted counts (LM smoothing table)",
+)
+def bigram_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Good-Turing smoothing table a count-based LM build needs from
+    its corpus: bigram frequencies -> frequency-of-frequencies N_r -> the
+    adjusted count r* = (r+1) * N_{r+1} / N_r (NULL where N_{r+1} is
+    unobserved, the textbook gap case).
+
+    Scale shape: the bigram explode is row-local (the same zip_with
+    slice pair as repetition_stats); the first groupBy shuffles on the
+    bigram key (vocabulary^2-bounded, not corpus-bounded); the
+    count-of-counts table is then a few dozen rows, so the global-order
+    window costs nothing. At 100 TB this is exactly the two-stage
+    map-reduce every n-gram LM pipeline (e.g. the classic MapReduce LM
+    builds) runs — counts merge across shards by addition, and
+    count-of-counts re-derive from merged counts."""
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir)
+    bigrams = F.expr(
+        "zip_with(slice(split(text, ' '), 1, greatest(size(split(text, ' ')) - 1, 0)),"
+        "         slice(split(text, ' '), 2, greatest(size(split(text, ' ')) - 1, 0)),"
+        "         (a, b) -> concat(a, ' ', b))"
+    )
+    counts = (
+        docs.select(F.explode(bigrams).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    coc = counts.groupBy("freq").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_types")
+    )
+    w = Window.orderBy("freq")
+    gt = F.when(
+        F.lead("freq").over(w) == F.col("freq") + 1,
+        F.round(
+            (F.col("freq") + 1)
+            * F.lead("n_types").over(w).cast("double")
+            / F.col("n_types"),
+            6,
+        ),
+    )
+    return coc.select(
+        F.col("freq").cast("bigint").alias("freq"),
+        "n_types",
+        gt.alias("gt_adjusted"),
+    )
