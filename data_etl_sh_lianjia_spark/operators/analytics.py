@@ -470,3 +470,68 @@ def gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.withColumn(
         "locf_value", F.last("sum_value", ignorenulls=True).over(w)
     )
+
+
+# ---------------------------------------------------------------------------
+# W2/W3 — exponentially weighted moving average (time-decayed user state)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ewma_user_value",
+    oracle="""
+WITH ranked AS (
+  SELECT user_id, value,
+         row_number() OVER w AS i,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), terms AS (
+  SELECT user_id, n,
+         CAST(floor(value * (CASE WHEN i = 1 THEN pow(0.8, n - 1)
+                                  ELSE 0.2 * pow(0.8, n - i) END)
+                    * 1e9 + 0.5) AS BIGINT) AS t
+  FROM ranked
+)
+SELECT user_id, CAST(MAX(n) AS BIGINT) AS n_events,
+       round(CAST(SUM(t) AS DOUBLE) / 1e9, 4) AS ewma_value
+FROM terms GROUP BY user_id
+""",
+    survey_ref="W2,W3,A3",
+    doc="per-user EWMA (alpha=0.2) of event values via closed-form decay weights, exact scaled-long sum",
+)
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recursive EWMA s_i = a*v_i + (1-a)*s_{i-1} in CLOSED FORM so it
+    runs as one windowed pass instead of a sequential fold: the final
+    state equals sum_i w_i * v_i with w_i = a*(1-a)^(n-i) (and the first
+    observation carrying (1-a)^(n-1)) — per-row weights come from
+    row_number + partition count, so the whole operator is a window pass
+    plus a groupBy, embarrassingly parallel across users at 100 TB.
+    Determinism: each term quantizes to integer nano-units with the
+    identical floor(x*1e9+0.5) expression in both engines (never Python
+    round — half-even vs half-up), the sum is an exact BIGINT reduction,
+    and only the final display value re-rounds."""
+    from pyspark.sql.window import Window
+
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wp = Window.partitionBy("user_id")
+    ranked = ev.select(
+        "user_id",
+        "value",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    weight = F.when(
+        F.col("i") == 1, F.pow(F.lit(0.8), F.col("n") - 1)
+    ).otherwise(F.lit(0.2) * F.pow(F.lit(0.8), F.col("n") - F.col("i")))
+    terms = ranked.select(
+        "user_id",
+        "n",
+        F.floor(F.col("value") * weight * F.lit(1e9) + F.lit(0.5))
+        .cast("bigint")
+        .alias("t"),
+    )
+    return terms.groupBy("user_id").agg(
+        F.max("n").cast("bigint").alias("n_events"),
+        F.round(F.sum("t").cast("double") / F.lit(1e9), 4).alias("ewma_value"),
+    )
