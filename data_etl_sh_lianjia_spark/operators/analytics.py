@@ -535,3 +535,74 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").cast("bigint").alias("n_events"),
         F.round(F.sum("t").cast("double") / F.lit(1e9), 4).alias("ewma_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A8/L6 — robust outlier detection (median absolute deviation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mad_outlier_stats",
+    oracle="""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+), mad AS (
+  SELECT e.event_type, round(m.med, 6) AS med6,
+         round(quantile_cont(abs(e.value - m.med), 0.5), 6) AS mad6
+  FROM events e JOIN med m USING (event_type)
+  GROUP BY e.event_type, m.med
+)
+SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) FILTER (WHERE abs(e.value - m.med6) > 5 * m.mad6)
+            AS BIGINT) AS n_outliers,
+       m.med6 AS median_value, m.mad6 AS mad_value
+FROM events e JOIN mad m USING (event_type)
+GROUP BY e.event_type, m.med6, m.mad6
+""",
+    survey_ref="A8,L6",
+    doc="median-absolute-deviation outlier stats per event type (robust quality filter)",
+)
+def mad_outlier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier statistics — the quality-filter primitive that
+    survives heavy-tailed data where mean/stddev thresholds break: per
+    group, median, MAD = median(|v - median|), and the count of values
+    beyond 5 MADs. Two aggregation passes over the group key (median,
+    then MAD against the broadcast medians) and a final flagged count —
+    no sort of the full data, no window over the corpus. Cross-engine
+    determinism: the exact interpolated percentile is rounded to 6dp
+    BEFORE the threshold comparison, so both engines compare identical
+    grid values (the raw interpolation can differ in the last ulp)."""
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med")
+        .agg(
+            F.round(
+                F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)),
+                6,
+            ).alias("mad6")
+        )
+        .select(
+            "event_type", F.round("med", 6).alias("med6"), "mad6"
+        )
+    )
+    flagged = ev.join(F.broadcast(mad), "event_type")
+    return flagged.groupBy("event_type", "med6", "mad6").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            F.when(
+                F.abs(F.col("value") - F.col("med6"))
+                > F.lit(5) * F.col("mad6"),
+                1,
+            ).otherwise(0)
+        ).cast("bigint").alias("n_outliers"),
+    ).select(
+        "event_type", "n", "n_outliers",
+        F.col("med6").alias("median_value"),
+        F.col("mad6").alias("mad_value"),
+    )
