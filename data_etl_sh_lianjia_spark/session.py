@@ -775,6 +775,44 @@ def _zorder_sample_boundaries(
     return out
 
 
+def _zcode_for_arrow(b, cols: list[str], bounds: dict, bits: int):
+    """uint64 Morton codes for one arrow batch/table: per-column
+    quantile-bucket codes via searchsorted against the sampled boundary
+    arrays (NULLs take the max code — ranked last, matching the local
+    kernel), bit-interleaved. Shared by the mapInArrow zcode column
+    (_with_zcode) and the arrow-native distributed z-order compaction —
+    one kernel, one ordering."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    n_rows = b.num_rows
+    codes = []
+    for c in cols:
+        col = b[c]
+        if hasattr(col, "combine_chunks"):
+            col = col.combine_chunks()
+        nulls = pc.is_null(col).to_numpy(zero_copy_only=False)
+        vals = col.to_numpy(zero_copy_only=False)
+        bnd = bounds[c]
+        if len(bnd) and nulls.any():
+            vals = vals.copy()
+            vals[nulls] = bnd[0]  # placeholder; overwritten below
+        code = (
+            np.searchsorted(bnd, vals, side="left")
+            if len(bnd)
+            else np.zeros(n_rows, dtype=np.int64)
+        ).astype(np.uint64)
+        code[nulls] = np.uint64((1 << bits) - 1)
+        codes.append(code)
+    z = np.zeros(n_rows, dtype=np.uint64)
+    for bit in range(bits):
+        for j, c_ in enumerate(codes):
+            z |= ((c_ >> np.uint64(bit)) & np.uint64(1)) << np.uint64(
+                bit * len(codes) + j
+            )
+    return z
+
+
 def _with_zcode(df: DataFrame, cols: list[str], bounds: dict) -> DataFrame:
     """``df`` plus a ``__lj_z`` long column: each z column maps to its
     quantile-bucket code via searchsorted against the broadcast boundary
@@ -791,31 +829,12 @@ def _with_zcode(df: DataFrame, cols: list[str], bounds: dict) -> DataFrame:
     def fn(batches):
         import numpy as np
         import pyarrow as pa
-        import pyarrow.compute as pc
+        import pyarrow.compute as pc  # noqa: F401  (kernel dep)
+
+        from data_etl_sh_lianjia_spark.session import _zcode_for_arrow
 
         for b in batches:
-            codes = []
-            for c in cols:
-                col = b.column(b.schema.get_field_index(c))
-                nulls = pc.is_null(col).to_numpy(zero_copy_only=False)
-                vals = col.to_numpy(zero_copy_only=False)
-                bnd = bounds[c]
-                if len(bnd) and nulls.any():
-                    vals = vals.copy()
-                    vals[nulls] = bnd[0]  # placeholder; overwritten below
-                code = (
-                    np.searchsorted(bnd, vals, side="left")
-                    if len(bnd)
-                    else np.zeros(b.num_rows, dtype=np.int64)
-                ).astype(np.uint64)
-                code[nulls] = np.uint64((1 << bits) - 1)
-                codes.append(code)
-            z = np.zeros(b.num_rows, dtype=np.uint64)
-            for bit in range(bits):
-                for j, c_ in enumerate(codes):
-                    z |= ((c_ >> np.uint64(bit)) & np.uint64(1)) << np.uint64(
-                        bit * len(codes) + j
-                    )
+            z = _zcode_for_arrow(b, cols, bounds, bits)
             yield pa.record_batch(
                 list(b.columns) + [pa.array(z.astype(np.int64))],
                 names=list(b.schema.names) + ["__lj_z"],
@@ -853,6 +872,32 @@ def _compact_key_boundaries(dst: str, parts: list[str], key: str, n_cuts: int):
     return np.unique(v[idx])
 
 
+def _zorder_sample_zbounds(
+    dst: str, parts: list[str], zorder: list[str], bounds: dict, bits: int,
+    n_cuts: int,
+):
+    """Bucket cut points in Z-CODE space for the arrow-native distributed
+    z-order: z-code the per-file row-group-0 sample, quantile-cut. Same
+    index-quality argument as every sampler here."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    zs = []
+    for f in parts:
+        pf = pq.ParquetFile(os.path.join(dst, f))
+        if not pf.metadata.num_row_groups:
+            continue
+        rg = pf.read_row_group(0, columns=list(zorder))
+        if rg.num_rows:
+            zs.append(_zcode_for_arrow(rg, zorder, bounds, bits))
+    if not zs or n_cuts < 1:
+        return np.array([], dtype=np.uint64)
+    v = np.concatenate(zs)
+    v.sort(kind="stable")
+    idx = np.linspace(0, len(v) - 1, min(n_cuts, len(v))).astype(np.int64)
+    return np.unique(v[idx])
+
+
 def _compact_arrow_via_spark(
     spark: SparkSession,
     dst: str,
@@ -860,6 +905,7 @@ def _compact_arrow_via_spark(
     key: str,
     n_parts: int,
     tmp: str,
+    zorder: list[str] | None = None,
 ) -> None:
     """Schema-preserving distributed sort-rewrite for tables the Spark
     DataFrame writer can't round-trip (ns-timestamps, nested lists,
@@ -887,7 +933,18 @@ def _compact_arrow_via_spark(
     buckets = list(range(n_parts))
     for b in buckets:
         os.makedirs(os.path.join(scratch, f"b{b:05d}"))
-    bounds = _compact_key_boundaries(dst, parts, key, n_parts - 1)
+    if zorder:
+        # z-order mode: bucket and sort on the Morton code computed
+        # per-row from the shared numpy kernel (_zcode_for_arrow) — the
+        # code is a scratch value, never a column, so the published
+        # schema stays byte-identical
+        zbits = _z_bits(len(zorder))
+        zbounds_cols = _zorder_sample_boundaries(dst, parts, zorder, zbits)
+        bounds = _zorder_sample_zbounds(
+            dst, parts, zorder, zbounds_cols, zbits, n_parts - 1
+        )
+    else:
+        bounds = _compact_key_boundaries(dst, parts, key, n_parts - 1)
 
     def partition_file(f: str) -> tuple[str, int]:
         import os as _os
@@ -897,20 +954,32 @@ def _compact_arrow_via_spark(
         import pyarrow.compute as _pc
         import pyarrow.parquet as _pq
 
+        from data_etl_sh_lianjia_spark.session import (
+            _zcode_for_arrow as _zc,
+        )
+
         tbl = _pq.read_table(_os.path.join(dst, f))
         if not tbl.num_rows:
             return (f, 0)
-        col = tbl.column(key)
-        nulls = _pc.is_null(col).to_numpy(zero_copy_only=False)
-        if len(bounds):
-            vals = col.to_numpy(zero_copy_only=False)
-            if nulls.any():
-                vals = vals.copy()
-                vals[nulls] = bounds[0]  # placeholder; overwritten below
-            bk = _np.searchsorted(bounds, vals, side="right")
+        if zorder:
+            z = _zc(tbl, zorder, zbounds_cols, zbits)
+            bk = (
+                _np.searchsorted(bounds, z, side="right")
+                if len(bounds)
+                else _np.zeros(tbl.num_rows, dtype=_np.int64)
+            )
         else:
-            bk = _np.zeros(tbl.num_rows, dtype=_np.int64)
-        bk[nulls] = n_parts - 1  # nulls sort last in every regime
+            col = tbl.column(key)
+            nulls = _pc.is_null(col).to_numpy(zero_copy_only=False)
+            if len(bounds):
+                vals = col.to_numpy(zero_copy_only=False)
+                if nulls.any():
+                    vals = vals.copy()
+                    vals[nulls] = bounds[0]  # placeholder; overwritten below
+                bk = _np.searchsorted(bounds, vals, side="right")
+            else:
+                bk = _np.zeros(tbl.num_rows, dtype=_np.int64)
+            bk[nulls] = n_parts - 1  # nulls sort last in every regime
         for b in _np.unique(bk):
             slice_ = tbl.filter(_pa.array(bk == b))
             _pq.write_table(
@@ -921,8 +990,13 @@ def _compact_arrow_via_spark(
     def sort_bucket(b: int) -> tuple[int, int]:
         import os as _os
 
+        import numpy as _np
         import pyarrow as _pa
         import pyarrow.parquet as _pq
+
+        from data_etl_sh_lianjia_spark.session import (
+            _zcode_for_arrow as _zc,
+        )
 
         bdir = _os.path.join(scratch, f"b{b:05d}")
         frags = sorted(
@@ -932,9 +1006,14 @@ def _compact_arrow_via_spark(
         )
         if not frags:
             return (b, 0)
-        merged = _pa.concat_tables(
-            _pq.read_table(p) for p in frags
-        ).sort_by(key)
+        merged = _pa.concat_tables(_pq.read_table(p) for p in frags)
+        if zorder:
+            order = _np.argsort(
+                _zc(merged, zorder, zbounds_cols, zbits), kind="stable"
+            )
+            merged = merged.take(_pa.array(order))
+        else:
+            merged = merged.sort_by(key)
         _pq.write_table(merged, _os.path.join(tmp, f"part-{b:05d}.parquet"))
         return (b, merged.num_rows)
 
@@ -1063,7 +1142,9 @@ def compact_table(
     # schema that Spark's writer can't round-trip (ns-timestamps, nested,
     # unsigned): the sort-rewrite still runs distributed, via the
     # arrow-native two-stage range shuffle (_compact_arrow_via_spark) —
-    # the generation stays byte-schema-identical to its pyarrow siblings
+    # the generation stays byte-schema-identical to its pyarrow siblings.
+    # Same story for ZORDER on such schemas: the shuffle buckets and
+    # sorts on the Morton code computed by the shared numpy kernel.
     dist_arrow = (
         _dml_distributed(tbl_bytes)
         and not zorder
@@ -1071,15 +1152,22 @@ def compact_table(
         and not roundtrips
         and num_rows > 0
     )
+    dist_z_arrow = bool(
+        _dml_distributed(tbl_bytes)
+        and zorder
+        and not roundtrips
+        and num_rows > 0
+    )
+    any_dist = distributed or dist_z or dist_arrow or dist_z_arrow
     table = None
-    if not (distributed or dist_z or dist_arrow):
+    if not any_dist:
         table = pa.concat_tables(
             pq.read_table(os.path.join(dst, f)) for f in parts
         )
-    if zorder and not dist_z:
+    if zorder and not (dist_z or dist_z_arrow):
         if table.num_rows:
             table = table.take(_zorder_sort_indices(table, zorder))
-    elif key and not (distributed or dist_z or dist_arrow):
+    elif key and not any_dist:
         table = table.sort_by(key)
     # same layout rule as the cold ingest (_ingest_local), under the knobs
     # the managed copy was built with (recorded in its marker meta)
@@ -1133,6 +1221,11 @@ def compact_table(
             return
         if dist_arrow:
             _compact_arrow_via_spark(spark, dst, parts, key, n_parts, tmp)
+            return
+        if dist_z_arrow:
+            _compact_arrow_via_spark(
+                spark, dst, parts, key, n_parts, tmp, zorder=zorder
+            )
             return
         if dist_z:
             # distributed ZORDER: sampled per-column quantile boundaries

@@ -684,3 +684,92 @@ def test_distributed_zorder_string_dimension(
         assert files_admitting(probe) < n_after, (
             "string z dimension should gain min/max pruning"
         )
+
+
+def test_distributed_zorder_on_nanos_schema_takes_arrow_path(
+    spark, tmp_path, monkeypatch, restore_catalog
+):
+    """OPTIMIZE ZORDER on a schema Spark's writer can't round-trip
+    (ns-timestamps) must run the ARROW z shuffle: byte-identical schema,
+    untouched values, z-clustering gains on the leading dimension, and
+    the spy proves the distributed path (not the driver kernel) ran."""
+    arrow_calls = []
+    real = sess._compact_arrow_via_spark
+
+    def spy(*a, **k):
+        arrow_calls.append(k.get("zorder"))
+        return real(*a, **k)
+
+    monkeypatch.setattr(sess, "_compact_arrow_via_spark", spy)
+
+    sf = tmp_path / "sfzns"
+    sf.mkdir()
+    src = pq.read_table("/root/testdata/sf0.01/events.parquet")
+    src = src.set_column(
+        src.schema.get_field_index("ts"),
+        "ts",
+        src.column("ts").cast(pa.timestamp("ns")),
+    )
+    pq.write_table(src, str(sf / "events.parquet"))
+    monkeypatch.setattr(sess, "INGEST_ROOT", str(tmp_path / "ingest"))
+    out = sess.ingest_tables(spark, str(sf), parts=4, min_rows_to_split=100)
+    dst = os.path.join(out, "events.parquet")
+
+    def _first_schema():
+        p = sorted(f for f in os.listdir(dst) if f.endswith(".parquet"))[0]
+        return pq.read_schema(os.path.join(dst, p))
+
+    pre_schema = _first_schema()
+    pre = sorted(
+        map(
+            str,
+            pa.concat_tables(
+                pq.read_table(os.path.join(dst, f))
+                for f in sorted(os.listdir(dst))
+                if f.endswith(".parquet")
+            ).to_pylist(),
+        )
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_DML_DISTRIBUTED", "1")
+    try:
+        sess.compact_table(
+            spark, str(sf), "events", zorder=["user_id", "event_type"]
+        )
+    finally:
+        monkeypatch.delenv("SPARK_GRAFT_DML_DISTRIBUTED", raising=False)
+
+    assert arrow_calls and arrow_calls[-1] == ["user_id", "event_type"], (
+        "ns-schema zorder must take the arrow z shuffle"
+    )
+    assert _first_schema().equals(pre_schema), "schema must stay ns"
+    post_files = sorted(
+        f for f in os.listdir(dst) if f.endswith(".parquet")
+    )
+    post = sorted(
+        map(
+            str,
+            pa.concat_tables(
+                pq.read_table(os.path.join(dst, f)) for f in post_files
+            ).to_pylist(),
+        )
+    )
+    assert post == pre, "values must be untouched"
+    # clustering gain: a probe user_id admits fewer files than all
+    if len(post_files) >= 2:
+        users = sorted(
+            set(src.column("user_id").to_pylist())
+        )
+        probe = users[len(users) // 2]
+        import pyarrow.compute as pc2
+
+        admitting = 0
+        for f in post_files:
+            c = pq.read_table(
+                os.path.join(dst, f), columns=["user_id"]
+            ).column("user_id")
+            if pc2.min(c).as_py() <= probe <= pc2.max(c).as_py():
+                admitting += 1
+        assert admitting < len(post_files), (
+            "z dimension should gain min/max pruning"
+        )
