@@ -32,6 +32,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # converts repo-verified queries into driver-verified ones round by round.
 # Update after each round from the new CORRECTNESS_r{N}.json.
 _DRIVER_SAMPLED = frozenset({
+    # --- round 9 sample (CORRECTNESS_r09.json, 50/50 hash-green; the 9
+    # net-new r9 operators are now driver-verified) ---
+    "quantile_sketch_mergeable", "ewma_user_value", "mad_outlier_stats",
+    "bigram_good_turing", "triangle_count", "multimodal_avi_frame_extract",
+    "python_datasource_sink", "text_roundtrip", "stream_python_sink",
     # --- round 8 sample (CORRECTNESS_r08.json, 50/50 hash-green — closed
     # the never-sampled backlog; registry fully driver-verified) ---
     "ann_lsh_topk", "ann_pq_topk", "approx_distinct", "binaryfile_scan",
