@@ -262,6 +262,219 @@ def _publish_dir(dst: str, fingerprint: str, meta: dict | None, write) -> None:
     shutil.rmtree(trash, ignore_errors=True)
 
 
+# --------------------------------------------------------------------------
+# Optimistic concurrency control for the row-level DML kernels
+# (Delta/Iceberg-style commit-log CAS). _publish_dir alone gives atomic
+# last-writer-wins publishes — safe for idempotent rebuilds, NOT for
+# mutations: two concurrent predicate DELETEs that both read generation G
+# would each publish a G+1 missing the other's removals. The commit log
+# serializes mutating publishes per table: every DML commit CAS-appends a
+# manifest under ``<table>.commits/<seq>.json`` (hardlink of a pid-keyed
+# temp file — creation is atomic and EXCL, so exactly one writer owns each
+# sequence number), and only the CAS winner publishes its generation. The
+# loser discards its staged work, waits for the winner's publish to land,
+# classifies the conflict by file overlap (its read set vs the winner's
+# write set), and re-applies its mutation against the new snapshot —
+# bounded retries, then ConcurrentWriteConflictError. Strict apps can set
+# SPARK_GRAFT_COMMIT_CONFLICT=fail to surface overlapping-file conflicts
+# instead of re-applying (the Delta ConcurrentDeleteDelete posture).
+#
+# Scope of the contract: the TABLE generation chain serializes (one winner
+# per sequence number, no lost staged files); sibling projections stay on
+# the existing eventual-consistency contract (a projection raced one
+# fingerprint behind is refused by the lockstep check and rebuilt on the
+# next ingest). Full rebuilds (source rewrite / layout change) reset the
+# fingerprint lineage and clear the log (_drop_snapshots). Liveness uses
+# same-host pid probing — the local[?] regime; on a multi-host cluster the
+# same CAS runs against a shared commit service or storage with atomic
+# put-if-absent, with lease TTLs replacing pid liveness.
+
+
+class ConcurrentWriteConflictError(RuntimeError):
+    """A concurrent commit claimed this table generation and the mutation
+    could not be re-applied (retries exhausted, strict conflict mode, or
+    the winning writer never published)."""
+
+
+COMMIT_RETRIES = int(os.environ.get("SPARK_GRAFT_COMMIT_RETRIES", "4"))
+_COMMIT_LOG_RETAIN = 64  # manifests kept per table (audit trail)
+
+
+def _commit_log_dir(dst: str) -> str:
+    return dst + ".commits"
+
+
+def _drop_commit_log(dst: str) -> None:
+    import shutil
+
+    shutil.rmtree(_commit_log_dir(dst), ignore_errors=True)
+
+
+def _commit_head(cdir: str) -> tuple[int, dict | None]:
+    """(highest committed sequence number, its manifest) — (0, None) on an
+    empty/absent log. A manifest readable-but-corrupt (heal race) reads as
+    None; its seq still counts so the next CAS targets seq+1."""
+    import json
+
+    try:
+        seqs = sorted(
+            int(f[:-5])
+            for f in os.listdir(cdir)
+            if f.endswith(".json") and f[:-5].isdigit()
+        )
+    except FileNotFoundError:
+        return 0, None
+    if not seqs:
+        return 0, None
+    head = seqs[-1]
+    try:
+        with open(os.path.join(cdir, f"{head:06d}.json")) as fh:
+            return head, json.load(fh)
+    except (OSError, ValueError):
+        return head, None
+
+
+def _commit_try(
+    dst: str,
+    op: str,
+    fp_before: str,
+    fp_after: str,
+    reads: list,
+    writes: list,
+) -> tuple[str, dict | None]:
+    """One CAS attempt at the next commit sequence number. Returns
+    ``("won", manifest)`` when this process owns the generation and must
+    publish it, ``("lost", other)`` when a concurrent commit already
+    published past our read snapshot, ``("pending", other)`` when a
+    concurrent commit holds the next seq but its publish hasn't landed yet
+    (await it, then re-apply)."""
+    import json
+    import time
+    import uuid
+
+    cdir = _commit_log_dir(dst)
+    os.makedirs(cdir, exist_ok=True)
+    seq, head = _commit_head(cdir)
+    fp_now, _m = _read_marker(os.path.join(dst, "_SUCCESS"))
+    if fp_now != fp_before:
+        return "lost", head  # someone published since we read generation G
+    if (
+        head is not None
+        and head.get("fp_after") != fp_now
+        and head.get("fp_before") == fp_now
+    ):
+        # a CASed commit exists whose publish hasn't reached the marker:
+        # in-flight winner (await) or a dangling crash (healed in await).
+        # A head matching NEITHER marker side means an unlogged publish
+        # (compact/restore/rebuild) superseded the log — CAS proceeds; the
+        # EXCL link still arbitrates among concurrent DML committers.
+        return "pending", head
+    manifest = {
+        "seq": seq + 1,
+        "op": op,
+        "fp_before": fp_before,
+        "fp_after": fp_after,
+        "reads": sorted(reads),
+        "writes": sorted(writes),
+        "pid": os.getpid(),
+        "ts": time.time(),
+    }
+    tmp = os.path.join(cdir, f".tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    target = os.path.join(cdir, f"{seq + 1:06d}.json")
+    try:
+        os.link(tmp, target)  # atomic put-if-absent: the CAS itself
+    except FileExistsError:
+        os.unlink(tmp)
+        try:
+            with open(target) as fh:
+                return "pending", json.load(fh)
+        except (OSError, ValueError):
+            return "pending", None
+    os.unlink(tmp)
+    for s in range(max(1, seq + 1 - _COMMIT_LOG_RETAIN)):
+        try:
+            os.unlink(os.path.join(cdir, f"{s:06d}.json"))
+        except OSError:
+            pass
+    return "won", manifest
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    return True
+
+
+def _commit_await(dst: str, other: dict | None, timeout: float = 120.0) -> None:
+    """Loser-side wait: block until the winning commit's publish lands on
+    the table marker (or the marker otherwise advances past our snapshot),
+    healing a dangling manifest whose writer died between CAS and publish.
+    Re-applying before the winner's publish would double-apply against the
+    pre-publish state — this wait is what makes loser re-application
+    serialize AFTER the winner."""
+    import time
+
+    if other is None:
+        time.sleep(0.05)
+        return
+    marker = os.path.join(dst, "_SUCCESS")
+    mpath = os.path.join(
+        _commit_log_dir(dst), f"{other['seq']:06d}.json"
+    )
+    deadline = time.monotonic() + timeout
+    while time.monotonic() < deadline:
+        fp, _m = _read_marker(marker)
+        if fp == other.get("fp_after") or fp != other.get("fp_before"):
+            return  # winner published (or the chain advanced past it)
+        if not os.path.exists(mpath):
+            return  # healed by another waiter
+        age = time.time() - other.get("ts", 0)
+        if age > 2.0 and not _pid_alive(int(other.get("pid", -1))):
+            # winner died between CAS and publish: its staged generation
+            # never swapped in, the previous one is intact — heal the log
+            try:
+                os.unlink(mpath)
+            except OSError:
+                pass
+            return
+        time.sleep(0.02)
+    raise ConcurrentWriteConflictError(
+        f"commit {other.get('seq')} (op={other.get('op')}, "
+        f"pid={other.get('pid')}) on {dst!r} never published within "
+        f"{timeout:.0f}s — cannot re-apply against an unsettled generation"
+    )
+
+
+def _commit_lost(
+    dst: str, name: str, op: str, other: dict | None, reads: list,
+    retries: int,
+) -> None:
+    """Loser-side bookkeeping before a re-apply: enforce the retry budget,
+    surface overlapping-file conflicts in strict mode, and wait for the
+    winning publish to settle. Returning normally means `re-apply now`."""
+    if retries <= 0:
+        raise ConcurrentWriteConflictError(
+            f"{op} on {name!r} lost the commit CAS "
+            f"{COMMIT_RETRIES + 1} times — giving up"
+        )
+    overlap = (
+        sorted(set(reads) & set(other.get("writes", []))) if other else []
+    )
+    if overlap and os.environ.get("SPARK_GRAFT_COMMIT_CONFLICT") == "fail":
+        raise ConcurrentWriteConflictError(
+            f"concurrent {other.get('op')} (commit {other.get('seq')}, "
+            f"pid {other.get('pid')}) rewrote files this {op} on {name!r} "
+            f"read: {overlap[:5]}{'...' if len(overlap) > 5 else ''}"
+        )
+    _commit_await(dst, other)
+
+
 # Snapshot retention per managed table (time travel): how many pre-mutation
 # generations each table keeps next to its current one. Generations are
 # HARDLINK copies — a retained snapshot costs disk only for the part files
@@ -307,10 +520,13 @@ def _snapshot_generation(dst: str, op: str) -> None:
 def _drop_snapshots(dst: str) -> None:
     """Clear a table's snapshot history — called on FULL rebuilds (source
     rewrite / layout change): the re-landed source is a different table
-    state lineage, so pre-rebuild generations must not be restorable."""
+    state lineage, so pre-rebuild generations must not be restorable. The
+    commit log clears with it: its manifests chain fingerprints of the
+    dead lineage and would wedge the CAS validity check."""
     import shutil
 
     shutil.rmtree(dst + ".snaps", ignore_errors=True)
+    _drop_commit_log(dst)
 
 
 def table_history(spark: SparkSession, sf_dir: str, name: str) -> list[dict]:
@@ -403,6 +619,12 @@ def restore_table_version(
                 os.link(entry.path, os.path.join(tmp, entry.name))
 
     _publish_dir(dst, fp, meta, _write)
+    # a restore REWINDS the fingerprint lineage: logged commit manifests
+    # now describe mutations "after" the restored state, and the head can
+    # alias the restored fingerprint as its fp_before — which would read
+    # as an in-flight commit and wedge the next DML's CAS. Lineage reset
+    # clears the log (same contract as full rebuilds).
+    _drop_commit_log(dst)
     # invalidate memoized views, then re-sync projections to the restored
     # generation (they fail the lockstep check and rebuild)
     spark._lianjia_table_cache = {}
@@ -477,6 +699,196 @@ def query_materialized(
         spark, sf_dir, f"query.{name}.queryproj.parquet", f"lj_qm_{name}"
     )
     return spark.table(view) if view else None
+
+
+# --------------------------------------------------------------------------
+# Pinned artifacts: the user-facing generalization of the built-in coarse
+# cuts. One declarative mechanism (the _derive_cut engine + this pin
+# registry) pins either a DECLARED QUERY (materialize_query's surface) or
+# a PARAMETERIZED ROLLUP CUT (a derive_sql over a maintained parent
+# artifact — exactly the spec shape the built-in q1cut/bytype/q5asia/q3top
+# cells use) as a maintenance-time artifact: every mutation and ingest
+# refreshes stale pins (_refresh_pins), fingerprint lockstep refuses a
+# raced or crashed artifact, and serving falls back to the full plan.
+# Pins persist as JSON sidecars under <out_dir>/_pins ('_'-prefixed:
+# invisible to Spark's directory listings), so they survive sessions and
+# are refreshed by whichever process mutates next.
+
+_CUT_PARENTS = {
+    "aggproj": "{parent}.aggproj.parquet",
+    "joinproj": "{parent}.joinproj.parquet",
+    "table": "{parent}.parquet",
+}
+
+
+def _pins_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "_pins")
+
+
+def _load_pins(out_dir: str) -> dict[str, dict]:
+    import glob
+    import json
+
+    out: dict[str, dict] = {}
+    pdir = _pins_dir(out_dir)
+    if not os.path.isdir(pdir):
+        return out
+    for p in sorted(glob.glob(os.path.join(pdir, "*.json"))):
+        try:
+            with open(p) as fh:
+                spec = json.load(fh)
+            out[spec["name"]] = spec
+        except (OSError, ValueError, KeyError):
+            continue
+    return out
+
+
+def _save_pin(out_dir: str, spec: dict) -> None:
+    import json
+
+    pdir = _pins_dir(out_dir)
+    os.makedirs(pdir, exist_ok=True)
+    tmp = os.path.join(pdir, f".tmp-{os.getpid()}")
+    with open(tmp, "w") as fh:
+        json.dump(spec, fh)
+    os.replace(tmp, os.path.join(pdir, f"{spec['name']}.json"))
+
+
+def pin_query(spark: SparkSession, sf_dir: str, name: str) -> str:
+    """Pin a declared query as a MAINTAINED materialized artifact: builds
+    it now (same artifact as :func:`materialize_query`) and records the
+    pin, so every subsequent ingest/mutation refreshes it — the query tier
+    of the unified pin mechanism. Returns the artifact path."""
+    path = materialize_query(spark, sf_dir, name)
+    out_dir = spark._lianjia_ingest_map[os.path.normpath(sf_dir)]
+    _save_pin(out_dir, {"kind": "query", "name": name})
+    return path
+
+
+def pin_rollup_cut(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    parent_kind: str,
+    parent: str,
+    derive_sql: str,
+) -> str:
+    """Pin a parameterized rollup cut: ``derive_sql`` (with ``{src}``
+    bound to the parent artifact) runs at maintenance time and publishes
+    under the parent's fingerprint — the user-facing form of the built-in
+    q1cut/q5asia/q3top cells, on the same `_derive_cut` engine. A user
+    whose ad-hoc constants aren't served by the built-in cuts declares
+    their own here instead of waiting on a hand-written spec.
+
+    ``parent_kind``: ``"aggproj"`` / ``"joinproj"`` (a maintained rollup —
+    refresh is O(rollup), the 100 TB posture) or ``"table"`` (a managed
+    table — refresh rescans it; legitimate for dimensions, a documented
+    cost for facts). Changing ``derive_sql`` re-pins and rebuilds (the
+    fingerprint carries the SQL hash). Returns the artifact path."""
+    if parent_kind not in _CUT_PARENTS:
+        raise ValueError(
+            f"unknown parent_kind {parent_kind!r}; one of "
+            f"{sorted(_CUT_PARENTS)}"
+        )
+    ingest_tables(spark, sf_dir)
+    out_dir = spark._lianjia_ingest_map[os.path.normpath(sf_dir)]
+    spec = {
+        "kind": "cut", "name": name, "parent_kind": parent_kind,
+        "parent": parent, "derive_sql": derive_sql,
+    }
+    dst = _refresh_cut(spark, out_dir, spec)
+    if dst is None:
+        raise ValueError(
+            f"cut {name!r}: parent artifact "
+            f"{_CUT_PARENTS[parent_kind].format(parent=parent)!r} does not "
+            f"exist under {out_dir!r}"
+        )
+    _save_pin(out_dir, spec)
+    return dst
+
+
+def unpin(spark: SparkSession, sf_dir: str, name: str) -> bool:
+    """Remove a pin (the artifact stays until it goes stale; vacuum or a
+    rebuild reclaims it). True when a pin existed."""
+    ingest_tables(spark, sf_dir)
+    out_dir = spark._lianjia_ingest_map[os.path.normpath(sf_dir)]
+    try:
+        os.unlink(os.path.join(_pins_dir(out_dir), f"{name}.json"))
+        return True
+    except FileNotFoundError:
+        return False
+
+
+def pinned_view(spark: SparkSession, sf_dir: str, name: str) -> str | None:
+    """Serve a pinned artifact as a temp view — None when the pin doesn't
+    exist or the artifact is out of fingerprint lockstep (callers run the
+    query instead; a pin is an optimization, never a correctness
+    dependency)."""
+    ingest_tables(spark, sf_dir)
+    out_dir = spark._lianjia_ingest_map[os.path.normpath(sf_dir)]
+    spec = _load_pins(out_dir).get(name)
+    if spec is None:
+        return None
+    if spec["kind"] == "query":
+        return _projection_view(
+            spark, sf_dir, f"query.{name}.queryproj.parquet",
+            f"lj_qm_{name}",
+        )
+    return _projection_view(
+        spark, sf_dir, f"cut.{name}.cutproj.parquet", f"lj_cut_{name}"
+    )
+
+
+def _refresh_cut(spark: SparkSession, out_dir: str, spec: dict) -> str | None:
+    """(Re)derive one pinned cut when stale; None when its parent artifact
+    doesn't exist. The artifact's marker carries a components map over the
+    parent's source tables, so `_projection_view` refuses it the moment
+    any of them mutates — until the next maintenance pass re-derives it."""
+    import hashlib
+
+    src_rel = _CUT_PARENTS[spec["parent_kind"]].format(parent=spec["parent"])
+    src_path = os.path.join(out_dir, src_rel)
+    p_fp, p_meta = _read_marker(os.path.join(src_path, "_SUCCESS"))
+    if not p_fp:
+        return None
+    sqlh = hashlib.md5(spec["derive_sql"].encode()).hexdigest()[:8]
+    fingerprint = f"{p_fp}:cut{sqlh}"
+    dst = os.path.join(out_dir, f"cut.{spec['name']}.cutproj.parquet")
+    if spec["parent_kind"] == "joinproj":
+        comps = (p_meta or {}).get("components")
+    else:
+        comps = {spec["parent"]: p_fp}
+    meta = {"components": comps} if comps else None
+    _derive_cut(spark, spec["derive_sql"], src_path, dst, fingerprint, meta)
+    return dst
+
+
+def _refresh_pins(spark: SparkSession, out_dir: str, sf_dir: str) -> None:
+    """Maintenance-time refresh of every pinned artifact — called at the
+    tail of ingest and of each mutation kernel. Stale pinned QUERIES
+    rebuild through (idempotent) materialize_query; stale pinned CUTS
+    re-derive from their parent artifact. Re-entrancy-guarded: pinned
+    queries run declared queries, which ingest, which would refresh
+    pins. A pin whose refresh fails must never block the mutation that
+    triggered it — its stale artifact is refused by the lockstep check
+    and the pinned query simply runs un-materialized."""
+    if getattr(spark, "_lianjia_refreshing_pins", False):
+        return
+    pins = _load_pins(out_dir)
+    if not pins:
+        return
+    spark._lianjia_refreshing_pins = True
+    try:
+        for spec in pins.values():
+            try:
+                if spec.get("kind") == "query":
+                    materialize_query(spark, sf_dir, spec["name"])
+                elif spec.get("kind") == "cut":
+                    _refresh_cut(spark, out_dir, spec)
+            except Exception:
+                continue
+    finally:
+        spark._lianjia_refreshing_pins = False
 
 
 def transaction(spark: SparkSession, sf_dir: str, *tables: str):
@@ -1413,8 +1825,16 @@ _AGG_PROJECTIONS = {
         # fact scan.
         "coarse": {
             "suffix": "q1cut",
-            "keys": ("l_returnflag", "l_linestatus"),
-            "where": f"l_shipdate <= TIMESTAMP_NTZ '{Q1_CUTOFF}'",
+            "derive_sql": f"""
+SELECT l_returnflag, l_linestatus,
+       SUM(cnt) AS cnt, SUM(s_qty) AS s_qty, SUM(n_qty) AS n_qty,
+       SUM(s_price) AS s_price, SUM(n_price) AS n_price,
+       SUM(s_disc_price) AS s_disc_price, SUM(s_charge) AS s_charge,
+       SUM(s_disc) AS s_disc, SUM(n_disc) AS n_disc
+FROM {{src}}
+WHERE l_shipdate <= TIMESTAMP_NTZ '{Q1_CUTOFF}'
+GROUP BY l_returnflag, l_linestatus
+""",
         },
     },
     # Events rollup for the JSON-extraction family: event_type x day is
@@ -1439,7 +1859,15 @@ _AGG_PROJECTIONS = {
             "s_value": "SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT))",
             "n_value": "COUNT(value)",
         },
-        "coarse": {"suffix": "bytype", "keys": ("event_type",)},
+        "coarse": {
+            "suffix": "bytype",
+            "derive_sql": """
+SELECT event_type, SUM(cnt) AS cnt, SUM(s_k) AS s_k,
+       SUM(s_value) AS s_value, SUM(n_value) AS n_value
+FROM {src}
+GROUP BY event_type
+""",
+        },
     },
 }
 
@@ -1938,6 +2366,49 @@ def joinproj_coarse_view(
     )
 
 
+def _derive_cut(
+    spark: SparkSession,
+    derive_sql: str,
+    src_path: str,
+    dst: str,
+    fingerprint: str,
+    meta: dict | None,
+    restamp_from: str | None = None,
+) -> None:
+    """THE coarse-derivation engine — one declarative mechanism shared by
+    every maintenance-time derived artifact: the built-in rollup cuts
+    (``q1cut``/``bytype`` aggproj cuts, ``q5asia``/``q3top`` star-rollup
+    cuts) and user-pinned cuts (:func:`pin_rollup_cut`) all reduce to the
+    same spec shape — a ``derive_sql`` with ``{src}`` bound to the parent
+    artifact — and this one function. Semantics: no-op when the artifact
+    already carries ``fingerprint``; a pure marker restamp when the
+    parent's CONTENT is provably unchanged (``restamp_from`` = the
+    parent's pre-restamp fingerprint the artifact was in lockstep with);
+    otherwise one tiny Spark job over the parent artifact — O(parent),
+    never a fact scan when the parent is a rollup."""
+    import hashlib
+
+    marker = os.path.join(dst, "_SUCCESS")
+    if _marker_fresh(marker, fingerprint):
+        return
+    if restamp_from and _read_marker(marker)[0] == restamp_from:
+        tmpm = marker + f".tmp-{os.getpid()}"
+        _write_marker(tmpm, fingerprint, meta)
+        os.replace(tmpm, marker)
+        return
+    view = "_lj_cut_" + hashlib.md5(dst.encode()).hexdigest()[:10]
+    spark.read.parquet(src_path).createOrReplaceTempView(view)
+    built = spark.sql(derive_sql.format(src=view))
+
+    def _write(tmp: str) -> None:
+        built.coalesce(1).write.mode("overwrite").parquet(tmp)
+        for extra in os.listdir(tmp):
+            if extra == "_SUCCESS" or extra.endswith(".crc"):
+                os.remove(os.path.join(tmp, extra))
+
+    _publish_dir(dst, fingerprint, meta, _write)
+
+
 def _coarse_jp_dst(out_dir: str, jp_name: str, spec: dict) -> str:
     return os.path.join(
         out_dir, f"{jp_name}.{spec['coarse']['name']}.joinproj.parquet"
@@ -1963,25 +2434,11 @@ def _maintain_coarse_joinproj(
     c = spec.get("coarse")
     if not c:
         return
-    c_dst = _coarse_jp_dst(out_dir, jp_name, spec)
-    c_marker = os.path.join(c_dst, "_SUCCESS")
-    if _marker_fresh(c_marker, jp_fp):
-        return
-    if restamp_from and _read_marker(c_marker)[0] == restamp_from:
-        tmpm = c_marker + f".tmp-{os.getpid()}"
-        _write_marker(tmpm, jp_fp, jp_meta)
-        os.replace(tmpm, c_marker)
-        return
-    spark.read.parquet(jp_dst).createOrReplaceTempView("_jp_fine")
-    built = spark.sql(c["derive_sql"].format(src="_jp_fine"))
-
-    def _write(tmp: str) -> None:
-        built.coalesce(1).write.mode("overwrite").parquet(tmp)
-        for extra in os.listdir(tmp):
-            if extra == "_SUCCESS" or extra.endswith(".crc"):
-                os.remove(os.path.join(tmp, extra))
-
-    _publish_dir(c_dst, jp_fp, jp_meta, _write)
+    _derive_cut(
+        spark, c["derive_sql"], jp_dst,
+        _coarse_jp_dst(out_dir, jp_name, spec), jp_fp, jp_meta,
+        restamp_from=restamp_from,
+    )
 
 
 def _bucketed_write(
@@ -2220,18 +2677,12 @@ def _build_coarse_aggproj(
     the fine rows over the coarse keys — exact for SUM-mergeable measures
     by associativity, and O(fine rollup) work per (re)build, never a fact
     scan. Rebuilt whenever the fine projection is (the fine build/merge is
-    the expensive step; this one reads its output)."""
-    c = spec["coarse"]
-    keys = ", ".join(c["keys"])
-    sums = ", ".join(f"SUM({m}) AS {m}" for m in spec["measures"])
-    where = f" WHERE {c['where']}" if c.get("where") else ""
-    spark.read.parquet(ap_dst).createOrReplaceTempView("_lj_aggproj_fine")
-    built = spark.sql(
-        f"SELECT {keys}, {sums} FROM _lj_aggproj_fine{where} GROUP BY {keys}"
-    )
-    _publish_dir(
-        coarse_dst, fingerprint, meta,
-        lambda tmp: built.coalesce(1).write.mode("overwrite").parquet(tmp),
+    the expensive step; this one reads its output). Thin wrapper over the
+    unified :func:`_derive_cut` engine — same spec shape and machinery as
+    the star-rollup cuts and user-pinned cuts."""
+    _derive_cut(
+        spark, spec["coarse"]["derive_sql"], ap_dst, coarse_dst,
+        fingerprint, meta,
     )
 
 
@@ -3700,7 +4151,10 @@ def _point_prune_candidates(
     return candidates, n_matches
 
 
-def delete_where(spark: SparkSession, sf_dir: str, name: str, predicate) -> int:
+def delete_where(
+    spark: SparkSession, sf_dir: str, name: str, predicate,
+    _cc_retries: int | None = None,
+) -> int:
     """Row-level ``DELETE FROM <name> WHERE <predicate>`` on the managed
     copy of a table — O(affected files + projection sizes), never
     O(history). Returns the number of rows deleted.
@@ -3841,6 +4295,28 @@ def delete_where(spark: SparkSession, sf_dir: str, name: str, predicate) -> int:
 
     h = hashlib.md5(f"{old_fp}|{predicate}".encode()).hexdigest()[:8]
     new_fp = f"{old_fp}~del{h}"
+
+    # Optimistic concurrency: claim the next generation before publishing.
+    # A concurrent mutation that got there first means the matches above
+    # were computed against a superseded snapshot — discard the staged
+    # work, wait for the winner's publish, re-apply (bounded retries).
+    if _cc_retries is None:
+        _cc_retries = COMMIT_RETRIES
+    outcome, other = _commit_try(
+        dst, op="delete", fp_before=old_fp, fp_after=new_fp,
+        reads=list(to_split), writes=list(survivors),
+    )
+    if outcome != "won":
+        shutil.rmtree(hold, ignore_errors=True)
+        if stage:
+            shutil.rmtree(stage, ignore_errors=True)
+        _commit_lost(
+            dst, name, op="delete", other=other, reads=list(to_split),
+            retries=_cc_retries,
+        )
+        return delete_where(
+            spark, sf_dir, name, predicate, _cc_retries=_cc_retries - 1
+        )
 
     def _write_generation(tmp: str) -> None:
         wrote = False
@@ -4040,7 +4516,8 @@ def _referenced_cols(text: str, columns) -> set[str]:
 
 
 def update_where(
-    spark: SparkSession, sf_dir: str, name: str, predicate, assignments
+    spark: SparkSession, sf_dir: str, name: str, predicate, assignments,
+    _cc_retries: int | None = None,
 ) -> int:
     """Row-level ``UPDATE <name> SET ... WHERE <predicate>`` on the managed
     copy of a table — copy-on-write over O(affected files + projection
@@ -4215,6 +4692,31 @@ def update_where(
         with open(os.path.join(hold_new, p), "rb") as fh:
             new_digest.update(fh.read())
     new_fp = f"{old_fp}~upd{new_digest.hexdigest()[:8]}"
+
+    # Optimistic concurrency — same CAS contract as delete_where: only the
+    # commit-log winner publishes; a loser re-evaluates its matches against
+    # the winner's published snapshot (UPDATE is not idempotent, so the
+    # await-then-re-apply ordering is what keeps SET x = x + 1 exactly-once
+    # per invocation under concurrency).
+    if _cc_retries is None:
+        _cc_retries = COMMIT_RETRIES
+    outcome, other = _commit_try(
+        dst, op="update", fp_before=old_fp, fp_after=new_fp,
+        reads=list(to_split), writes=list(rewritten),
+    )
+    if outcome != "won":
+        shutil.rmtree(hold_old, ignore_errors=True)
+        shutil.rmtree(hold_new, ignore_errors=True)
+        if stage:
+            shutil.rmtree(stage, ignore_errors=True)
+        _commit_lost(
+            dst, name, op="update", other=other, reads=list(to_split),
+            retries=_cc_retries,
+        )
+        return update_where(
+            spark, sf_dir, name, predicate, assignments,
+            _cc_retries=_cc_retries - 1,
+        )
 
     def _write_generation(tmp: str) -> None:
         for f in parts:
@@ -4932,6 +5434,9 @@ def ingest_tables(
     spark._lianjia_table_cache = {}
     spark._lianjia_views_dir = None
     spark._lianjia_keydict_views = {}
+    # Pinned artifacts (queries / rollup cuts) refresh last, over the
+    # settled catalog — re-entrancy-guarded, no-op with no pins.
+    _refresh_pins(spark, out_dir, sf_dir)
     return out_dir
 
 
@@ -5336,6 +5841,171 @@ def tune_for_sf(spark: SparkSession, sf_dir: str) -> None:
         spark.conf.set("spark.sql.shuffle.partitions", str(parts))
         spark._lianjia_tuned_parts = parts
     spark._lianjia_tuned_dir = sf_dir
+
+
+# transformWithStateInPandas workers speak protobuf to the JVM's state
+# server. The container has no pip-installed ``google.protobuf``, but hosts
+# commonly carry a pure-python copy inside system SDKs — resolving one onto
+# the path is dependency discovery, not installation. '' disables the probe.
+_PROTOBUF_PROBE_PATHS = (
+    "/usr/lib/google-cloud-sdk/platform/google_appengine",
+)
+
+
+def _find_system_protobuf() -> str | None:
+    env = os.environ.get("SPARK_GRAFT_PROTOBUF_PATH")
+    if env == "":
+        return None
+    for c in ([env] if env else []) + list(_PROTOBUF_PROBE_PATHS):
+        if c and os.path.isfile(
+            os.path.join(c, "google", "protobuf", "__init__.py")
+        ):
+            return c
+    return None
+
+
+def _stage_system_protobuf(root: str) -> str | None:
+    """Stage a system-resident pure-python protobuf as an importable tree
+    under /tmp: copy ``google/protobuf/**.py``, add a pkgutil namespace
+    shim for ``google`` (zipimport + PYTHONPATH both resolve it), and relax
+    the strict gencode/runtime version gate — system SDK copies commonly
+    trail pyspark's generated protos by one minor (e.g. runtime 6.32 vs
+    gencode 6.33), a skew that is wire- and API-compatible but rejected by
+    the letter of ValidateProtobufRuntimeVersion. Idempotent per host."""
+    import shutil
+
+    src = os.path.join(root, "google", "protobuf")
+    stage = "/tmp/spark-graft-protobuf"
+    done = os.path.join(stage, ".staged")
+    if os.path.isfile(done):
+        return stage
+    tmp = f"{stage}.tmp-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    dst = os.path.join(tmp, "google", "protobuf")
+    try:
+        for dirpath, _dirs, files in os.walk(src):
+            rel = os.path.relpath(dirpath, src)
+            out = os.path.join(dst, rel) if rel != "." else dst
+            os.makedirs(out, exist_ok=True)
+            for f in files:
+                if f.endswith(".py"):
+                    shutil.copy(os.path.join(dirpath, f), os.path.join(out, f))
+        with open(
+            os.path.join(tmp, "google", "__init__.py"), "w"
+        ) as fh:
+            fh.write(
+                "__path__ = __import__('pkgutil').extend_path("
+                "__path__, __name__)\n"
+            )
+        rv = os.path.join(dst, "runtime_version.py")
+        if os.path.isfile(rv):
+            with open(rv, "a") as fh:
+                fh.write(
+                    "\n\n# spark-graft vendored copy: this runtime serves "
+                    "generated protos one\n# minor ahead (wire- and "
+                    "API-compatible); the strict same-or-newer gate\n"
+                    "# would reject them, so it is relaxed in THIS staged "
+                    "copy only.\n"
+                    "def ValidateProtobufRuntimeVersion("
+                    "*args, **kwargs):  # noqa: F811\n"
+                    "    return None\n"
+                )
+        with open(os.path.join(tmp, ".staged"), "w") as fh:
+            fh.write(root)
+        try:
+            os.rename(tmp, stage)  # atomic publish; loser keeps winner's
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+        return stage if os.path.isfile(done) else None
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        return None
+
+
+def _ensure_protobuf_importable() -> bool:
+    """True iff ``google.protobuf`` is importable in THIS process, staging
+    a system-resident copy onto ``sys.path`` (and ``PYTHONPATH``, so Python
+    workers spawned by a future JVM inherit it) when no installed package
+    exists. Gates the transformWithStateInPandas surface (T5 modern API)."""
+    import sys
+
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        pass
+    root = _find_system_protobuf()
+    if not root:
+        return False
+    stage = _stage_system_protobuf(root)
+    if not stage:
+        return False
+    if stage not in sys.path:
+        sys.path.append(stage)  # append: a real install always wins
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        sys.path.remove(stage)
+        return False
+    pp = os.environ.get("PYTHONPATH", "")
+    if stage not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            stage + (os.pathsep + pp if pp else "")
+        )
+    return True
+
+
+def ensure_protobuf_shipped(spark: SparkSession) -> bool:
+    """Make ``google.protobuf`` importable on the Python WORKERS: a real
+    site-packages install resolves by itself; a system-resident copy ships
+    as a zip via ``addPyFile`` (the same mechanism ensure_package_shipped
+    uses), which lands on every worker's ``sys.path`` regardless of how or
+    when the JVM was launched. Returns False when no copy exists at all —
+    callers keep the documented env-gated skip."""
+    if not _ensure_protobuf_importable():
+        return False
+    if getattr(spark, "_lianjia_protobuf_shipped", False):
+        return True
+    import google.protobuf as gp
+
+    pkg_dir = os.path.dirname(os.path.abspath(gp.__file__))
+    if "site-packages" in pkg_dir or "dist-packages" in pkg_dir:
+        spark._lianjia_protobuf_shipped = True
+        return True
+    # Python workers inherit PYTHONPATH through the PythonFunction's
+    # envVars (sc.environment), captured at UDF-wrap time — this works
+    # even when the JVM launched before the staging (the streaming state
+    # runner spawns its own worker from these envVars, not from pyFiles).
+    stage_root = os.path.dirname(os.path.dirname(pkg_dir))
+    env = spark.sparkContext.environment
+    pp = env.get("PYTHONPATH", "")
+    if stage_root not in pp.split(os.pathsep):
+        env["PYTHONPATH"] = stage_root + (os.pathsep + pp if pp else "")
+    import zipfile
+
+    zip_path = os.path.join("/tmp", f"google-protobuf-ship-{os.getpid()}.zip")
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            # pkgutil-style namespace shim: zipimport needs an explicit
+            # ``google`` package entry to resolve google/protobuf from a zip
+            zf.writestr(
+                "google/__init__.py",
+                "__path__ = __import__('pkgutil').extend_path("
+                "__path__, __name__)\n",
+            )
+            for root_, _dirs, files in os.walk(pkg_dir):
+                for fname in files:
+                    if not fname.endswith(".py"):
+                        continue
+                    full = os.path.join(root_, fname)
+                    rel = os.path.join(
+                        "google/protobuf", os.path.relpath(full, pkg_dir)
+                    )
+                    zf.write(full, rel)
+    spark.sparkContext.addPyFile(zip_path)
+    spark._lianjia_protobuf_shipped = True
+    return True
 
 
 def ensure_package_shipped(spark: SparkSession) -> None:

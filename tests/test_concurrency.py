@@ -1,0 +1,410 @@
+"""Optimistic concurrency control for the DML kernels (commit-log CAS).
+
+Contract under test (session.py `_commit_try` / `_commit_await` /
+`_commit_lost`): every row-level mutation CAS-appends a manifest under
+``<table>.commits/<seq>.json`` before publishing its generation — exactly
+one writer owns each sequence number (EXCL hardlink), the loser discards
+its staged work, waits for the winner's publish, and re-applies against
+the new snapshot (bounded retries; strict mode surfaces file-overlap
+conflicts instead). Covers: CAS mechanics, dangling-commit healing,
+unlogged-publish supersession, a deterministic loser re-apply through the
+real delete kernel, strict-mode conflict, a same-process two-thread race,
+and the genuine two-process race (separate JVMs) the 100 TB multi-writer
+contract is about.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import threading
+import time
+
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from data_etl_sh_lianjia_spark import session as sess
+
+SRC = "/root/testdata/sf0.001"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture()
+def restore_catalog(spark):
+    saved = (
+        dict(getattr(spark, "_lianjia_ingest_map", {}) or {}),
+        dict(getattr(spark, "_lianjia_table_cache", {}) or {}),
+        set(getattr(spark, "_lianjia_cached_views", set()) or set()),
+        dict(getattr(spark, "_lianjia_keydict_views", {}) or {}),
+        dict(getattr(spark, "_lianjia_bucket_tables", {}) or {}),
+    )
+    yield
+    spark._lianjia_ingest_map = saved[0]
+    spark._lianjia_table_cache = saved[1]
+    spark._lianjia_cached_views = saved[2]
+    spark._lianjia_keydict_views = saved[3]
+    spark._lianjia_bucket_tables = saved[4]
+    spark._lianjia_views_dir = None
+
+
+def _mk_sf(tmp_path, monkeypatch, sub, tables=("customer",)):
+    sf = tmp_path / sub
+    sf.mkdir()
+    for t in tables:
+        shutil.copy(f"{SRC}/{t}.parquet", str(sf / f"{t}.parquet"))
+    monkeypatch.setattr(sess, "INGEST_ROOT", str(tmp_path / "ingest"))
+    return str(sf)
+
+
+def _mk_tbl(tmp_path, fp="fp0"):
+    dst = tmp_path / "t.parquet"
+    dst.mkdir()
+    sess._write_marker(str(dst / "_SUCCESS"), fp)
+    return str(dst)
+
+
+def _manifests(dst):
+    cdir = sess._commit_log_dir(dst)
+    out = []
+    for f in sorted(os.listdir(cdir)):
+        if f.endswith(".json") and f[:-5].isdigit():
+            with open(os.path.join(cdir, f)) as fh:
+                out.append(json.load(fh))
+    return out
+
+
+def _no_scratch(dst):
+    """No staged/held scratch dirs survive next to the managed table."""
+    parent = os.path.dirname(dst)
+    base = os.path.basename(dst)
+    return [
+        d
+        for d in os.listdir(parent)
+        if d.startswith(base + ".")
+        and any(
+            tag in d
+            for tag in (".stage-", ".dropped-", ".updold-", ".updnew-")
+        )
+    ]
+
+
+# ------------------------------------------------------------------ CAS unit
+
+
+def test_cas_winner_then_stale_reader_loses(tmp_path):
+    dst = _mk_tbl(tmp_path)
+    outcome, m = sess._commit_try(dst, "delete", "fp0", "fp1", ["a"], ["a"])
+    assert outcome == "won" and m["seq"] == 1
+    # winner publishes (marker advances); a reader still on fp0 loses
+    sess._write_marker(os.path.join(dst, "_SUCCESS"), "fp1")
+    outcome2, other = sess._commit_try(
+        dst, "delete", "fp0", "fp1x", ["b"], ["b"]
+    )
+    assert outcome2 == "lost"
+    assert other is not None and other["fp_after"] == "fp1"
+
+
+def test_cas_inflight_commit_reads_as_pending(tmp_path):
+    dst = _mk_tbl(tmp_path)
+    outcome, m = sess._commit_try(dst, "delete", "fp0", "fp1", ["a"], ["a"])
+    assert outcome == "won"
+    # the winner has NOT published yet: a second committer from the same
+    # snapshot must not claim seq 2 — it sees the in-flight head
+    outcome2, other = sess._commit_try(
+        dst, "update", "fp0", "fp2", ["b"], ["b"]
+    )
+    assert outcome2 == "pending" and other["seq"] == 1
+
+
+def test_await_heals_dangling_commit_of_dead_writer(tmp_path):
+    dst = _mk_tbl(tmp_path)
+    p = subprocess.Popen(["sleep", "0"])
+    p.wait()
+    cdir = sess._commit_log_dir(dst)
+    os.makedirs(cdir)
+    mpath = os.path.join(cdir, "000001.json")
+    manifest = {
+        "seq": 1, "op": "delete", "fp_before": "fp0", "fp_after": "fp1",
+        "reads": [], "writes": [], "pid": p.pid, "ts": time.time() - 30,
+    }
+    with open(mpath, "w") as fh:
+        json.dump(manifest, fh)
+    sess._commit_await(dst, manifest, timeout=5.0)
+    assert not os.path.exists(mpath)  # healed: writer died before publish
+
+
+def test_await_raises_when_live_writer_never_publishes(tmp_path):
+    dst = _mk_tbl(tmp_path)
+    manifest = {
+        "seq": 1, "op": "delete", "fp_before": "fp0", "fp_after": "fp1",
+        "reads": [], "writes": [], "pid": os.getpid(), "ts": time.time(),
+    }
+    cdir = sess._commit_log_dir(dst)
+    os.makedirs(cdir)
+    with open(os.path.join(cdir, "000001.json"), "w") as fh:
+        json.dump(manifest, fh)
+    with pytest.raises(sess.ConcurrentWriteConflictError):
+        sess._commit_await(dst, manifest, timeout=0.3)
+
+
+def test_unlogged_publish_supersedes_stale_log(tmp_path):
+    """A compact/restore/rebuild publishes outside the log: a head whose
+    fingerprints match neither marker side must not wedge the CAS."""
+    dst = _mk_tbl(tmp_path, fp="fpR")
+    cdir = sess._commit_log_dir(dst)
+    os.makedirs(cdir)
+    with open(os.path.join(cdir, "000007.json"), "w") as fh:
+        json.dump(
+            {"seq": 7, "op": "delete", "fp_before": "fpX",
+             "fp_after": "fpY", "reads": [], "writes": [],
+             "pid": os.getpid(), "ts": time.time()},
+            fh,
+        )
+    outcome, m = sess._commit_try(dst, "delete", "fpR", "fpR2", ["a"], ["a"])
+    assert outcome == "won" and m["seq"] == 8
+
+
+def test_commit_lost_strict_mode_raises_on_overlap(tmp_path, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_COMMIT_CONFLICT", "fail")
+    other = {"seq": 3, "op": "update", "pid": 1, "ts": time.time(),
+             "fp_before": "a", "fp_after": "b",
+             "writes": ["part-00001.parquet"]}
+    with pytest.raises(sess.ConcurrentWriteConflictError):
+        sess._commit_lost(
+            str(tmp_path / "t.parquet"), "t", "delete", other,
+            reads=["part-00001.parquet", "part-00002.parquet"], retries=3,
+        )
+
+
+def test_commit_lost_retries_exhausted_raises(tmp_path):
+    with pytest.raises(sess.ConcurrentWriteConflictError):
+        sess._commit_lost(
+            str(tmp_path / "t.parquet"), "t", "delete", None, reads=[],
+            retries=0,
+        )
+
+
+# ------------------------------------------------- loser re-apply (kernel)
+
+
+def test_loser_reapplies_after_interleaved_winner(
+    spark, tmp_path, monkeypatch, restore_catalog
+):
+    """Deterministic race: a competing DELETE lands between this DELETE's
+    match computation and its CAS. The loser must discard its staged work
+    and re-apply against the winner's snapshot — final state identical to
+    the serial order (winner, then loser), one commit per generation."""
+    sf = _mk_sf(tmp_path, monkeypatch, "sfra")
+    sess.ingest_tables(spark, sf)
+    out_dir = spark._lianjia_ingest_map[os.path.normpath(sf)]
+    dst = os.path.join(out_dir, "customer.parquet")
+    src = pq.read_table(f"{SRC}/customer.parquet")
+    n_building = len(
+        src.filter(pc.equal(src["c_mktsegment"], "BUILDING"))
+    )
+    n_machinery = len(
+        src.filter(pc.equal(src["c_mktsegment"], "MACHINERY"))
+    )
+    assert n_building and n_machinery
+
+    orig = sess._commit_try
+    state = {"fired": False}
+
+    def hijack(d, op, fp_before, fp_after, reads, writes):
+        if not state["fired"]:
+            state["fired"] = True
+            # the competing writer wins the generation first
+            won = sess.delete_where(
+                spark, sf, "customer",
+                pc.field("c_mktsegment") == "MACHINERY",
+            )
+            assert won == n_machinery
+        return orig(d, op, fp_before, fp_after, reads, writes)
+
+    monkeypatch.setattr(sess, "_commit_try", hijack)
+    n = sess.delete_where(
+        spark, sf, "customer", pc.field("c_mktsegment") == "BUILDING"
+    )
+    assert n == n_building
+    left = pq.read_table(dst)
+    segs = set(pc.unique(left["c_mktsegment"]).to_pylist())
+    assert "BUILDING" not in segs and "MACHINERY" not in segs
+    assert len(left) == len(src) - n_building - n_machinery
+    ms = _manifests(dst)
+    assert [m["seq"] for m in ms] == [1, 2]
+    assert ms[1]["fp_before"] == ms[0]["fp_after"]
+    fp_now, _ = sess._read_marker(os.path.join(dst, "_SUCCESS"))
+    assert fp_now == ms[1]["fp_after"]
+    assert _no_scratch(dst) == []
+
+
+def test_loser_strict_mode_surfaces_conflict(
+    spark, tmp_path, monkeypatch, restore_catalog
+):
+    """Same interleaving, same files touched, strict mode: the loser must
+    raise instead of re-applying — and leave no staged scratch behind."""
+    sf = _mk_sf(tmp_path, monkeypatch, "sfstrict")
+    sess.ingest_tables(spark, sf)
+    out_dir = spark._lianjia_ingest_map[os.path.normpath(sf)]
+    dst = os.path.join(out_dir, "customer.parquet")
+    orig = sess._commit_try
+    state = {"fired": False}
+
+    def hijack(d, op, fp_before, fp_after, reads, writes):
+        if not state["fired"]:
+            state["fired"] = True
+            sess.delete_where(
+                spark, sf, "customer",
+                pc.field("c_mktsegment") == "MACHINERY",
+            )
+        return orig(d, op, fp_before, fp_after, reads, writes)
+
+    monkeypatch.setattr(sess, "_commit_try", hijack)
+    monkeypatch.setenv("SPARK_GRAFT_COMMIT_CONFLICT", "fail")
+    with pytest.raises(sess.ConcurrentWriteConflictError):
+        sess.delete_where(
+            spark, sf, "customer", pc.field("c_mktsegment") == "BUILDING"
+        )
+    assert _no_scratch(dst) == []
+    # the winner's commit stands alone; BUILDING rows survive untouched
+    left = pq.read_table(dst)
+    assert "BUILDING" in set(pc.unique(left["c_mktsegment"]).to_pylist())
+
+
+# ------------------------------------------------------- two-thread race
+
+
+def test_two_thread_race_serializes(
+    spark, tmp_path, monkeypatch, restore_catalog
+):
+    """Two driver threads race a DELETE and an UPDATE on one table: both
+    must succeed (disjoint rows), the generations serialize through the
+    commit log, and the final state equals the serial application."""
+    sf = _mk_sf(tmp_path, monkeypatch, "sfthr")
+    sess.ingest_tables(spark, sf)
+    out_dir = spark._lianjia_ingest_map[os.path.normpath(sf)]
+    dst = os.path.join(out_dir, "customer.parquet")
+    src = pq.read_table(f"{SRC}/customer.parquet")
+    n_building = len(src.filter(pc.equal(src["c_mktsegment"], "BUILDING")))
+    n_auto = len(src.filter(pc.equal(src["c_mktsegment"], "AUTOMOBILE")))
+
+    barrier = threading.Barrier(2)
+    results: dict = {}
+
+    def do_delete():
+        barrier.wait()
+        results["delete"] = sess.delete_where(
+            spark, sf, "customer", pc.field("c_mktsegment") == "BUILDING"
+        )
+
+    def do_update():
+        barrier.wait()
+        results["update"] = sess.update_where(
+            spark, sf, "customer",
+            pc.field("c_mktsegment") == "AUTOMOBILE",
+            {"c_acctbal": lambda t: pc.add(t["c_acctbal"], 1000.0)},
+        )
+
+    ts = [threading.Thread(target=do_delete),
+          threading.Thread(target=do_update)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=300)
+    assert results["delete"] == n_building
+    assert results["update"] == n_auto
+    left = pq.read_table(dst)
+    assert len(left) == len(src) - n_building
+    # updated rows carry the +1000; every other surviving row is unchanged
+    want = src.filter(pc.not_equal(src["c_mktsegment"], "BUILDING"))
+    bump = pc.if_else(
+        pc.equal(want["c_mktsegment"], "AUTOMOBILE"),
+        pc.add(want["c_acctbal"], 1000.0),
+        want["c_acctbal"],
+    )
+    assert sorted(
+        zip(left["c_custkey"].to_pylist(), left["c_acctbal"].to_pylist())
+    ) == sorted(zip(want["c_custkey"].to_pylist(), bump.to_pylist()))
+    ms = _manifests(dst)
+    assert len(ms) == 2 and [m["seq"] for m in ms] == [1, 2]
+    assert ms[1]["fp_before"] == ms[0]["fp_after"]
+    assert _no_scratch(dst) == []
+
+
+# ------------------------------------------------------ two-process race
+
+
+def test_two_process_race_exactly_one_winner_per_generation(
+    spark, tmp_path, monkeypatch, restore_catalog
+):
+    """THE multi-writer contract: two separate OS processes (own JVMs, own
+    SparkSessions) race a DELETE and an UPDATE on one managed table. Both
+    must land; exactly one commit owns each generation; no staged file is
+    lost; the final state equals the serial application of both."""
+    sf = _mk_sf(tmp_path, monkeypatch, "sfproc")
+    sess.ingest_tables(spark, sf)  # pre-ingest so children fingerprint-hit
+    out_dir = spark._lianjia_ingest_map[os.path.normpath(sf)]
+    dst = os.path.join(out_dir, "customer.parquet")
+    rv = tmp_path / "rv"
+    rv.mkdir()
+    env = {
+        **os.environ,
+        "SPARK_GRAFT_INGEST_ROOT": str(tmp_path / "ingest"),
+    }
+    child = os.path.join(REPO, "tests", "_cc_child.py")
+    procs = {
+        role: subprocess.Popen(
+            [sys.executable, child, sf, role, str(rv)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env, cwd=REPO,
+        )
+        for role in ("delete", "update")
+    }
+    deadline = time.monotonic() + 180
+    while not all(
+        os.path.exists(str(rv / f"ready-{r}")) for r in procs
+    ):
+        assert time.monotonic() < deadline, "children never became ready"
+        for p in procs.values():
+            assert p.poll() is None or p.returncode == 0, (
+                p.communicate()[1][-2000:]
+            )
+        time.sleep(0.05)
+    with open(str(rv / "go"), "w") as fh:
+        fh.write("go")
+    outs = {}
+    for role, p in procs.items():
+        out, err = p.communicate(timeout=240)
+        assert p.returncode == 0, f"{role} failed:\n{err[-3000:]}"
+        line = [ln for ln in out.splitlines() if ln.startswith("RESULT")][0]
+        outs[role] = int(line.split()[2])
+
+    src = pq.read_table(f"{SRC}/customer.parquet")
+    n_building = len(src.filter(pc.equal(src["c_mktsegment"], "BUILDING")))
+    n_auto = len(src.filter(pc.equal(src["c_mktsegment"], "AUTOMOBILE")))
+    assert outs["delete"] == n_building
+    assert outs["update"] == n_auto
+
+    left = pq.read_table(dst)
+    want = src.filter(pc.not_equal(src["c_mktsegment"], "BUILDING"))
+    bump = pc.if_else(
+        pc.equal(want["c_mktsegment"], "AUTOMOBILE"),
+        pc.add(want["c_acctbal"], 1000.0),
+        want["c_acctbal"],
+    )
+    assert sorted(
+        zip(left["c_custkey"].to_pylist(), left["c_acctbal"].to_pylist())
+    ) == sorted(zip(want["c_custkey"].to_pylist(), bump.to_pylist()))
+
+    ms = _manifests(dst)
+    assert [m["seq"] for m in ms] == [1, 2], ms
+    assert {ms[0]["op"], ms[1]["op"]} == {"delete", "update"}
+    assert ms[1]["fp_before"] == ms[0]["fp_after"]
+    fp_now, _ = sess._read_marker(os.path.join(dst, "_SUCCESS"))
+    assert fp_now == ms[1]["fp_after"]
+    assert ms[0]["pid"] != ms[1]["pid"]
+    assert _no_scratch(dst) == []
