@@ -754,9 +754,13 @@ def tws_counter_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 
-    from data_etl_sh_lianjia_spark.session import ensure_package_shipped
+    from data_etl_sh_lianjia_spark.session import (
+        ensure_package_shipped,
+        ensure_protobuf_shipped,
+    )
 
     ensure_package_shipped(spark)
+    ensure_protobuf_shipped(spark)
 
     class CountProcessor(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
@@ -784,13 +788,12 @@ def tws_counter_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _tws_available() -> bool:
     """transformWithStateInPandas workers speak protobuf to the JVM state
     server; the pyspark API exists without it, but every query fails at
-    runtime. Gate registration on the actual worker dependency."""
-    try:
-        from google.protobuf import descriptor  # noqa: F401
+    runtime. Gate registration on the actual worker dependency — resolved
+    through the engine's system-protobuf probe (session.py), which also
+    ships the package to workers at query time."""
+    from data_etl_sh_lianjia_spark.session import _ensure_protobuf_importable
 
-        return True
-    except ImportError:
-        return False
+    return _ensure_protobuf_importable()
 
 
 def _register_tws():
