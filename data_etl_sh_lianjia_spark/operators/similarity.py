@@ -809,6 +809,85 @@ def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_NPROBE = 6
 
 
+def _ivf_assign_scan(emb: DataFrame, bc_cent) -> DataFrame:
+    """One nearest-centroid assignment pass — the inverted-file build: a
+    matmul per Arrow batch, full scan, no shuffle. Shared by the
+    ingest-time index-artifact builder and the inline fallback so the
+    stored inverted file is bit-identical to a query-time build."""
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c_ids, c_mat = bc_cent.value
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            a = np.stack(pdf["embedding"].map(lambda v: np.asarray(v, dtype=np.float64)))
+            an = np.sqrt((a * a).sum(axis=1))
+            an[an == 0.0] = 1.0
+            sims = (a / an[:, None]) @ c_mat.T
+            yield pd.DataFrame(
+                {
+                    "vec_id": ids,
+                    "bucket": c_ids[np.argmax(sims, axis=1)],
+                    "embedding": pdf["embedding"],
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        assign, "vec_id long, bucket long, embedding array<float>"
+    )
+
+
+def _rerank_scan(cand: DataFrame, bc_q) -> DataFrame:
+    """Exact cosine rerank of an (q_id, neighbor_id, embedding) candidate
+    set against the broadcast query matrix — the final stage every ANN
+    path shares (IVF probe survivors, PQ ADC survivors, LSH bucket
+    collisions)."""
+
+    def rerank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, mat = bc_q.value
+        qpos = {int(q): i for i, q in enumerate(ids)}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            a = np.stack(pdf["embedding"].map(lambda v: np.asarray(v, dtype=np.float64)))
+            an = np.sqrt((a * a).sum(axis=1))
+            an[an == 0.0] = 1.0
+            a = a / an[:, None]
+            qi = pdf["q_id"].map(qpos).to_numpy()
+            sims = (a * mat[qi]).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "q_id": pdf["q_id"],
+                    "neighbor_id": pdf["neighbor_id"],
+                    "sim": sims,
+                }
+            )
+
+    return cand.select("q_id", "neighbor_id", "embedding").mapInPandas(
+        rerank, _KNN_SCHEMA
+    )
+
+
+def _ivf_centroid_bc(spark: SparkSession, sf_dir: str, emb: DataFrame):
+    """Broadcast of the IVF coarse-centroid matrix: loaded from the
+    ingest-maintained ``ivfcent`` index artifact when fresh (the driver
+    collects CENTROIDS — an index parameter, never the corpus), else
+    derived inline from the deterministic sample."""
+    from data_etl_sh_lianjia_spark.session import _projection_view
+
+    cv = _projection_view(
+        spark, sf_dir, "embeddings.ivfcent.vecproj.parquet",
+        "lj_emb_ivfcent",
+    )
+    if cv is not None:
+        return _vector_index(
+            spark, spark.table(cv), _index_key(spark, sf_dir, "ivfcent")
+        )
+    return _vector_index(
+        spark, emb.filter(F.col("vec_id") % 73 == 0),
+        _index_key(spark, sf_dir, "ivfcent"),
+    )
+
+
 @register(
     "ann_ivf_topk",
     # IVF is approximate as a *search* (recall < 1 vs ann_brute_topk,
@@ -881,30 +960,25 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Queries = every 100th vector, matching ann_brute_topk so recall is
     directly measurable.
-    """
+
+    INDEX ARTIFACTS: the centroid set and the assigned inverted file are
+    ingest-maintained projections (session._RESULT_PROJECTIONS `ivfcent` /
+    `ivfassign`), invalidated by the embeddings table's fingerprint like
+    every other managed artifact — a query LOADS the index instead of
+    rebuilding it, and no query-time path collects the corpus to the
+    driver. The inline build below is the raw-dir fallback (the driver
+    correctness gate always exercises it)."""
+    from data_etl_sh_lianjia_spark.session import _projection_view
+
     ensure_package_shipped(spark)
     emb = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
-    cent = _collect_normalized(emb.filter(F.col("vec_id") % 73 == 0))
-    bc_cent = spark.sparkContext.broadcast(cent)
-
-    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        c_ids, c_mat = bc_cent.value
-        for pdf in batches:
-            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            a = np.stack(pdf["embedding"].map(lambda v: np.asarray(v, dtype=np.float64)))
-            an = np.sqrt((a * a).sum(axis=1))
-            an[an == 0.0] = 1.0
-            sims = (a / an[:, None]) @ c_mat.T
-            yield pd.DataFrame(
-                {
-                    "vec_id": ids,
-                    "bucket": c_ids[np.argmax(sims, axis=1)],
-                    "embedding": pdf["embedding"],
-                }
-            )
-
-    assigned = emb.select("vec_id", "embedding").mapInPandas(
-        assign, "vec_id long, bucket long, embedding array<float>"
+    bc_cent = _ivf_centroid_bc(spark, sf_dir, emb)
+    av = _projection_view(
+        spark, sf_dir, "embeddings.ivfassign.vecproj.parquet",
+        "lj_emb_ivfassign",
+    )
+    assigned = (
+        spark.table(av) if av is not None else _ivf_assign_scan(emb, bc_cent)
     )
 
     # Queries probe their nprobe nearest centroid buckets. Probe assignment
@@ -940,31 +1014,12 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bc_q = _vector_index(spark, q_df, _index_key(spark, sf_dir, "mod100"))
 
     # Candidate set: only vectors in probed buckets (shuffle on bucket id).
-    cand = assigned.join(F.broadcast(probe_df), "bucket").filter(
-        F.col("q_id") != F.col("vec_id")
+    cand = (
+        assigned.join(F.broadcast(probe_df), "bucket")
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "embedding")
     )
-
-    def rerank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ids, mat = bc_q.value
-        qpos = {int(q): i for i, q in enumerate(ids)}
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            a = np.stack(pdf["embedding"].map(lambda v: np.asarray(v, dtype=np.float64)))
-            an = np.sqrt((a * a).sum(axis=1))
-            an[an == 0.0] = 1.0
-            a = a / an[:, None]
-            qi = pdf["q_id"].map(qpos).to_numpy()
-            sims = (a * mat[qi]).sum(axis=1)
-            yield pd.DataFrame(
-                {
-                    "q_id": pdf["q_id"],
-                    "neighbor_id": pdf["vec_id"],
-                    "sim": sims,
-                }
-            )
-
-    scored = cand.mapInPandas(rerank, "q_id long, neighbor_id long, sim double")
+    scored = _rerank_scan(cand, bc_q)
     from pyspark.sql.window import Window as W
 
     w = W.partitionBy("q_id").orderBy(F.desc("sim"), "neighbor_id")
@@ -979,6 +1034,104 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_M = 8  # subspaces
 _PQ_K = 16  # centroids per subspace
 _PQ_RERANK = 32  # ADC candidates kept per query for exact rerank
+
+
+def _pq_train_books(spark: SparkSession, emb: DataFrame, key: str) -> np.ndarray:
+    """Train the per-subspace k-means codebooks (deterministic seed and
+    data-order init) on a bounded deterministic sample, never the full
+    corpus: codebook quality saturates at ~O(100) vectors per centroid, so
+    production PQ trains on a fixed-size sample (FAISS-style) while the
+    corpus grows without bound. vec_id % mod keeps the sample
+    deterministic; mod = 1 (identical to full-corpus training) until the
+    collection exceeds the training budget. Shared by the ingest-time
+    pqbooks artifact builder and the inline fallback — identical books
+    either way."""
+    n = emb.count()
+    budget = 25_000  # ~100+ vectors/centroid at _PQ_K=16 per subspace
+    mod = max(1, n // budget)
+    train_df = emb.filter(F.pmod(F.col("vec_id"), F.lit(mod)) == 0)
+    _ids, all_mat = _collect_normalized(train_df)
+    d = all_mat.shape[1]
+    sub_d = d // _PQ_M
+    rng = np.random.RandomState(42)
+    codebooks = np.empty((_PQ_M, _PQ_K, sub_d))
+    for m in range(_PQ_M):
+        sub = all_mat[:, m * sub_d : (m + 1) * sub_d]
+        cent = sub[rng.choice(len(sub), _PQ_K, replace=False)]
+        for _ in range(8):  # Lloyd iterations
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for k in range(_PQ_K):
+                pts = sub[assign == k]
+                if len(pts):
+                    cent[k] = pts.mean(axis=0)
+        codebooks[m] = cent
+    return codebooks
+
+
+def _pq_books_bc(spark: SparkSession, sf_dir: str, emb: DataFrame):
+    """Memoized broadcast of the PQ codebooks: loaded from the
+    ingest-maintained ``pqbooks`` artifact when fresh (the driver reads
+    M*K rows — KBs, an index parameter), else trained inline from the
+    deterministic sample (the raw-dir fallback)."""
+    from data_etl_sh_lianjia_spark.session import _projection_view
+
+    cache = getattr(spark, "_lianjia_vec_index", None)
+    if cache is None:
+        cache = {}
+        spark._lianjia_vec_index = cache
+    pq_key = _index_key(spark, sf_dir, f"pq{_PQ_M}x{_PQ_K}")
+    bc_books = cache.get(pq_key)
+    if bc_books is not None:
+        return bc_books
+    bv = _projection_view(
+        spark, sf_dir, "embeddings.pqbooks.vecproj.parquet",
+        "lj_emb_pqbooks",
+    )
+    if bv is not None:
+        pdf = spark.table(bv).orderBy("m", "k").toPandas()
+        sub_d = len(pdf["centroid"].iloc[0])
+        books = np.stack(pdf["centroid"].map(np.asarray)).reshape(
+            _PQ_M, _PQ_K, sub_d
+        )
+    else:
+        books = _pq_train_books(spark, emb, pq_key)
+    bc_books = spark.sparkContext.broadcast(books)
+    cache[pq_key] = bc_books
+    return bc_books
+
+
+def _pq_encode_scan(emb: DataFrame, bc_books) -> DataFrame:
+    """One PQ encode pass: argmin-assign every vector's m subvectors to
+    their codebook centroids — full scan, no shuffle, 8 bytes + id per
+    row out. Shared by the pqcodes artifact builder and the inline
+    fallback."""
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        books = bc_books.value
+        m_, k_, sd = books.shape
+        for pdf in batches:
+            mat = np.stack(
+                pdf["embedding"].map(lambda v: np.asarray(v, dtype=np.float64))
+            )
+            norms = np.sqrt((mat * mat).sum(axis=1))
+            norms[norms == 0.0] = 1.0
+            mat = mat / norms[:, None]
+            codes = np.empty((len(mat), m_), dtype=np.int32)
+            for m in range(m_):
+                sub = mat[:, m * sd : (m + 1) * sd]
+                d2 = ((sub[:, None, :] - books[m][None, :, :]) ** 2).sum(axis=2)
+                codes[:, m] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "code": [c.tolist() for c in codes],
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        encode, "vec_id long, code array<int>"
+    )
 
 
 def _exact_with_recall_flag(
@@ -1030,80 +1183,22 @@ def _pq_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_package_shipped(spark)
     emb = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
 
-    # -- 1. train codebooks (deterministic: fixed seed, data-order init).
-    # Like the normalized-matrix broadcast, the trained codebooks are an
-    # index artifact: memoized per (session, collection) and reused across
-    # queries — production trains offline and refreshes with the corpus.
-    def _train() -> "pyspark.Broadcast":  # noqa: F821
-        # Train on a bounded deterministic sample, never the full corpus:
-        # codebook quality saturates at ~O(100) vectors per centroid, so
-        # production PQ trains on a fixed-size sample (FAISS-style) while
-        # the corpus grows without bound. vec_id % mod keeps the sample
-        # deterministic; mod = 1 (identical to full-corpus training) until
-        # the collection exceeds the training budget.
-        nkey = _index_key(spark, sf_dir, "n")
-        n = cache.get(nkey)
-        if n is None:
-            n = emb.count()
-            cache[nkey] = n
-        budget = 25_000  # ~100+ vectors/centroid at _PQ_K=16 per subspace
-        mod = max(1, n // budget)
-        train_df = emb.filter(F.pmod(F.col("vec_id"), F.lit(mod)) == 0)
-        all_ids, all_mat = _vector_index(
-            spark, train_df, _index_key(spark, sf_dir, f"pqtrain{mod}")
-        ).value
-        d = all_mat.shape[1]
-        sub_d = d // _PQ_M
-        rng = np.random.RandomState(42)
-        codebooks = np.empty((_PQ_M, _PQ_K, sub_d))
-        for m in range(_PQ_M):
-            sub = all_mat[:, m * sub_d : (m + 1) * sub_d]
-            cent = sub[rng.choice(len(sub), _PQ_K, replace=False)]
-            for _ in range(8):  # Lloyd iterations
-                d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-                assign = d2.argmin(axis=1)
-                for k in range(_PQ_K):
-                    pts = sub[assign == k]
-                    if len(pts):
-                        cent[k] = pts.mean(axis=0)
-            codebooks[m] = cent
-        return spark.sparkContext.broadcast(codebooks)
+    # -- 1. codebooks: LOAD the ingest-maintained index artifact (pqbooks
+    # result projection) when fresh; train inline only as the raw-dir
+    # fallback. Either way the broadcast is memoized per collection state.
+    bc_books = _pq_books_bc(spark, sf_dir, emb)
 
-    cache = getattr(spark, "_lianjia_vec_index", None)
-    if cache is None:
-        cache = {}
-        spark._lianjia_vec_index = cache
-    pq_key = _index_key(spark, sf_dir, f"pq{_PQ_M}x{_PQ_K}")
-    bc_books = cache.get(pq_key)
-    if bc_books is None:
-        bc_books = _train()
-        cache[pq_key] = bc_books
+    # -- 2. collection codes: LOAD the stored code artifact (pqcodes) when
+    # fresh — the 8-bytes-per-vector structure a PQ index actually keeps —
+    # else one encode scan (the fallback the correctness gate exercises).
+    from data_etl_sh_lianjia_spark.session import _projection_view
 
-    # -- 2. encode the collection (distributed scan) ------------------------
-    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        books = bc_books.value
-        m_, k_, sd = books.shape
-        for pdf in batches:
-            mat = np.stack(
-                pdf["embedding"].map(lambda v: np.asarray(v, dtype=np.float64))
-            )
-            norms = np.sqrt((mat * mat).sum(axis=1))
-            norms[norms == 0.0] = 1.0
-            mat = mat / norms[:, None]
-            codes = np.empty((len(mat), m_), dtype=np.int32)
-            for m in range(m_):
-                sub = mat[:, m * sd : (m + 1) * sd]
-                d2 = ((sub[:, None, :] - books[m][None, :, :]) ** 2).sum(axis=2)
-                codes[:, m] = d2.argmin(axis=1)
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"],
-                    "code": [c.tolist() for c in codes],
-                }
-            )
-
-    encoded = emb.select("vec_id", "embedding").mapInPandas(
-        encode, "vec_id long, code array<int>"
+    cv = _projection_view(
+        spark, sf_dir, "embeddings.pqcodes.vecproj.parquet",
+        "lj_emb_pqcodes",
+    )
+    encoded = (
+        spark.table(cv) if cv is not None else _pq_encode_scan(emb, bc_books)
     )
 
     # -- 3. ADC scan: score codes against every query's lookup table --------
@@ -1144,24 +1239,7 @@ def _pq_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # -- 4. exact rerank of ADC survivors (cosine on raw vectors) -----------
     rer = cand.join(emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
                     "neighbor_id")
-
-    def rerank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        q_ids, q_mat = q_bc.value
-        qpos = {int(q): i for i, q in enumerate(q_ids)}
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            a = np.stack(pdf["embedding"].map(lambda v: np.asarray(v, dtype=np.float64)))
-            an = np.sqrt((a * a).sum(axis=1))
-            an[an == 0.0] = 1.0
-            a = a / an[:, None]
-            qi = pdf["q_id"].map(qpos).to_numpy()
-            sims = (a * q_mat[qi]).sum(axis=1)
-            yield pd.DataFrame(
-                {"q_id": pdf["q_id"], "neighbor_id": pdf["neighbor_id"], "sim": sims}
-            )
-
-    scored = rer.mapInPandas(rerank, "q_id long, neighbor_id long, sim double")
+    scored = _rerank_scan(rer, q_bc)
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), "neighbor_id")
     return (
         scored.select("q_id", "neighbor_id", F.round("sim", 4).alias("sim"))
@@ -1226,18 +1304,12 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lsh_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The other 100 TB ANN path (SURVEY §2.4 J5): MLlib's
-    BucketedRandomProjectionLSH. Vectors are L2-normalized with JVM-side
-    array expressions (no Python), so euclidean distance orders exactly like
-    cosine similarity (d^2 = 2 - 2s); the LSH join then only compares pairs
-    sharing a hash bucket in some table instead of the full cross product.
-    Fixed seed -> deterministic buckets; still no oracle because bucketing
-    can miss true neighbors (that loss is what the recall test bounds)."""
-    from pyspark.ml.feature import BucketedRandomProjectionLSH
-    from pyspark.ml.functions import array_to_vector, vector_to_array  # noqa: F401
+def _lsh_unit(emb: DataFrame) -> DataFrame:
+    """(vec_id, vec) with the embedding L2-normalized by JVM-side array
+    expressions (no Python), so euclidean distance orders exactly like
+    cosine similarity (d^2 = 2 - 2s)."""
+    from pyspark.ml.functions import array_to_vector
 
-    emb = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
     norm = F.sqrt(
         F.aggregate(
             F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
@@ -1245,7 +1317,7 @@ def _lsh_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         )
     )
-    unit = emb.select(
+    return emb.select(
         "vec_id",
         array_to_vector(
             F.transform(
@@ -1255,6 +1327,86 @@ def _lsh_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("vec"),
     )
+
+
+def _lsh_bucket_df(unit: DataFrame) -> DataFrame:
+    """(vec_id, t, bucket) — every vector's bucket in each of the 8 seeded
+    random-projection hash tables. The stored form of the LSH index: the
+    hyperplanes are seed-deterministic, so the signatures are a pure
+    function of the collection and rebuild exactly."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import vector_to_array
+
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="vec", outputCol="hashes", bucketLength=0.8,
+        numHashTables=8, seed=42,
+    )
+    model = lsh.fit(unit)
+    return (
+        model.transform(unit)
+        .select("vec_id", F.posexplode("hashes").alias("t", "h"))
+        .select(
+            "vec_id", "t",
+            vector_to_array(F.col("h"))[0].cast("bigint").alias("bucket"),
+        )
+    )
+
+
+def _lsh_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The other 100 TB ANN path (SURVEY §2.4 J5): random-projection LSH
+    (MLlib's BucketedRandomProjectionLSH hash family, fixed seed). Only
+    pairs sharing a hash bucket in some table are compared — never the
+    full cross product. Still no oracle because bucketing can miss true
+    neighbors (that loss is what the recall test bounds).
+
+    INDEX ARTIFACT: the per-vector bucket signatures are an
+    ingest-maintained projection (`lshbuckets`); when fresh, the query is
+    a pure self-join of the STORED signature table on (t, bucket) plus an
+    exact cosine rerank — the index is loaded, not rebuilt, and nothing
+    corpus-sized reaches the driver. The fit+approxSimilarityJoin path is
+    the raw-dir fallback; both produce the identical candidate set (same
+    seed, and the join threshold 2.0 admits every unit-vector pair)."""
+    from data_etl_sh_lianjia_spark.session import _projection_view
+
+    emb = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+    sv = _projection_view(
+        spark, sf_dir, "embeddings.lshbuckets.vecproj.parquet",
+        "lj_emb_lshbuckets",
+    )
+    if sv is not None:
+        ensure_package_shipped(spark)
+        sig = spark.table(sv)
+        q_sig = sig.filter(F.col("vec_id") % 100 == 0).select(
+            F.col("vec_id").alias("q_id"), "t", "bucket"
+        )
+        cand = (
+            q_sig.join(sig, ["t", "bucket"])
+            .filter(F.col("q_id") != F.col("vec_id"))
+            .select("q_id", F.col("vec_id").alias("neighbor_id"))
+            .distinct()
+            .join(
+                emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+                "neighbor_id",
+            )
+        )
+        bc_q = _vector_index(
+            spark, emb.filter(F.col("vec_id") % 100 == 0),
+            _index_key(spark, sf_dir, "mod100"),
+        )
+        scored = _rerank_scan(cand, bc_q)
+        w = Window.partitionBy("q_id").orderBy(F.desc("sim"), "neighbor_id")
+        return (
+            scored.select(
+                "q_id", "neighbor_id", F.round("sim", 4).alias("sim")
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 5)
+            .drop("rn")
+        )
+
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+
+    unit = _lsh_unit(emb)
     lsh = BucketedRandomProjectionLSH(
         inputCol="vec", outputCol="hashes", bucketLength=0.8, numHashTables=8, seed=42
     )
@@ -1291,3 +1443,99 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _exact_with_recall_flag(
         spark, sf_dir, _lsh_approx_topk(spark, sf_dir), 0.5
     )
+
+
+# --------------------------------------------------------------------------
+# ANN index artifacts (session._RESULT_PROJECTIONS dispatches here): the
+# IVF centroids + inverted file, the PQ codebooks + code table, and the LSH
+# bucket signatures are built at INGEST/maintenance time by the exact
+# kernels the inline fallbacks run, published under the embeddings table's
+# fingerprint, and LOADED (not rebuilt) by the serving queries — the same
+# maintained-artifact posture as the exact-cosine pair/k-NN projections.
+# Any mutation of the collection invalidates them (lockstep refusal) and
+# the next ingest/mutation pass rebuilds; the correctness gate runs on raw
+# files and always exercises the inline builds.
+
+
+def _unit_array_df(emb: DataFrame) -> DataFrame:
+    """(vec_id, embedding double[] L2-normalized) via JVM-side array
+    expressions — no Python, no driver collect."""
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: x.cast("double")
+            / F.when(norm == 0.0, F.lit(1.0)).otherwise(norm),
+        ).alias("embedding"),
+    )
+
+
+def _build_ivfcent(spark: SparkSession, emb: DataFrame, key: str) -> DataFrame:
+    """IVF coarse-centroid artifact: the deterministic mod-73 sample,
+    normalized JVM-side. O(collection/73) rows — the index parameter a
+    production deployment replaces with offline k-means output."""
+    return _unit_array_df(emb.filter(F.col("vec_id") % 73 == 0))
+
+
+def _build_ivfassign(spark: SparkSession, emb: DataFrame, key: str) -> DataFrame:
+    """IVF inverted-file artifact: every vector's nearest-centroid bucket
+    (plus its embedding, so probe-time rerank needs no extra join) — one
+    assignment scan, exactly the kernel the inline path runs."""
+    ensure_package_shipped(spark)
+    bc_cent = _vector_index(
+        spark, emb.filter(F.col("vec_id") % 73 == 0), f"{key}|ivfcent"
+    )
+    return _ivf_assign_scan(emb, bc_cent)
+
+
+def _build_pqbooks(spark: SparkSession, emb: DataFrame, key: str) -> DataFrame:
+    """PQ codebook artifact: M*K rows of (m, k, centroid). Deterministic
+    training (fixed seed, bounded sample), so the artifact equals what the
+    inline fallback would train."""
+    books = _pq_train_books(spark, emb, key)
+    rows = [
+        (m, k, books[m][k].tolist())
+        for m in range(_PQ_M)
+        for k in range(_PQ_K)
+    ]
+    return spark.createDataFrame(rows, "m int, k int, centroid array<double>")
+
+
+def _build_pqcodes(spark: SparkSession, emb: DataFrame, key: str) -> DataFrame:
+    """PQ code-table artifact: every vector's m argmin codes — the
+    8-bytes-per-vector structure a PQ index actually stores."""
+    ensure_package_shipped(spark)
+    cache = getattr(spark, "_lianjia_vec_index", None)
+    if cache is None:
+        cache = {}
+        spark._lianjia_vec_index = cache
+    bkey = f"{key}|pqbooks"
+    bc = cache.get(bkey)
+    if bc is None:
+        bc = spark.sparkContext.broadcast(_pq_train_books(spark, emb, key))
+        cache[bkey] = bc  # vpbuild|-prefixed: unpersisted after publish
+    return _pq_encode_scan(emb, bc)
+
+
+def _build_lshbuckets(spark: SparkSession, emb: DataFrame, key: str) -> DataFrame:
+    """LSH signature artifact: (vec_id, table, bucket) for all 8 seeded
+    hash tables — seed-deterministic, so it rebuilds exactly."""
+    return _lsh_bucket_df(_lsh_unit(emb))
+
+
+PROJECTION_BUILDERS.update(
+    {
+        "ivfcent": _build_ivfcent,
+        "ivfassign": _build_ivfassign,
+        "pqbooks": _build_pqbooks,
+        "pqcodes": _build_pqcodes,
+        "lshbuckets": _build_lshbuckets,
+    }
+)

@@ -1909,6 +1909,46 @@ _RESULT_PROJECTIONS = {
         "builder": "knn_mod100",
         "artifact": "embeddings.knn_mod100.vecproj.parquet",
     },
+    # ANN index artifacts (VERDICT r9 #4): centroids/codebooks/signatures
+    # and the corpus-sized inverted-file/code tables are maintained here —
+    # built at ingest by the same kernels the queries' inline fallbacks
+    # run, invalidated by the embeddings fingerprint, LOADED per query.
+    # No mergers: centroid/codebook structures are frozen per build (the
+    # production refresh-offline posture), so any collection change
+    # rebuilds — same contract as the ordered vector artifacts above.
+    "ivfcent": {
+        "table": "embeddings",
+        "module": "data_etl_sh_lianjia_spark.operators.similarity",
+        "builder": "ivfcent",
+        "artifact": "embeddings.ivfcent.vecproj.parquet",
+    },
+    "ivfassign": {
+        "table": "embeddings",
+        "module": "data_etl_sh_lianjia_spark.operators.similarity",
+        "builder": "ivfassign",
+        "artifact": "embeddings.ivfassign.vecproj.parquet",
+        "single_file": False,  # corpus-sized: match source scan parallelism
+    },
+    "pqbooks": {
+        "table": "embeddings",
+        "module": "data_etl_sh_lianjia_spark.operators.similarity",
+        "builder": "pqbooks",
+        "artifact": "embeddings.pqbooks.vecproj.parquet",
+    },
+    "pqcodes": {
+        "table": "embeddings",
+        "module": "data_etl_sh_lianjia_spark.operators.similarity",
+        "builder": "pqcodes",
+        "artifact": "embeddings.pqcodes.vecproj.parquet",
+        "single_file": False,
+    },
+    "lshbuckets": {
+        "table": "embeddings",
+        "module": "data_etl_sh_lianjia_spark.operators.similarity",
+        "builder": "lshbuckets",
+        "artifact": "embeddings.lshbuckets.vecproj.parquet",
+        "single_file": False,
+    },
     "sessions": {
         "table": "events",
         "module": "data_etl_sh_lianjia_spark.operators.relational",
