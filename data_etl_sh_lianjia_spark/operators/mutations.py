@@ -633,3 +633,110 @@ def table_changes_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, result.schema)
     finally:
         _drop_scratch(spark, scratch)
+
+
+@register(
+    "concurrent_dml_serialization",
+    # Two writers race a DELETE and an UPDATE on one managed table; the
+    # predicates are row-disjoint, so the serialized outcome is unique and
+    # SQL-expressible: the oracle applies both mutations to the untouched
+    # source in one pass. serialized_ok is the exact-plus-flag pattern
+    # (the flag asserts the commit-log contract: exactly two manifests,
+    # one per generation, consistent fingerprint chain).
+    oracle=f"""
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       {oracle_dsum(
+           "CASE WHEN o_orderstatus = 'O' THEN o_totalprice + 1000.0 "
+           "ELSE o_totalprice END",
+           'sum_total', scale=2)},
+       TRUE AS serialized_ok
+FROM orders
+WHERE o_orderstatus IS NULL OR o_orderstatus <> 'F'
+GROUP BY o_orderpriority
+""",
+    survey_ref="M1,M2",
+    doc="optimistic-concurrency race: DELETE vs UPDATE from two threads, "
+        "commit-log-serialized; post-state aggregate + contract flag",
+    tags=("mutation",),
+)
+def concurrent_dml_serialization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Race ``DELETE WHERE o_orderstatus = 'F'`` against ``UPDATE SET
+    o_totalprice = o_totalprice + 1000 WHERE o_orderstatus = 'O'`` from
+    two driver threads on one scratch managed copy. The commit-log CAS
+    (session.py: optimistic concurrency) guarantees exactly one winner
+    per generation; the loser re-applies against the winner's snapshot,
+    so the final table equals the serial application in either order
+    (disjoint row sets). The returned aggregate hash-matches the oracle's
+    one-pass equivalent; ``serialized_ok`` certifies the log itself —
+    two manifests, consecutive sequence numbers, one delete + one update,
+    fp_before of the second == fp_after of the first, and the published
+    marker at the head's fp_after."""
+    import json
+    import threading
+
+    import pyarrow.compute as pc
+    from pyspark.sql import functions as F
+
+    from data_etl_sh_lianjia_spark import session as sess
+
+    scratch = _scratch_copy(sf_dir, "orders")
+    try:
+        sess.ingest_tables(spark, scratch)
+        barrier = threading.Barrier(2)
+        errs: list = []
+
+        def racer(fn):
+            def run():
+                barrier.wait()
+                try:
+                    fn()
+                except Exception as e:  # surfaced after join
+                    errs.append(e)
+
+            return run
+
+        ts = [
+            threading.Thread(target=racer(lambda: sess.delete_where(
+                spark, scratch, "orders",
+                pc.field("o_orderstatus") == "F",
+            ))),
+            threading.Thread(target=racer(lambda: sess.update_where(
+                spark, scratch, "orders",
+                pc.field("o_orderstatus") == "O",
+                {"o_totalprice": lambda t: pc.add(t["o_totalprice"], 1000.0)},
+            ))),
+        ]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=300)
+        if errs:
+            raise errs[0]
+
+        out_dir = spark._lianjia_ingest_map[os.path.normpath(scratch)]
+        dst = os.path.join(out_dir, "orders.parquet")
+        cdir = sess._commit_log_dir(dst)
+        manifests = []
+        for fname in sorted(os.listdir(cdir)):
+            if fname.endswith(".json") and fname[:-5].isdigit():
+                with open(os.path.join(cdir, fname)) as fh:
+                    manifests.append(json.load(fh))
+        fp_now, _m = sess._read_marker(os.path.join(dst, "_SUCCESS"))
+        ok = (
+            len(manifests) == 2
+            and [m["seq"] for m in manifests] == [1, 2]
+            and {m["op"] for m in manifests} == {"delete", "update"}
+            and manifests[1]["fp_before"] == manifests[0]["fp_after"]
+            and fp_now == manifests[1]["fp_after"]
+        )
+
+        post = spark.read.parquet(dst)
+        result = post.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "sum_total", scale=2),
+        ).withColumn("serialized_ok", F.lit(bool(ok)))
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        _drop_scratch(spark, scratch)

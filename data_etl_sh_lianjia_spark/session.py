@@ -394,10 +394,11 @@ def _commit_try(
             return "pending", None
     os.unlink(tmp)
     for s in range(max(1, seq + 1 - _COMMIT_LOG_RETAIN)):
-        try:
-            os.unlink(os.path.join(cdir, f"{s:06d}.json"))
-        except OSError:
-            pass
+        for ext in (".json", ".done"):
+            try:
+                os.unlink(os.path.join(cdir, f"{s:06d}{ext}"))
+            except OSError:
+                pass
     return "won", manifest
 
 
@@ -409,6 +410,29 @@ def _pid_alive(pid: int) -> bool:
     except PermissionError:
         return True
     return True
+
+
+def _commit_done(dst: str, manifest: dict | None) -> None:
+    """Mark a commit FULLY complete (table generation published AND every
+    sibling projection maintained). _commit_await holds losers until this
+    marker lands, so two mutations' projection-maintenance passes never
+    interleave on one table — without it, a loser's merge could read an
+    artifact mid-republish (file listing frozen at analysis time, files
+    swapped underneath). A writer that dies before the marker is detected
+    by pid liveness; its behind-by-one projections are refused by the
+    lockstep check and rebuilt, the existing crash contract."""
+    if not manifest:
+        return
+    try:
+        with open(
+            os.path.join(
+                _commit_log_dir(dst), f"{manifest['seq']:06d}.done"
+            ),
+            "w",
+        ):
+            pass
+    except OSError:
+        pass
 
 
 def _commit_await(dst: str, other: dict | None, timeout: float = 120.0) -> None:
@@ -424,29 +448,46 @@ def _commit_await(dst: str, other: dict | None, timeout: float = 120.0) -> None:
         time.sleep(0.05)
         return
     marker = os.path.join(dst, "_SUCCESS")
-    mpath = os.path.join(
-        _commit_log_dir(dst), f"{other['seq']:06d}.json"
-    )
+    cdir = _commit_log_dir(dst)
+    mpath = os.path.join(cdir, f"{other['seq']:06d}.json")
+    dpath = os.path.join(cdir, f"{other['seq']:06d}.done")
     deadline = time.monotonic() + timeout
+    published = False
     while time.monotonic() < deadline:
-        fp, _m = _read_marker(marker)
-        if fp == other.get("fp_after") or fp != other.get("fp_before"):
-            return  # winner published (or the chain advanced past it)
-        if not os.path.exists(mpath):
-            return  # healed by another waiter
-        age = time.time() - other.get("ts", 0)
-        if age > 2.0 and not _pid_alive(int(other.get("pid", -1))):
-            # winner died between CAS and publish: its staged generation
-            # never swapped in, the previous one is intact — heal the log
-            try:
-                os.unlink(mpath)
-            except OSError:
+        if not published:
+            fp, _m = _read_marker(marker)
+            if fp == other.get("fp_after") or fp != other.get("fp_before"):
+                published = True  # table generation landed (or superseded)
+            elif not os.path.exists(mpath):
+                return  # healed by another waiter
+        if published:
+            # hold until the winner's PROJECTION maintenance also settles
+            # (the .done marker) — re-applying earlier would interleave
+            # two maintenance passes on the same sibling artifacts
+            if os.path.exists(dpath) or not os.path.exists(mpath):
+                return
+            if not _pid_alive(int(other.get("pid", -1))):
+                return  # winner died post-publish: lockstep check covers it
+            if other.get("pid") == os.getpid():
+                # same-process thread race: the sibling thread's liveness
+                # can't be pid-probed; rely on the done marker alone
                 pass
-            return
+        else:
+            age = time.time() - other.get("ts", 0)
+            if age > 2.0 and not _pid_alive(int(other.get("pid", -1))):
+                # winner died between CAS and publish: its staged
+                # generation never swapped in, the previous one is intact
+                # — heal the log
+                try:
+                    os.unlink(mpath)
+                except OSError:
+                    pass
+                return
         time.sleep(0.02)
     raise ConcurrentWriteConflictError(
         f"commit {other.get('seq')} (op={other.get('op')}, "
-        f"pid={other.get('pid')}) on {dst!r} never published within "
+        f"pid={other.get('pid')}) on {dst!r} never "
+        f"{'completed' if published else 'published'} within "
         f"{timeout:.0f}s — cannot re-apply against an unsettled generation"
     )
 
@@ -4489,6 +4530,9 @@ def delete_where(
     spark._lianjia_table_cache = {}
     spark._lianjia_views_dir = None
     spark._lianjia_keydict_views = {}
+    # commit fully complete: table + every sibling artifact settled —
+    # release any waiting concurrent writer (see _commit_done)
+    _commit_done(dst, other)
     return n_deleted
 
 
@@ -4935,6 +4979,9 @@ def update_where(
     spark._lianjia_table_cache = {}
     spark._lianjia_views_dir = None
     spark._lianjia_keydict_views = {}
+    # commit fully complete: table + every sibling artifact settled —
+    # release any waiting concurrent writer (see _commit_done)
+    _commit_done(dst, other)
     return n_updated
 
 

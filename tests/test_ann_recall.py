@@ -294,3 +294,22 @@ def test_vector_index_invalidates_on_source_rewrite(spark, tmp_path):
         "stale broadcast index served old vec_ids after an in-place rewrite"
     )
     assert first_ids != second_ids
+
+
+def test_ivfpq_recall_vs_brute_force(spark, sf_dir):
+    """The composed IVF-PQ path (probe cells -> ADC over stored codes ->
+    exact rerank): cell misses and quantization distortion compound, so
+    the pin is lower than either component alone (registry flag >= 0.25;
+    measured ~0.72 at sf0.01)."""
+    from data_etl_sh_lianjia_spark.operators.similarity import _ivfpq_approx_topk
+
+    qs = all_queries()
+    brute = _topk_sets(qs["ann_brute_topk"].spark_fn(spark, sf_dir).collect())
+    appr = _topk_sets(_ivfpq_approx_topk(spark, sf_dir).collect())
+    recalls = [
+        len(appr.get(q, set()) & brute[q]) / len(brute[q]) for q in brute
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.25, f"IVF-PQ mean recall@5 too low: {mean_recall:.2f}"
+    flagged = qs["ann_ivfpq_topk"].spark_fn(spark, sf_dir).collect()
+    assert flagged and all(r["recall_ok"] for r in flagged)
