@@ -138,6 +138,31 @@ def _build_parser() -> argparse.ArgumentParser:
     mat.add_argument("query")
     mat.add_argument("--sf-dir", default=None)
 
+    pin = sub.add_parser(
+        "pin",
+        help="pin a declared query as a MAINTAINED artifact "
+        "(auto-refreshed by every ingest/mutation)",
+    )
+    pin.add_argument("query")
+    pin.add_argument("--sf-dir", default=None)
+
+    pcut = sub.add_parser(
+        "pin-cut",
+        help="pin a parameterized rollup cut: derive_sql over a parent "
+        "artifact ({src} bound), maintenance-refreshed",
+    )
+    pcut.add_argument("name")
+    pcut.add_argument(
+        "--parent-kind", required=True, choices=("aggproj", "joinproj", "table")
+    )
+    pcut.add_argument("--parent", required=True)
+    pcut.add_argument("--sql", required=True, help="derive SQL with {src}")
+    pcut.add_argument("--sf-dir", default=None)
+
+    unp = sub.add_parser("unpin", help="remove a pin (artifact ages out)")
+    unp.add_argument("name")
+    unp.add_argument("--sf-dir", default=None)
+
     vac = sub.add_parser(
         "vacuum", help="drop retained snapshots beyond --keep (VACUUM)"
     )
@@ -292,6 +317,31 @@ def main(argv: list[str] | None = None) -> int:
             return 2
         print(f"materialized {args.query} at {path}")
         return 0
+
+    if args.cmd == "pin":
+        try:
+            path = eng.pin(args.query)
+        except KeyError:
+            print(f"unknown query {args.query!r}", file=sys.stderr)
+            return 2
+        print(f"pinned {args.query} at {path}")
+        return 0
+
+    if args.cmd == "pin-cut":
+        try:
+            path = eng.pin_cut(
+                args.name, args.parent_kind, args.parent, args.sql
+            )
+        except ValueError as e:
+            print(str(e), file=sys.stderr)
+            return 2
+        print(f"pinned cut {args.name} at {path}")
+        return 0
+
+    if args.cmd == "unpin":
+        existed = eng.unpin(args.name)
+        print(f"unpinned {args.name}" if existed else f"no pin {args.name!r}")
+        return 0 if existed else 1
 
     if args.cmd == "vacuum":
         n = eng.vacuum(args.table, keep=args.keep)

@@ -237,6 +237,40 @@ class Engine:
         mat = query_materialized(self.spark, self.sf_dir, name)
         return mat if mat is not None else self.query(name)
 
+    def pin(self, name: str) -> str:
+        """``materialize(name)`` plus maintenance: the pin persists, and
+        every subsequent ingest/mutation refreshes the artifact (the
+        unified pin mechanism — see ``session.pin_query``)."""
+        from data_etl_sh_lianjia_spark.session import pin_query
+
+        return pin_query(self.spark, self.sf_dir, name)
+
+    def pin_cut(
+        self, name: str, parent_kind: str, parent: str, derive_sql: str
+    ) -> str:
+        """Pin a parameterized rollup cut (``derive_sql`` over the parent
+        artifact, ``{src}`` bound) as a maintenance-refreshed artifact —
+        the user-facing form of the engine's built-in coarse cuts (see
+        ``session.pin_rollup_cut``)."""
+        from data_etl_sh_lianjia_spark.session import pin_rollup_cut
+
+        return pin_rollup_cut(
+            self.spark, self.sf_dir, name, parent_kind, parent, derive_sql
+        )
+
+    def unpin(self, name: str) -> bool:
+        from data_etl_sh_lianjia_spark.session import unpin
+
+        return unpin(self.spark, self.sf_dir, name)
+
+    def pinned(self, name: str) -> DataFrame | None:
+        """The pinned artifact as a DataFrame, or None when missing/stale
+        (a pin is an optimization, never a correctness dependency)."""
+        from data_etl_sh_lianjia_spark.session import pinned_view
+
+        view = pinned_view(self.spark, self.sf_dir, name)
+        return self.spark.table(view) if view else None
+
     def queries(self) -> list[str]:
         return sorted(all_queries())
 

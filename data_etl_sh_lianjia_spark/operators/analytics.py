@@ -606,3 +606,52 @@ def mad_outlier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("med6").alias("median_value"),
         F.col("mad6").alias("mad_value"),
     )
+
+
+@register(
+    "events_sliding_distinct_users",
+    oracle="""
+WITH t AS (
+  SELECT epoch_us(time_bucket(INTERVAL '15 minutes', ts)) AS b, user_id
+  FROM events
+), m AS (
+  SELECT b AS ws, user_id FROM t
+  UNION ALL
+  SELECT b - 900000000, user_id FROM t
+)
+SELECT ws AS win_start_us,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(*) AS n_events
+FROM m
+GROUP BY ws
+""",
+    survey_ref="T1,A4,T7",
+    doc="sliding-window (30m width / 15m slide) exact distinct users — "
+        "batch twin of the sliding stream agg",
+)
+def events_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT user_id) per sliding window — the time-series
+    engagement surface (WAU/DAU at event grain). Spark's
+    ``window(ts, '30 minutes', '15 minutes')`` replicates each event into
+    its two overlapping epoch-aligned windows; the oracle materializes the
+    same two membership rows per event explicitly (bucket and
+    bucket - 15 min), so a hash match pins the window-assignment semantics,
+    not just the counts. At scale the expansion is exactly width/slide
+    rows per event (bounded), and the distinct shuffles on (window,
+    user) — the same two-phase shape as any COUNT(DISTINCT)."""
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    return (
+        ev.groupBy(F.window("ts", "30 minutes", "15 minutes").alias("win"))
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.expr(
+                "timestampdiff(MICROSECOND,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00', win.start)"
+            ).alias("win_start_us"),
+            "n_users",
+            "n_events",
+        )
+    )

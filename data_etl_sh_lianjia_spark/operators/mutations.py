@@ -740,3 +740,74 @@ def concurrent_dml_serialization(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, result.schema)
     finally:
         _drop_scratch(spark, scratch)
+
+
+@register(
+    "pinned_cut_roundtrip",
+    # The unified pin mechanism, driver-verified end-to-end: a USER cut is
+    # pinned on the lineitem rollup, the table then mutates (pin goes
+    # stale), and the serve happens only after the maintenance pass
+    # re-derives it — so a hash match proves pin + auto-refresh + lockstep
+    # serving, not just the initial build. served_from_pin is the
+    # exact-plus-flag pattern (TRUE iff the artifact actually served).
+    oracle=f"""
+SELECT l_returnflag,
+       COUNT(*) AS n_items,
+       {oracle_dsum('l_quantity', 'sum_qty')},
+       TRUE AS served_from_pin
+FROM lineitem
+WHERE l_quantity IS NULL OR l_quantity < 45
+GROUP BY l_returnflag
+""",
+    survey_ref="M12,A3",
+    doc="user-pinned rollup cut: pin -> mutate -> auto-refresh -> serve "
+        "from the artifact; post-mutation aggregate + serve flag",
+    tags=("mutation",),
+)
+def pinned_cut_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pin ``SELECT l_returnflag, SUM(cnt), SUM(s_qty) FROM {{src}}`` as a
+    rollup cut over the lineitem aggregate projection, DELETE
+    ``l_quantity >= 45`` (the pin goes out of lockstep), then serve the
+    cut — the mutation-time/ingest-time maintenance pass must have
+    re-derived it from the negative-merged rollup, so the served sums are
+    bit-identical to the oracle's one-pass recompute over the filtered
+    source."""
+    import pyarrow.compute as pc
+    from pyspark.sql import functions as F
+
+    from data_etl_sh_lianjia_spark import session as sess
+
+    scratch = _scratch_copy(sf_dir, "lineitem")
+    try:
+        sess.pin_rollup_cut(
+            spark, scratch, "retflag", "aggproj", "lineitem",
+            "SELECT l_returnflag, SUM(cnt) AS n_items, SUM(s_qty) AS s_qty "
+            "FROM {src} GROUP BY l_returnflag",
+        )
+        sess.delete_where(
+            spark, scratch, "lineitem", pc.field("l_quantity") >= 45
+        )
+        view = sess.pinned_view(spark, scratch, "retflag")
+        served = view is not None
+        if served:
+            result = spark.table(view).select(
+                "l_returnflag",
+                F.col("n_items").alias("n_items"),
+                (F.col("s_qty").cast("double") / F.lit(10000.0)).alias(
+                    "sum_qty"
+                ),
+                F.lit(True).alias("served_from_pin"),
+            )
+        else:  # fallback keeps the query total; the flag exposes the miss
+            out_dir = spark._lianjia_ingest_map[os.path.normpath(scratch)]
+            post = spark.read.parquet(
+                os.path.join(out_dir, "lineitem.parquet")
+            )
+            result = post.groupBy("l_returnflag").agg(
+                F.count(F.lit(1)).alias("n_items"),
+                dsum("l_quantity", "sum_qty"),
+            ).withColumn("served_from_pin", F.lit(False))
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        _drop_scratch(spark, scratch)

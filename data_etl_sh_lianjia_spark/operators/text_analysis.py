@@ -744,3 +744,107 @@ def bigram_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_types",
         gt.alias("gt_adjusted"),
     )
+
+
+@register(
+    "bigram_interpolated_logprob",
+    oracle="""
+WITH words AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS ord
+  FROM documents
+), pairs AS (
+  SELECT doc_id, w1, w2 FROM (
+    SELECT doc_id,
+           lag(w) OVER (PARTITION BY doc_id ORDER BY ord) AS w1,
+           w AS w2
+    FROM words
+  ) WHERE w1 IS NOT NULL
+), uni AS (
+  SELECT w, COUNT(*) AS cnt FROM words GROUP BY w
+), tot AS (
+  SELECT SUM(cnt) AS n FROM uni
+), big AS (
+  SELECT w1, w2, COUNT(*) AS cnt FROM pairs GROUP BY w1, w2
+), scored AS (
+  SELECT p.doc_id,
+         CAST(round(-log10(
+             0.75 * (b.cnt / CAST(u1.cnt AS DOUBLE))
+           + 0.25 * (u2.cnt / CAST(t.n AS DOUBLE))
+         ), 9) AS DECIMAL(20,9)) AS surp
+  FROM pairs p
+  JOIN big b ON p.w1 = b.w1 AND p.w2 = b.w2
+  JOIN uni u1 ON p.w1 = u1.w
+  JOIN uni u2 ON p.w2 = u2.w
+  CROSS JOIN tot t
+)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       round(CAST(SUM(surp) AS DOUBLE) / COUNT(*), 4) AS avg_logprob
+FROM scored
+GROUP BY doc_id
+""",
+    survey_ref="L4,L6",
+    doc="per-doc cross-entropy under an interpolated corpus bigram model "
+        "(sequence-sensitive perplexity-proxy quality score)",
+)
+def bigram_interpolated_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean -log10 of an interpolated bigram model
+    (0.75·p(w2|w1) + 0.25·p(w2)) trained on the corpus itself — the
+    sequence-sensitive step up from `unigram_surprisal`: repeated or
+    shuffled word salad scores poorly even when its unigrams are common,
+    which is exactly what model-based perplexity filters catch in LLM
+    data pipelines (the unigram leg is the backoff for unseen history).
+
+    Scale shape: the bigram stream comes from a window lag over
+    (doc_id, position) — ONE shuffle on doc_id, no self-join; the bigram
+    count table shuffles on the bigram key (bounded by observed bigram
+    types, not corpus size); the unigram table is vocabulary-sized and
+    broadcasts. Determinism: per-token surprisal rounds to 9 decimals and
+    sums as DECIMAL (exact, order-independent) before the final 4-decimal
+    round — the registry's standard float-aggregate contract."""
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir)
+    words = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = (
+        words.select(
+            "doc_id",
+            F.lag("w").over(w_doc).alias("w1"),
+            F.col("w").alias("w2"),
+        )
+        .filter(F.col("w1").isNotNull())
+    )
+    uni = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    total = uni.agg(F.sum("cnt").alias("n"))
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt_b"))
+    surp = F.expr(
+        "CAST(round(-log10("
+        "  0.75 * (cnt_b / CAST(cnt_1 AS DOUBLE))"
+        " + 0.25 * (cnt_2 / CAST(n AS DOUBLE))"
+        "), 9) AS DECIMAL(20,9))"
+    )
+    scored = (
+        pairs.join(big, ["w1", "w2"])
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("w1"),
+                                   F.col("cnt").alias("cnt_1"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("w2"),
+                                   F.col("cnt").alias("cnt_2"))),
+            "w2",
+        )
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", surp.alias("surp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.sum("surp").cast("double") / F.count(F.lit(1)), 4).alias(
+            "avg_logprob"
+        ),
+    )

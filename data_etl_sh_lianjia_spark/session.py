@@ -357,7 +357,12 @@ def _commit_try(
     seq, head = _commit_head(cdir)
     fp_now, _m = _read_marker(os.path.join(dst, "_SUCCESS"))
     if fp_now != fp_before:
-        return "lost", head  # someone published since we read generation G
+        # someone published since we read generation G. Re-read the head
+        # AFTER the marker read: the pre-read head may predate the actual
+        # winner's CAS, and the caller must await THE WINNER's completion
+        # (not a long-settled ancestor) before re-applying.
+        _seq2, head2 = _commit_head(cdir)
+        return "lost", head2 if head2 is not None else head
     if (
         head is not None
         and head.get("fp_after") != fp_now
@@ -368,6 +373,17 @@ def _commit_try(
         # A head matching NEITHER marker side means an unlogged publish
         # (compact/restore/rebuild) superseded the log — CAS proceeds; the
         # EXCL link still arbitrates among concurrent DML committers.
+        return "pending", head
+    if (
+        head is not None
+        and head.get("fp_after") == fp_now
+        and not os.path.exists(os.path.join(cdir, f"{head['seq']:06d}.done"))
+        and _pid_alive(int(head.get("pid", -1)))
+    ):
+        # the head's TABLE publish landed but its projection maintenance
+        # hasn't (no completion marker, writer alive): claiming the next
+        # generation now would interleave two maintenance passes on the
+        # same sibling artifacts — hold until the winner finishes
         return "pending", head
     manifest = {
         "seq": seq + 1,
