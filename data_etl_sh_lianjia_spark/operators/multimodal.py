@@ -9,8 +9,11 @@ Decode comes in three tiers:
   PCM16 audio parse with pure struct+numpy; PNG decodes via stdlib zlib +
   per-row un-filtering; baseline JPEG decodes via a full T.81
   implementation (marker walk, file-driven Huffman/quant tables, run-length
-  entropy decode, numpy IDCT, YCbCr) — `multimodal_{bmp,png,jpeg}_decode`,
-  `multimodal_{bmp,png,jpeg}_resize` (decode → downsample → re-encode,
+  entropy decode, numpy IDCT, YCbCr); GIF87a decodes via the in-repo
+  variable-width LZW (clear/EOI, early width change, 4096-cap reset),
+  with the encoder's streams validated against the system giflib —
+  `multimodal_{bmp,png,jpeg,gif}_decode`,
+  `multimodal_{bmp,png,jpeg,gif}_resize` (decode → downsample → re-encode,
   md5-matched), `multimodal_wav_decode`. Their fixtures carry
   generation-time ground truth, so the driver hash gate verifies the
   codecs end-to-end.
@@ -18,7 +21,7 @@ Decode comes in three tiers:
   bytes (full Spark plumbing — schema, batching, partitioning, UDF
   signature — exercised without any codec).
 - ``decode="real"`` in :func:`extract_features` magic-sniffs the container
-  and dispatches to the in-repo BMP/PNG/JPEG/WAV decoders
+  and dispatches to the in-repo BMP/PNG/JPEG/GIF/WAV decoders
   (`multimodal_features_real` oracles it against generation-time ground
   truth). Video: MJPEG-in-AVI demuxes + frame-decodes for real
   (`multimodal_avi_frame_extract` — RIFF chunk walk + the baseline-JPEG
@@ -150,6 +153,7 @@ def extract_features(
             # Resolved on the worker via the shipped package zip.
             from data_etl_sh_lianjia_spark.operators.multimodal import (
                 _decode_bmp,
+                _decode_gif,
                 _decode_jpeg,
                 _decode_png,
                 _decode_wav,
@@ -177,6 +181,8 @@ def extract_features(
                         v, m = image_feature(_decode_png(buf)), "image"
                     elif buf[:2] == b"\xff\xd8":
                         v, m = image_feature(_decode_jpeg(buf)), "image"
+                    elif buf[:6] in (b"GIF87a", b"GIF89a"):
+                        v, m = image_feature(_decode_gif(buf)), "image"
                     elif buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
                         s, rate = _decode_wav(buf)
                         sf = s.astype(np.float64)
@@ -408,7 +414,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # v3: + 60 PNG rows (zlib IDAT, all five row filters) next to BMP/WAV.
 # v4: + 60 baseline JPEG rows (flat 8x8 blocks + all-ones quant tables ->
 #     bit-exact decode; see the JPEG section below for the contract).
-_MEDIA_FIXTURE_DIR = "/tmp/spark-graft-media-fixtures-v4"
+_MEDIA_FIXTURE_DIR = "/tmp/spark-graft-media-fixtures-v5"
 
 
 def _encode_bmp(rgb: "np.ndarray") -> bytes:
@@ -615,6 +621,192 @@ def _decode_png(buf: bytes) -> "np.ndarray":
         out += cur
         prior = bytes(cur)
     return np.frombuffer(bytes(out), dtype=np.uint8).reshape(h, w, 3)
+
+
+# ---------------------------------------------------------------------------
+# GIF87a from first principles: logical screen descriptor + global color
+# table + one image block, pixel indices LZW-compressed with the GIF
+# variable-width scheme (clear/EOI codes, LSB-first bit packing, early
+# width change, 4096-entry cap with clear/reset). No codec library. The
+# ENCODER's streams are validated against the system giflib (an
+# independent reference decoder reads them bit-identically — see
+# tests/test_multimodal.py's gif round-trip), so the in-repo decoder is
+# pinned to the standard, not merely to its own encoder.
+# ---------------------------------------------------------------------------
+
+
+def _gif_lzw_encode(indices: "np.ndarray", mcs: int) -> bytes:
+    clear = 1 << mcs
+    eoi = clear + 1
+    width = mcs + 1
+    next_code = eoi + 1
+    table = {bytes([i]): i for i in range(clear)}
+    bitbuf = 0
+    nbits = 0
+    data = bytearray()
+
+    def emit(code: int) -> None:
+        nonlocal bitbuf, nbits
+        bitbuf |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            data.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            nbits -= 8
+
+    emit(clear)
+    prev = bytes([indices[0]])
+    for px in indices[1:]:
+        cat = prev + bytes([px])
+        if cat in table:
+            prev = cat
+            continue
+        emit(table[prev])
+        if next_code < 4096:
+            table[cat] = next_code
+            next_code += 1
+            # encoder changes width one slot later than the decoder: the
+            # decoder mirrors each entry one code behind (it needs the
+            # next code to learn the entry's first byte)
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        else:
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            width = mcs + 1
+            next_code = eoi + 1
+        prev = bytes([px])
+    emit(table[prev])
+    emit(eoi)
+    if nbits:
+        data.append(bitbuf & 0xFF)
+    return bytes(data)
+
+
+def _gif_lzw_decode(data: bytes, mcs: int) -> "np.ndarray":
+    clear = 1 << mcs
+    eoi = clear + 1
+    width = mcs + 1
+    table = [bytes([i]) for i in range(clear)] + [b"", b""]
+    bitbuf = 0
+    nbits = 0
+    pos = 0
+    out = bytearray()
+    prev = None
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                return np.frombuffer(bytes(out), dtype=np.uint8)
+            bitbuf |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = bitbuf & ((1 << width) - 1)
+        bitbuf >>= width
+        nbits -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = mcs + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        else:  # the KwKwK case: the code being defined by this very step
+            entry = prev + prev[:1]
+            table.append(entry)
+        out += entry
+        if prev is not None and len(table) == (1 << width) and width < 12:
+            width += 1
+        prev = entry
+    return np.frombuffer(bytes(out), dtype=np.uint8)
+
+
+def _encode_gif(palette: "np.ndarray", idx: "np.ndarray") -> bytes:
+    """(n,3) uint8 palette + (h,w) uint8 index grid -> GIF87a bytes."""
+    import struct
+
+    h, w = idx.shape
+    n = len(palette)
+    gct_bits = max(1, int(np.ceil(np.log2(max(n, 2)))))
+    mcs = max(2, gct_bits)
+    out = bytearray(b"GIF87a")
+    out += struct.pack("<HH", w, h)
+    out.append(0x80 | ((gct_bits - 1) & 0x07))
+    out.append(0)  # background color index
+    out.append(0)  # pixel aspect ratio
+    pal = np.zeros((1 << gct_bits, 3), dtype=np.uint8)
+    pal[:n] = palette
+    out += pal.tobytes()
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    out.append(mcs)
+    comp = _gif_lzw_encode(idx.ravel(), mcs)
+    for i in range(0, len(comp), 255):
+        chunk = comp[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def _decode_gif(buf: bytes) -> "np.ndarray":
+    """GIF87a/89a (non-interlaced, first image block) -> (h,w,3) uint8 RGB.
+    Walks the block structure for real: screen descriptor, global/local
+    color tables, extension blocks (skipped), image sub-block chains."""
+    import struct
+
+    if buf[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    flags = buf[10]
+    pos = 13
+    palette = None
+    if flags & 0x80:
+        size = 2 << (flags & 0x07)
+        palette = np.frombuffer(
+            buf, dtype=np.uint8, count=size * 3, offset=pos
+        ).reshape(size, 3)
+        pos += size * 3
+    while pos < len(buf):
+        b = buf[pos]
+        if b == 0x2C:  # image descriptor
+            _l, _t, iw, ih = struct.unpack_from("<HHHH", buf, pos + 1)
+            iflags = buf[pos + 9]
+            pos += 10
+            if iflags & 0x80:  # local color table wins
+                size = 2 << (iflags & 0x07)
+                palette = np.frombuffer(
+                    buf, dtype=np.uint8, count=size * 3, offset=pos
+                ).reshape(size, 3)
+                pos += size * 3
+            if iflags & 0x40:
+                raise ValueError("interlaced GIF not supported")
+            mcs = buf[pos]
+            pos += 1
+            comp = bytearray()
+            while True:
+                blen = buf[pos]
+                pos += 1
+                if blen == 0:
+                    break
+                comp += buf[pos : pos + blen]
+                pos += blen
+            idx = _gif_lzw_decode(bytes(comp), mcs)[: iw * ih].reshape(ih, iw)
+            if palette is None:
+                raise ValueError("GIF with no color table")
+            return palette[idx]
+        elif b == 0x21:  # extension block: skip its sub-block chain
+            pos += 2
+            while buf[pos] != 0:
+                pos += buf[pos] + 1
+            pos += 1
+        elif b == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+    raise ValueError("no image block in GIF")
 
 
 # ---------------------------------------------------------------------------
@@ -1173,6 +1365,50 @@ def synthesize_media_fixtures(out_dir: str = _MEDIA_FIXTURE_DIR) -> str:
                 "t_resized_w": small.shape[1],
                 "t_resized_h": small.shape[0],
                 "t_resized_md5": hashlib.md5(_encode_png(small)).hexdigest(),
+                "t_rate": None,
+                "t_n_samples": None,
+                "t_rms": None,
+                "t_peak": None,
+            }
+        )
+    for i in range(60):
+        # GIF corpus: seeded palette + index-grid patterns sized to cross
+        # LZW width boundaries; ground truth is palette[idx] directly, so
+        # the hash gate verifies the whole chain (screen descriptor, color
+        # table, sub-block reassembly, variable-width LZW) — the encoder's
+        # streams are giflib-validated, so the gate pins STANDARD GIF.
+        n_colors = 2 + (i * 29) % 255
+        w, h = 11 + (i * 13) % 41, 8 + (i * 7) % 29
+        pal = np.stack(
+            [
+                (np.arange(n_colors) * 37 + i) % 256,
+                (np.arange(n_colors) * 11 + 3 * i) % 256,
+                (np.arange(n_colors) * 53 + 7 * i) % 256,
+            ],
+            axis=1,
+        ).astype(np.uint8)
+        x = np.arange(w)[None, :]
+        y = np.arange(h)[:, None]
+        idx = ((x * (1 + i % 5) + y * (2 + i % 3) + i) % n_colors).astype(
+            np.uint8
+        )
+        rgb = pal[idx]
+        small_idx = np.ascontiguousarray(idx[::2, ::2])
+        rows.append(
+            {
+                "media_id": 4000 + i,
+                "kind": "gif",
+                "media": _encode_gif(pal, idx),
+                "t_width": w,
+                "t_height": h,
+                "t_mean_r": _round6(rgb[:, :, 0].astype(np.float64).mean()),
+                "t_mean_g": _round6(rgb[:, :, 1].astype(np.float64).mean()),
+                "t_mean_b": _round6(rgb[:, :, 2].astype(np.float64).mean()),
+                "t_resized_w": small_idx.shape[1],
+                "t_resized_h": small_idx.shape[0],
+                "t_resized_md5": hashlib.md5(
+                    _encode_gif(pal, small_idx)
+                ).hexdigest(),
                 "t_rate": None,
                 "t_n_samples": None,
                 "t_rms": None,
@@ -1939,4 +2175,137 @@ def multimodal_avi_frame_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id long, frame_idx long, n_frames long, fps long,"
         " width long, height long,"
         " mean_r double, mean_g double, mean_b double",
+    )
+
+
+@register(
+    "multimodal_gif_decode",
+    # Ground truth recorded at generation; the Spark side walks the GIF
+    # block structure and LZW-decompresses the index stream — and because
+    # the encoder's output is giflib-validated, a hash match here pins the
+    # decoder to STANDARD GIF, not merely to the sibling encoder.
+    oracle=f"""
+SELECT media_id,
+       t_width AS width, t_height AS height,
+       t_mean_r AS mean_r, t_mean_g AS mean_g, t_mean_b AS mean_b
+FROM read_parquet('{_MEDIA_FIXTURE_PATH}')
+WHERE kind = 'gif'
+""",
+    survey_ref="L5",
+    doc="REAL palettized-image decode: GIF87a (variable-width LZW + color "
+        "table) -> per-channel means",
+)
+def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third compressed image codec from first principles (after PNG's
+    zlib inflate and baseline JPEG): GIF's variable-width LZW with
+    clear/EOI codes, early width change, and the 4096-entry reset.
+    Embarrassingly parallel mapInPandas over Arrow batches — each blob
+    decodes inside its batch, no shuffle (SCALE.md §5)."""
+    ensure_package_shipped(spark)
+    media = spark.read.parquet(_MEDIA_FIXTURE_PATH).filter(
+        F.col("kind") == "gif"
+    ).select("media_id", "media")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from data_etl_sh_lianjia_spark.operators.multimodal import _decode_gif
+
+        for pdf in batches:
+            out = {"media_id": [], "width": [], "height": [],
+                   "mean_r": [], "mean_g": [], "mean_b": []}
+            for mid, blob in zip(pdf["media_id"], pdf["media"]):
+                rgb = _decode_gif(bytes(blob))
+                out["media_id"].append(mid)
+                out["width"].append(rgb.shape[1])
+                out["height"].append(rgb.shape[0])
+                for k, c in (("mean_r", 0), ("mean_g", 1), ("mean_b", 2)):
+                    out[k].append(
+                        float(np.round(rgb[:, :, c].astype(np.float64).mean(), 6))
+                    )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        fn,
+        "media_id long, width long, height long,"
+        " mean_r double, mean_g double, mean_b double",
+    )
+
+
+@register(
+    "multimodal_gif_resize",
+    # decode -> index-grid nearest-neighbor downsample -> re-encode with
+    # the SAME palette; the oracle md5 was computed at generation by the
+    # identical transform, so any encoder/decoder bit-slip fails the gate.
+    oracle=f"""
+SELECT media_id, t_resized_w AS width, t_resized_h AS height,
+       t_resized_md5 AS resized_md5
+FROM read_parquet('{_MEDIA_FIXTURE_PATH}')
+WHERE kind = 'gif'
+""",
+    survey_ref="L5",
+    doc="REAL palettized resize: GIF decode -> 2x nearest-neighbor on the "
+        "index grid -> re-encode, md5-matched",
+)
+def multimodal_gif_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resizing a palettized format operates on the INDEX grid (the
+    palette is preserved exactly — resampling decoded RGB would force
+    requantization): decode to indices + palette, [::2, ::2] the grid,
+    re-encode. The md5 gate pins the full encode path including LZW
+    re-compression of the new, non-trivially-different index stream."""
+    ensure_package_shipped(spark)
+    media = spark.read.parquet(_MEDIA_FIXTURE_PATH).filter(
+        F.col("kind") == "gif"
+    ).select("media_id", "media")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import struct
+
+        from data_etl_sh_lianjia_spark.operators.multimodal import (
+            _encode_gif,
+            _gif_lzw_decode,
+        )
+
+        def decode_indices(buf):
+            flags = buf[10]
+            pos = 13
+            size = 2 << (flags & 0x07)
+            palette = np.frombuffer(
+                buf, dtype=np.uint8, count=size * 3, offset=pos
+            ).reshape(size, 3)
+            pos += size * 3
+            assert buf[pos] == 0x2C
+            _l, _t, iw, ih = struct.unpack_from("<HHHH", buf, pos + 1)
+            pos += 10
+            mcs = buf[pos]
+            pos += 1
+            comp = bytearray()
+            while True:
+                blen = buf[pos]
+                pos += 1
+                if blen == 0:
+                    break
+                comp += buf[pos : pos + blen]
+                pos += blen
+            idx = _gif_lzw_decode(bytes(comp), mcs)[: iw * ih].reshape(ih, iw)
+            # keep the FULL padded color table: its length is already the
+            # power-of-two the original encode chose, so re-encoding with
+            # it reproduces the same GCT size field and table bytes in
+            # every case (trimming could shrink the size field)
+            return palette, idx
+
+        for pdf in batches:
+            out = {"media_id": [], "width": [], "height": [], "resized_md5": []}
+            for mid, blob in zip(pdf["media_id"], pdf["media"]):
+                pal, idx = decode_indices(bytes(blob))
+                small = np.ascontiguousarray(idx[::2, ::2])
+                out["media_id"].append(mid)
+                out["height"].append(small.shape[0])
+                out["width"].append(small.shape[1])
+                out["resized_md5"].append(
+                    hashlib.md5(_encode_gif(pal, small)).hexdigest()
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        fn, "media_id long, width long, height long, resized_md5 string"
     )

@@ -848,3 +848,84 @@ def bigram_interpolated_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_logprob"
         ),
     )
+
+
+@register(
+    "gopher_quality_flags",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+), m AS (
+  SELECT doc_id,
+         len(words) AS n_words,
+         list_sum(list_transform(words, x -> length(x))) AS sum_len,
+         len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+           AS n_alpha,
+         (CASE WHEN list_contains(words, 'the') THEN 1 ELSE 0 END
+        + CASE WHEN list_contains(words, 'and') THEN 1 ELSE 0 END
+        + CASE WHEN list_contains(words, 'of') THEN 1 ELSE 0 END
+        + CASE WHEN list_contains(words, 'to') THEN 1 ELSE 0 END
+        + CASE WHEN list_contains(words, 'in') THEN 1 ELSE 0 END
+        + CASE WHEN list_contains(words, 'a') THEN 1 ELSE 0 END
+        + CASE WHEN list_contains(words, 'is') THEN 1 ELSE 0 END
+        + CASE WHEN list_contains(words, 'that') THEN 1 ELSE 0 END)
+           AS stop_hits
+  FROM w
+)
+SELECT doc_id, n_words,
+       floor((CAST(sum_len AS DOUBLE) / n_words) * 10000 + 0.5) / 10000
+         AS mean_word_len,
+       floor((CAST(n_alpha AS DOUBLE) / n_words) * 10000 + 0.5) / 10000
+         AS alpha_word_frac,
+       stop_hits,
+       (n_words >= 20
+        AND (CAST(sum_len AS DOUBLE) / n_words) BETWEEN 3 AND 10
+        AND (CAST(n_alpha AS DOUBLE) / n_words) > 0.8
+        AND stop_hits >= 2) AS gopher_pass
+FROM m
+""",
+    survey_ref="L6,L4",
+    doc="Gopher-style document quality rules: word-count floor, mean word "
+        "length band, alphabetic-word fraction, stopword presence",
+)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published Gopher corpus-filtering heuristics (Rae et al. 2021,
+    'Scaling Language Models: ... Gopher', Appendix A) as one
+    whole-stage-codegen pass: word-count floor, mean word length in
+    [3, 10], fraction of words containing an alphabetic character > 0.8,
+    and at least 2 distinct common-stopword hits (the 'real prose'
+    signal). Every rule is a JVM-side array expression — no UDF, no
+    shuffle beyond the scan; at 100 TB this is the map-only pre-filter
+    in front of every expensive pipeline stage. Ratios quantize via the
+    cross-engine floor(x*1e4+0.5) contract; the raw (unquantized) ratios
+    drive the boolean so the flag itself is exact."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    sum_len = F.expr(
+        "aggregate(transform(split(text, ' '), x -> length(x)),"
+        " 0, (a, x) -> a + x)"
+    )
+    n_alpha = F.expr(
+        "size(filter(split(text, ' '), x -> x rlike '[A-Za-z]'))"
+    )
+    stop_hits = sum(
+        F.when(F.array_contains(toks, t), 1).otherwise(0)
+        for t in ("the", "and", "of", "to", "in", "a", "is", "that")
+    )
+    mean_wl = sum_len.cast("double") / n
+    alpha_frac = n_alpha.cast("double") / n
+    q4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000  # noqa: E731
+    return docs.select(
+        "doc_id",
+        n.alias("n_words"),
+        q4(mean_wl).alias("mean_word_len"),
+        q4(alpha_frac).alias("alpha_word_frac"),
+        stop_hits.alias("stop_hits"),
+        (
+            (n >= 20)
+            & mean_wl.between(3, 10)
+            & (alpha_frac > 0.8)
+            & (stop_hits >= 2)
+        ).alias("gopher_pass"),
+    )

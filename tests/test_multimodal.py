@@ -358,3 +358,113 @@ def test_extract_features_handles_avi_video_modality(spark):
     row = M.extract_features(media, decode="real").collect()[0]
     assert row["modality"] == "video"
     assert row["feature"][0] == 2.0 and row["feature"][1] == 30.0
+
+
+def test_gif_roundtrip_and_giflib_conformance():
+    """The GIF codec round-trips bit-exactly across LZW width growth and
+    dictionary resets — and, where the system giflib is present, the
+    encoder's streams are decoded bit-identically by that INDEPENDENT
+    reference implementation, pinning the in-repo codec to standard GIF
+    rather than to its own mirror image."""
+    import ctypes.util
+
+    import numpy as np
+
+    from data_etl_sh_lianjia_spark.operators.multimodal import (
+        _decode_gif,
+        _encode_gif,
+    )
+
+    rng = np.random.RandomState(7)
+    blobs = []
+    for trial in range(40):
+        n_colors = rng.randint(2, 257)
+        w, h = rng.randint(1, 64), rng.randint(1, 64)
+        palette = rng.randint(0, 256, size=(n_colors, 3)).astype(np.uint8)
+        if trial % 3 == 0:
+            idx = (np.add.outer(np.arange(h), np.arange(w)) % n_colors)
+        elif trial % 3 == 1:
+            idx = rng.randint(0, n_colors, size=(h, w))
+        else:
+            idx = np.tile(rng.randint(0, n_colors, size=(1, w)), (h, 1))
+        idx = idx.astype(np.uint8)
+        blob = _encode_gif(palette, idx)
+        rgb = _decode_gif(blob)
+        assert rgb.shape == (h, w, 3)
+        assert np.array_equal(rgb, palette[idx]), f"trial {trial}"
+        blobs.append((blob, idx))
+    # >4096-entry stream: forces the 12-bit cap + clear/reset path
+    big = np.zeros((200, 300), dtype=np.uint8)
+    big[::2, :] = np.arange(300) % 7
+    pal7 = np.arange(21, dtype=np.uint8).reshape(7, 3)
+    assert np.array_equal(
+        _decode_gif(_encode_gif(pal7, big)), pal7[big]
+    )
+
+    libname = ctypes.util.find_library("gif")
+    if not libname:
+        import pytest
+
+        pytest.skip("system giflib not present: conformance leg skipped")
+    import ctypes
+    import tempfile
+
+    lib = ctypes.CDLL(libname)
+
+    class GifColorType(ctypes.Structure):
+        _fields_ = [("Red", ctypes.c_ubyte), ("Green", ctypes.c_ubyte),
+                    ("Blue", ctypes.c_ubyte)]
+
+    class ColorMapObject(ctypes.Structure):
+        _fields_ = [("ColorCount", ctypes.c_int),
+                    ("BitsPerPixel", ctypes.c_int),
+                    ("SortFlag", ctypes.c_bool),
+                    ("Colors", ctypes.POINTER(GifColorType))]
+
+    class GifImageDesc(ctypes.Structure):
+        _fields_ = [("Left", ctypes.c_int), ("Top", ctypes.c_int),
+                    ("Width", ctypes.c_int), ("Height", ctypes.c_int),
+                    ("Interlace", ctypes.c_bool),
+                    ("ColorMap", ctypes.POINTER(ColorMapObject))]
+
+    class SavedImage(ctypes.Structure):
+        _fields_ = [("ImageDesc", GifImageDesc),
+                    ("RasterBits", ctypes.POINTER(ctypes.c_ubyte)),
+                    ("ExtensionBlockCount", ctypes.c_int),
+                    ("ExtensionBlocks", ctypes.c_void_p)]
+
+    class GifFileType(ctypes.Structure):
+        _fields_ = [("SWidth", ctypes.c_int), ("SHeight", ctypes.c_int),
+                    ("SColorResolution", ctypes.c_int),
+                    ("SBackGroundColor", ctypes.c_int),
+                    ("AspectByte", ctypes.c_ubyte),
+                    ("SColorMap", ctypes.POINTER(ColorMapObject)),
+                    ("ImageCount", ctypes.c_int), ("Image", GifImageDesc),
+                    ("SavedImages", ctypes.POINTER(SavedImage)),
+                    ("ExtensionBlockCount", ctypes.c_int),
+                    ("ExtensionBlocks", ctypes.c_void_p),
+                    ("Error", ctypes.c_int), ("UserData", ctypes.c_void_p),
+                    ("Private", ctypes.c_void_p)]
+
+    lib.DGifOpenFileName.restype = ctypes.POINTER(GifFileType)
+    lib.DGifOpenFileName.argtypes = [ctypes.c_char_p,
+                                     ctypes.POINTER(ctypes.c_int)]
+    lib.DGifSlurp.argtypes = [ctypes.POINTER(GifFileType)]
+    for blob, idx in blobs[:12]:
+        with tempfile.NamedTemporaryFile(suffix=".gif") as fh:
+            fh.write(blob)
+            fh.flush()
+            err = ctypes.c_int(0)
+            gf = lib.DGifOpenFileName(fh.name.encode(), ctypes.byref(err))
+            assert gf, f"giflib refused our stream (err={err.value})"
+            assert lib.DGifSlurp(gf) == 1, (
+                f"giflib slurp failed (Error={gf.contents.Error})"
+            )
+            img = gf.contents.SavedImages[0]
+            ih, iw = img.ImageDesc.Height, img.ImageDesc.Width
+            raster = np.ctypeslib.as_array(
+                img.RasterBits, shape=(ih * iw,)
+            ).reshape(ih, iw)
+            assert np.array_equal(raster, idx), (
+                "giflib decoded different pixel indices than encoded"
+            )
