@@ -832,6 +832,134 @@ def stream_tws_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
 
 
+def tws_type_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transformWithStateInPandas with the COMPOSITE state types: a
+    per-user MapState keyed on event_type holding (count, exact scaled
+    sum) — the shape a real per-entity feature store keeps — plus a
+    ListState ledger of per-trigger batch sizes (exercises append/get).
+    Each trigger re-emits the user's full per-type totals; on a closed
+    single-file input that one emission IS the final answer."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    from data_etl_sh_lianjia_spark.session import (
+        ensure_package_shipped,
+        ensure_protobuf_shipped,
+    )
+
+    ensure_package_shipped(spark)
+    ensure_protobuf_shipped(spark)
+
+    class TypeStatsProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._by_type = handle.getMapState(
+                "bytype", "event_type STRING", "n BIGINT, sv BIGINT"
+            )
+            self._batches = handle.getListState("batches", "rows BIGINT")
+
+        def handleInputRows(self, key, rows, timerValues):
+            for pdf in rows:
+                self._batches.appendValue((len(pdf),))
+                sv = np.floor(
+                    pdf["value"].to_numpy(dtype=np.float64) * 10000 + 0.5
+                ).astype(np.int64)
+                g = pd.DataFrame(
+                    {"t": pdf["event_type"], "sv": sv}
+                ).groupby("t", sort=False)
+                for t, sub in g:
+                    prev = (
+                        self._by_type.getValue((t,))
+                        if self._by_type.containsKey((t,))
+                        else (0, 0)
+                    )
+                    self._by_type.updateValue(
+                        (t,),
+                        (prev[0] + len(sub), prev[1] + int(sub["sv"].sum())),
+                    )
+            n_batches = sum(1 for _ in self._batches.get())
+            out_t, out_n, out_s = [], [], []
+            for (t,), (n, sv) in self._by_type.iterator():
+                out_t.append(t)
+                out_n.append(n)
+                out_s.append(sv / 10000.0)
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(out_t),
+                    "event_type": out_t,
+                    "n_events": out_n,
+                    "sum_value": out_s,
+                    "n_batches": [n_batches] * len(out_t),
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    ev = read_events_stream(spark, sf_dir)
+    return ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=TypeStatsProcessor(),
+        outputStructType=(
+            "user_id long, event_type string, n_events long,"
+            " sum_value double, n_batches long"
+        ),
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def _register_tws_type_stats():
+    return register(
+        "stream_tws_type_stats",
+        # n_batches >= 1 collapses to a constant flag on the single-file
+        # (one-trigger) driver input — the ListState leg's oracle surface
+        oracle=f"""
+SELECT user_id, event_type, COUNT(*) AS n_events,
+       {oracle_dsum('value', 'sum_value')},
+       TRUE AS multi_batch_ok
+FROM events
+GROUP BY user_id, event_type
+""",
+        survey_ref="T5,S12",
+        doc="transformWithStateInPandas composite state: per-user MapState "
+            "(per-type count + exact sum) + ListState trigger ledger",
+    )
+
+
+@(_register_tws_type_stats() if _tws_available() else (lambda f: f))
+def stream_tws_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapState/ListState TWS surface, driver-checkable form: per-user
+    per-type exact counts and scaled-long sums from the map state; the
+    boolean certifies the ListState ledger saw every trigger. Update-mode
+    re-emissions reduce via max (counts are monotone)."""
+    _assert_single_events_file(sf_dir, "stream_tws_type_stats")
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        out = run_to_completion(
+            tws_type_stats_stream(spark, sf_dir),
+            "stream_tws_type_stats", "update",
+        )
+    finally:
+        if prev:
+            spark.conf.set(provider_key, prev)
+        else:
+            spark.conf.unset(provider_key)
+    return (
+        out.groupBy("user_id", "event_type")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("sum_value").alias("sum_value"),
+            (F.max("n_batches") >= F.lit(1)).alias("multi_batch_ok"),
+        )
+    )
+
+
 # --- T-sink: foreachBatch idempotent file sink -------------------------------
 
 

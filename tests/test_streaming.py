@@ -491,3 +491,33 @@ def test_stream_lakehouse_ingest_maintains_projections_per_epoch(
         "sessionize must serve from the stream-maintained artifact "
         "(a Window in the plan means it fell back to the full re-window)"
     )
+
+
+def test_tws_type_stats_matches_batch_or_skips(spark, sf_dir):
+    """Composite-state TWS (MapState per-type totals + ListState trigger
+    ledger) must equal the batch groupBy on a closed input."""
+    from data_etl_sh_lianjia_spark.streaming.events import _tws_available
+
+    if not _tws_available():
+        import pytest
+
+        pytest.skip("google.protobuf unavailable: TWS workers cannot start")
+    from pyspark.sql import functions as F
+
+    from data_etl_sh_lianjia_spark.functions.deterministic import dsum
+    from data_etl_sh_lianjia_spark.session import load_tables
+    from data_etl_sh_lianjia_spark.streaming.events import stream_tws_type_stats
+
+    out = stream_tws_type_stats(spark, sf_dir)
+    got = {tuple(r) for r in out.collect()}
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    want = {
+        tuple(r) + (True,)
+        for r in ev.groupBy("user_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "sum_value"),
+        )
+        .collect()
+    }
+    assert got == want
