@@ -4546,6 +4546,9 @@ def delete_where(
     spark._lianjia_table_cache = {}
     spark._lianjia_views_dir = None
     spark._lianjia_keydict_views = {}
+    # pinned artifacts refresh inside the commit window (they are sibling
+    # artifacts too — the completion marker must cover their maintenance)
+    _refresh_pins(spark, out_dir, sf_dir)
     # commit fully complete: table + every sibling artifact settled —
     # release any waiting concurrent writer (see _commit_done)
     _commit_done(dst, other)
@@ -4995,6 +4998,9 @@ def update_where(
     spark._lianjia_table_cache = {}
     spark._lianjia_views_dir = None
     spark._lianjia_keydict_views = {}
+    # pinned artifacts refresh inside the commit window (they are sibling
+    # artifacts too — the completion marker must cover their maintenance)
+    _refresh_pins(spark, out_dir, sf_dir)
     # commit fully complete: table + every sibling artifact settled —
     # release any waiting concurrent writer (see _commit_done)
     _commit_done(dst, other)
