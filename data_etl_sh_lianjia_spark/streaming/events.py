@@ -1161,6 +1161,127 @@ def stream_lakehouse_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(staging, ignore_errors=True)
 
 
+@register(
+    "stream_merge_upsert",
+    # Streaming MERGE (CDC-style upsert ingestion): each micro-batch
+    # upserts the LAST event per derived customer key into the managed
+    # customer copy via the storage-level merge_into. The oracle replays
+    # the same last-writer-wins reduction + upsert over the untouched
+    # sources in one SQL pass.
+    oracle=f"""
+WITH mx AS (
+  SELECT MAX(c_custkey) AS mk FROM customer
+), src AS (
+  SELECT (user_id % mk) + 1 AS k, value, epoch_us(ts) AS tu, event_id
+  FROM events CROSS JOIN mx
+), last AS (
+  SELECT k, value FROM (
+    SELECT k, value,
+           row_number() OVER (
+             PARTITION BY k ORDER BY tu DESC, event_id DESC
+           ) AS rn
+    FROM src
+  ) WHERE rn = 1
+), merged AS (
+  SELECT c.c_mktsegment, COALESCE(l.value, c.c_acctbal) AS bal
+  FROM customer c LEFT JOIN last l ON c.c_custkey = l.k
+)
+SELECT c_mktsegment, COUNT(*) AS n_customers,
+       {oracle_dsum('bal', 'sum_bal', scale=4)}
+FROM merged
+GROUP BY c_mktsegment
+""",
+    survey_ref="T7,S12,J3",
+    doc="streaming CDC upsert: foreachBatch MERGE INTO the managed "
+        "customer copy (last event per key wins); post-stream aggregate",
+    tags=("mutation",),
+)
+def stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming→MERGE integration (the CDC-ingestion shape Delta's
+    `foreachBatch { merge }` recipe documents): the event stream drives
+    per-epoch upserts into a managed dimension — matched keys REPLACE
+    (account balance := the key's latest event value), nothing inserts
+    (derived keys land inside the existing key domain), and each epoch's
+    merge rides the pinned delete∘append composition with all its
+    projection maintenance. Exactly-once per epoch: merge_into lands a
+    uniquely-tagged batch file, so a replayed epoch re-applies the same
+    logical upsert (same keys, same values), idempotent at the value
+    level. Deterministic on the closed single-file input (one epoch; the
+    oracle's last-writer-wins reduction is the epoch's own reduction)."""
+    import shutil
+    import uuid
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from data_etl_sh_lianjia_spark import session as sess
+    from data_etl_sh_lianjia_spark.operators.mutations import (
+        _drop_scratch,
+        _scratch_copy,
+    )
+
+    _assert_single_events_file(sf_dir, "stream_merge_upsert")
+    scratch = _scratch_copy(sf_dir, "customer", as_dir=True)
+    try:
+        sess.ingest_tables(spark, scratch)
+        cust = pq.read_table(
+            os.path.join(scratch, "customer.parquet", "part-00000.parquet")
+        )
+        mk = pc.max(cust["c_custkey"]).as_py()
+        cols = cust.schema.names
+
+        def upsert(batch_df: DataFrame, epoch_id: int) -> None:
+            pdf = batch_df.select(
+                "user_id", "value", "ts_ns", "event_id"
+            ).toPandas()
+            if pdf.empty:
+                return
+            pdf["k"] = (pdf["user_id"] % mk + 1).astype("int64")
+            last = (
+                pdf.sort_values(["ts_ns", "event_id"])
+                .groupby("k", sort=False)
+                .tail(1)[["k", "value"]]
+            )
+            base = cust.filter(
+                pc.is_in(
+                    cust["c_custkey"],
+                    value_set=pa.array(last["k"], type=pa.int64()),
+                )
+            ).to_pandas()
+            base = base.merge(last, left_on="c_custkey", right_on="k")
+            base["c_acctbal"] = base["value"].astype(np.float64)
+            batch = pa.Table.from_pandas(
+                base[cols], preserve_index=False
+            ).cast(cust.schema)
+            sess.merge_into(spark, scratch, "customer", batch, "c_custkey")
+
+        ckpt = os.path.join(
+            "/tmp/spark-graft-ckpt", f"smu_{uuid.uuid4().hex[:12]}"
+        )
+        q = (
+            read_events_stream(spark, sf_dir)
+            .writeStream.foreachBatch(upsert)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+        out_dir = spark._lianjia_ingest_map[os.path.normpath(scratch)]
+        post = spark.read.parquet(os.path.join(out_dir, "customer.parquet"))
+        result = post.groupBy("c_mktsegment").agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("c_acctbal", "sum_bal", scale=4),
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        _drop_scratch(spark, scratch)
+
+
 # --- T-sink: custom Python DataSourceStreamWriter ----------------------------
 
 

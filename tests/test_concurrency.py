@@ -408,3 +408,90 @@ def test_two_process_race_exactly_one_winner_per_generation(
     assert fp_now == ms[1]["fp_after"]
     assert ms[0]["pid"] != ms[1]["pid"]
     assert _no_scratch(dst) == []
+
+
+def test_four_writer_stress_serializes(
+    spark, tmp_path, monkeypatch, restore_catalog
+):
+    """Four threads race two DELETEs and two UPDATEs with row-disjoint
+    predicates: all four must land, the log must hold exactly four
+    commits with a consistent chain, and the final state must equal the
+    serial application (disjoint predicates make it order-independent)."""
+    sf = _mk_sf(tmp_path, monkeypatch, "sfstress")
+    sess.ingest_tables(spark, sf)
+    out_dir = spark._lianjia_ingest_map[os.path.normpath(sf)]
+    dst = os.path.join(out_dir, "customer.parquet")
+    src = pq.read_table(f"{SRC}/customer.parquet")
+    segs = {
+        s: len(src.filter(pc.equal(src["c_mktsegment"], s)))
+        for s in ("BUILDING", "MACHINERY", "AUTOMOBILE", "HOUSEHOLD")
+    }
+    assert all(segs.values())
+
+    barrier = threading.Barrier(4)
+    results: dict = {}
+    errors: list = []
+
+    def run(name, fn):
+        def go():
+            barrier.wait()
+            try:
+                results[name] = fn()
+            except Exception as e:  # surfaced below
+                errors.append((name, e))
+
+        return go
+
+    ops = [
+        ("del_b", lambda: sess.delete_where(
+            spark, sf, "customer", pc.field("c_mktsegment") == "BUILDING")),
+        ("del_m", lambda: sess.delete_where(
+            spark, sf, "customer", pc.field("c_mktsegment") == "MACHINERY")),
+        ("upd_a", lambda: sess.update_where(
+            spark, sf, "customer", pc.field("c_mktsegment") == "AUTOMOBILE",
+            {"c_acctbal": lambda t: pc.add(t["c_acctbal"], 100.0)})),
+        ("upd_h", lambda: sess.update_where(
+            spark, sf, "customer", pc.field("c_mktsegment") == "HOUSEHOLD",
+            {"c_acctbal": lambda t: pc.add(t["c_acctbal"], 200.0)})),
+    ]
+    ts = [threading.Thread(target=run(n, f)) for n, f in ops]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=600)
+    assert not errors, errors
+    assert results["del_b"] == segs["BUILDING"]
+    assert results["del_m"] == segs["MACHINERY"]
+    assert results["upd_a"] == segs["AUTOMOBILE"]
+    assert results["upd_h"] == segs["HOUSEHOLD"]
+
+    import pyarrow as pa
+
+    left = pq.read_table(dst)
+    want = src.filter(
+        pc.invert(
+            pc.is_in(
+                src["c_mktsegment"],
+                value_set=pa.array(["BUILDING", "MACHINERY"]),
+            )
+        )
+    )
+    bump = pc.case_when(
+        pc.make_struct(
+            pc.equal(want["c_mktsegment"], "AUTOMOBILE"),
+            pc.equal(want["c_mktsegment"], "HOUSEHOLD"),
+        ),
+        pc.add(want["c_acctbal"], 100.0),
+        pc.add(want["c_acctbal"], 200.0),
+        want["c_acctbal"],
+    )
+    assert sorted(
+        zip(left["c_custkey"].to_pylist(), left["c_acctbal"].to_pylist())
+    ) == sorted(zip(want["c_custkey"].to_pylist(), bump.to_pylist()))
+    ms = _manifests(dst)
+    assert [m["seq"] for m in ms] == [1, 2, 3, 4], ms
+    for a, b in zip(ms, ms[1:]):
+        assert b["fp_before"] == a["fp_after"], (a, b)
+    fp_now, _ = sess._read_marker(os.path.join(dst, "_SUCCESS"))
+    assert fp_now == ms[-1]["fp_after"]
+    assert _no_scratch(dst) == []
