@@ -14,6 +14,10 @@
     python -m data_etl_sh_lianjia_spark compact <table>
     python -m data_etl_sh_lianjia_spark vacuum <table> [--keep N]
     python -m data_etl_sh_lianjia_spark materialize <query>
+    python -m data_etl_sh_lianjia_spark pin <query>
+    python -m data_etl_sh_lianjia_spark pin-cut <name> --parent-kind K \
+        --parent <table-or-rollup> --sql "SELECT ... FROM {src} ..."
+    python -m data_etl_sh_lianjia_spark unpin <name>
 
 ``run`` executes any declared query from the registry over the catalog at
 ``--sf-dir`` and, like the reference's feed export, writes JSON-lines when
