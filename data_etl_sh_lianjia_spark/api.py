@@ -182,6 +182,13 @@ class Engine:
 
         return _txn()
 
+    def commits(self, name: str) -> list:
+        """The table's DML commit log (the multi-writer CAS ledger),
+        oldest first — see ``session.commit_history``."""
+        from data_etl_sh_lianjia_spark.session import commit_history
+
+        return commit_history(self.spark, self.sf_dir, name)
+
     def vacuum(self, name: str, keep: int = 0) -> int:
         """Drop retained snapshots beyond the newest ``keep`` (reclaims the
         disk the hardlinked generations hold, at the cost of

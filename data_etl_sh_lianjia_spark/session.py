@@ -508,6 +508,36 @@ def _commit_await(dst: str, other: dict | None, timeout: float = 120.0) -> None:
     )
 
 
+def commit_history(
+    spark: SparkSession, sf_dir: str, name: str
+) -> list[dict]:
+    """The table's commit log, oldest first: one dict per retained DML
+    commit (seq, op, fingerprints, read/write file sets, pid, ts,
+    completed flag) — the observability half of the multi-writer contract
+    (Delta's DESCRIBE HISTORY analogue for the CAS log; the snapshot-level
+    `table_history` remains the time-travel surface)."""
+    _out_dir, dst = _mutation_target(spark, sf_dir, name)
+    cdir = _commit_log_dir(dst)
+    out: list[dict] = []
+    if not os.path.isdir(cdir):
+        return out
+    import json
+
+    for f in sorted(os.listdir(cdir)):
+        if not (f.endswith(".json") and f[:-5].isdigit()):
+            continue
+        try:
+            with open(os.path.join(cdir, f)) as fh:
+                m = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        m["completed"] = os.path.exists(
+            os.path.join(cdir, f"{m['seq']:06d}.done")
+        )
+        out.append(m)
+    return out
+
+
 def _commit_lost(
     dst: str, name: str, op: str, other: dict | None, reads: list,
     retries: int,

@@ -495,3 +495,23 @@ def test_four_writer_stress_serializes(
     fp_now, _ = sess._read_marker(os.path.join(dst, "_SUCCESS"))
     assert fp_now == ms[-1]["fp_after"]
     assert _no_scratch(dst) == []
+
+
+def test_commit_history_surface(spark, tmp_path, monkeypatch, restore_catalog):
+    """commit_history exposes the CAS ledger: one entry per DML commit,
+    chained fingerprints, completed flags, empty before any mutation."""
+    sf = _mk_sf(tmp_path, monkeypatch, "sfhist")
+    assert sess.commit_history(spark, sf, "customer") == []
+    sess.delete_where(
+        spark, sf, "customer", pc.field("c_mktsegment") == "BUILDING"
+    )
+    sess.update_where(
+        spark, sf, "customer", pc.field("c_mktsegment") == "AUTOMOBILE",
+        {"c_acctbal": lambda t: pc.add(t["c_acctbal"], 1.0)},
+    )
+    hist = sess.commit_history(spark, sf, "customer")
+    assert [h["seq"] for h in hist] == [1, 2]
+    assert [h["op"] for h in hist] == ["delete", "update"]
+    assert hist[1]["fp_before"] == hist[0]["fp_after"]
+    assert all(h["completed"] for h in hist)
+    assert all(h["writes"] for h in hist)
