@@ -32,6 +32,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # converts repo-verified queries into driver-verified ones round by round.
 # Update after each round from the new CORRECTNESS_r{N}.json.
 _DRIVER_SAMPLED = frozenset({
+    # --- round 10 sample (CORRECTNESS_r10.json, 50/50 hash-green; the 11
+    # net-new r10 operators are now driver-verified) ---
+    "concurrent_dml_serialization", "pinned_cut_roundtrip", "ann_ivfpq_topk",
+    "stream_tws_counter", "stream_tws_type_stats", "stream_merge_upsert",
+    "multimodal_gif_decode", "multimodal_gif_resize", "gopher_quality_flags",
+    "events_sliding_distinct_users", "bigram_interpolated_logprob",
     # --- round 9 sample (CORRECTNESS_r09.json, 50/50 hash-green; the 9
     # net-new r9 operators are now driver-verified) ---
     "quantile_sketch_mergeable", "ewma_user_value", "mad_outlier_stats",
