@@ -580,6 +580,127 @@ def schema_evolution_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "schema_evolution_widening",
+    # Type-widening evolution (M7, r11): the landed base carries o_custkey
+    # as INT32, a later batch lands it as INT64 — the rebuild unifies to
+    # the WIDE type (old rows upcast losslessly) instead of raising the
+    # type-conflict error. widened_ok is the exact-plus-flag pattern: it
+    # certifies the managed schema actually widened (bigint), the event
+    # took the rebuild path (not a bogus O(batch) append), and the managed
+    # parts stayed schema-identical.
+    oracle=f"""
+WITH batch AS (
+  SELECT o_orderkey + 40000000 AS o_orderkey, o_custkey, o_orderstatus,
+         o_totalprice, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 89 = 0
+),
+merged AS (
+  SELECT * FROM orders
+  UNION ALL
+  SELECT * FROM batch
+)
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(o_custkey) AS BIGINT) AS sum_custkey,
+       {oracle_dsum('o_totalprice', 'sum_total', scale=2)},
+       TRUE AS widened_ok
+FROM merged
+GROUP BY o_orderpriority
+""",
+    survey_ref="S5,S9,M7,A3",
+    doc="type-widening schema evolution: INT32 base + INT64 batch rebuild "
+        "to BIGINT; post-state aggregate + widened-schema flag",
+    tags=("mutation",),
+)
+def schema_evolution_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rewrite a scratch orders landing so its base part carries
+    ``o_custkey`` as INT32 (the narrow historical schema), ingest, then
+    land a batch at the original INT64 — the widening evolution event.
+    The re-ingest must take the REBUILD path and unify the managed copy
+    to BIGINT (``session._unify_schemas_widening``): old rows upcast
+    losslessly (the key sums match the oracle's one-pass union over the
+    untouched source bit-for-bit), and the flag certifies the widened
+    schema + single-schema managed dir. Cross-family changes still raise
+    (see ``tests/test_schema_evolution.py``)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from data_etl_sh_lianjia_spark.session import ingest_tables
+
+    scratch = _scratch_copy(sf_dir, "orders", as_dir=True)
+    try:
+        base_path = os.path.join(
+            scratch, "orders.parquet", "part-00000.parquet"
+        )
+        src = pq.read_table(base_path)
+        narrow = src.set_column(
+            src.schema.get_field_index("o_custkey"),
+            "o_custkey",
+            src["o_custkey"].cast(pa.int32()),
+        )
+        pq.write_table(narrow, base_path)
+        ingest_tables(spark, scratch)
+        out_dir = spark._lianjia_ingest_map[os.path.normpath(scratch)]
+        pre = spark.read.parquet(os.path.join(out_dir, "orders.parquet"))
+        narrow_ingested = (
+            dict((f.name, f.dataType.simpleString()) for f in pre.schema)[
+                "o_custkey"
+            ]
+            == "int"
+        )
+
+        ok_arr = src.column("o_orderkey").to_numpy()
+        batch = src.filter(pa.array(ok_arr % 89 == 0))
+        batch = batch.set_column(
+            batch.schema.get_field_index("o_orderkey"),
+            batch.schema.field("o_orderkey"),
+            pa.array(
+                batch.column("o_orderkey").to_numpy() + 40_000_000,
+                pa.int64(),
+            ),
+        )
+        pq.write_table(
+            batch,
+            os.path.join(scratch, "orders.parquet", "part-00001.parquet"),
+        )
+        ingest_tables(spark, scratch)
+        took_rebuild = (
+            spark._lianjia_ingest_rebuilt == 1
+            and spark._lianjia_ingest_appended == 0
+        )
+
+        dst = os.path.join(out_dir, "orders.parquet")
+        post = spark.read.parquet(dst)
+        widened = (
+            dict((f.name, f.dataType.simpleString()) for f in post.schema)[
+                "o_custkey"
+            ]
+            == "bigint"
+        )
+        part_schemas = {
+            str(pq.read_schema(os.path.join(dst, f)))
+            for f in os.listdir(dst)
+            if f.endswith(".parquet")
+        }
+        ok = (
+            narrow_ingested
+            and took_rebuild
+            and widened
+            and len(part_schemas) == 1
+        )
+        result = post.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_custkey").alias("sum_custkey"),
+            dsum("o_totalprice", "sum_total", scale=2),
+        ).withColumn("widened_ok", F.lit(bool(ok)))
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        _drop_scratch(spark, scratch)
+
+
+@register(
     "table_changes_orders",
     oracle=f"""
 WITH changes AS (
@@ -736,6 +857,177 @@ def concurrent_dml_serialization(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
             dsum("o_totalprice", "sum_total", scale=2),
         ).withColumn("serialized_ok", F.lit(bool(ok)))
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        _drop_scratch(spark, scratch)
+
+
+def _scratch_add(scratch: str, sf_dir: str, table: str) -> None:
+    """Add a second landed table to an existing scratch sf-dir (multi-table
+    transaction queries need more than :func:`_scratch_copy`'s one)."""
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    dst = os.path.join(scratch, f"{table}.parquet")
+    if os.path.isdir(src):
+        shutil.copytree(src, dst)
+    else:
+        shutil.copy(src, dst)
+
+
+def _txn_bracket(manifests: list) -> tuple | None:
+    """(txn_id, begin_seq, commit_seq) of a table's SINGLE committed
+    transaction bracket, or None if the bracket is malformed / interleaved
+    with foreign commits (the isolation property the ledger certifies)."""
+    begins = [m for m in manifests if m["op"] == "txn-begin"]
+    commits = [m for m in manifests if m["op"] == "txn-commit"]
+    if len(begins) != 1 or len(commits) != 1:
+        return None
+    tid, b, e = begins[0].get("txn"), begins[0]["seq"], commits[0]["seq"]
+    if commits[0].get("txn") != tid or not b < e:
+        return None
+    if not all(
+        m.get("txn") == tid for m in manifests if b < m["seq"] < e
+    ):
+        return None
+    return tid, b, e
+
+
+@register(
+    "txn_commit_serialization",
+    # A two-table transaction (DELETE on orders + UPDATE on customer) races
+    # an independent single-table writer (UPDATE on orders). Row-disjoint
+    # predicates make the serialized outcome unique and SQL-expressible in
+    # one pass over the untouched sources. txn_serialized_ok is the
+    # exact-plus-flag pattern: it certifies the commit-ledger structure —
+    # matching txn-begin/txn-commit brackets on BOTH tables (same txn id),
+    # the transaction's own mutations stamped with that id inside the
+    # bracket, and the foreign writer's commit entirely OUTSIDE it.
+    oracle=f"""
+SELECT o.o_orderpriority,
+       COUNT(*) AS n_orders,
+       {oracle_dsum(
+           "CASE WHEN o.o_orderstatus = 'O' THEN o.o_totalprice + 1000.0 "
+           "ELSE o.o_totalprice END",
+           'sum_total', scale=2)},
+       MIN(c.sum_acctbal) AS sum_acctbal,
+       TRUE AS txn_serialized_ok
+FROM orders o
+CROSS JOIN (
+    SELECT {oracle_dsum(
+        "CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal + 50.0 "
+        "ELSE c_acctbal END",
+        'sum_acctbal', scale=2)}
+    FROM customer
+) c
+WHERE o.o_orderstatus IS NULL OR o.o_orderstatus <> 'F'
+GROUP BY o.o_orderpriority
+""",
+    survey_ref="M10,M13",
+    doc="transaction-scope OCC: two-table transaction vs independent "
+        "writer, lock-serialized; post-state aggregates + ledger-bracket "
+        "flag",
+    tags=("mutation",),
+)
+def txn_commit_serialization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Race a two-table ``transaction`` (DELETE ``o_orderstatus = 'F'`` on
+    orders, UPDATE ``c_acctbal += 50`` on customer's BUILDING segment)
+    against an independent writer thread (UPDATE ``o_totalprice += 1000``
+    on orders' 'O' rows) that starts while the transaction holds its table
+    locks. The transaction-scope OCC (session.py: canonical-order TXNLOCK
+    acquisition over the commit-log CAS) blocks the writer until the
+    transaction commits, so the final state equals a serial order — unique
+    here because every predicate is row-disjoint. The returned aggregates
+    hash-match the oracle's one-pass equivalent; ``txn_serialized_ok``
+    certifies the ledger: txn-begin/txn-commit brackets on both tables
+    share one txn id, every in-bracket manifest carries it, and the
+    foreign update sits entirely outside the orders bracket."""
+    import threading
+
+    import pyarrow.compute as pc
+    from pyspark.sql import functions as F
+
+    from data_etl_sh_lianjia_spark import session as sess
+
+    scratch = _scratch_copy(sf_dir, "orders")
+    _scratch_add(scratch, sf_dir, "customer")
+    try:
+        sess.ingest_tables(spark, scratch)
+        in_txn = threading.Event()
+        errs: list = []
+
+        def writer():
+            in_txn.wait(timeout=120)
+            try:
+                sess.update_where(
+                    spark, scratch, "orders",
+                    pc.field("o_orderstatus") == "O",
+                    {"o_totalprice": lambda t: pc.add(
+                        t["o_totalprice"], 1000.0
+                    )},
+                )
+            except Exception as e:  # surfaced after join
+                errs.append(e)
+
+        th = threading.Thread(target=writer)
+        th.start()
+        with sess.transaction(spark, scratch, "orders", "customer"):
+            sess.delete_where(
+                spark, scratch, "orders",
+                pc.field("o_orderstatus") == "F",
+            )
+            in_txn.set()
+            th_wait = threading.Event()
+            th_wait.wait(0.5)  # let the writer reach the lock wait
+            sess.update_where(
+                spark, scratch, "customer",
+                pc.field("c_mktsegment") == "BUILDING",
+                {"c_acctbal": lambda t: pc.add(t["c_acctbal"], 50.0)},
+            )
+        th.join(timeout=300)
+        if errs:
+            raise errs[0]
+        if th.is_alive():
+            raise RuntimeError("foreign writer wedged on the txn lock")
+
+        out_dir = spark._lianjia_ingest_map[os.path.normpath(scratch)]
+        o_dst = os.path.join(out_dir, "orders.parquet")
+        c_dst = os.path.join(out_dir, "customer.parquet")
+        oms = sess.commit_history(spark, scratch, "orders")
+        cms = sess.commit_history(spark, scratch, "customer")
+        bo, bc = _txn_bracket(oms), _txn_bracket(cms)
+        fp_now, _m = sess._read_marker(os.path.join(o_dst, "_SUCCESS"))
+        ok = (
+            bo is not None
+            and bc is not None
+            and bo[0] == bc[0]  # one transaction spans both tables
+            and any(
+                m["op"] == "delete" and bo[1] < m["seq"] < bo[2]
+                for m in oms
+            )
+            and any(
+                m["op"] == "update" and "txn" not in m
+                and (m["seq"] < bo[1] or m["seq"] > bo[2])
+                for m in oms
+            )
+            and any(
+                m["op"] == "update" and m.get("txn") == bc[0]
+                and bc[1] < m["seq"] < bc[2]
+                for m in cms
+            )
+            and fp_now == max(oms, key=lambda m: m["seq"])["fp_after"]
+        )
+
+        post_o = spark.read.parquet(o_dst)
+        post_c = spark.read.parquet(c_dst)
+        acct = post_c.agg(
+            dsum("c_acctbal", "sum_acctbal", scale=2)
+        ).collect()[0][0]
+        result = post_o.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "sum_total", scale=2),
+        ).withColumn(
+            "sum_acctbal", F.lit(float(acct))
+        ).withColumn("txn_serialized_ok", F.lit(bool(ok)))
         rows = result.collect()
         return spark.createDataFrame(rows, result.schema)
     finally:

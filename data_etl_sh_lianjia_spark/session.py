@@ -352,6 +352,10 @@ def _commit_try(
     import time
     import uuid
 
+    # a foreign transaction holding this table blocks ALL single-op commits
+    # until it commits or aborts — the transaction serializes as one unit
+    # (released writers then take the ordinary lost/re-apply path)
+    _txn_lock_wait(dst)
     cdir = _commit_log_dir(dst)
     os.makedirs(cdir, exist_ok=True)
     seq, head = _commit_head(cdir)
@@ -395,6 +399,11 @@ def _commit_try(
         "pid": os.getpid(),
         "ts": time.time(),
     }
+    txn = _txn_held(dst)
+    if txn:
+        # in-transaction mutation: stamp the txn id so the ledger can
+        # certify the begin..commit bracket holds only this txn's commits
+        manifest["txn"] = txn
     tmp = os.path.join(cdir, f".tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}")
     with open(tmp, "w") as fh:
         json.dump(manifest, fh)
@@ -409,6 +418,19 @@ def _commit_try(
         except (OSError, ValueError):
             return "pending", None
     os.unlink(tmp)
+    lk = _txn_lock_read(dst)
+    if lk is not None and _txn_held(dst) != lk.get("txn"):
+        # TOCTOU seam: a transaction locked the table between our pre-CAS
+        # lock check and the link. Its entry-settle may not have seen this
+        # manifest — back out (unlink so the settle never waits on a commit
+        # we won't publish), block until the transaction finishes, then let
+        # the caller re-apply against the post-transaction snapshot.
+        try:
+            os.unlink(target)
+        except OSError:
+            pass
+        _txn_lock_wait(dst)
+        return "lost", None
     for s in range(max(1, seq + 1 - _COMMIT_LOG_RETAIN)):
         for ext in (".json", ".done"):
             try:
@@ -560,6 +582,236 @@ def _commit_lost(
             f"read: {overlap[:5]}{'...' if len(overlap) > 5 else ''}"
         )
     _commit_await(dst, other)
+
+
+# --------------------------------------------------------------------------
+# Transaction-scope OCC (M10 × M13): a multi-table ``transaction`` block
+# composes with the per-table commit-log CAS via TABLE LOCKS. The per-op CAS
+# alone serializes writers per table per generation — but a concurrent
+# writer landing BETWEEN a transaction's two table commits would observe (or
+# on rollback, be clobbered into) a state no serial order produces. The
+# transaction therefore:
+#
+#   1. acquires an EXCL lock file (``<table>.commits/TXNLOCK``) on every
+#      listed table in CANONICAL (sorted) order — on conflict it releases
+#      everything it holds, waits for the blocking holder like a single-op
+#      loser, and retries (bounded by COMMIT_RETRIES). Canonical order makes
+#      the wait-for graph acyclic: a blocker can only itself be waiting on
+#      tables later in the order, so the chain terminates. No deadlock.
+#   2. waits for any IN-FLIGHT single-op commit (CASed before the lock
+#      existed) to fully settle (_commit_settle) before snapshotting entry
+#      fingerprints — otherwise rollback could restore over a concurrent
+#      writer's commit (lost update).
+#   3. brackets each table's commit log with ``txn-begin`` /
+#      ``txn-commit`` / ``txn-abort`` manifests carrying the transaction id;
+#      in-block mutations stamp the same id into their own manifests. The
+#      ledger (commit_history) therefore CERTIFIES isolation: between a
+#      table's txn-begin and txn-commit rows, every manifest belongs to that
+#      transaction — foreign commits sit entirely before or after.
+#
+# Single-op writers block at the top of _commit_try while a foreign
+# transaction holds the table (then proceed through the ordinary
+# lost/re-apply path once released), so the whole transaction serializes
+# against them as one unit. Crash contract: a holder that dies mid-block
+# leaves its lock to pid-liveness healing and its tables at their last
+# PUBLISHED generation — same as today's single-session crash posture; the
+# lockstep check refuses behind-by-one projections and rebuilds them. On a
+# multi-host cluster the lock file becomes a lease row on the same commit
+# service backing the CAS (atomic put-if-absent + TTL), unchanged protocol.
+#
+# Thread scope: the lock is held by the (process, thread) that opened the
+# block — mutations inside MUST run on the block's thread (they do, for
+# every mutation kernel here; their internal executor pools fan out below
+# the commit layer).
+
+TXN_LOCK_TIMEOUT = float(os.environ.get("SPARK_GRAFT_TXN_LOCK_TIMEOUT", "120"))
+_TXN_LOCAL = threading.local()  # per-thread: normpath(table dir) -> txn id
+
+
+def _txn_held(dst: str) -> str | None:
+    held = getattr(_TXN_LOCAL, "held", None)
+    return held.get(os.path.normpath(dst)) if held else None
+
+
+def _txn_lock_path(dst: str) -> str:
+    return os.path.join(_commit_log_dir(dst), "TXNLOCK")
+
+
+def _txn_lock_read(dst: str) -> dict | None:
+    import json
+
+    try:
+        with open(_txn_lock_path(dst)) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return None
+
+
+def _txn_lock_try(
+    dst: str, txn_id: str, tables: list
+) -> tuple[bool, dict | None]:
+    """One EXCL attempt at the table's transaction lock (tmp write + atomic
+    hardlink, the same put-if-absent primitive as the commit CAS). On
+    conflict, heals a dead holder's lock (pid-liveness, age-gated) so the
+    caller's retry can win; returns (False, holder) either way."""
+    import json
+    import time
+    import uuid
+
+    cdir = _commit_log_dir(dst)
+    os.makedirs(cdir, exist_ok=True)
+    tmp = os.path.join(cdir, f".txn-{os.getpid()}-{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as fh:
+        json.dump(
+            {
+                "txn": txn_id,
+                "pid": os.getpid(),
+                "ts": time.time(),
+                "tables": sorted(tables),
+            },
+            fh,
+        )
+    try:
+        os.link(tmp, _txn_lock_path(dst))
+    except FileExistsError:
+        os.unlink(tmp)
+        holder = _txn_lock_read(dst)
+        if (
+            holder
+            and holder.get("pid") != os.getpid()
+            and not _pid_alive(int(holder.get("pid", -1)))
+            and time.time() - holder.get("ts", 0) > 2.0
+        ):
+            try:
+                os.unlink(_txn_lock_path(dst))
+            except OSError:
+                pass
+        return False, holder
+    os.unlink(tmp)
+    return True, None
+
+
+def _txn_lock_release(dst: str, txn_id: str) -> None:
+    holder = _txn_lock_read(dst)
+    if holder and holder.get("txn") == txn_id:
+        try:
+            os.unlink(_txn_lock_path(dst))
+        except OSError:
+            pass
+
+
+def _txn_lock_wait(dst: str, timeout: float | None = None) -> None:
+    """Block while a FOREIGN transaction holds ``dst`` — the single-op
+    writer's half of the transaction contract (called at the top of
+    _commit_try, before any CAS attempt). Returns immediately when the lock
+    is absent or held by THIS thread's transaction; heals a dead holder's
+    lock; raises ConcurrentWriteConflictError past the timeout."""
+    import time
+
+    deadline = time.monotonic() + (
+        TXN_LOCK_TIMEOUT if timeout is None else timeout
+    )
+    while True:
+        holder = _txn_lock_read(dst)
+        if holder is None:
+            return
+        if _txn_held(dst) == holder.get("txn"):
+            return
+        pid = int(holder.get("pid", -1))
+        if (
+            pid != os.getpid()
+            and not _pid_alive(pid)
+            and time.time() - holder.get("ts", 0) > 2.0
+        ):
+            # holder died mid-block: its tables sit at their last published
+            # generation (crash contract) — heal the lock and proceed
+            try:
+                os.unlink(_txn_lock_path(dst))
+            except OSError:
+                pass
+            return
+        if time.monotonic() > deadline:
+            raise ConcurrentWriteConflictError(
+                f"transaction {holder.get('txn')!r} (pid {holder.get('pid')}) "
+                f"has held {dst!r} beyond {TXN_LOCK_TIMEOUT:.0f}s — "
+                f"cannot commit"
+            )
+        time.sleep(0.02)
+
+
+def _commit_settle(dst: str, timeout: float = 120.0) -> None:
+    """Wait until the table's commit head is FULLY settled (its .done
+    marker landed, its writer died, or the log is empty/superseded). A
+    transaction calls this per table AFTER acquiring the lock and BEFORE
+    snapshotting entry fingerprints: an in-flight single-op commit that
+    CASed before the lock existed must publish and finish projection
+    maintenance first, or a later rollback would restore over it."""
+    import time
+
+    cdir = _commit_log_dir(dst)
+    marker = os.path.join(dst, "_SUCCESS")
+    deadline = time.monotonic() + timeout
+    while time.monotonic() < deadline:
+        seq, head = _commit_head(cdir)
+        if head is None:
+            return
+        if os.path.exists(os.path.join(cdir, f"{seq:06d}.done")):
+            return
+        fp_now, _m = _read_marker(marker)
+        if head.get("fp_after") != fp_now and head.get("fp_before") != fp_now:
+            return  # unlogged publish (compact/restore) superseded the log
+        if head.get("pid") != os.getpid() and not _pid_alive(
+            int(head.get("pid", -1))
+        ):
+            return  # crashed writer: the lockstep check covers its wake
+        time.sleep(0.02)
+    raise ConcurrentWriteConflictError(
+        f"commit {head.get('seq') if head else '?'} on {dst!r} never "
+        f"settled within {timeout:.0f}s — cannot open a transaction over "
+        f"an unsettled generation"
+    )
+
+
+def _txn_append_manifest(
+    dst: str, op: str, txn_id: str, fp_before: str, fp_after: str
+) -> None:
+    """Append a transaction bracket manifest (txn-begin / txn-commit /
+    txn-abort) to the table's commit log, with its .done marker written
+    immediately (bracket rows never gate projection maintenance). The
+    holder owns the table lock, so seq collisions can only come from a
+    pre-lock in-flight commit — the EXCL link arbitration retries past it."""
+    import json
+    import time
+    import uuid
+
+    cdir = _commit_log_dir(dst)
+    os.makedirs(cdir, exist_ok=True)
+    while True:
+        seq, _head = _commit_head(cdir)
+        manifest = {
+            "seq": seq + 1,
+            "op": op,
+            "txn": txn_id,
+            "fp_before": fp_before,
+            "fp_after": fp_after,
+            "reads": [],
+            "writes": [],
+            "pid": os.getpid(),
+            "ts": time.time(),
+        }
+        tmp = os.path.join(cdir, f".tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        target = os.path.join(cdir, f"{seq + 1:06d}.json")
+        try:
+            os.link(tmp, target)
+        except FileExistsError:
+            os.unlink(tmp)
+            continue
+        os.unlink(tmp)
+        with open(os.path.join(cdir, f"{seq + 1:06d}.done"), "w"):
+            pass
+        return
 
 
 # Snapshot retention per managed table (time travel): how many pre-mutation
@@ -1023,51 +1275,123 @@ def transaction(spark: SparkSession, sf_dir: str, *tables: str):
 
     @contextmanager
     def _txn():
+        import time
+        import uuid
+
+        txn_id = f"txn-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        order = sorted(set(tables))
         out_dir, _dst = _mutation_target(spark, sf_dir, tables[0])
+        dsts = {t: os.path.join(out_dir, f"{t}.parquet") for t in order}
+        held = getattr(_TXN_LOCAL, "held", None)
+        if held is None:
+            held = _TXN_LOCAL.held = {}
+        for t in order:
+            if os.path.normpath(dsts[t]) in held:
+                raise ValueError(
+                    f"table {t!r} is already held by a transaction on this "
+                    f"thread — nested transactions on one table are not "
+                    f"supported"
+                )
+        # acquire every table lock in CANONICAL order; on conflict release
+        # everything held and wait for the blocker like a single-op loser
+        # (canonical order keeps the wait-for graph acyclic — no deadlock)
+        retries = COMMIT_RETRIES
+        while True:
+            acquired = []
+            blocker = None
+            for t in order:
+                ok, holder = _txn_lock_try(dsts[t], txn_id, order)
+                if ok:
+                    acquired.append(t)
+                else:
+                    blocker = (t, holder)
+                    break
+            if blocker is None:
+                break
+            for t in reversed(acquired):
+                _txn_lock_release(dsts[t], txn_id)
+            if retries <= 0:
+                raise ConcurrentWriteConflictError(
+                    f"could not lock {blocker[0]!r} for the transaction "
+                    f"after {COMMIT_RETRIES + 1} attempts — held by "
+                    f"{blocker[1]}"
+                )
+            retries -= 1
+            _txn_lock_wait(dsts[blocker[0]])
+            time.sleep(0.01)
         entry = {}
-        for t in tables:
-            fp, _m = _read_marker(
-                os.path.join(out_dir, f"{t}.parquet", "_SUCCESS")
-            )
-            entry[t] = fp
         try:
-            yield
-        except BaseException:
-            # attempt EVERY table before reporting failures: one
-            # unrestorable table must not abandon the others' rollbacks
-            unrestorable = []
-            for t in tables:
-                cur, _m = _read_marker(
-                    os.path.join(out_dir, f"{t}.parquet", "_SUCCESS")
-                )
-                if cur == entry[t]:
-                    continue
-                snaps = os.path.join(out_dir, f"{t}.parquet.snaps")
-                match = None
-                if os.path.isdir(snaps):
-                    for d in sorted(
-                        (x for x in os.listdir(snaps) if x.isdigit()),
-                        reverse=True,
-                    ):
-                        fp, _sm = _read_marker(
-                            os.path.join(snaps, d, "_SUCCESS")
-                        )
-                        if fp == entry[t]:
-                            match = int(d)
-                            break
-                if match is None:
-                    unrestorable.append(t)
-                    continue
-                restore_table_version(spark, sf_dir, t, match)
-            if unrestorable:
-                raise RuntimeError(
-                    f"transaction rollback of {unrestorable!r} impossible: "
-                    f"the entry generation is no longer retained (more "
-                    f"than SNAP_RETAIN mutations inside the block?) — "
-                    f"those tables are left at their current state; every "
-                    f"other listed table was rolled back"
-                )
-            raise
+            for t in order:
+                # any in-flight single-op commit (CASed pre-lock) must
+                # fully settle before the entry snapshot, or rollback
+                # could restore over it
+                _commit_settle(dsts[t])
+                fp, _m = _read_marker(os.path.join(dsts[t], "_SUCCESS"))
+                entry[t] = fp
+                held[os.path.normpath(dsts[t])] = txn_id
+                _txn_append_manifest(dsts[t], "txn-begin", txn_id, fp, fp)
+            try:
+                yield
+            except BaseException:
+                # attempt EVERY table before reporting failures: one
+                # unrestorable table must not abandon the others' rollbacks
+                unrestorable = []
+                for t in order:
+                    cur, _m = _read_marker(
+                        os.path.join(dsts[t], "_SUCCESS")
+                    )
+                    if cur == entry[t]:
+                        continue
+                    snaps = dsts[t] + ".snaps"
+                    match = None
+                    if os.path.isdir(snaps):
+                        for d in sorted(
+                            (x for x in os.listdir(snaps) if x.isdigit()),
+                            reverse=True,
+                        ):
+                            fp, _sm = _read_marker(
+                                os.path.join(snaps, d, "_SUCCESS")
+                            )
+                            if fp == entry[t]:
+                                match = int(d)
+                                break
+                    if match is None:
+                        unrestorable.append(t)
+                        continue
+                    restore_table_version(spark, sf_dir, t, match)
+                    # restore resets the commit-log lineage (lock file
+                    # included) — re-take the lock so the remaining
+                    # rollbacks + abort bracket stay serialized
+                    _txn_lock_try(dsts[t], txn_id, order)
+                for t in order:
+                    fp_now, _m = _read_marker(
+                        os.path.join(dsts[t], "_SUCCESS")
+                    )
+                    _txn_append_manifest(
+                        dsts[t], "txn-abort", txn_id, entry[t], fp_now
+                    )
+                if unrestorable:
+                    raise RuntimeError(
+                        f"transaction rollback of {unrestorable!r} "
+                        f"impossible: the entry generation is no longer "
+                        f"retained (more than SNAP_RETAIN mutations inside "
+                        f"the block?) — those tables are left at their "
+                        f"current state; every other listed table was "
+                        f"rolled back"
+                    )
+                raise
+            else:
+                for t in order:
+                    fp_now, _m = _read_marker(
+                        os.path.join(dsts[t], "_SUCCESS")
+                    )
+                    _txn_append_manifest(
+                        dsts[t], "txn-commit", txn_id, entry[t], fp_now
+                    )
+        finally:
+            for t in order:
+                held.pop(os.path.normpath(dsts[t]), None)
+                _txn_lock_release(dsts[t], txn_id)
 
     return _txn()
 
@@ -3152,14 +3476,84 @@ def _conform_to_schema(table, schema):
     return table.select(schema.names).cast(schema)
 
 
+def _widen_type(types):
+    """The widest member of ONE widening family covering every type in
+    ``types``, or None when they cross families. The lattice is the
+    lossless-upcast one (Delta/Iceberg type widening): signed ints up to
+    BIGINT, unsigned ints up to UINT64, floats up to DOUBLE. INT↔FLOAT,
+    numeric↔string, etc. are genuine conflicts — never silently coerced
+    (int64→double loses precision past 2^53)."""
+    import pyarrow as pa
+
+    families = (
+        [pa.int8(), pa.int16(), pa.int32(), pa.int64()],
+        [pa.uint8(), pa.uint16(), pa.uint32(), pa.uint64()],
+        [pa.float16(), pa.float32(), pa.float64()],
+    )
+    for fam in families:
+        ranks = []
+        for t in types:
+            try:
+                ranks.append(fam.index(t))
+            except ValueError:
+                break
+        else:
+            return fam[max(ranks)]
+    return None
+
+
+def _unify_schemas_widening(schemas, where: str):
+    """``pa.unify_schemas`` plus TYPE WIDENING: when parts disagree on a
+    column's type but every observed type sits in one widening family
+    (INT→BIGINT, FLOAT→DOUBLE), unify to the widest — the schema evolution
+    a years-long corpus actually performs. Cross-family conflicts still
+    raise the clear additive-evolution error. (pyarrow's own
+    ``promote_options='permissive'`` is NOT used: it merges int64+float64
+    to double, silently losing integer precision past 2^53.)"""
+    import pyarrow as pa
+
+    try:
+        return pa.unify_schemas(schemas)
+    except (pa.ArrowInvalid, pa.ArrowTypeError) as e:
+        conflict = e
+    seen: dict = {}
+    order: list = []
+    for s in schemas:
+        for f in s:
+            if f.name not in seen:
+                seen[f.name] = []
+                order.append(f.name)
+            if f.type not in seen[f.name]:
+                seen[f.name].append(f.type)
+    out = []
+    for name in order:
+        types = seen[name]
+        if len(types) == 1:
+            out.append(pa.field(name, types[0]))
+            continue
+        wide = _widen_type(types)
+        if wide is None:
+            raise ValueError(
+                f"landed parts of {where!r} have incompatible schemas: "
+                f"column {name!r} changed TYPE across parts beyond the "
+                f"widening lattice ({[str(t) for t in types]}) — additive "
+                f"evolution plus INT→BIGINT / FLOAT→DOUBLE widening only: "
+                f"{conflict}"
+            ) from conflict
+        out.append(pa.field(name, wide))
+    return pa.schema(out)
+
+
 def _read_landed(src: str):
     """Read a landed table (file or directory form) under a UNIFIED schema.
 
     pyarrow's plain ``read_table`` takes the first fragment's schema and
     silently DROPS columns later parts added — the worst failure mode for
     an evolving landing. Directory sources instead unify per-part schemas
-    (additive evolution: new columns null-fill for old rows); a genuine
-    type conflict between parts raises a clear error instead of guessing.
+    (additive evolution: new columns null-fill for old rows; types WIDEN
+    within one family — INT→BIGINT, FLOAT→DOUBLE — to the widest observed);
+    a genuine cross-family type conflict raises a clear error instead of
+    guessing.
 
     Merge tombstones replay here (see :func:`merge_into`): each
     ``_merge-*.tombstones.json`` sidecar records the keys its merge batch
@@ -3179,13 +3573,9 @@ def _read_landed(src: str):
         return pq.read_table(src)
     files = sorted(glob.glob(os.path.join(src, "*.parquet")))
     schemas = [pq.read_schema(f) for f in files]
-    try:
-        unified = pa.unify_schemas(schemas)
-    except (pa.ArrowInvalid, pa.ArrowTypeError) as e:
-        raise ValueError(
-            f"landed parts of {src!r} have incompatible schemas (a column "
-            f"changed TYPE across parts — additive evolution only): {e}"
-        ) from e
+    # additive evolution + type widening (INT→BIGINT, FLOAT→DOUBLE):
+    # genuine cross-family conflicts raise the clear error inside
+    unified = _unify_schemas_widening(schemas, src)
     tombs = _load_merge_tombstones(src)
     return pa.concat_tables(
         _replay_tombstones(
@@ -3562,27 +3952,48 @@ def _delta_files(
     return new or None
 
 
-def _delta_schema_ok(src: str, old: dict, delta: list[str]) -> bool:
+def _delta_schema_ok(
+    src: str, old: dict, delta: list[str], dst: str | None = None
+) -> bool:
     """True when the delta batch can APPEND under the managed schema: the
     same column set with the same types (order may differ — parquet is
     name-addressed). False is the schema-evolution event — the batch ADDS
     or DROPS columns, or changes a type — and the caller falls back to
     the full rebuild, which unifies schemas (old rows null-fill new
-    columns) or raises a clear error on a genuine type conflict. The
+    columns, types WIDEN within the INT→BIGINT / FLOAT→DOUBLE lattice)
+    or raises a clear error on a genuine cross-family conflict. The
     projection mergers read the RAW delta files, so the O(batch) path
     must never see a schema the merge SQL can't resolve. Schema footers
-    only — no data is read."""
+    only — no data is read.
+
+    Post-widening resume: after a widening rebuild the landed BASE parts
+    keep their narrow types forever, so comparing delta types against the
+    base alone would force every later append back to O(history). A type
+    mismatch therefore stays appendable when the MANAGED copy (``dst``)
+    already carries a type the batch upcasts into losslessly — the append
+    conforms/casts the batch to the managed schema before writing."""
     import pyarrow.parquet as pq
 
     ref = pq.read_schema(os.path.join(src, sorted(old)[0]))
     ref_names = set(ref.names)
+    managed = None
+    if dst and os.path.isdir(dst):
+        parts = sorted(f for f in os.listdir(dst) if f.endswith(".parquet"))
+        if parts:
+            managed = pq.read_schema(os.path.join(dst, parts[0]))
     for f in delta:
         s = pq.read_schema(os.path.join(src, f))
         if set(s.names) != ref_names:
             return False
         for field in s:
-            if ref.field(field.name).type != field.type:
-                return False
+            want = ref.field(field.name).type
+            if want == field.type:
+                continue
+            if managed is not None and field.name in managed.names:
+                mt = managed.field(field.name).type
+                if _widen_type([field.type, mt]) == mt:
+                    continue
+            return False
     return True
 
 
@@ -5321,7 +5732,9 @@ def ingest_tables(
                 # type) is the evolution event — full rebuild under the
                 # unified schema; subset batches stay O(batch) (null-fill)
                 old_parts = _read_marker(table_marker)[1].get("parts") or {}
-                if old_parts and not _delta_schema_ok(src, old_parts, delta):
+                if old_parts and not _delta_schema_ok(
+                    src, old_parts, delta, dst
+                ):
                     delta = None
             if delta is not None:
                 # pre-append fingerprint: a projection merges ONLY when it

@@ -515,3 +515,249 @@ def test_commit_history_surface(spark, tmp_path, monkeypatch, restore_catalog):
     assert hist[1]["fp_before"] == hist[0]["fp_after"]
     assert all(h["completed"] for h in hist)
     assert all(h["writes"] for h in hist)
+
+
+# ----------------------------------------------- transaction-scope OCC (M10×M13)
+# A multi-table `transaction` composes with the per-table commit CAS through
+# canonical-order table locks: single-op writers block while a foreign
+# transaction holds the table, the ledger brackets each table's log with
+# txn-begin/txn-commit manifests, and the final state always equals some
+# serial order of {transaction, writer}.
+
+
+def _dead_pid():
+    p = subprocess.run(
+        [sys.executable, "-c", "import os; print(os.getpid())"],
+        capture_output=True, text=True,
+    )
+    return int(p.stdout)
+
+
+def test_txn_lock_excl_release_and_dead_holder_heal(tmp_path):
+    dst = _mk_tbl(tmp_path)
+    ok, holder = sess._txn_lock_try(dst, "txnA", ["t"])
+    assert ok and holder is None
+    ok2, holder2 = sess._txn_lock_try(dst, "txnB", ["t"])
+    assert not ok2 and holder2["txn"] == "txnA"
+    sess._txn_lock_release(dst, "txnB")  # wrong id: must NOT release
+    assert sess._txn_lock_read(dst)["txn"] == "txnA"
+    sess._txn_lock_release(dst, "txnA")
+    assert sess._txn_lock_read(dst) is None
+    # a lock whose holder died heals (age-gated) instead of wedging writers
+    with open(sess._txn_lock_path(dst), "w") as fh:
+        json.dump(
+            {"txn": "ghost", "pid": _dead_pid(), "ts": time.time() - 10}, fh
+        )
+    t0 = time.monotonic()
+    sess._txn_lock_wait(dst)
+    assert time.monotonic() - t0 < 5, "heal, not timeout"
+    assert sess._txn_lock_read(dst) is None
+
+
+def test_commit_try_blocks_on_foreign_txn_lock(tmp_path):
+    """A single-op commit must WAIT at the CAS while a foreign transaction
+    holds the table, then proceed once the lock releases."""
+    dst = _mk_tbl(tmp_path)
+    ok, _h = sess._txn_lock_try(dst, "txnA", ["t"])
+    assert ok
+
+    def rel():
+        time.sleep(0.4)
+        sess._txn_lock_release(dst, "txnA")
+
+    th = threading.Thread(target=rel)
+    th.start()
+    t0 = time.monotonic()
+    outcome, m = sess._commit_try(dst, "delete", "fp0", "fp1", ["a"], ["a"])
+    elapsed = time.monotonic() - t0
+    th.join()
+    assert outcome == "won" and m["seq"] == 1
+    assert elapsed >= 0.3, "must have blocked on the foreign lock"
+
+
+def test_commit_settle_waits_for_inflight_maintenance(tmp_path):
+    """_commit_settle (transaction entry) holds until the in-flight
+    commit's .done marker lands — published-but-unmaintained is NOT
+    settled."""
+    dst = _mk_tbl(tmp_path)
+    outcome, m = sess._commit_try(dst, "delete", "fp0", "fp1", ["a"], ["a"])
+    assert outcome == "won"
+    sess._write_marker(os.path.join(dst, "_SUCCESS"), "fp1")
+
+    def done():
+        time.sleep(0.4)
+        sess._commit_done(dst, m)
+
+    th = threading.Thread(target=done)
+    th.start()
+    t0 = time.monotonic()
+    sess._commit_settle(dst, timeout=30)
+    elapsed = time.monotonic() - t0
+    th.join()
+    assert elapsed >= 0.3, "must have waited for the .done marker"
+
+
+def test_two_table_txn_races_single_table_writer(
+    spark, tmp_path, monkeypatch, restore_catalog
+):
+    """THE transaction-scope contract: a two-table transaction (DELETE on
+    orders + UPDATE on customer) races an independent single-table writer
+    (UPDATE on orders) that starts while the transaction holds its locks.
+    The final state must equal a serial order (row-disjoint predicates make
+    it unique), and the commit ledger must show the foreign commit entirely
+    OUTSIDE the txn-begin..txn-commit bracket on both tables."""
+    sf = _mk_sf(
+        tmp_path, monkeypatch, "sftxnocc", tables=("customer", "orders")
+    )
+    sess.ingest_tables(spark, sf)
+    out_dir = spark._lianjia_ingest_map[os.path.normpath(sf)]
+    o_dst = os.path.join(out_dir, "orders.parquet")
+    c_dst = os.path.join(out_dir, "customer.parquet")
+
+    in_txn = threading.Event()
+    errors: list = []
+
+    def writer():
+        in_txn.wait(timeout=120)
+        try:
+            sess.update_where(
+                spark, sf, "orders",
+                pc.field("o_orderstatus") == "O",
+                {"o_totalprice": lambda t: pc.add(t["o_totalprice"], 1000.0)},
+            )
+        except Exception as e:  # surfaced below
+            errors.append(e)
+
+    th = threading.Thread(target=writer)
+    th.start()
+    with sess.transaction(spark, sf, "orders", "customer"):
+        sess.delete_where(
+            spark, sf, "orders", pc.field("o_orderstatus") == "F"
+        )
+        in_txn.set()
+        time.sleep(1.0)  # let the writer reach the lock wait mid-block
+        sess.update_where(
+            spark, sf, "customer",
+            pc.field("c_mktsegment") == "BUILDING",
+            {"c_acctbal": lambda t: pc.add(t["c_acctbal"], 50.0)},
+        )
+    th.join(timeout=300)
+    assert not th.is_alive(), "writer wedged on the transaction lock"
+    assert not errors, errors
+
+    # final state == serial application (unique: row-disjoint predicates)
+    src_o = pq.read_table(f"{SRC}/orders.parquet")
+    want = src_o.filter(pc.not_equal(src_o["o_orderstatus"], "F"))
+    bump = pc.if_else(
+        pc.equal(want["o_orderstatus"], "O"),
+        pc.add(want["o_totalprice"], 1000.0),
+        want["o_totalprice"],
+    )
+    left = pq.read_table(o_dst)
+    assert sorted(
+        zip(left["o_orderkey"].to_pylist(), left["o_totalprice"].to_pylist())
+    ) == sorted(zip(want["o_orderkey"].to_pylist(), bump.to_pylist()))
+    src_c = pq.read_table(f"{SRC}/customer.parquet")
+    cleft = pq.read_table(c_dst)
+    cbump = pc.if_else(
+        pc.equal(src_c["c_mktsegment"], "BUILDING"),
+        pc.add(src_c["c_acctbal"], 50.0),
+        src_c["c_acctbal"],
+    )
+    assert sorted(
+        zip(cleft["c_custkey"].to_pylist(), cleft["c_acctbal"].to_pylist())
+    ) == sorted(zip(src_c["c_custkey"].to_pylist(), cbump.to_pylist()))
+
+    # ledger bracket on orders: begin < delete(txn-stamped) < commit, and
+    # the foreign update sits entirely outside the bracket
+    ms = _manifests(o_dst)
+    by_op = {m["op"]: m for m in ms}
+    tid = by_op["txn-begin"]["txn"]
+    b, e = by_op["txn-begin"]["seq"], by_op["txn-commit"]["seq"]
+    assert by_op["txn-commit"]["txn"] == tid and b < e
+    for m in ms:
+        if b < m["seq"] < e:
+            assert m.get("txn") == tid, m
+    upd = [m for m in ms if m["op"] == "update"]
+    assert upd and all(m["seq"] > e or m["seq"] < b for m in upd), ms
+    dele = [m for m in ms if m["op"] == "delete"]
+    assert dele and all(b < m["seq"] < e for m in dele), ms
+    # customer bracket committed too, fp chain consistent with the marker
+    cms = _manifests(c_dst)
+    cops = [m["op"] for m in cms]
+    assert "txn-begin" in cops and "txn-commit" in cops
+    fp_now, _m = sess._read_marker(os.path.join(c_dst, "_SUCCESS"))
+    assert [m for m in cms if m["op"] == "txn-commit"][0]["fp_after"] == fp_now
+    assert _no_scratch(o_dst) == [] and _no_scratch(c_dst) == []
+
+
+def test_txn_vs_txn_canonical_order_no_deadlock(
+    spark, tmp_path, monkeypatch, restore_catalog
+):
+    """Two transactions over the same two tables, LISTED in opposite
+    orders, race from two threads: canonical (sorted) acquisition keeps the
+    wait-for graph acyclic, so both must complete (no deadlock) and their
+    ledger brackets must not interleave on any table."""
+    sf = _mk_sf(
+        tmp_path, monkeypatch, "sftxn2x", tables=("customer", "orders")
+    )
+    sess.ingest_tables(spark, sf)
+    barrier = threading.Barrier(2)
+    errors: list = []
+
+    def mk(tables, seg, bump):
+        def go():
+            barrier.wait()
+            try:
+                with sess.transaction(spark, sf, *tables):
+                    sess.update_where(
+                        spark, sf, "customer",
+                        pc.field("c_mktsegment") == seg,
+                        {"c_acctbal": lambda t: pc.add(t["c_acctbal"], bump)},
+                    )
+            except Exception as e:  # surfaced below
+                errors.append(e)
+
+        return go
+
+    ts = [
+        threading.Thread(
+            target=mk(("customer", "orders"), "BUILDING", 10.0)
+        ),
+        threading.Thread(
+            target=mk(("orders", "customer"), "AUTOMOBILE", 20.0)
+        ),
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=300)
+    assert not any(t.is_alive() for t in ts), "transaction deadlock"
+    assert not errors, errors
+
+    out_dir = spark._lianjia_ingest_map[os.path.normpath(sf)]
+    src = pq.read_table(f"{SRC}/customer.parquet")
+    left = pq.read_table(os.path.join(out_dir, "customer.parquet"))
+    bump = pc.if_else(
+        pc.equal(src["c_mktsegment"], "BUILDING"),
+        pc.add(src["c_acctbal"], 10.0),
+        pc.if_else(
+            pc.equal(src["c_mktsegment"], "AUTOMOBILE"),
+            pc.add(src["c_acctbal"], 20.0),
+            src["c_acctbal"],
+        ),
+    )
+    assert sorted(
+        zip(left["c_custkey"].to_pylist(), left["c_acctbal"].to_pylist())
+    ) == sorted(zip(src["c_custkey"].to_pylist(), bump.to_pylist()))
+
+    ms = _manifests(os.path.join(out_dir, "customer.parquet"))
+    spans: dict = {}
+    for m in ms:
+        if m["op"] == "txn-begin":
+            spans[m["txn"]] = [m["seq"], None]
+        if m["op"] == "txn-commit":
+            spans[m["txn"]][1] = m["seq"]
+    assert len(spans) == 2 and all(e is not None for _s, e in spans.values())
+    (s1, e1), (s2, e2) = sorted(spans.values())
+    assert e1 < s2, f"transaction brackets interleaved: {ms}"

@@ -149,3 +149,132 @@ def test_type_conflict_raises_clearly(
     pq.write_table(bad, os.path.join(sf, "orders.parquet", "b1.parquet"))
     with pytest.raises(ValueError, match="incompatible schemas"):
         sess.ingest_tables(spark, sf)
+
+
+# ------------------------------------------------------------ type widening
+# r11: INT→BIGINT / FLOAT→DOUBLE type widening maps through the unified
+# rebuild (session._unify_schemas_widening) instead of the type-conflict
+# error; cross-family changes (numeric↔string, int↔float) still reject.
+
+
+def _mk_narrow_sf(tmp_path, monkeypatch):
+    """Landed orders whose base part carries o_custkey as INT32 (the
+    narrow historical schema a years-old corpus starts from)."""
+    sf = tmp_path / "sfwide"
+    (sf / "orders.parquet").mkdir(parents=True)
+    orders = pq.read_table(f"{SRC}/orders.parquet")
+    narrow = orders.set_column(
+        orders.schema.get_field_index("o_custkey"),
+        "o_custkey",
+        orders["o_custkey"].cast(pa.int32()),
+    )
+    pq.write_table(narrow, str(sf / "orders.parquet" / "b0.parquet"))
+    monkeypatch.setattr(sess, "INGEST_ROOT", str(tmp_path / "ingest"))
+    return str(sf), orders, narrow
+
+
+def test_int_widening_rebuilds_then_appends_resume(
+    spark, tmp_path, monkeypatch, restore_catalog
+):
+    """A batch that WIDENS a column (INT32 base, INT64 batch) is the
+    evolution event: full rebuild under the widened schema, old rows
+    losslessly upcast — then BOTH narrow and wide later batches resume the
+    O(batch) append path against the widened managed copy."""
+    sf, orders, narrow = _mk_narrow_sf(tmp_path, monkeypatch)
+    out = sess.ingest_tables(spark, sf)
+    base_schema = {
+        f.name: f.dataType.simpleString()
+        for f in spark.read.parquet(
+            os.path.join(out, "orders.parquet")
+        ).schema
+    }
+    assert base_schema["o_custkey"] == "int", "narrow base must ingest as-is"
+
+    wide = orders.slice(0, 40)  # original int64 o_custkey
+    pq.write_table(wide, os.path.join(sf, "orders.parquet", "b1.parquet"))
+    sess.ingest_tables(spark, sf)
+    assert spark._lianjia_ingest_appended == 0, (
+        "a widened column is the evolution event: must NOT take the delta "
+        "path (the managed copy still holds the narrow type)"
+    )
+    assert spark._lianjia_ingest_rebuilt == 1
+
+    post = spark.read.parquet(os.path.join(out, "orders.parquet"))
+    assert dict(
+        (f.name, f.dataType.simpleString()) for f in post.schema
+    )["o_custkey"] == "bigint", "managed copy must carry the WIDE type"
+    assert post.count() == orders.num_rows + 40
+    # old rows upcast losslessly: the base generation's key sum survives
+    import pyarrow.compute as pc
+
+    want = pc.sum(narrow["o_custkey"]).as_py() + pc.sum(
+        wide["o_custkey"]
+    ).as_py()
+    got = post.groupBy().sum("o_custkey").collect()[0][0]
+    assert got == want
+
+    # a NARROW batch after the widening stays O(batch): it upcasts into
+    # the managed wide schema (no rebuild-per-append regression)
+    nar2 = narrow.slice(40, 30)
+    pq.write_table(nar2, os.path.join(sf, "orders.parquet", "b2.parquet"))
+    sess.ingest_tables(spark, sf)
+    assert spark._lianjia_ingest_appended == 1, (
+        "post-widening narrow append must take the O(batch) delta path"
+    )
+    assert spark._lianjia_ingest_rebuilt == 0
+    post2 = spark.read.parquet(os.path.join(out, "orders.parquet"))
+    assert post2.count() == orders.num_rows + 70
+    assert dict(
+        (f.name, f.dataType.simpleString()) for f in post2.schema
+    )["o_custkey"] == "bigint"
+
+    # managed parts stay schema-identical after the cast-up append
+    schemas = {
+        str(pq.read_schema(os.path.join(out, "orders.parquet", f)))
+        for f in os.listdir(os.path.join(out, "orders.parquet"))
+        if f.endswith(".parquet")
+    }
+    assert len(schemas) == 1, "managed parts must stay schema-identical"
+
+
+def test_float_widening_unifies_to_double(
+    spark, tmp_path, monkeypatch, restore_catalog
+):
+    sf = tmp_path / "sffw"
+    (sf / "orders.parquet").mkdir(parents=True)
+    orders = pq.read_table(f"{SRC}/orders.parquet")
+    f32 = orders.set_column(
+        orders.schema.get_field_index("o_totalprice"),
+        "o_totalprice",
+        orders["o_totalprice"].cast(pa.float32()),
+    )
+    pq.write_table(f32, str(sf / "orders.parquet" / "b0.parquet"))
+    monkeypatch.setattr(sess, "INGEST_ROOT", str(tmp_path / "ingest"))
+    out = sess.ingest_tables(spark, sf)
+    pq.write_table(
+        orders.slice(0, 20), os.path.join(sf, "orders.parquet", "b1.parquet")
+    )
+    sess.ingest_tables(spark, sf)
+    post = spark.read.parquet(os.path.join(out, "orders.parquet"))
+    assert dict(
+        (f.name, f.dataType.simpleString()) for f in post.schema
+    )["o_totalprice"] == "double"
+    assert post.count() == orders.num_rows + 20
+
+
+def test_cross_family_change_still_rejects(
+    spark, tmp_path, monkeypatch, restore_catalog
+):
+    """INT64→DOUBLE is NOT widening (loses integer precision past 2^53):
+    the unified rebuild must raise the clear conflict error, exactly like
+    numeric→string."""
+    sf, orders = _mk_dir_sf(tmp_path, monkeypatch)
+    sess.ingest_tables(spark, sf)
+    bad = orders.slice(0, 10).set_column(
+        orders.schema.get_field_index("o_custkey"),
+        "o_custkey",
+        orders.slice(0, 10)["o_custkey"].cast(pa.float64()),
+    )
+    pq.write_table(bad, os.path.join(sf, "orders.parquet", "b1.parquet"))
+    with pytest.raises(ValueError, match="incompatible schemas"):
+        sess.ingest_tables(spark, sf)

@@ -521,3 +521,247 @@ def test_tws_type_stats_matches_batch_or_skips(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+# ------------------------------------------------ exactly-once epoch replay
+# The docstring claims in streaming/events.py (stream_merge_upsert: "a
+# replayed epoch re-applies the same logical upsert, idempotent at the
+# value level"; stream_lakehouse_ingest: byte-identical landing) made
+# load-bearing: kill the query AFTER an epoch's side effect lands but
+# BEFORE the epoch commits to the checkpoint, restart from the SAME
+# checkpoint (Spark replays the uncommitted epoch — at-least-once
+# delivery), and assert the final landed table equals the no-failure run.
+
+
+class _InjectedCrash(RuntimeError):
+    pass
+
+
+def _split_events_stream_dir(tmp_path, name, with_customer=False):
+    """Scratch sf-dir whose events arrive as TWO stream files (mtime-ordered
+    -> two micro-batches under maxFilesPerTrigger=1)."""
+    import os
+    import shutil
+    import time
+
+    import pyarrow.parquet as pq
+
+    scratch = tmp_path / name
+    scratch.mkdir()
+    ev = pq.read_table("/root/testdata/sf0.001/events.parquet")
+    n = ev.num_rows
+    f1, f2 = str(scratch / "events1.parquet"), str(scratch / "events2.parquet")
+    pq.write_table(ev.slice(0, n // 2), f1)
+    pq.write_table(ev.slice(n // 2), f2)
+    base = time.time() - 1000
+    os.utime(f1, (base, base))
+    os.utime(f2, (base + 100, base + 100))
+    if with_customer:
+        cdir = scratch / "customer.parquet"
+        cdir.mkdir()
+        shutil.copy(
+            "/root/testdata/sf0.001/customer.parquet",
+            str(cdir / "part-00000.parquet"),
+        )
+    return str(scratch), ev
+
+
+def _run_merge_upsert_stream(spark, scratch, ckpt, epochs_seen, crash_state):
+    """One streaming CDC-upsert run over the scratch dir's two event files:
+    per-epoch last-event-per-key MERGE into the managed customer copy
+    (the stream_merge_upsert recipe). crash_state={'armed': True} raises
+    AFTER the first epoch's merge lands but before the epoch commits."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from data_etl_sh_lianjia_spark import session as sess
+    from data_etl_sh_lianjia_spark.streaming.events import read_events_stream
+
+    cust = pq.read_table(
+        os.path.join(scratch, "customer.parquet", "part-00000.parquet")
+    )
+    mk = pc.max(cust["c_custkey"]).as_py()
+    cols = cust.schema.names
+
+    def upsert(batch_df, epoch_id):
+        epochs_seen.append(epoch_id)
+        pdf = batch_df.select(
+            "user_id", "value", "ts_ns", "event_id"
+        ).toPandas()
+        if not pdf.empty:
+            pdf["k"] = (pdf["user_id"] % mk + 1).astype("int64")
+            last = (
+                pdf.sort_values(["ts_ns", "event_id"])
+                .groupby("k", sort=False)
+                .tail(1)[["k", "value"]]
+            )
+            base = cust.filter(
+                pc.is_in(
+                    cust["c_custkey"],
+                    value_set=pa.array(last["k"], type=pa.int64()),
+                )
+            ).to_pandas()
+            base = base.merge(last, left_on="c_custkey", right_on="k")
+            base["c_acctbal"] = base["value"].astype(np.float64)
+            batch = pa.Table.from_pandas(
+                base[cols], preserve_index=False
+            ).cast(cust.schema)
+            sess.merge_into(spark, scratch, "customer", batch, "c_custkey")
+        if crash_state.get("armed"):
+            crash_state["armed"] = False
+            raise _InjectedCrash(
+                "crash after the merge landed, before the epoch ack"
+            )
+
+    q = (
+        read_events_stream(spark, scratch)
+        .writeStream.foreachBatch(upsert)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_stream_merge_upsert_replays_epoch_exactly_once(
+    spark, tmp_path, monkeypatch
+):
+    """Kill stream_merge_upsert's shape after epoch 0's MERGE commits to
+    storage but before the driver acknowledges the epoch; restart from the
+    same checkpoint. Spark replays epoch 0 (at-least-once); the value-level
+    idempotence of the per-epoch merge must make the final customer table
+    equal the no-failure control run, with no duplicate rows."""
+    import os
+
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from data_etl_sh_lianjia_spark import session as sess
+
+    monkeypatch.setattr(sess, "INGEST_ROOT", str(tmp_path / "ingest"))
+
+    # control: the no-failure run
+    ctl_scratch, _ev = _split_events_stream_dir(
+        tmp_path, "ctl", with_customer=True
+    )
+    sess.ingest_tables(spark, ctl_scratch)
+    ctl_epochs: list = []
+    _run_merge_upsert_stream(
+        spark, ctl_scratch, str(tmp_path / "ctl-ckpt"), ctl_epochs, {}
+    )
+    assert ctl_epochs == [0, 1], "two stream files -> two epochs"
+    ctl_out = spark._lianjia_ingest_map[os.path.normpath(ctl_scratch)]
+    ctl = pq.read_table(os.path.join(ctl_out, "customer.parquet"))
+
+    # crash run: epoch 0 applies, crashes pre-ack, then restarts and replays
+    crs_scratch, _ev = _split_events_stream_dir(
+        tmp_path, "crs", with_customer=True
+    )
+    sess.ingest_tables(spark, crs_scratch)
+    crs_epochs: list = []
+    ckpt = str(tmp_path / "crs-ckpt")
+    with _pytest.raises(Exception, match="crash after the merge"):
+        _run_merge_upsert_stream(
+            spark, crs_scratch, ckpt, crs_epochs, {"armed": True}
+        )
+    assert crs_epochs == [0], "crashed during epoch 0"
+    crs_out = spark._lianjia_ingest_map[os.path.normpath(crs_scratch)]
+    mid = pq.read_table(os.path.join(crs_out, "customer.parquet"))
+    assert mid.num_rows == ctl.num_rows, (
+        "epoch 0's merge must be durably applied before the crash"
+    )
+    # restart from the SAME checkpoint: epoch 0 REPLAYS, then epoch 1 runs
+    _run_merge_upsert_stream(spark, crs_scratch, ckpt, crs_epochs, {})
+    assert crs_epochs == [0, 0, 1], (
+        f"the uncommitted epoch must replay on restart: {crs_epochs}"
+    )
+    got = pq.read_table(os.path.join(crs_out, "customer.parquet"))
+    assert got.num_rows == ctl.num_rows, "replay must not duplicate rows"
+    assert sorted(
+        zip(got["c_custkey"].to_pylist(), got["c_acctbal"].to_pylist())
+    ) == sorted(
+        zip(ctl["c_custkey"].to_pylist(), ctl["c_acctbal"].to_pylist())
+    ), "replayed run must equal the no-failure run value-for-value"
+
+
+def test_stream_lakehouse_ingest_replays_epoch_exactly_once(
+    spark, tmp_path, monkeypatch
+):
+    """Same kill/restart protocol for the streaming->lakehouse landing:
+    epoch 0's files land byte-identically and ingest, the crash hits before
+    the epoch ack, and the restarted stream re-lands the same basenames
+    (overwrite) — the landed events table must equal the full set with no
+    duplicates."""
+    import os
+    import shutil
+    import uuid
+
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from data_etl_sh_lianjia_spark import session as sess
+
+    monkeypatch.setattr(sess, "INGEST_ROOT", str(tmp_path / "ingest"))
+    scratch = tmp_path / "slhx"
+    (scratch / "events.parquet").mkdir(parents=True)
+    staging = tmp_path / "stagex"
+    staging.mkdir()
+    ev = pq.read_table("/root/testdata/sf0.001/events.parquet")
+    n = ev.num_rows
+    pq.write_table(
+        ev.slice(0, n // 2), str(scratch / "events.parquet" / "b0.parquet")
+    )
+    pq.write_table(ev.slice(n // 2, n // 4), str(staging / "s1.parquet"))
+    pq.write_table(ev.slice(n // 2 + n // 4), str(staging / "s2.parquet"))
+    out = sess.ingest_tables(spark, str(scratch))
+
+    crash_state = {"armed": True}
+    epochs: list = []
+
+    def land(batch_df, epoch_id):
+        epochs.append(epoch_id)
+        for (f,) in batch_df.select(F.input_file_name()).distinct().collect():
+            path = "/" + f.removeprefix("file:").lstrip("/")
+            shutil.copy(
+                path,
+                str(scratch / "events.parquet" / os.path.basename(path)),
+            )
+        sess.ingest_tables(spark, str(scratch))
+        if crash_state.get("armed"):
+            crash_state["armed"] = False
+            raise _InjectedCrash(
+                "crash after the landing ingested, before the epoch ack"
+            )
+
+    def start(ckpt):
+        stream = (
+            spark.readStream.schema(spark.read.parquet(str(staging)).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(staging))
+        )
+        q = (
+            stream.writeStream.foreachBatch(land)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+
+    ckpt = str(tmp_path / f"ckpt-{uuid.uuid4().hex[:8]}")
+    with _pytest.raises(Exception, match="crash after the landing"):
+        start(ckpt)
+    assert epochs == [0]
+    start(ckpt)  # restart from the same checkpoint
+    assert epochs == [0, 0, 1], f"uncommitted epoch must replay: {epochs}"
+
+    post = pq.read_table(os.path.join(out, "events.parquet"))
+    assert post.num_rows == n, "replayed landing must not duplicate rows"
+    assert sorted(post["event_id"].to_pylist()) == sorted(
+        ev["event_id"].to_pylist()
+    ), "landed table must equal the full event set exactly once"
