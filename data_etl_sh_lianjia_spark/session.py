@@ -584,6 +584,32 @@ def _commit_lost(
     _commit_await(dst, other)
 
 
+def _read_raced(
+    exc: Exception, dst: str, name: str, op: str, old_fp: str, retries: int
+) -> None:
+    """Classify a read failure inside a mutation's OPTIMISTIC compute phase
+    (before its commit CAS). A concurrent winner's ``_publish_dir`` swaps the
+    generation directory mid-read, and pyarrow's metadata/data double-open
+    can then see two different files — surfacing as OSError ("Couldn't
+    deserialize thrift") or ArrowInvalid instead of a clean CAS loss. If the
+    table fingerprint moved (or the marker is momentarily unreadable during
+    the swap), the failure IS the conflict: wait for the winner to settle and
+    return, so the caller re-applies exactly like a commit-CAS loser. A
+    failure with the fingerprint unchanged is genuine corruption: re-raise.
+    (A torn read that happens NOT to raise still cannot corrupt state — the
+    mixed-snapshot compute carries fp_before=old_fp into the CAS, which the
+    winner's publish has already invalidated, so it loses and re-applies.)"""
+    fp_now, _ = _read_marker(os.path.join(dst, "_SUCCESS"))
+    if fp_now == old_fp:
+        raise exc
+    if retries <= 0:
+        raise ConcurrentWriteConflictError(
+            f"{op} on {name!r} raced concurrent publishes "
+            f"{COMMIT_RETRIES + 1} times — giving up"
+        ) from exc
+    _commit_settle(dst)
+
+
 # --------------------------------------------------------------------------
 # Transaction-scope OCC (M10 × M13): a multi-table ``transaction`` block
 # composes with the per-table commit-log CAS via TABLE LOCKS. The per-op CAS
@@ -4752,70 +4778,93 @@ def delete_where(
     table_marker = os.path.join(dst, "_SUCCESS")
     old_fp, old_meta = _read_marker(table_marker)
 
-    parts = sorted(f for f in os.listdir(dst) if f.endswith(".parquet"))
+    if _cc_retries is None:
+        _cc_retries = COMMIT_RETRIES
     hold = dst + f".dropped-{os.getpid()}-{uuid.uuid4().hex[:8]}"
     os.makedirs(hold)
     survivors: dict = {}
     n_deleted = 0
-    # Point-predicate fast path: resolve bucket-key predicates against the
-    # key-sorted bucketed copy and skip main files whose cluster range
-    # excludes every matched row — O(metadata) for unaffected files
-    # instead of one key-column decode each (see _point_prune_candidates;
-    # the count cross-check below makes the prune self-verifying).
-    candidates, expected_n = _point_prune_candidates(
-        out_dir, name, dst, parts, predicate, old_fp
-    )
-    to_split = (
-        parts if candidates is None else [f for f in parts if f in candidates]
-    )
-    # Per-file splits: SPARK TASKS in the distributed regime (one task per
-    # candidate file — the 100 TB regime, see _split_files_via_spark; auto
-    # once the CANDIDATE bytes clear the local/Spark threshold), else a
-    # driver thread pool (pyarrow's scan/filter kernels release the GIL,
-    # so the stats-pruned match checks and the affected-file rewrites
-    # overlap across files). Same per-file contract either way.
     stage = None
-    cand_bytes = sum(
-        os.path.getsize(os.path.join(dst, f)) for f in to_split
-    )
-    kd_cols = _DICT_LAYOUT.get(name)
-    kd_counts: list | None = None
-    if _dml_distributed(cand_bytes):
-        stage = dst + f".stage-{os.getpid()}-{uuid.uuid4().hex[:8]}"
-        os.makedirs(stage)
-        # tasks count the dictionary-column deltas of the rows they remove
-        # while they already have the file decoded — the keydict merge
-        # below then needs no driver-side parquet decode at all
-        kd_counts = []
-        for f, n_matched, n_staged, kd_neg, _kd_pos in _split_files_via_spark(
-            spark, dst, to_split, predicate, hold, stage, kd_cols=kd_cols
-        ):
-            if n_matched < 0:
-                continue
-            n_deleted += n_matched
-            kd_counts += kd_neg
-            survivors[f] = os.path.join(stage, f) if n_staged else None
-    else:
-        with ThreadPoolExecutor(
-            max_workers=min(8, max(1, len(to_split) or 1))
-        ) as pool:
-            splits = list(
-                pool.map(
-                    lambda f: (
-                        f,
-                        *_split_file_by_predicate(
-                            os.path.join(dst, f), predicate
-                        ),
-                    ),
-                    to_split,
+    # The compute phase below is OPTIMISTIC: it reads the current generation
+    # without holding anything, so a concurrent winner's publish can swap the
+    # directory mid-read (torn parquet open). _read_raced classifies that
+    # failure: fingerprint moved -> re-apply like a CAS loss; else re-raise.
+    try:
+        parts = sorted(
+            f for f in os.listdir(dst) if f.endswith(".parquet")
+        )
+        # Point-predicate fast path: resolve bucket-key predicates against
+        # the key-sorted bucketed copy and skip main files whose cluster
+        # range excludes every matched row — O(metadata) for unaffected
+        # files instead of one key-column decode each (see
+        # _point_prune_candidates; the count cross-check below makes the
+        # prune self-verifying).
+        candidates, expected_n = _point_prune_candidates(
+            out_dir, name, dst, parts, predicate, old_fp
+        )
+        to_split = (
+            parts
+            if candidates is None
+            else [f for f in parts if f in candidates]
+        )
+        # Per-file splits: SPARK TASKS in the distributed regime (one task
+        # per candidate file — the 100 TB regime, see _split_files_via_spark;
+        # auto once the CANDIDATE bytes clear the local/Spark threshold),
+        # else a driver thread pool (pyarrow's scan/filter kernels release
+        # the GIL, so the stats-pruned match checks and the affected-file
+        # rewrites overlap across files). Same per-file contract either way.
+        cand_bytes = sum(
+            os.path.getsize(os.path.join(dst, f)) for f in to_split
+        )
+        kd_cols = _DICT_LAYOUT.get(name)
+        kd_counts: list | None = None
+        if _dml_distributed(cand_bytes):
+            stage = dst + f".stage-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+            os.makedirs(stage)
+            # tasks count the dictionary-column deltas of the rows they
+            # remove while they already have the file decoded — the keydict
+            # merge below then needs no driver-side parquet decode at all
+            kd_counts = []
+            for f, n_matched, n_staged, kd_neg, _kd_pos in (
+                _split_files_via_spark(
+                    spark, dst, to_split, predicate, hold, stage,
+                    kd_cols=kd_cols,
                 )
-            )
-        for f, matched, rest in splits:
-            if matched is None:
-                continue
-            n_deleted += matched.num_rows
-            pq.write_table(matched, os.path.join(hold, f))
-            survivors[f] = rest
+            ):
+                if n_matched < 0:
+                    continue
+                n_deleted += n_matched
+                kd_counts += kd_neg
+                survivors[f] = os.path.join(stage, f) if n_staged else None
+        else:
+            with ThreadPoolExecutor(
+                max_workers=min(8, max(1, len(to_split) or 1))
+            ) as pool:
+                splits = list(
+                    pool.map(
+                        lambda f: (
+                            f,
+                            *_split_file_by_predicate(
+                                os.path.join(dst, f), predicate
+                            ),
+                        ),
+                        to_split,
+                    )
+                )
+            for f, matched, rest in splits:
+                if matched is None:
+                    continue
+                n_deleted += matched.num_rows
+                pq.write_table(matched, os.path.join(hold, f))
+                survivors[f] = rest
+    except (OSError, pa.ArrowInvalid) as exc:
+        shutil.rmtree(hold, ignore_errors=True)
+        if stage:
+            shutil.rmtree(stage, ignore_errors=True)
+        _read_raced(exc, dst, name, "delete", old_fp, _cc_retries)
+        return delete_where(
+            spark, sf_dir, name, predicate, _cc_retries=_cc_retries - 1
+        )
     if expected_n is not None and n_deleted != expected_n:
         shutil.rmtree(hold, ignore_errors=True)
         if stage:
@@ -4838,8 +4887,6 @@ def delete_where(
     # A concurrent mutation that got there first means the matches above
     # were computed against a superseded snapshot — discard the staged
     # work, wait for the winner's publish, re-apply (bounded retries).
-    if _cc_retries is None:
-        _cc_retries = COMMIT_RETRIES
     outcome, other = _commit_try(
         dst, op="delete", fp_before=old_fp, fp_after=new_fp,
         reads=list(to_split), writes=list(survivors),
@@ -5126,11 +5173,22 @@ def update_where(
     table_marker = os.path.join(dst, "_SUCCESS")
     old_fp, old_meta = _read_marker(table_marker)
 
-    parts = sorted(f for f in os.listdir(dst) if f.endswith(".parquet"))
-    # validate the SET clause on the DRIVER before dispatching any work:
-    # an unknown column must raise a clear ValueError here, never a
-    # Py4J-wrapped executor traceback from a distributed-mode task
-    known = set(pq.read_schema(os.path.join(dst, parts[0])).names)
+    if _cc_retries is None:
+        _cc_retries = COMMIT_RETRIES
+    try:
+        parts = sorted(
+            f for f in os.listdir(dst) if f.endswith(".parquet")
+        )
+        # validate the SET clause on the DRIVER before dispatching any
+        # work: an unknown column must raise a clear ValueError here,
+        # never a Py4J-wrapped executor traceback from a distributed task
+        known = set(pq.read_schema(os.path.join(dst, parts[0])).names)
+    except OSError as exc:  # raced a concurrent publish's dir swap
+        _read_raced(exc, dst, name, "update", old_fp, _cc_retries)
+        return update_where(
+            spark, sf_dir, name, predicate, assignments,
+            _cc_retries=_cc_retries - 1,
+        )
     for col in assignments:
         if col not in known:
             raise ValueError(f"UPDATE of unknown column {col!r}")
@@ -5138,71 +5196,88 @@ def update_where(
     hold_new = dst + f".updnew-{os.getpid()}-{uuid.uuid4().hex[:8]}"
     os.makedirs(hold_old)
     os.makedirs(hold_new)
-    # point-predicate fast path + count cross-check — see delete_where
-    candidates, expected_n = _point_prune_candidates(
-        out_dir, name, dst, parts, predicate, old_fp
-    )
-    to_split = (
-        parts if candidates is None else [f for f in parts if f in candidates]
-    )
     rewritten: dict = {}
     n_updated = 0
     stage = None
-    cand_bytes = sum(
-        os.path.getsize(os.path.join(dst, f)) for f in to_split
-    )
-    kd_cols = _DICT_LAYOUT.get(name)
-    # dictionary counts only change when the SET clause touches a
-    # dictionary column (shred-derived ones included) — mirrors the
-    # restamp-vs-merge decision below, so tasks never count for nothing
-    kd_touched = bool(kd_cols) and not (
-        set(assignments)
-        | {
-            d
-            for src, (d, _p) in _SHRED_COLUMNS.items()
-            if src in assignments
-        }
-    ).isdisjoint(kd_cols)
-    kd_counts: list | None = None
-    if _dml_distributed(cand_bytes):
-        # one Spark task per candidate file (see _split_files_via_spark):
-        # tasks stage each rewritten file; the driver only links paths
-        stage = dst + f".stage-{os.getpid()}-{uuid.uuid4().hex[:8]}"
-        os.makedirs(stage)
-        kd_counts = []
-        for f, n_matched, _n_staged, kd_neg, kd_pos in _split_files_via_spark(
-            spark, dst, to_split, predicate, hold_old, stage,
-            assignments=assignments, hold_new=hold_new,
-            kd_cols=kd_cols if kd_touched else None,
-        ):
-            if n_matched < 0:
-                continue
-            n_updated += n_matched
-            kd_counts += kd_neg + kd_pos
-            rewritten[f] = os.path.join(stage, f)
-    else:
-        with ThreadPoolExecutor(
-            max_workers=min(8, max(1, len(to_split) or 1))
-        ) as pool:
-            splits = list(
-                pool.map(
-                    lambda f: (
-                        f,
-                        *_split_file_by_predicate(
-                            os.path.join(dst, f), predicate
-                        ),
-                    ),
-                    to_split,
+    # OPTIMISTIC compute phase — torn reads under a concurrent publish
+    # re-apply via _read_raced, exactly like a CAS loss (see delete_where).
+    try:
+        # point-predicate fast path + count cross-check — see delete_where
+        candidates, expected_n = _point_prune_candidates(
+            out_dir, name, dst, parts, predicate, old_fp
+        )
+        to_split = (
+            parts
+            if candidates is None
+            else [f for f in parts if f in candidates]
+        )
+        cand_bytes = sum(
+            os.path.getsize(os.path.join(dst, f)) for f in to_split
+        )
+        kd_cols = _DICT_LAYOUT.get(name)
+        # dictionary counts only change when the SET clause touches a
+        # dictionary column (shred-derived ones included) — mirrors the
+        # restamp-vs-merge decision below, so tasks never count for nothing
+        kd_touched = bool(kd_cols) and not (
+            set(assignments)
+            | {
+                d
+                for src, (d, _p) in _SHRED_COLUMNS.items()
+                if src in assignments
+            }
+        ).isdisjoint(kd_cols)
+        kd_counts: list | None = None
+        if _dml_distributed(cand_bytes):
+            # one Spark task per candidate file (see _split_files_via_spark):
+            # tasks stage each rewritten file; the driver only links paths
+            stage = dst + f".stage-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+            os.makedirs(stage)
+            kd_counts = []
+            for f, n_matched, _n_staged, kd_neg, kd_pos in (
+                _split_files_via_spark(
+                    spark, dst, to_split, predicate, hold_old, stage,
+                    assignments=assignments, hold_new=hold_new,
+                    kd_cols=kd_cols if kd_touched else None,
                 )
-            )
-        for f, matched, rest in splits:
-            if matched is None:
-                continue
-            updated = _apply_update(matched, assignments)
-            n_updated += matched.num_rows
-            pq.write_table(matched, os.path.join(hold_old, f))
-            pq.write_table(updated, os.path.join(hold_new, f))
-            rewritten[f] = pa.concat_tables([rest, updated])
+            ):
+                if n_matched < 0:
+                    continue
+                n_updated += n_matched
+                kd_counts += kd_neg + kd_pos
+                rewritten[f] = os.path.join(stage, f)
+        else:
+            with ThreadPoolExecutor(
+                max_workers=min(8, max(1, len(to_split) or 1))
+            ) as pool:
+                splits = list(
+                    pool.map(
+                        lambda f: (
+                            f,
+                            *_split_file_by_predicate(
+                                os.path.join(dst, f), predicate
+                            ),
+                        ),
+                        to_split,
+                    )
+                )
+            for f, matched, rest in splits:
+                if matched is None:
+                    continue
+                updated = _apply_update(matched, assignments)
+                n_updated += matched.num_rows
+                pq.write_table(matched, os.path.join(hold_old, f))
+                pq.write_table(updated, os.path.join(hold_new, f))
+                rewritten[f] = pa.concat_tables([rest, updated])
+    except (OSError, pa.ArrowInvalid) as exc:
+        shutil.rmtree(hold_old, ignore_errors=True)
+        shutil.rmtree(hold_new, ignore_errors=True)
+        if stage:
+            shutil.rmtree(stage, ignore_errors=True)
+        _read_raced(exc, dst, name, "update", old_fp, _cc_retries)
+        return update_where(
+            spark, sf_dir, name, predicate, assignments,
+            _cc_retries=_cc_retries - 1,
+        )
     if expected_n is not None and n_updated != expected_n:
         shutil.rmtree(hold_old, ignore_errors=True)
         shutil.rmtree(hold_new, ignore_errors=True)
@@ -5242,8 +5317,6 @@ def update_where(
     # the winner's published snapshot (UPDATE is not idempotent, so the
     # await-then-re-apply ordering is what keeps SET x = x + 1 exactly-once
     # per invocation under concurrency).
-    if _cc_retries is None:
-        _cc_retries = COMMIT_RETRIES
     outcome, other = _commit_try(
         dst, op="update", fp_before=old_fp, fp_after=new_fp,
         reads=list(to_split), writes=list(rewritten),

@@ -242,6 +242,75 @@ def test_loser_reapplies_after_interleaved_winner(
     assert _no_scratch(dst) == []
 
 
+def test_torn_read_during_compute_reapplies(
+    spark, tmp_path, monkeypatch, restore_catalog
+):
+    """Deterministic torn-read race: a competing DELETE publishes while this
+    DELETE is mid-split, and the split surfaces a parquet read error (the
+    pyarrow metadata/data double-open straddled the winner's generation
+    swap). The reader must treat that failure as a CAS loss — settle the
+    winner, re-apply — never propagate the OSError (the r11-inherited
+    four-writer-stress flake)."""
+    sf = _mk_sf(tmp_path, monkeypatch, "sftorn")
+    sess.ingest_tables(spark, sf)
+    out_dir = spark._lianjia_ingest_map[os.path.normpath(sf)]
+    dst = os.path.join(out_dir, "customer.parquet")
+    src = pq.read_table(f"{SRC}/customer.parquet")
+    n_building = len(src.filter(pc.equal(src["c_mktsegment"], "BUILDING")))
+    n_machinery = len(src.filter(pc.equal(src["c_mktsegment"], "MACHINERY")))
+    assert n_building and n_machinery
+
+    orig = sess._split_file_by_predicate
+    state = {"fired": False, "inner": False}
+
+    def hijack(path, predicate):
+        if not state["fired"] and not state["inner"]:
+            state["fired"] = True
+            state["inner"] = True
+            try:
+                won = sess.delete_where(
+                    spark, sf, "customer",
+                    pc.field("c_mktsegment") == "MACHINERY",
+                )
+            finally:
+                state["inner"] = False
+            assert won == n_machinery
+            raise OSError(
+                "Couldn't deserialize thrift: TProtocolException: "
+                "Invalid data\nDeserializing page header failed.\n"
+            )
+        return orig(path, predicate)
+
+    monkeypatch.setattr(sess, "_split_file_by_predicate", hijack)
+    n = sess.delete_where(
+        spark, sf, "customer", pc.field("c_mktsegment") == "BUILDING"
+    )
+    assert n == n_building
+    left = pq.read_table(dst)
+    segs = set(pc.unique(left["c_mktsegment"]).to_pylist())
+    assert "BUILDING" not in segs and "MACHINERY" not in segs
+    assert len(left) == len(src) - n_building - n_machinery
+    ms = _manifests(dst)
+    assert [m["seq"] for m in ms] == [1, 2]
+    assert ms[1]["fp_before"] == ms[0]["fp_after"]
+    assert _no_scratch(dst) == []
+
+
+def test_read_raced_classification(tmp_path):
+    """_read_raced: unchanged fingerprint re-raises (real corruption);
+    moved fingerprint returns (conflict -> caller re-applies); exhausted
+    retry budget raises ConcurrentWriteConflictError."""
+    dst = str(tmp_path / "t.parquet")
+    os.makedirs(dst)
+    sess._write_marker(os.path.join(dst, "_SUCCESS"), "fp0")
+    with pytest.raises(OSError, match="boom"):
+        sess._read_raced(OSError("boom"), dst, "t", "delete", "fp0", 3)
+    sess._write_marker(os.path.join(dst, "_SUCCESS"), "fp1")
+    sess._read_raced(OSError("boom"), dst, "t", "delete", "fp0", 3)
+    with pytest.raises(sess.ConcurrentWriteConflictError):
+        sess._read_raced(OSError("boom"), dst, "t", "delete", "fp0", 0)
+
+
 def test_loser_strict_mode_surfaces_conflict(
     spark, tmp_path, monkeypatch, restore_catalog
 ):
