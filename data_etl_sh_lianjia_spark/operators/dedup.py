@@ -131,6 +131,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.withColumn("words", F.split("text", " ")).select(
         "doc_id", F.expr(f"array_distinct({shingles_of('words')})").alias("sh")
     )
+    # Materialize the shingle projection ONCE (guide §1.2/§3.3: don't
+    # recompute what you can reuse; truncate the plan): the LSH tree below
+    # consumes `toks` six times — sigs feeds both union legs of `bands`,
+    # each of which appears on both sides of the bucket self-join, plus the
+    # ta/tb verify legs — so without this the split+shingle+md5 pipeline
+    # runs ~6× per query (measured: components ≤0.9 s each, full query
+    # 13.4 s at sf0.1). localCheckpoint is per-invocation state computed
+    # from the parquet inputs inside this query — nothing persists across
+    # runs. At 100 TB the same reuse stands: one shingle pass instead of
+    # six, with the checkpoint spilling via the block manager.
+    toks = toks.localCheckpoint(eager=True)
     band1 = ", ".join(_spark_sig(i) for i in range(1, _BAND_ROWS + 1))
     band2 = ", ".join(_spark_sig(i) for i in range(_BAND_ROWS + 1, _N_HASHES + 1))
     sigs = toks.select(
@@ -221,6 +232,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = docs.select(
         "doc_id", "source", F.expr(_SPARK_SIMHASH).alias("simhash")
     )
+    # One fingerprint pass, not two: both legs of the source-blocked
+    # self-join consume `fp`, and the 16-bit simhash is a per-token md5
+    # aggregate — by far the dominant term of this query. Materialized
+    # per-invocation (guide §1.2/§3.3), nothing persists across runs.
+    fp = fp.localCheckpoint(eager=True)
     a = fp.select(
         F.col("doc_id").alias("doc_a"), "source", F.col("simhash").alias("sim_a")
     )
@@ -280,6 +296,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.withColumn("words", F.split("text", " ")).select(
         "doc_id", "source", F.expr(f"array_distinct({shingles_of('words')})").alias("sh")
     )
+    # One shingle pass, not four: `toks` feeds the size lookup (joined
+    # twice, na and nb) and both exploded legs of the inverted-index
+    # self-join. Materialized per-invocation (guide §1.2/§3.3); also the
+    # edge source for the connected-components queries downstream.
+    toks = toks.localCheckpoint(eager=True)
     sizes = toks.select("doc_id", F.size("sh").alias("n"))
     ex = toks.select("doc_id", "source", F.explode("sh").alias("s"))
     inter = (

