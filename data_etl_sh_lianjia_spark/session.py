@@ -2918,6 +2918,94 @@ def _maintain_coarse_joinproj(
     )
 
 
+def _murmur3_long(vals, seed: int = 42):
+    """Vectorized Spark ``Murmur3_x86_32.hashLong`` — the exact hash behind
+    ``repartition(nb, col)`` / ``bucketBy`` placement for LongType keys
+    (pinned against Spark's SQL ``hash()`` in tests/test_ingest.py). Needed
+    so the local bucketed-write path places every row in the SAME bucket
+    file a Spark bucketed write would: co-bucketed join correctness depends
+    on placement, not just layout."""
+    import numpy as np
+
+    with np.errstate(over="ignore"):
+        v = np.asarray(vals, dtype=np.int64).view(np.uint64)
+        c1 = np.uint32(0xCC9E2D51)
+        c2 = np.uint32(0x1B873593)
+
+        def mix_k1(k1):
+            k1 = (k1 * c1).astype(np.uint32)
+            k1 = ((k1 << np.uint32(15)) | (k1 >> np.uint32(17))).astype(
+                np.uint32
+            )
+            return (k1 * c2).astype(np.uint32)
+
+        def mix_h1(h1, k1):
+            h1 = (h1 ^ k1).astype(np.uint32)
+            h1 = ((h1 << np.uint32(13)) | (h1 >> np.uint32(19))).astype(
+                np.uint32
+            )
+            return (h1 * np.uint32(5) + np.uint32(0xE6546B64)).astype(
+                np.uint32
+            )
+
+        low = (v & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        high = (v >> np.uint64(32)).astype(np.uint32)
+        h1 = np.full(v.shape, seed, dtype=np.uint32)
+        h1 = mix_h1(h1, mix_k1(low))
+        h1 = mix_h1(h1, mix_k1(high))
+        h1 = (h1 ^ np.uint32(8)).astype(np.uint32)
+        h1 ^= h1 >> np.uint32(16)
+        h1 = (h1 * np.uint32(0x85EBCA6B)).astype(np.uint32)
+        h1 ^= h1 >> np.uint32(13)
+        h1 = (h1 * np.uint32(0xC2B2AE35)).astype(np.uint32)
+        h1 ^= h1 >> np.uint32(16)
+    return h1.view(np.int32)
+
+
+def _bucketed_write_local(paths: list[str], col: str, nb: int, out: str) -> bool:
+    """Driver-side pyarrow twin of :func:`_bucketed_write` for inputs below
+    the local-ingest threshold (guide §1.2: same layout, cheaper per-task
+    fixed costs — the Spark path pays a repartition shuffle plus two
+    catalog DDLs per build, ~2 s at the bench scale; this path is one
+    vectorized hash + one sort + nb file writes, ~0.3 s). Returns False
+    when ineligible (non-int64 or nullable key values), in which case the
+    caller falls back to the Spark writer. Placement is bit-identical
+    (exact murmur3-pmod, see :func:`_murmur3_long`); file names keep the
+    ``_NNNNN`` bucket suffix Spark's scan parses, one file per bucket so
+    the sort-elision check still claims the per-bucket order."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.concat_tables([pq.read_table(p) for p in paths])
+    if col not in tbl.column_names:
+        return False
+    keys = tbl.column(col)
+    if keys.type != pa.int64() or keys.null_count:
+        return False
+    kv = keys.to_numpy()
+    b = _murmur3_long(kv).astype(np.int64) % nb  # numpy % == Spark pmod
+    tbl = tbl.append_column("__lj_bkt", pa.array(b, pa.int32()))
+    tbl = tbl.sort_by([("__lj_bkt", "ascending"), (col, "ascending")])
+    bs = tbl.column("__lj_bkt").to_numpy()
+    tbl = tbl.drop_columns(["__lj_bkt"])
+    bounds = np.searchsorted(bs, np.arange(nb + 1))
+
+    def one(i: int) -> None:
+        lo, hi = int(bounds[i]), int(bounds[i + 1])
+        if hi > lo:
+            pq.write_table(
+                tbl.slice(lo, hi - lo),
+                os.path.join(out, f"part-00000_{i:05d}.c000.parquet"),
+            )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(8, max(1, nb))) as pool:
+        list(pool.map(one, range(nb)))
+    return True
+
+
 def _bucketed_write(
     spark: SparkSession, df, col: str, nb: int, path: str
 ) -> None:
@@ -2951,13 +3039,26 @@ def _build_bucketed(
     fingerprint: str,
     bk_meta: dict,
 ) -> None:
-    """Full (re)build of the bucketed fact copy from the managed table."""
-    _publish_dir(
-        bk_dst, fingerprint, bk_meta,
-        lambda tmp: _bucketed_write(
-            spark, spark.read.parquet(managed_dst), col, nb, tmp
-        ),
-    )
+    """Full (re)build of the bucketed fact copy from the managed table.
+
+    Local/distributed regime split (same threshold as the table ingest):
+    below LOCAL_INGEST_MAX_BYTES the driver-side pyarrow writer builds the
+    identical layout without the repartition shuffle + catalog DDL round;
+    at deployment sizes the Spark bucketed write scales with the cluster."""
+    import glob
+
+    paths = sorted(glob.glob(os.path.join(managed_dst, "*.parquet")))
+    local = paths and sum(
+        os.path.getsize(p) for p in paths
+    ) < LOCAL_INGEST_MAX_BYTES
+
+    def write(tmp: str) -> None:
+        if not (local and _bucketed_write_local(paths, col, nb, tmp)):
+            _bucketed_write(
+                spark, spark.read.parquet(managed_dst), col, nb, tmp
+            )
+
+    _publish_dir(bk_dst, fingerprint, bk_meta, write)
 
 
 def _append_bucketed(
@@ -2987,7 +3088,11 @@ def _append_bucketed(
 
     stage = bk_dst + f".batch-{os.getpid()}"
     shutil.rmtree(stage, ignore_errors=True)
-    _bucketed_write(spark, spark.read.parquet(*delta_paths), col, nb, stage)
+    local = sum(os.path.getsize(p) for p in delta_paths) < LOCAL_INGEST_MAX_BYTES
+    if local:
+        os.makedirs(stage)
+    if not (local and _bucketed_write_local(delta_paths, col, nb, stage)):
+        _bucketed_write(spark, spark.read.parquet(*delta_paths), col, nb, stage)
 
     def write(tmp: str) -> None:
         for entry in os.scandir(bk_dst):

@@ -1418,3 +1418,59 @@ def test_delete_then_crash_never_serves_stale_projection(
     )
     df = all_queries()["q3_join3"].spark_fn(spark, str(sf))
     assert "lj_bkt_lineitem" not in df._jdf.queryExecution().toString()
+
+
+def test_murmur3_long_matches_spark_hash(spark):
+    """The local bucketed writer's placement hash must equal Spark's
+    murmur3 (SQL hash()) bit-for-bit — co-bucketed join correctness
+    depends on both fact copies placing every key in the same bucket."""
+    import random
+
+    import numpy as np
+
+    vals = (
+        list(range(-5, 6))
+        + [2**33 + 7, -(2**40) - 3, 2**62, -(2**62), 2**63 - 1, -(2**63)]
+    )
+    rng = random.Random(7)
+    vals += [rng.randint(-(2**63), 2**63 - 1) for _ in range(500)]
+    df = spark.createDataFrame([(int(x),) for x in vals], "k long")
+    want = [r[0] for r in df.selectExpr("hash(k)").collect()]
+    got = sess._murmur3_long(np.array(vals, dtype=np.int64)).tolist()
+    assert got == want
+
+
+def test_bucketed_write_local_matches_spark_layout(spark, tmp_path):
+    """The pyarrow bucketed writer and Spark's bucketBy writer must agree
+    on bucket membership (file-name bucket ids) and keep each file sorted
+    by the bucket key — the invariants the co-bucketed q3 join and the
+    sort-elision conf rely on."""
+    import glob
+    import re
+
+    import pyarrow.parquet as pq
+
+    src = "/root/testdata/sf0.001/orders.parquet"
+    nb = 8
+    d_spark = str(tmp_path / "bspark")
+    d_local = str(tmp_path / "blocal")
+    os.makedirs(d_local)
+    sess._bucketed_write(
+        spark, spark.read.parquet(src), "o_orderkey", nb, d_spark
+    )
+    assert sess._bucketed_write_local([src], "o_orderkey", nb, d_local)
+
+    def bucket_map(d):
+        m = {}
+        for f in glob.glob(os.path.join(d, "*.parquet")):
+            b = int(re.search(r"_(\d+)(?:\..*)?$", os.path.basename(f)).group(1))
+            m[b] = pq.read_table(f, columns=["o_orderkey"]).column(
+                "o_orderkey"
+            ).to_pylist()
+        return m
+
+    ms, ml = bucket_map(d_spark), bucket_map(d_local)
+    assert set(ms) == set(ml)
+    for b in ms:
+        assert sorted(ms[b]) == sorted(ml[b])
+        assert ml[b] == sorted(ml[b])
