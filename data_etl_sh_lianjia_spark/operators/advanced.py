@@ -196,6 +196,10 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     )
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds three consumers (df, n_docs, the score join): materialize it
+    # once per invocation instead of re-running explode+aggregate per
+    # consumer (guide §1.2/§3.3 — plan-subtree reuse, no cross-run state).
+    tf = tf.localCheckpoint(eager=True)
     df = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = tf.select(F.countDistinct("doc_id").alias("n_docs"))
     scored = (

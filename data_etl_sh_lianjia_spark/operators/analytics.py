@@ -65,36 +65,60 @@ SELECT (SELECT COUNT(*) FROM v) AS n_view,
 )
 def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Each stage requires a strictly-later event than the user's first
-    event of the previous stage. One shuffle per stage on ``user_id``;
-    per-user state is a single timestamp, so the plan scales linearly."""
-    e = _events_us(spark, sf_dir)
-    v = e.filter(F.col("event_type") == "view").groupBy("user_id").agg(
-        F.min("ts_us").alias("vt")
+    event of the previous stage.
+
+    ONE shuffle total (guide §2.4: operations keyed the same way share one
+    exchange): all three stage thresholds are per-user scalars, so they
+    chain as unbounded windows over the same user_id partitioning — vt =
+    first view, ct = first click after vt, pt = first purchase after ct —
+    followed by a per-user collapse and one singleton rollup. The previous
+    per-stage groupBy/join form planned 12 exchanges and recomputed the
+    event scan once per stage per count leg (50 Exchange nodes after AQE).
+    A user with no view has vt NULL, which NULLs the ct/pt comparisons
+    too — exactly the oracle's inner-join semantics."""
+    from pyspark.sql.window import Window
+
+    e = (
+        _events_us(spark, sf_dir)
+        .filter(F.col("event_type").isin("view", "click", "purchase"))
+        .select("user_id", "event_type", "ts_us")
     )
-    c = (
-        e.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(F.col("ts_us") > F.col("vt"))
-        .groupBy("user_id")
-        .agg(F.min("ts_us").alias("ct"))
+    w = Window.partitionBy("user_id")
+    e = e.withColumn(
+        "vt",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts_us"))).over(w),
     )
-    p = (
-        e.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("ts_us") > F.col("ct"))
-        .groupBy("user_id")
-        .agg(F.min("ts_us").alias("pt"))
+    e = e.withColumn(
+        "ct",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts_us") > F.col("vt")),
+                F.col("ts_us"),
+            )
+        ).over(w),
     )
-    va = v.agg(F.count(F.lit(1)).alias("n_view"))
-    ca = c.agg(F.count(F.lit(1)).alias("n_view_click"))
-    pa = p.agg(F.count(F.lit(1)).alias("n_full_funnel"))
-    return (
-        va.crossJoin(ca)
-        .crossJoin(pa)
-        .withColumn(
-            "conversion",
-            F.col("n_full_funnel").cast("double") / F.col("n_view").cast("double"),
-        )
+    e = e.withColumn(
+        "pt",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts_us") > F.col("ct")),
+                F.col("ts_us"),
+            )
+        ).over(w),
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.min("vt").alias("vt"),
+        F.min("ct").alias("ct"),
+        F.min("pt").alias("pt"),
+    )
+    return per_user.agg(
+        F.count("vt").alias("n_view"),
+        F.count("ct").alias("n_view_click"),
+        F.count("pt").alias("n_full_funnel"),
+    ).withColumn(
+        "conversion",
+        F.col("n_full_funnel").cast("double") / F.col("n_view").cast("double"),
     )
 
 

@@ -2973,11 +2973,42 @@ def _bucketed_write_local(paths: list[str], col: str, nb: int, out: str) -> bool
     (exact murmur3-pmod, see :func:`_murmur3_long`); file names keep the
     ``_NNNNN`` bucket suffix Spark's scan parses, one file per bucket so
     the sort-elision check still claims the per-bucket order."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    return _bucketed_write_table_local(
+        pa.concat_tables([pq.read_table(p) for p in paths]), col, nb, out
+    )
+
+
+def _bucketed_write_df_local(
+    df, col: str, nb: int, out: str, size_hint_path: str
+) -> bool:
+    """DataFrame-level twin of :func:`_bucketed_write_local` for the
+    bucketed RESULT projections (custrank, sessions): the builder SQL has
+    already run in Spark (bit-parity with the serving path preserved) —
+    only the bucketed WRITE moves to the driver, skipping the repartition
+    shuffle + saveAsTable DDL round per build. Gated on the SOURCE managed
+    table's on-disk size (these projections aggregate/filter their source,
+    so they are never larger); past the threshold the Spark writer stands."""
+    try:
+        total = sum(
+            e.stat().st_size
+            for e in os.scandir(size_hint_path)
+            if e.name.endswith(".parquet")
+        )
+    except OSError:
+        return False
+    if total >= LOCAL_INGEST_MAX_BYTES:
+        return False
+    return _bucketed_write_table_local(df.toArrow(), col, nb, out)
+
+
+def _bucketed_write_table_local(tbl, col: str, nb: int, out: str) -> bool:
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    tbl = pa.concat_tables([pq.read_table(p) for p in paths])
     if col not in tbl.column_names:
         return False
     keys = tbl.column(col)
@@ -2990,13 +3021,20 @@ def _bucketed_write_local(paths: list[str], col: str, nb: int, out: str) -> bool
     bs = tbl.column("__lj_bkt").to_numpy()
     tbl = tbl.drop_columns(["__lj_bkt"])
     bounds = np.searchsorted(bs, np.arange(nb + 1))
+    # Per-build uniquifier, like Spark's writer UUID: a rewritten bucket
+    # must never reuse a previous generation's file NAME (path-keyed file
+    # caches and concurrent readers otherwise see a same-name file whose
+    # content changed — the torn-read class _read_raced guards against).
+    import uuid as _uuid
+
+    tag = _uuid.uuid4().hex[:8]
 
     def one(i: int) -> None:
         lo, hi = int(bounds[i]), int(bounds[i + 1])
         if hi > lo:
             pq.write_table(
                 tbl.slice(lo, hi - lo),
-                os.path.join(out, f"part-00000_{i:05d}.c000.parquet"),
+                os.path.join(out, f"part-00000-{tag}_{i:05d}.c000.parquet"),
             )
 
     from concurrent.futures import ThreadPoolExecutor
@@ -6460,7 +6498,10 @@ def _maintain_result_projections(
                 changed = built.filter(bucket_of.isin(*affected))
 
                 def write(tmp: str, _c=changed, _n=nbk, _a=affected) -> None:
-                    _bucketed_write(spark, _c, bucket_col, _n, tmp)
+                    if not _bucketed_write_df_local(
+                        _c, bucket_col, _n, tmp, managed
+                    ):
+                        _bucketed_write(spark, _c, bucket_col, _n, tmp)
                     import re as _re
 
                     for entry in os.scandir(vp_dst):
@@ -6477,7 +6518,10 @@ def _maintain_result_projections(
             else:
 
                 def write(tmp: str, _b=built, _n=nbk) -> None:
-                    _bucketed_write(spark, _b, bucket_col, _n, tmp)
+                    if not _bucketed_write_df_local(
+                        _b, bucket_col, _n, tmp, managed
+                    ):
+                        _bucketed_write(spark, _b, bucket_col, _n, tmp)
 
         elif vp_spec.get("single_file", True):
             built = built.coalesce(1)

@@ -1178,14 +1178,18 @@ def stream_lakehouse_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ckpt = os.path.join(
             "/tmp/spark-graft-ckpt", f"slh_{uuid.uuid4().hex[:12]}"
         )
-        with _bounded_stream_shuffle(spark):
-            q = (
-                stream.writeStream.foreachBatch(land)
-                .trigger(availableNow=True)
-                .option("checkpointLocation", ckpt)
-                .start()
-            )
-            q.awaitTermination()
+        # NO _bounded_stream_shuffle here: the stream itself is stateless
+        # (file source -> foreachBatch), so there is no per-partition
+        # state-store cost to save — and the foreachBatch body runs the
+        # engine's BATCH delta ingest + projection merges, which want the
+        # session's batch-regime parallelism (capping measured 2x slower).
+        q = (
+            stream.writeStream.foreachBatch(land)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
         shutil.rmtree(ckpt, ignore_errors=True)
 
         from data_etl_sh_lianjia_spark.plans.registry import all_queries
@@ -1301,15 +1305,16 @@ def stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         ckpt = os.path.join(
             "/tmp/spark-graft-ckpt", f"smu_{uuid.uuid4().hex[:12]}"
         )
-        with _bounded_stream_shuffle(spark):
-            q = (
-                read_events_stream(spark, sf_dir)
-                .writeStream.foreachBatch(upsert)
-                .trigger(availableNow=True)
-                .option("checkpointLocation", ckpt)
-                .start()
-            )
-            q.awaitTermination()
+        # Stateless stream + batch MERGE work inside foreachBatch — keep
+        # the batch-regime partitioning (see stream_lakehouse_ingest).
+        q = (
+            read_events_stream(spark, sf_dir)
+            .writeStream.foreachBatch(upsert)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
         shutil.rmtree(ckpt, ignore_errors=True)
 
         out_dir = spark._lianjia_ingest_map[os.path.normpath(scratch)]
