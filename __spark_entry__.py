@@ -32,6 +32,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # converts repo-verified queries into driver-verified ones round by round.
 # Update after each round from the new CORRECTNESS_r{N}.json.
 _DRIVER_SAMPLED = frozenset({
+    # --- round 11 sample (CORRECTNESS_r11.json, 50/50 hash-green; the two
+    # net-new r11 registrations are now driver-verified) ---
+    "schema_evolution_widening", "txn_commit_serialization",
     # --- round 10 sample (CORRECTNESS_r10.json, 50/50 hash-green; the 11
     # net-new r10 operators are now driver-verified) ---
     "concurrent_dml_serialization", "pinned_cut_roundtrip", "ann_ivfpq_topk",
@@ -123,13 +126,49 @@ _DRIVER_SAMPLED = frozenset({
 })
 
 
+# With the full registry driver-verified at least once, the window's job
+# shifts to RE-verifying queries whose physical plans changed since their
+# last driver row (VERDICT r11, next-round item 2). Names here are placed
+# right after any never-sampled names, so the driver's first-50 window
+# re-hashes exactly the paths the optimization rounds touched: the six
+# r11 changed-plan queries that missed the r11 window, every stream_*
+# runner (r11's partition-cap change; r12's lakehouse/tws work), and the
+# mutation-family queries the r12 round touches. Update per round.
+_ROTATE_PRIORITY = (
+    # r11 changed-plan queries outside the r11 window (VERDICT item 2)
+    "dedup_ngram_jaccard", "dedup_connected_groups", "dedup_canonical_docs",
+    "triangle_count", "contamination_ngram", "crawl_reachability",
+    # stream runners: r11 bounded-shuffle change; r12 lakehouse/tws work
+    "stream_tumbling_counts", "stream_sliding_counts", "stream_session_window",
+    "stream_dedup", "stream_static_join", "stream_stateful_counter",
+    "stream_stream_join", "stream_stream_left_join", "stream_tws_counter",
+    "stream_tws_type_stats", "stream_foreach_batch_sink",
+    "stream_lakehouse_ingest", "stream_merge_upsert", "stream_python_sink",
+    # mutation family (r12 touches the per-mutation projection maintenance)
+    "update_where_orders", "delete_where_orders",
+    "update_where_q1_projection", "delete_where_q1_projection",
+    "merge_into_customers", "compact_managed_orders", "table_changes_orders",
+    "time_travel_orders", "concurrent_dml_serialization",
+    "pinned_cut_roundtrip", "txn_commit_serialization",
+    # consumers of artifacts whose maintenance r12 touches + r11 rewrites
+    "window_rank", "sessionize", "funnel_conversion", "tfidf_top_terms",
+    "dedup_minhash_lsh", "dedup_simhash", "dedup_exact",
+    "recursive_page_walk", "schema_evolution_widening",
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2, never-yet-
-    driver-sampled names first (see _DRIVER_SAMPLED)."""
+    """One entry per implemented operator from SURVEY.md §2: never-yet-
+    driver-sampled names first (see _DRIVER_SAMPLED), then the round's
+    re-verification priorities (_ROTATE_PRIORITY), then the rest."""
     qs = all_queries()
-    ordered = [n for n in qs if n not in _DRIVER_SAMPLED] + [
-        n for n in qs if n in _DRIVER_SAMPLED
-    ]
+    ordered = [n for n in qs if n not in _DRIVER_SAMPLED]
+    seen = set(ordered)
+    for n in _ROTATE_PRIORITY:
+        if n in qs and n not in seen:
+            ordered.append(n)
+            seen.add(n)
+    ordered += [n for n in qs if n not in seen]
     return {name: qs[name].spark_fn for name in ordered}
 
 

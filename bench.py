@@ -154,6 +154,15 @@ def main() -> None:
                 "runs": RUNS,
                 "ingest_sec": ingest_sec,
                 "ingest_tables_rebuilt": ingest_rebuilt,
+                # Scale-signal additions (VERDICT r11 item 3; existing keys
+                # and timing semantics untouched): the resolved core count
+                # and master string prove the bench honors SPARK_GRAFT_CPUS
+                # — cross-check against the q1_rawscan entry above, whose
+                # low-vs-high-core ratio tracks cores (the projection-served
+                # headline queries are all driver-floor-bound at sf0.1 and
+                # cannot show core scaling).
+                "cpus": spark.sparkContext.defaultParallelism,
+                "master": spark.sparkContext.master,
             }
         )
     )

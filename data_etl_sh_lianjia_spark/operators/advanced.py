@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from data_etl_sh_lianjia_spark.plans.registry import register
-from data_etl_sh_lianjia_spark.session import load_tables
+from data_etl_sh_lianjia_spark.session import load_tables, reuse_checkpoint
 
 
 @register(
@@ -198,8 +198,9 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     # tf feeds three consumers (df, n_docs, the score join): materialize it
     # once per invocation instead of re-running explode+aggregate per
-    # consumer (guide §1.2/§3.3 — plan-subtree reuse, no cross-run state).
-    tf = tf.localCheckpoint(eager=True)
+    # consumer (guide §1.2/§3.3 — plan-subtree reuse, no cross-run state;
+    # durability sized to source bytes, see reuse_checkpoint).
+    tf = reuse_checkpoint(tf, spark, sf_dir, "documents")
     df = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = tf.select(F.countDistinct("doc_id").alias("n_docs"))
     scored = (

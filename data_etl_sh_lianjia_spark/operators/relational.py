@@ -205,6 +205,88 @@ def q1_scan_agg_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q1_rawscan — compute-bound scan over the RAW landed lineitem (SURVEY.md §2.2)
+# ---------------------------------------------------------------------------
+
+# Rounds of the per-row md5 chain. Sized so the aggregate carries real
+# distributed compute at sf0.1 (hundreds of ms of hashing at 32 cores):
+# the other headline queries serve from bounded projections in a fixed
+# ~60-90 ms driver floor with no parallelizable work left, so the bench
+# gave core-count sweeps no signal at all (PERF_r11 "suspect_cpus_ignored")
+# — this entry is the scale probe whose 8-vs-32-core ratio tracks cores.
+_RAWSCAN_ROUNDS = 24
+
+_RAWSCAN_BASE_SPARK = (
+    "concat(cast(l_orderkey as string), ':', cast(l_linenumber as string),"
+    " ':', cast(l_partkey as string), ':', cast(l_suppkey as string))"
+)
+_RAWSCAN_BASE_DUCK = (
+    "concat(CAST(l_orderkey AS VARCHAR), ':', CAST(l_linenumber AS VARCHAR),"
+    " ':', CAST(l_partkey AS VARCHAR), ':', CAST(l_suppkey AS VARCHAR))"
+)
+
+
+def _md5_chain(base: str, rounds: int) -> str:
+    for _ in range(rounds):
+        base = f"md5({base})"
+    return base
+
+
+_RAWSCAN_ORACLE = f"""
+WITH h AS (
+  SELECT l_returnflag,
+         {_md5_chain(_RAWSCAN_BASE_DUCK, _RAWSCAN_ROUNDS)} AS h
+  FROM lineitem
+)
+SELECT l_returnflag, COUNT(*) AS n_rows, MIN(h) AS h_min, MAX(h) AS h_max
+FROM h GROUP BY l_returnflag
+"""
+
+
+@register(
+    "q1_rawscan",
+    oracle=_RAWSCAN_ORACLE,
+    survey_ref="S11,P1,A3",
+    bench=True,
+    doc="compute-bound raw-dir scan: per-row md5 chain + per-flag digest agg "
+        "(the bench's core-count scaling probe)",
+)
+def q1_rawscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-digest verification pass over the RAW landed lineitem file:
+    every row's key tuple runs an iterated md5 chain and each returnflag
+    group reports its row count and min/max digest. Deliberately bypasses
+    every ingest-maintained projection AND the managed copy — the point of
+    this entry is to carry real per-row compute from the raw landing
+    through an aggregate, so the bench's core-count sweep (the driver runs
+    the same bench at a lower SPARK_GRAFT_CPUS) has a query whose runtime
+    scales with cores. The raw landing is a single row group, which no
+    scan can split (guide §6.1) — the explicit round-robin repartition to
+    the session's parallelism is what distributes the hash work; its
+    exchange carries only the 4 key ints + the group key (guide §2.3:
+    project before the exchange)."""
+    from data_etl_sh_lianjia_spark.session import table_path
+
+    raw = spark.read.parquet(table_path(sf_dir, "lineitem"))
+    n_par = max(2, spark.sparkContext.defaultParallelism)
+    chained = (
+        raw.select(
+            "l_returnflag", "l_orderkey", "l_linenumber", "l_partkey",
+            "l_suppkey",
+        )
+        .repartition(n_par)
+        .select(
+            "l_returnflag",
+            F.expr(_md5_chain(_RAWSCAN_BASE_SPARK, _RAWSCAN_ROUNDS)).alias("h"),
+        )
+    )
+    return chained.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("h").alias("h_min"),
+        F.max("h").alias("h_max"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # q3_join3 — customer ⋈ orders ⋈ lineitem + agg + top-10 (SURVEY.md §2.4 J3)
 # ---------------------------------------------------------------------------
 

@@ -209,7 +209,18 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+import threading
 from contextlib import contextmanager
+
+# spark.sql.shuffle.partitions is SESSION-scoped: two bounded runs started
+# concurrently on one session (or a batch query planned inside the window)
+# could capture the capped value or clobber each other's restore. All
+# engine callers are single-threaded per session; the lock makes the
+# set/restore window safe if that ever changes (concurrent bounded runs
+# then serialize — a deliberate trade: correctness of the session conf
+# over overlap of bounded drains, which sub-second availableNow runs
+# don't need).
+_BOUNDED_SHUFFLE_LOCK = threading.Lock()
 
 
 @contextmanager
@@ -236,15 +247,16 @@ def _bounded_stream_shuffle(spark: SparkSession):
     parts = int(
         os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", max(8, cpus // 4))
     )
-    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
-    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
-    try:
-        yield
-    finally:
-        if prev is None:
-            spark.conf.unset("spark.sql.shuffle.partitions")
-        else:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    with _BOUNDED_SHUFFLE_LOCK:
+        prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        try:
+            yield
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.shuffle.partitions")
+            else:
+                spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def run_to_completion(stream_df: DataFrame, name: str, output_mode: str) -> DataFrame:
