@@ -2463,6 +2463,45 @@ _TOPK_PROJECTIONS = {
 }
 
 
+def _topkproj_local(spec: dict, files: list[str], merge_with: str | None):
+    """Driver-side twin of the ordered-projection build/merge: sort the
+    (source ∪ existing-projection) rows by the declared total order, take
+    N. Returns None when ineligible — NULLs in any order column (Spark's
+    ASC NULLS FIRST vs pyarrow's at_end placement would disagree) or a
+    schema mismatch — and the Spark path stands. The order carries unique
+    tiebreakers by contract, so sort stability is irrelevant and the
+    result is the exact TakeOrderedAndProject output."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cols = list(spec["cols"])
+    order = []
+    for part in spec["order_sql"].split(","):
+        toks = part.split()
+        order.append(
+            (
+                toks[0],
+                "descending"
+                if len(toks) > 1 and toks[1].upper() == "DESC"
+                else "ascending",
+            )
+        )
+    tabs = [pq.read_table(p, columns=cols) for p in files]
+    if merge_with is not None:
+        tabs += [
+            pq.read_table(p, columns=cols)
+            for p in sorted(glob.glob(os.path.join(merge_with, "*.parquet")))
+        ]
+    t = pa.concat_tables(
+        [x.select(cols) for x in tabs], promote_options="default"
+    )
+    if any(t.column(c).null_count for c, _ in order):
+        return None
+    return t.sort_by(order).slice(0, spec["n"])
+
+
 def _build_topkproj(
     spark: SparkSession,
     spec: dict,
@@ -2474,7 +2513,29 @@ def _build_topkproj(
 ) -> None:
     """Build (or merge) an ordered projection: ORDER BY <total order> LIMIT
     N over the source (Catalyst plans it as TakeOrderedAndProject), union
-    with the existing projection on the append path, re-take N."""
+    with the existing projection on the append path, re-take N.
+
+    Below the local-ingest threshold the sort-and-take runs driver-side
+    in pyarrow (parity pinned by
+    tests/test_ingest.py::test_topkproj_local_twin_parity); any
+    ineligibility falls back to the Spark plan, which remains the 100 TB
+    regime."""
+    files, local_bytes = _expand_local_paths(src_paths)
+    if files and local_bytes < LOCAL_INGEST_MAX_BYTES:
+        try:
+            out = _topkproj_local(spec, files, merge_with)
+        except Exception:
+            out = None
+        if out is not None:
+            import pyarrow.parquet as _pq
+
+            _publish_dir(
+                tp_dst, fingerprint, meta,
+                lambda tmp: _pq.write_table(
+                    out, os.path.join(tmp, "part-00000.parquet")
+                ),
+            )
+            return
     cols = ", ".join(spec["cols"])
     df = spark.read.parquet(*src_paths)
     df.createOrReplaceTempView("_lj_topk_src")
@@ -3229,6 +3290,247 @@ def bucketed_table(spark: SparkSession, sf_dir: str, name: str) -> str | None:
     return tbl
 
 
+def _floor_scaled(col, scale: float):
+    """pyarrow twin of ``CAST(FLOOR(col * scale + 0.5) AS BIGINT)`` — the
+    spark_dsum per-row transform. multiply/add/floor are exactly specified
+    IEEE-754 binary64 ops, so the JVM and pyarrow produce identical bits
+    for the identical expression tree (pinned by
+    tests/test_ingest.py::test_aggproj_local_twin_parity)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    return pc.cast(
+        pc.floor(pc.add(pc.multiply(col, scale), 0.5)), pa.int64()
+    )
+
+
+def _aggproj_group_sum(table, keys, measure_names):
+    """GROUP BY ``keys``, SUM each measure column (pre-transformed inputs
+    named after the measures) plus a guaranteed-non-null ``cnt`` from the
+    ``__ones`` column; returns columns in spec order (keys + measures)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc  # noqa: F401 (callers rely on pc loaded)
+
+    aggs = []
+    for m in measure_names:
+        if m == "cnt":
+            aggs.append(("__ones", "sum"))
+        elif m.startswith("n_"):
+            aggs.append((f"__in_{m}", "count"))
+        else:
+            aggs.append((f"__in_{m}", "sum"))
+    out = table.group_by(list(keys), use_threads=False).aggregate(aggs)
+    renames = {}
+    for m, (src_col, fn) in zip(measure_names, aggs):
+        renames[f"{src_col}_{fn}"] = m
+    out = out.rename_columns(
+        [renames.get(c, c) for c in out.column_names]
+    )
+    fields = [out.schema.field(k) for k in keys]
+    for m in measure_names:
+        nullable = not (m == "cnt" or m.startswith("n_"))
+        fields.append(pa.field(m, pa.int64(), nullable=nullable))
+    return out.select(list(keys) + list(measure_names)).cast(
+        pa.schema(fields)
+    )
+
+
+def _aggproj_local_lineitem(table):
+    """Driver-side rollup of a lineitem delta batch: the exact integer/
+    IEEE expression tree of the ``_AGG_PROJECTIONS['lineitem']`` measures
+    (bit-parity pinned by test)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    qty, price = table.column("l_quantity"), table.column("l_extendedprice")
+    disc, tax = table.column("l_discount"), table.column("l_tax")
+    disc_price = pc.multiply(price, pc.subtract(1.0, disc))
+    charge = pc.multiply(disc_price, pc.add(1.0, tax))
+    keys = ("l_returnflag", "l_linestatus", "l_shipdate")
+    t = table.select(list(keys))
+    t = t.append_column("__ones", pa.array([1] * table.num_rows, pa.int64()))
+    t = t.append_column("__in_s_qty", _floor_scaled(qty, 10000.0))
+    t = t.append_column("__in_n_qty", qty)
+    t = t.append_column("__in_s_price", _floor_scaled(price, 10000.0))
+    t = t.append_column("__in_n_price", price)
+    t = t.append_column("__in_s_disc_price", _floor_scaled(disc_price, 10000.0))
+    t = t.append_column("__in_s_charge", _floor_scaled(charge, 1000000.0))
+    t = t.append_column("__in_s_disc", _floor_scaled(disc, 1000000.0))
+    t = t.append_column("__in_n_disc", disc)
+    return _aggproj_group_sum(
+        t, keys, tuple(_AGG_PROJECTIONS["lineitem"]["measures"]),
+    )
+
+
+def _aggproj_local_events(table):
+    """Driver-side rollup of an events delta batch: read_events' ts_ns
+    normalization + the shred-derived props_k + the events measures, in
+    pyarrow (bit-parity pinned by test)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    table = _shred_json_columns(table)
+    ts = table.column("ts")
+    if pa.types.is_timestamp(ts.type):
+        ns = pc.multiply(
+            pc.cast(pc.cast(ts, pa.timestamp("us")), pa.int64()), 1000
+        )
+    else:
+        # raw INT64 column: read_events normalizes by magnitude — values
+        # at or above 1e17 are already epoch-nanos, below are micros
+        v = pc.cast(ts, pa.int64()).to_numpy(zero_copy_only=False)
+        ns = pa.array(
+            np.where(np.abs(v) >= 100000000000000000, v, v * 1000),
+            pa.int64(),
+        )
+    keys = ("event_type", "ts_day")
+    t = pa.table(
+        {
+            "event_type": table.column("event_type"),
+            "ts_day": pc.divide(pc.cast(ns, pa.int64()), 86400000000000),
+            "__ones": pa.array([1] * table.num_rows, pa.int64()),
+            "__in_s_k": table.column("props_k"),
+            "__in_s_value": _floor_scaled(table.column("value"), 10000.0),
+            "__in_n_value": table.column("value"),
+        }
+    )
+    return _aggproj_group_sum(
+        t, keys, tuple(_AGG_PROJECTIONS["events"]["measures"]),
+    )
+
+
+def _expand_local_paths(src_paths):
+    """(part files, total bytes) for a mixed file/dir path list, or
+    (None, 0) when anything is missing — the eligibility probe every
+    driver-side fast path shares."""
+    import glob
+
+    files: list[str] = []
+    for p in src_paths:
+        if os.path.isdir(p):
+            files += sorted(glob.glob(os.path.join(p, "*.parquet")))
+        elif os.path.isfile(p):
+            files.append(p)
+        else:
+            return None, 0
+    try:
+        return files, sum(os.path.getsize(f) for f in files)
+    except OSError:
+        return None, 0
+
+
+def _aggproj_local_merge(spec, src_paths, merge_with: str, negate: bool):
+    """Driver-side pyarrow twin of _build_aggproj's DELTA-MERGE path (the
+    Spark path stands for full rebuilds and for anything this twin cannot
+    prove eligible — same universal-fallback contract as every local fast
+    path). Returns the merged rollup pa.Table, or None when ineligible.
+    The merge arithmetic is integer-exact: batch rollup rows (negated on
+    the delete path) UNION the existing rollup, re-SUM per group, groups
+    whose cnt reaches zero drop out."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    build = spec.get("local_build")
+    if build is None:
+        return None
+    delta = build(
+        pa.concat_tables(
+            [pq.read_table(p) for p in src_paths], promote_options="default"
+        )
+    )
+    if merge_with is None:
+        return delta
+    old_parts = sorted(glob.glob(os.path.join(merge_with, "*.parquet")))
+    if not old_parts:
+        return None
+    old = pa.concat_tables(pq.read_table(p) for p in old_parts)
+    keys = list(spec["keys"])
+    measures = list(spec["measures"])
+    if negate:
+        for m in measures:
+            i = delta.schema.get_field_index(m)
+            delta = delta.set_column(
+                i, delta.schema.field(i), pc.negate_checked(delta.column(m))
+            )
+    both = pa.concat_tables(
+        [old.select(keys + measures), delta.select(keys + measures)],
+        promote_options="default",  # only nullability differs
+    )
+    aggs = [(m, "sum") for m in measures]
+    out = both.group_by(keys, use_threads=False).aggregate(aggs)
+    out = out.rename_columns(
+        [
+            c[: -len("_sum")] if c.endswith("_sum") else c
+            for c in out.column_names
+        ]
+    )
+    if negate:
+        out = out.filter(pc.greater(out.column("cnt"), 0))
+    return _conform_to_schema(out.select(keys + measures), old.schema)
+
+
+def _coarse_resum(fine, keys, measures):
+    """Re-SUM a fine rollup over coarser keys (pyarrow): exact for the
+    SUM-mergeable integer measures by associativity — the same derivation
+    _derive_cut's SQL performs."""
+    import pyarrow as pa
+
+    out = fine.group_by(list(keys), use_threads=False).aggregate(
+        [(m, "sum") for m in measures]
+    )
+    out = out.rename_columns(
+        [
+            c[: -len("_sum")] if c.endswith("_sum") else c
+            for c in out.column_names
+        ]
+    ).select(list(keys) + list(measures))
+    fields = [out.schema.field(k) for k in keys] + [
+        pa.field(m, pa.int64()) for m in measures
+    ]
+    return out.cast(pa.schema(fields))
+
+
+def _coarse_local_lineitem(fine):
+    """pyarrow twin of the lineitem ``q1cut`` derive_sql (cutoff filter on
+    the fine group key + re-SUM) — integer-exact, parity-pinned."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    cutoff = datetime.datetime.fromisoformat(Q1_CUTOFF)
+    col = fine.column("l_shipdate")
+    f = fine.filter(
+        pc.less_equal(col, pa.scalar(cutoff).cast(col.type))
+    )
+    return _coarse_resum(
+        f,
+        ("l_returnflag", "l_linestatus"),
+        (
+            "cnt", "s_qty", "n_qty", "s_price", "n_price",
+            "s_disc_price", "s_charge", "s_disc", "n_disc",
+        ),
+    )
+
+
+def _coarse_local_events(fine):
+    """pyarrow twin of the events ``bytype`` derive_sql (re-SUM over
+    event_type) — integer-exact, parity-pinned."""
+    return _coarse_resum(
+        fine, ("event_type",), ("cnt", "s_k", "s_value", "n_value")
+    )
+
+
+_AGG_PROJECTIONS["lineitem"]["local_build"] = _aggproj_local_lineitem
+_AGG_PROJECTIONS["lineitem"]["coarse"]["local_derive"] = _coarse_local_lineitem
+_AGG_PROJECTIONS["events"]["local_build"] = _aggproj_local_events
+_AGG_PROJECTIONS["events"]["coarse"]["local_derive"] = _coarse_local_events
+
+
 def _aggproj_sql(spec: dict, src: str) -> str:
     exprs = spec.get("key_exprs", {})
     select_keys = ", ".join(f"{exprs.get(k, k)} AS {k}" for k in spec["keys"])
@@ -3255,7 +3557,32 @@ def _build_aggproj(
     SUM-mergeable by contract). ``negate=True`` is the DELETE path: the
     batch (the removed rows) merges with every measure negated, and groups
     whose row count reaches zero drop out — exact because integer partial
-    sums subtract as exactly as they add."""
+    sums subtract as exactly as they add.
+
+    Builds and merges below the local-ingest threshold run driver-side in
+    pyarrow (guide §1.2: the same rollup without a Spark job's fixed
+    cost — measured ~0.5-0.9 s per build/merge at sf0.1): the per-row
+    transform is a bit-pinned IEEE/integer twin of the SQL expressions
+    (tests/test_ingest.py::test_aggproj_local_twin_parity), and ANY
+    failure or ineligibility falls back to this Spark path (which also
+    remains the 100 TB regime — the threshold gates on source bytes)."""
+    if spec.get("local_build") is not None:
+        files, local_bytes = _expand_local_paths(src_paths)
+        if files and local_bytes < LOCAL_INGEST_MAX_BYTES:
+            try:
+                out = _aggproj_local_merge(spec, files, merge_with, negate)
+            except Exception:
+                out = None
+            if out is not None:
+                import pyarrow.parquet as _pq
+
+                _publish_dir(
+                    ap_dst, fingerprint, meta,
+                    lambda tmp: _pq.write_table(
+                        out, os.path.join(tmp, "part-00000.parquet")
+                    ),
+                )
+                return
     if spec.get("reader") == "events":
         # normalize both managed storage forms (nanos-as-long / ts_ns+NTZ)
         # and derive props_k for raw delta batches
@@ -3313,7 +3640,38 @@ def _build_coarse_aggproj(
     scan. Rebuilt whenever the fine projection is (the fine build/merge is
     the expensive step; this one reads its output). Thin wrapper over the
     unified :func:`_derive_cut` engine — same spec shape and machinery as
-    the star-rollup cuts and user-pinned cuts."""
+    the star-rollup cuts and user-pinned cuts.
+
+    Specs with a ``local_derive`` twin (the two registered coarse shapes:
+    cutoff-filter + re-SUM, plain re-SUM) derive driver-side in pyarrow —
+    the fine rollup is KB-sized, so the cost of the SQL path is purely a
+    Spark job's fixed cost (~0.3 s); integer sums are engine-independent.
+    Any failure falls back to the SQL derivation."""
+    local = spec["coarse"].get("local_derive")
+    if local is not None and not _marker_fresh(
+        os.path.join(coarse_dst, "_SUCCESS"), fingerprint
+    ):
+        import glob
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        try:
+            fine = pa.concat_tables(
+                pq.read_table(p)
+                for p in sorted(glob.glob(os.path.join(ap_dst, "*.parquet")))
+            )
+            out = local(fine)
+        except Exception:
+            out = None
+        if out is not None:
+            _publish_dir(
+                coarse_dst, fingerprint, meta,
+                lambda tmp: pq.write_table(
+                    out, os.path.join(tmp, "part-00000.parquet")
+                ),
+            )
+            return
     _derive_cut(
         spark, spec["coarse"]["derive_sql"], ap_dst, coarse_dst,
         fingerprint, meta,
@@ -6406,6 +6764,49 @@ def _maintain_join_projections(
     return jp_ivm
 
 
+def _affected_buckets_local(paths, bucket_col: str, nb: int):
+    """Bucket ids touched by the delta rows at ``paths``, computed
+    driver-side with the pinned murmur3 replica (one fewer Spark action
+    per projection merge than the ``select(pmod(hash(..)))...collect()``
+    it replaces). Returns None when any file lacks the column or carries
+    a non-int64 key — callers fall back to the Spark computation. NULL
+    keys hash to the murmur3 seed (42), exactly like Spark's hash(NULL)
+    (pinned by tests/test_ingest.py::test_affected_buckets_local)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    try:
+        tables = [pq.read_table(p, columns=[bucket_col]) for p in paths]
+    except Exception:
+        return None
+    if any(bucket_col not in t.column_names for t in tables):
+        return None
+    col = pa.concat_tables(tables).column(bucket_col)
+    if col.type != pa.int64():
+        return None
+    out: set[int] = set()
+    if col.null_count:
+        out.add(int(42 % nb))
+        col = col.drop_null()
+    kv = np.unique(col.combine_chunks().to_numpy(zero_copy_only=False))
+    if kv.size:
+        out |= {int(b) for b in np.unique(_murmur3_long(kv).astype(np.int64) % nb)}
+    return out
+
+
+def _bucket_files(dst: str, buckets) -> list[str]:
+    """Existing artifact files whose ``_NNNNN`` suffix is in ``buckets``."""
+    import re
+
+    out = []
+    for entry in os.scandir(dst):
+        m = re.search(r"_(\d{5})\.", entry.name)
+        if entry.name.endswith(".parquet") and m and int(m.group(1)) in buckets:
+            out.append(entry.path)
+    return out
+
+
 def _maintain_result_projections(
     spark: SparkSession, out_dir: str, tbl_state: dict[str, dict]
 ) -> int:
@@ -6471,8 +6872,30 @@ def _maintain_result_projections(
                 else spark.read.parquet(*paths)
             )
 
+        def _old_for_merge(bucket_paths):
+            """Old-artifact frame for a merge, restricted to the AFFECTED
+            bucket files when the artifact is bucketed and the affected
+            set is computable driver-side (VERDICT r11 item 5): the
+            merger's kept-side anti-join then scans k bucket files
+            instead of the whole artifact, its output is exactly the new
+            content of the affected buckets, and the write stage skips
+            its own Spark ``collect`` of the affected set. Returns
+            (old_df, affected | None); None ⇒ unrestricted (full scan +
+            Spark-side affected collect, the pre-r12 path)."""
+            nbk_old = old_meta.get("n_buckets")
+            if bucket_col is None or not nbk_old:
+                return spark.read.parquet(vp_dst), None
+            aff = _affected_buckets_local(bucket_paths, bucket_col, nbk_old)
+            if not aff:  # None (ineligible) or empty (degenerate)
+                return spark.read.parquet(vp_dst), None
+            files = _bucket_files(vp_dst, aff)
+            if not files:
+                return spark.read.parquet(vp_dst), None
+            return spark.read.parquet(*files), aff
+
         merged_delta = None
         delta_paths = None
+        restricted = None
         if delta and merge_fn and lockstep:
             # append merge: the delta is the RAW new source files
             delta_paths = [os.path.join(tbl_state[t]["src"], f) for f in delta]
@@ -6485,8 +6908,9 @@ def _maintain_result_projections(
             merge = del_merge_fn
         if delta_paths is not None:
             delta_df = _read_delta(delta_paths)
+            old_art, restricted = _old_for_merge(delta_paths)
             built = merge(
-                spark, src_df, spark.read.parquet(vp_dst), delta_df,
+                spark, src_df, old_art, delta_df,
                 f"vpbuild|{vp_fp}",
             )
             merged_delta = delta_df
@@ -6528,7 +6952,7 @@ def _maintain_result_projections(
             old_rows = _read_delta(upd_old)
             new_rows = _read_delta(upd_new)
             union_df = old_rows.unionByName(new_rows)
-            old_art = spark.read.parquet(vp_dst)
+            old_art, restricted = _old_for_merge(upd_old + upd_new)
             if merge_fn is del_merge_fn:
                 built = merge_fn(
                     spark, src_df, old_art, union_df, f"vpbuild|{vp_fp}"
@@ -6569,15 +6993,23 @@ def _maintain_result_projections(
             if merged_delta is not None and old_meta.get("n_buckets"):
                 # targeted publish: only the buckets whose users appear in
                 # the batch are rewritten; every other bucket file
-                # hardlinks into the new generation byte-untouched
-                bucket_of = F.pmod(F.hash(F.col(bucket_col)), F.lit(nbk))
-                affected = {
-                    r[0]
-                    for r in merged_delta.select(
-                        bucket_of.alias("b")
-                    ).distinct().collect()
-                }
-                changed = built.filter(bucket_of.isin(*affected))
+                # hardlinks into the new generation byte-untouched.
+                # With a RESTRICTED kept side (_old_for_merge) `built`
+                # already IS the affected buckets' new content and the
+                # affected set was computed driver-side — no extra Spark
+                # action, no full-artifact filter.
+                if restricted is not None:
+                    affected = restricted
+                    changed = built
+                else:
+                    bucket_of = F.pmod(F.hash(F.col(bucket_col)), F.lit(nbk))
+                    affected = {
+                        r[0]
+                        for r in merged_delta.select(
+                            bucket_of.alias("b")
+                        ).distinct().collect()
+                    }
+                    changed = built.filter(bucket_of.isin(*affected))
 
                 def write(tmp: str, _c=changed, _n=nbk, _a=affected) -> None:
                     if not _bucketed_write_df_local(

@@ -1474,3 +1474,194 @@ def test_bucketed_write_local_matches_spark_layout(spark, tmp_path):
     for b in ms:
         assert sorted(ms[b]) == sorted(ml[b])
         assert ml[b] == sorted(ml[b])
+
+
+def test_aggproj_local_twin_parity(spark, sf_dir):
+    """The driver-side pyarrow aggproj builder must reproduce the Spark
+    SQL builder BIT-FOR-BIT (values and group set) on both registered
+    specs — the delta-merge fast path substitutes it for the Spark job, so
+    any drift would corrupt projection-served results."""
+    import pyarrow.parquet as pq
+
+    # lineitem: Spark rollup via the exact spec SQL over the raw file
+    li_spec = sess._AGG_PROJECTIONS["lineitem"]
+    spark.read.parquet(sess.table_path(sf_dir, "lineitem")).createOrReplaceTempView(
+        "_tw_li"
+    )
+    want = spark.sql(sess._aggproj_sql(li_spec, "_tw_li")).collect()
+    got = sess._aggproj_local_lineitem(
+        pq.read_table(sess.table_path(sf_dir, "lineitem"))
+    ).to_pylist()
+    key = lambda r: (str(r[0]), str(r[1]), str(r[2]))  # noqa: E731
+    want_s = sorted([tuple(r) for r in want], key=key)
+    got_s = sorted([tuple(r.values()) for r in got], key=key)
+    assert want_s == got_s
+
+    # events: Spark rollup over read_events (ts_ns + props_k derivation)
+    ev_spec = sess._AGG_PROJECTIONS["events"]
+    sess.read_events(spark, sess.table_path(sf_dir, "events")).createOrReplaceTempView(
+        "_tw_ev"
+    )
+    want_e = spark.sql(sess._aggproj_sql(ev_spec, "_tw_ev")).collect()
+    got_e = sess._aggproj_local_events(
+        pq.read_table(sess.table_path(sf_dir, "events"))
+    ).to_pylist()
+    want_es = sorted([tuple(r) for r in want_e], key=key)
+    got_es = sorted([tuple(r.values()) for r in got_e], key=key)
+    assert want_es == got_es
+
+
+def test_coarse_local_twin_parity(spark, sf_dir, tmp_path):
+    """The pyarrow coarse derivations (cutoff-filter + re-SUM, plain
+    re-SUM) must equal the derive_sql output over the same fine rollup."""
+    import pyarrow.parquet as pq
+
+    for name in ("lineitem", "events"):
+        spec = sess._AGG_PROJECTIONS[name]
+        src = sess.table_path(sf_dir, name)
+        df = (
+            sess.read_events(spark, src)
+            if spec.get("reader") == "events"
+            else spark.read.parquet(src)
+        )
+        df.createOrReplaceTempView("_tw_fine_src")
+        fine_df = spark.sql(sess._aggproj_sql(spec, "_tw_fine_src"))
+        fine_path = str(tmp_path / f"fine_{name}")
+        fine_df.coalesce(1).write.mode("overwrite").parquet(fine_path)
+        fine_df.createOrReplaceTempView("_tw_fine")
+        want = spark.sql(
+            spec["coarse"]["derive_sql"].format(src="_tw_fine")
+        ).collect()
+        got = spec["coarse"]["local_derive"](
+            pq.read_table(fine_path)
+        ).to_pylist()
+        want_s = sorted([tuple(r) for r in want], key=str)
+        got_s = sorted([tuple(r.values()) for r in got], key=str)
+        assert want_s == got_s, name
+
+
+def test_aggproj_local_merge_algebra(spark, sf_dir, tmp_path):
+    """Local-merge algebra: (rollup of full) negative-merged with a slice
+    == rollup of the remaining rows; positive merge of two slices ==
+    rollup of the union. Exercises the exact code path _build_aggproj's
+    fast branch runs (including the HAVING cnt>0 group drop)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    spec = sess._AGG_PROJECTIONS["lineitem"]
+    src = sess.table_path(sf_dir, "lineitem")
+    full = pq.read_table(src)
+    n = full.num_rows
+    a, b = full.slice(0, n // 2), full.slice(n // 2)
+    pa_dir = tmp_path / "parts"
+    pa_dir.mkdir()
+    pq.write_table(a, str(pa_dir / "a.parquet"))
+    pq.write_table(b, str(pa_dir / "b.parquet"))
+    old_dir = tmp_path / "old"
+    old_dir.mkdir()
+    pq.write_table(
+        sess._aggproj_local_lineitem(full),
+        str(old_dir / "part-00000.parquet"),
+    )
+    # negative merge of slice b -> rollup of slice a
+    got = sess._aggproj_local_merge(
+        spec, [str(pa_dir / "b.parquet")], str(old_dir), negate=True
+    )
+    want = sess._aggproj_local_lineitem(a)
+    canon = lambda t: sorted(  # noqa: E731
+        [tuple(r.values()) for r in t.to_pylist()], key=str
+    )
+    assert canon(got) == canon(want)
+    # positive merge of slice b onto rollup(a) -> rollup(full)
+    old2 = tmp_path / "old2"
+    old2.mkdir()
+    pq.write_table(want, str(old2 / "part-00000.parquet"))
+    got2 = sess._aggproj_local_merge(
+        spec, [str(pa_dir / "b.parquet")], str(old2), negate=False
+    )
+    assert canon(got2) == canon(sess._aggproj_local_lineitem(full))
+
+
+def test_affected_buckets_local_matches_spark(spark, tmp_path):
+    """The driver-side affected-bucket set (murmur3 replica, NULL→seed 42)
+    must equal Spark's pmod(hash(col), nb) over the same delta rows — the
+    targeted projection publish hardlinks every bucket NOT in this set, so
+    an under-approximation would serve stale rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    vals = [1, 2, 3, 10**12, -7, None, 2**62, -(2**62)]
+    p = str(tmp_path / "delta.parquet")
+    pq.write_table(pa.table({"user_id": pa.array(vals, pa.int64())}), p)
+    for nb in (8, 16, 23):
+        got = sess._affected_buckets_local([p], "user_id", nb)
+        df = spark.createDataFrame(
+            [(v,) for v in vals], "user_id long"
+        )
+        want = {
+            r[0]
+            for r in df.select(
+                F.pmod(F.hash(F.col("user_id")), F.lit(nb)).alias("b")
+            ).distinct().collect()
+        }
+        assert got == want, nb
+    # non-int64 key → ineligible, caller falls back
+    p2 = str(tmp_path / "delta2.parquet")
+    pq.write_table(pa.table({"user_id": pa.array(["x"], pa.string())}), p2)
+    assert sess._affected_buckets_local([p2], "user_id", 8) is None
+
+
+def test_topkproj_local_twin_parity(spark, sf_dir, tmp_path):
+    """The driver-side ordered-projection twin must equal the Spark
+    TakeOrderedAndProject output row-for-row (build AND merge forms)."""
+    import pyarrow.parquet as pq
+
+    spec = sess._TOPK_PROJECTIONS["lineitem"]
+    src = sess.table_path(sf_dir, "lineitem")
+    cols = ", ".join(spec["cols"])
+    spark.read.parquet(src).createOrReplaceTempView("_tw_tk")
+    want = [
+        tuple(r)
+        for r in spark.sql(
+            f"SELECT {cols} FROM _tw_tk"
+            f" ORDER BY {spec['order_sql']} LIMIT {spec['n']}"
+        ).collect()
+    ]
+    got_t = sess._topkproj_local(spec, [src], None)
+    got = [tuple(r.values()) for r in got_t.to_pylist()]
+    assert got == want
+    # merge form: top-n(slice A) merged with the DISJOINT slice B must
+    # re-produce the full table's top-n (every global top row is in some
+    # batch's top-n — the merge invariant)
+    import pyarrow as pa
+    import pyarrow.parquet as pq2
+
+    full = pq2.read_table(src)
+    n = full.num_rows
+    a_path = str(tmp_path / "a.parquet")
+    b_path = str(tmp_path / "b.parquet")
+    pq2.write_table(full.slice(0, n // 2), a_path)
+    pq2.write_table(full.slice(n // 2), b_path)
+    old_dir = tmp_path / "tk_old"
+    old_dir.mkdir()
+    pq.write_table(
+        sess._topkproj_local(spec, [a_path], None),
+        str(old_dir / "part-00000.parquet"),
+    )
+    got2 = sess._topkproj_local(spec, [b_path], str(old_dir))
+    assert [tuple(r.values()) for r in got2.to_pylist()] == want
+    # NULL in an order column → ineligible, Spark path stands
+    nulled = pa.table(
+        {
+            c: (
+                pa.array([None], pa.float64())
+                if c == "l_extendedprice"
+                else full.slice(0, 1).column(c)
+            )
+            for c in spec["cols"]
+        }
+    )
+    np_path = str(tmp_path / "nulls.parquet")
+    pq2.write_table(nulled, np_path)
+    assert sess._topkproj_local(spec, [np_path], None) is None

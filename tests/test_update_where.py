@@ -92,6 +92,23 @@ def _inodes(pattern):
     return {p: os.stat(p).st_ino for p in glob.glob(pattern)}
 
 
+def _digests(pattern):
+    """{path: md5 of bytes} — the MERGE-direction check. Inode inequality
+    is NOT a reliable merged-signal: a two-step merge (negative publish +
+    positive publish) frees the pre-merge inode before the second publish
+    allocates, and the filesystem can hand the freed number straight
+    back, so the merged file reappears under the original inode. Content
+    digests cannot alias that way (the merge changes the rollup's rows).
+    Inode EQUALITY remains the right check for the restamp direction —
+    restamps must not touch data files at all."""
+    import hashlib
+
+    return {
+        p: hashlib.md5(open(p, "rb").read()).hexdigest()
+        for p in glob.glob(pattern)
+    }
+
+
 def _bump_qty(t):
     return pc.add(t["l_quantity"], 5.0)
 
@@ -687,6 +704,7 @@ def test_update_relevance_restamps_untouched_projections(
     kd = os.path.join(out, "lineitem.keydict.parquet")
     before = {p: _inodes(os.path.join(p, "*.parquet"))
               for p in (jp_q3, jp_geo, ap, tp, kd)}
+    before_ap = _digests(os.path.join(ap, "*.parquet"))
 
     # l_quantity feeds the q1 aggproj but NOT the revenue rollups, the
     # price top-k, or the keydict layout
@@ -699,7 +717,7 @@ def test_update_relevance_restamps_untouched_projections(
         assert _inodes(os.path.join(p, "*.parquet")) == before[p], (
             f"{os.path.basename(p)} must restamp (l_quantity irrelevant)"
         )
-    assert _inodes(os.path.join(ap, "*.parquet")) != before[ap], (
+    assert _digests(os.path.join(ap, "*.parquet")) != before_ap, (
         "the q1 aggproj reads l_quantity: it must MERGE, not restamp"
     )
     # restamped rollup still serves q3 and matches the full plan
@@ -781,7 +799,7 @@ def test_update_of_events_ts_merges_the_time_keyed_rollup(
     ev = pq.read_table(f"{SRC}/events.parquet")
     eid = ev.column("event_id").to_pylist()[0]
     ap = os.path.join(out, "events.aggproj.parquet")
-    before = _inodes(os.path.join(ap, "*.parquet"))
+    before = _digests(os.path.join(ap, "*.parquet"))
 
     managed_cols = pq.read_schema(
         os.path.join(
@@ -811,7 +829,7 @@ def test_update_of_events_ts_merges_the_time_keyed_rollup(
         {ts_col: _shift_day},
     )
     assert n == 1
-    assert _inodes(os.path.join(ap, "*.parquet")) != before, (
+    assert _digests(os.path.join(ap, "*.parquet")) != before, (
         "a ts update moves the rollup's ts_day group: must merge"
     )
     assert _run(spark, sf, "json_events") == _run(spark, sf, "json_events_df")
