@@ -234,18 +234,21 @@ def _bounded_stream_shuffle(spark: SparkSession):
     per-batch cost that dwarfs the data itself at micro-batch volumes —
     measured at sf0.1 on a warm session, the left-outer stream-stream join
     run drops 16.8 s → 4.5 s going 32 → 8 partitions with identical output
-    (guide §2: partitions sized to the data, not the core count). The
-    formula is scale-adaptive, not a local[32] constant: cores/4 with a
-    floor of 8 keeps state work spread across the machine at any
-    SPARK_GRAFT_CPUS, and a continuous production stream whose state
-    outgrows that sets SPARK_GRAFT_STREAM_SHUFFLE to size stores to state
-    volume instead (state-store count is a first-batch property of the
-    checkpoint, so the knob binds per query, not per session). The session
-    value is restored afterwards so batch queries keep the tune_for_sf
-    regime."""
+    (guide §2: partitions sized to the data, not the core count). r12
+    re-measured the next step: 8 → 4 partitions takes the same join
+    8.5 → 4.7 s and the inner join 6.6 → 4.5 s (quiet-phase interleaved
+    A/B; 2 partitions is within noise of 4), with every other bounded
+    stream flat-to-better — so the floor is 4. The formula stays
+    scale-adaptive, not a local[32] constant: cores/8 with a floor of 4
+    keeps a few stores per machine at any SPARK_GRAFT_CPUS, and a
+    continuous production stream whose state outgrows that sets
+    SPARK_GRAFT_STREAM_SHUFFLE to size stores to state volume instead
+    (state-store count is a first-batch property of the checkpoint, so
+    the knob binds per query, not per session). The session value is
+    restored afterwards so batch queries keep the tune_for_sf regime."""
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     parts = int(
-        os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", max(8, cpus // 4))
+        os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", max(4, cpus // 8))
     )
     with _BOUNDED_SHUFFLE_LOCK:
         prev = spark.conf.get("spark.sql.shuffle.partitions", None)
