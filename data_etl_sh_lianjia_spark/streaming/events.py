@@ -1208,8 +1208,13 @@ def stream_lakehouse_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         ingest_tables(spark, scratch)
 
+        # Schema for the staged slices from the pyarrow table already in
+        # hand (one Spark metadata job saved per invocation); the stream's
+        # rows are used only to NAME arrived files, never for values.
+        from pyspark.sql.pandas.types import from_arrow_schema
+
         stream = (
-            spark.readStream.schema(spark.read.parquet(staging).schema)
+            spark.readStream.schema(from_arrow_schema(ev.schema))
             .option("maxFilesPerTrigger", 1)
             .parquet(staging)
         )
@@ -1246,8 +1251,13 @@ def stream_lakehouse_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         from data_etl_sh_lianjia_spark.plans.registry import all_queries
 
         result = all_queries()["sessionize"].spark_fn(spark, scratch)
-        rows = result.collect()  # materialize before the scratch dir drops
-        return spark.createDataFrame(rows, result.schema)
+        # Materialize before the scratch dir drops — through ARROW, not
+        # collect(): the sessions result is O(sessions) rows and the
+        # row-pickle path pays per-row serialization both ways (guide
+        # §6: Arrow for driver transfers); createDataFrame keeps the
+        # exact schema so values hash identically.
+        tbl = result.toArrow()
+        return spark.createDataFrame(tbl, schema=result.schema)
     finally:
         redirect = getattr(spark, "_lianjia_ingest_map", None) or {}
         out_dir = redirect.pop(os.path.normpath(scratch), None)
